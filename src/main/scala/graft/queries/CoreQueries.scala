@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.AttrSet
+import graft.data.Ingest
+import graft.entropy.EntropyEngine
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational-core operator queries (SURVEY.md §2.1-§2.4): aggregation,
+  * distinct projection/dedup, dictionary encoding, equijoins, and the
+  * entropy primitive, each with a DuckDB oracle.
+  */
+object CoreQueries {
+
+  /** A1/A2: hash group-count + aggregate — the flagship scan shape. */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J3-style multi-table equijoin + aggregation (broadcast dims). */
+  private def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private val q3Sql =
+    """SELECT o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS cnt
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND o_custkey = c_custkey
+      |  AND l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** P2: distinct projection ("cluster table"). */
+  private def p2Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority").distinct()
+
+  private val p2Sql =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** P4: whole-row dedup + count (decomposition-path row count). */
+  private def p4DistinctCount(s: SparkSession, dir: String): DataFrame = {
+    val n = Ingest.distinctCount(Tables.lineitem(s, dir))
+    scalarLong(s, "cnt", n)
+  }
+
+  private val p4Sql =
+    "SELECT count(*) AS cnt FROM (SELECT DISTINCT * FROM lineitem) t"
+
+  /** S5: deterministic per-column dictionary encoding (value -> code). */
+  private def s5Dict(s: SparkSession, dir: String): DataFrame = {
+    val rel = Ingest.relationOf(Tables.orders(s, dir), Seq("o_orderpriority"))
+    Ingest.dictionary(rel, "att0")
+  }
+
+  private val s5Sql =
+    """SELECT o_orderpriority AS value,
+      |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS code
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders) t""".stripMargin
+
+  /** S5b: encoded-relation round trip — group counts on encoded codes
+    * must equal group counts on raw values.
+    */
+  private def s5Encoded(s: SparkSession, dir: String): DataFrame = {
+    val rel = Ingest.relationOf(Tables.orders(s, dir),
+      Seq("o_orderstatus", "o_orderpriority"))
+    Ingest.encode(rel).groupBy(col("att0"), col("att1"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private val s5EncodedSql =
+    """SELECT
+      |  CAST(dense_rank() OVER (ORDER BY o_orderstatus) - 1 AS INT) AS att0,
+      |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS att1,
+      |  cnt
+      |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |      FROM orders GROUP BY o_orderstatus, o_orderpriority) t""".stripMargin
+
+  /** A2: single-subset entropy. */
+  private def entSingle(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus", "l_quantity")
+    val eng = new EntropyEngine(li)
+    scalarDouble(s, "entropy", eng.entropy(AttrSet(0)))
+  }
+
+  private val entSingleSql =
+    s"SELECT round(${Sql.entropyExpr("lineitem", Seq("l_returnflag"))}, 6) AS entropy"
+
+  /** A3: multi-subset shared-scan entropies via GROUPING SETS. The
+    * projection keeps a 4th column so no queried subset is the full
+    * attribute set (whose entropy the engine defines as log2 N, the
+    * reference's total-entropy convention, not the data entropy).
+    */
+  private def entMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+    val eng = new EntropyEngine(li)
+    val subsets = Seq(
+      "rf" -> AttrSet(0), "ls" -> AttrSet(1), "qty" -> AttrSet(2),
+      "rf_ls" -> AttrSet(0, 1), "rf_qty" -> AttrSet(0, 2),
+      "ls_qty" -> AttrSet(1, 2), "rf_ls_qty" -> AttrSet(0, 1, 2))
+    val hs = eng.entropies(subsets.map(_._2))
+    val rows = subsets.map { case (label, x) =>
+      Row(label, math.rint(hs(x) * 1e6) / 1e6)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("subset", StringType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false))))
+  }
+
+  private val entMultiSql = {
+    val combos = Seq(
+      "rf" -> Seq("l_returnflag"), "ls" -> Seq("l_linestatus"),
+      "qty" -> Seq("l_quantity"),
+      "rf_ls" -> Seq("l_returnflag", "l_linestatus"),
+      "rf_qty" -> Seq("l_returnflag", "l_quantity"),
+      "ls_qty" -> Seq("l_linestatus", "l_quantity"),
+      "rf_ls_qty" -> Seq("l_returnflag", "l_linestatus", "l_quantity"))
+    combos.map { case (label, cols) =>
+      s"SELECT '$label' AS subset, round(${Sql.entropyExpr("lineitem", cols)}, 6) AS entropy"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** FD measure H(XY) - H(X) on the lineitem projection. */
+  private def fdMeasure(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus", "l_quantity")
+    val eng = new EntropyEngine(li)
+    scalarDouble(s, "measure", eng.fdMeasure(AttrSet(0), AttrSet(1)))
+  }
+
+  private val fdMeasureSql = {
+    val hxy = Sql.entropyExpr("lineitem", Seq("l_returnflag", "l_linestatus"))
+    val hx = Sql.entropyExpr("lineitem", Seq("l_returnflag"))
+    s"SELECT round($hxy - $hx, 6) AS measure"
+  }
+
+  /** MVD measure H(XY) + H(R-Y) - H(R) - H(X) on the 3-col projection
+    * (R = the projection, N = raw lineitem rows, H(R) = log2 N per the
+    * reference's total-entropy convention).
+    */
+  private def mvdMeasure(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus", "l_quantity")
+    val eng = new EntropyEngine(li)
+    scalarDouble(s, "measure", eng.mvdMeasure(AttrSet(0), AttrSet(1)))
+  }
+
+  private val mvdMeasureSql = {
+    val n = "(SELECT CAST(count(*) AS DOUBLE) FROM lineitem)"
+    val hxy = Sql.entropyExpr("lineitem", Seq("l_returnflag", "l_linestatus"))
+    val hxz = Sql.entropyExpr("lineitem", Seq("l_returnflag", "l_quantity"))
+    val hx = Sql.entropyExpr("lineitem", Seq("l_returnflag"))
+    s"SELECT round($hxy + $hxz - log2($n) - $hx, 6) AS measure"
+  }
+
+  /** Streaming-shaped batch query: hourly tumbling-window counts over the
+    * events table (same dataflow as readStream + window + agg).
+    */
+  private def evHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  private val evHourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private[queries] def scalarDouble(s: SparkSession, name: String, v: Double): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(math.rint(v * 1e6) / 1e6)),
+      StructType(Seq(StructField(name, DoubleType, nullable = false))))
+
+  private[queries] def scalarLong(s: SparkSession, name: String, v: Long): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(v)),
+      StructType(Seq(StructField(name, LongType, nullable = false))))
+
+  def qs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("q3_join", q3Join, Some(q3Sql)),
+    QueryDef("p2_distinct_proj", p2Distinct, Some(p2Sql)),
+    QueryDef("p4_distinct_count", p4DistinctCount, Some(p4Sql)),
+    QueryDef("s5_dictionary", s5Dict, Some(s5Sql)),
+    QueryDef("s5_encode_roundtrip", s5Encoded, Some(s5EncodedSql)),
+    QueryDef("a2_entropy_single", entSingle, Some(entSingleSql)),
+    QueryDef("a3_entropy_multi", entMulti, Some(entMultiSql)),
+    QueryDef("fd_measure", fdMeasure, Some(fdMeasureSql)),
+    QueryDef("mvd_measure", mvdMeasure, Some(mvdMeasureSql)),
+    QueryDef("ev_hourly_window", evHourly, Some(evHourlySql)),
+  )
+}
