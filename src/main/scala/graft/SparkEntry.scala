@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[QueryDef] = CoreQueries.qs ++ DecomposeQueries.qs
+  def registry: Seq[QueryDef] =
+    CoreQueries.qs ++ DecomposeQueries.qs ++ PipelineQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * shingle-Jaccard (inverted-index join), MinHash+LSH, and SimHash.
+  *
+  * Scale design: every pairwise comparison is preceded by a blocking
+  * stage (shared shingle / LSH band bucket) so candidate generation is a
+  * shuffle on small keys, never an n^2 cross join; frequent shingles are
+  * dropped by document frequency (stop-shingle removal) to bound the
+  * worst-case posting-list quadratic blowup on 100 TB corpora.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized text: canonical (minimum) id
+    * per group plus multiplicity. One hash-shuffle on the fingerprint.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact-dedup the relation: keep one row per normalized text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Posting list (id, shingle) with stop-shingles (document frequency
+    * > dfCap) removed.
+    */
+  def rareShinglePostings(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, dfCap: Long): DataFrame = {
+    val post = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.charShingles(col(textCol), k)).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    post.join(dfreq.select("s"), Seq("s"))
+  }
+
+  /** All pairs with rare-shingle Jaccard >= tau, via an inverted-index
+    * self-join on shared shingles (no cross join; the join key is the
+    * shingle, document frequency bounded by dfCap).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, dfCap: Long = 20, tau: Double = 0.3): DataFrame = {
+    val post = rareShinglePostings(df, idCol, textCol, k, dfCap)
+      .select(col("s"), col("id")).cache()
+    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = post.select(col("s"), col("id").as("id1"))
+    val b = post.select(col("s"), col("id").as("id2"))
+    val common = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    val jac = col("c") / (col("n1") + col("n2") - col("c"))
+    common
+      .join(sizes.toDF("id1", "n1"), Seq("id1"))
+      .join(sizes.toDF("id2", "n2"), Seq("id2"))
+      .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** MinHash signature columns sig_0..sig_{m-1}: per hash function j,
+    * the minimum of xxhash64(shingle, j) over the document's shingles.
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           numHashes: Int, k: Int): DataFrame = {
+    val shingles = TextAnalysis.charShingles(col(textCol), k)
+    (0 until numHashes).foldLeft(df.withColumn("__sh", shingles)) { (acc, j) =>
+      acc.withColumn(s"sig_$j",
+        array_min(transform(col("__sh"), s => xxhash64(s, lit(j)))))
+    }
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join
+    * on (band index, band hash), then verify candidates with the exact
+    * shingle Jaccard. `bands` must divide `numHashes`.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8, k: Int = 8,
+                      tau: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = withMinhashSignature(df.select(col(idCol).as("id"), col(textCol)),
+      textCol, numHashes, k)
+      .withColumn("__sh", array_distinct(col("__sh")))
+      .cache()
+    val banded = sig.select(col("id") +: (0 until bands).map { b =>
+      hash((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as(s"band_$b")
+    }: _*)
+    val buckets = (0 until bands).map { b =>
+      banded.select(lit(b).as("band"), col(s"band_$b").as("bh"), col("id"))
+    }.reduce(_ unionAll _)
+    val cand = buckets.toDF("band", "bh", "id1")
+      .join(buckets.toDF("band", "bh", "id2"), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sets = sig.select(col("id"), col("__sh"))
+    val jac = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+      size(array_union(col("sh1"), col("sh2")))
+    cand
+      .join(sets.toDF("id1", "sh1"), Seq("id1"))
+      .join(sets.toDF("id2", "sh2"), Seq("id2"))
+      .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash aggregator over token hashes: per bit, sum +-1 and
+    * take the sign. A `TypedImperativeAggregate`-style Aggregator (one
+    * pass, constant memory) — the idiomatic Spark form of a custom
+    * sketch aggregate.
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var b = 0
+      while (b < 64) { buf(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      buf
+    }
+    override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var b = 0
+      while (b < 64) { x(b) += y(b); b += 1 }
+      x
+    }
+    override def finish(buf: Array[Int]): Long = {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (buf(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  private lazy val simhashUdaf = udaf(SimHashAgg)
+
+  /** Per-document 64-bit SimHash over whitespace tokens. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("id")).agg(simhashUdaf(col("h")).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
+    * 16-bit chunks (a pair within distance d <= 3 must agree on at least
+    * one of the 4 chunks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol).cache()
+    val chunks = (0 until 4).map { c =>
+      sigs.select(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"),
+        col("id"), col("simhash"))
+    }.reduce(_ unionAll _)
+    val cand = chunks.toDF("chunk", "key", "id1", "sh1")
+      .join(chunks.toDF("chunk", "key", "id2", "sh2"), Seq("chunk", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+}

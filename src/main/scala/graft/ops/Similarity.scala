@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column
+  * (`array<float>`): cosine near-duplicate pairs, brute-force cosine
+  * top-k (the exact baseline), and an LSH-bucketed approximate top-k
+  * (the scale path — buckets bound the candidate set so no n^2 shuffle).
+  * Dot products are `zip_with` + `aggregate` column expressions —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, z) => acc + z)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** All pairs with cosine >= tau. Exact; the self-join is a broadcast
+    * of the smaller side when feasible. For corpora where n^2 is
+    * prohibitive use [[lshCosinePairs]].
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  tau: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.toDF("id1", "v1").join(v.toDF("id2", "v2"), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Exact brute-force cosine top-k for a query set (ids in the same
+    * table): rank by cosine rounded to 6dp with id tie-break, so results
+    * are engine-stable.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (+-1 components) from a
+    * splitmix-style hash — no RNG state, reproducible across runs and
+    * cluster layouts.
+    */
+  private def hyperplane(planeIdx: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      var z = planeIdx.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Sign-random-projection bucket id over `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val hp = typedLit(hyperplane(p, dim))
+      val proj = aggregate(zip_with(vec, hp, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, z) => acc + z)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine ranking within it. Bucket count 2^numPlanes bounds
+    * each candidate list to ~n/2^numPlanes — the 100 TB path where the
+    * brute-force cross join is impossible.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, dim: Int,
+              numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = v.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

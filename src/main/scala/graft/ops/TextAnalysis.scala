@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID (stopword-profile heuristic), quality
+  * scoring, and document fingerprinting. All pure `Column` expressions —
+  * codegen'd, no UDFs, so they stay inside whole-stage codegen on a
+  * 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct character k-grams (shingles) of the raw text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(trim(text))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k))))
+  }
+
+  /** Tiny per-language stopword profiles for the language-ID heuristic.
+    * Scores are *distinct stopwords present*; ties break by the fixed
+    * profile order.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "für"),
+    "es" -> Seq("el", "la", "y", "que", "en", "un", "los", "se", "no", "por"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "du", "est", "pour", "dans", "ce"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta", "zai", "yi", "you"),
+  )
+
+  private def profileScore(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Predicted language code by stopword-profile argmax. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwordProfiles.map { case (l, ws) => l -> profileScore(toks, ws) }
+    // argmax with deterministic tie-break in profile order
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), rest) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(score >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Character-class ratios + length stats used for quality filtering.
+    * Returns (alpha_ratio, digit_ratio, punct_ratio, stopword_ratio,
+    * avg_token_len) as named columns.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val t = trim(text)
+    val len = greatest(length(t), lit(1)).cast("double")
+    def classRatio(pattern: String): Column =
+      (len - length(regexp_replace(t, pattern, ""))) / len
+    val toks = tokens(text)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val enStops = stopwordProfiles.head._2
+    Seq(
+      round(classRatio("[a-zA-Z]"), 6).as("alpha_ratio"),
+      round(classRatio("[0-9]"), 6).as("digit_ratio"),
+      round(classRatio("[^a-zA-Z0-9\\s]"), 6).as("punct_ratio"),
+      round(size(array_intersect(toks, array(enStops.map(lit): _*))) / nToks, 6)
+        .as("stopword_ratio"),
+      round((length(regexp_replace(t, "\\s+", "")).cast("double")) / nToks, 6)
+        .as("avg_token_len"))
+  }
+
+  /** Composite quality score in [0,1]: favors alphabetic text of sane
+    * token length with some stopwords (a cheap C4-style filter).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val len = greatest(length(t), lit(1)).cast("double")
+    val alpha = (len - length(regexp_replace(t, "[a-zA-Z]", ""))) / len
+    val toks = tokens(text)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val avgTok = length(regexp_replace(t, "\\s+", "")).cast("double") / nToks
+    val tokOk = when(avgTok.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val lenOk = when(length(t).between(50, 100000), lit(1.0)).otherwise(lit(0.0))
+    round((alpha * lit(0.5)) + (tokOk * lit(0.25)) + (lenOk * lit(0.25)), 6)
+  }
+
+  /** Whitespace-normalization fingerprint (md5 hex) for exact near-layout
+    * dedup; stable across engines.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

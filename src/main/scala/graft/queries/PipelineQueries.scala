@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator queries: dedup family, similarity
+  * search, text analysis, multimodal plumbing. SQL-expressible ones get
+  * DuckDB oracles; LSH/SimHash/stub ops register rows-only.
+  */
+object PipelineQueries {
+
+  // ---- dedup ----
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .select("fp", "keep_id", "dup_cnt")
+
+  private val dedupExactSql =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, dfCap = 20, tau = 0.3)
+
+  private val jaccardPairsSql =
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |dfr AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |post AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |       round(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
+      |FROM common
+      |JOIN sizes n1 ON n1.doc_id = id1
+      |JOIN sizes n2 ON n2.doc_id = id2
+      |WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3""".stripMargin
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, tau = 0.5)
+
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 6)
+
+  // ---- similarity search ----
+
+  private def embCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.35)
+
+  private val embCosinePairsSql =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                   b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
+
+  private def annBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+
+  private val annBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |             round(list_cosine_similarity(q.qv::DOUBLE[],
+      |                                          e.embedding::DOUBLE[]), 6) AS cosine
+      |           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4)
+
+  // ---- text analysis ----
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CAST(length(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id") +: (TextAnalysis.qualityColumns(col("text")) :+
+        TextAnalysis.qualityScore(col("text")).as("quality")): _*)
+
+  private val qualitySql = {
+    val stops = TextAnalysis.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    """WITH b AS (
+      |  SELECT doc_id, trim(text) AS t,
+      |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS dtoks,
+      |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\s+')), 1)
+      |         AS DOUBLE) AS ntoks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len, 6)
+      |    AS alpha_ratio,
+      |  round((len - length(regexp_replace(t, '[0-9]', '', 'g'))) / len, 6)
+      |    AS digit_ratio,
+      |  round((len - length(regexp_replace(t, '[^a-zA-Z0-9\s]', '', 'g'))) / len, 6)
+      |    AS punct_ratio,
+      |  round(length(list_intersect(dtoks, STOPS)) / ntoks, 6) AS stopword_ratio,
+      |  round(length(regexp_replace(t, '\s+', '', 'g')) / ntoks, 6) AS avg_token_len,
+      |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+      |    + (CASE WHEN length(regexp_replace(t, '\s+', '', 'g')) / ntoks
+      |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+      |    6) AS quality
+      |FROM b""".stripMargin.replace("STOPS", stops)
+  }
+
+  private def langid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private val langidSql = {
+    val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $scores FROM b)
+       |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  // ---- multimodal plumbing (stubbed codec; rows-only check) ----
+
+  private def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    Multimodal.extractFeatures(media).toDF()
+      .select("media_id", "content_type", "byte_len", "width", "height", "channels")
+  }
+
+  def qs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
+    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_simhash_sigs", simhashSigs, None),
+    QueryDef("dedup_simhash_pairs", simhashPairs, None),
+    QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
+    QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
+    QueryDef("sim_ann_topk_lsh", annLsh, None),
+    QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("mm_decode_features", mmDecode, None),
+  )
+}

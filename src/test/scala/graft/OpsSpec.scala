@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+
+  private val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+
+  /** 20 random docs + a planted near-dup of doc 0 (one word changed) and
+    * an exact dup of doc 1 (different whitespace).
+    */
+  private val corpus: Seq[(Long, String)] = {
+    val rng = new Lcg(99)
+    val base = (0L until 20L).map { i =>
+      i -> (0 until 40).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val nearDup = 100L -> (base(0)._2.split(" ").init :+ "zulu").mkString(" ")
+    val exactDup = 101L -> ("  " + base(1)._2.replace(" ", "   ") + " ")
+    base :+ nearDup :+ exactDup
+  }
+
+  test("exact dedup groups whitespace-variant duplicates") {
+    val groups = Dedup.exactGroups(docs(corpus), "doc_id", "text").collect()
+    val dupGroup = groups.filter(_.getAs[Long]("dup_cnt") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 1L)
+    val deduped = Dedup.exactDedup(docs(corpus), "doc_id", "text")
+    assert(deduped.count() == corpus.size - 1)
+  }
+
+  test("minhash LSH finds every brute-force high-jaccard pair") {
+    val df = docs(corpus)
+    val brute = Dedup.jaccardPairs(df, "doc_id", "text",
+        k = 8, dfCap = 1000, tau = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text",
+        numHashes = 32, bands = 8, k = 8, tau = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 100L)), s"planted pair missing from brute: $brute")
+    assert(brute.subsetOf(lsh) || brute == lsh,
+      s"LSH missed pairs: ${brute -- lsh}")
+  }
+
+  test("simhash: exact dup same signature, near dup low hamming") {
+    val sigs = Dedup.simhashSignatures(docs(corpus), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(101L)) // same tokens -> same simhash
+    val hamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(100L))
+    assert(hamming <= 12, s"near-dup hamming $hamming unexpectedly high")
+  }
+
+  test("cosine matches driver-side arithmetic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f)),
+      (1L, Array(0.5f, 1.0f, -1.0f)),
+      (2L, Array(2.0f, 0.0f, 4.0f)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", tau = -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x.toDouble).sum *
+        b.map(x => x.toDouble * x.toDouble).sum)
+    }
+    for (((i, j), got) <- pairs) {
+      val exp = math.rint(cos(vecs(i.toInt)._2, vecs(j.toInt)._2) * 1e6) / 1e6
+      assert(math.abs(got - exp) < 1e-9, s"pair ($i,$j)")
+    }
+    assert(pairs((0L, 2L)) == 1.0) // colinear
+  }
+
+  test("LSH top-k self-bucket always contains the exact top neighbor for colinear vectors") {
+    val rng = new Lcg(5)
+    val vecs = (0L until 50L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(100) / 50.0f - 1.0f)
+    } :+ (200L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (201L -> Array.tabulate(8)(j => 2.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    // colinear vectors share every hyperplane sign -> same bucket
+    val res = Similarity.lshTopK(df, "vec_id", "embedding",
+      queryIds = Seq(200L), k = 1, dim = 8, numPlanes = 4).collect()
+    assert(res.length == 1 && res.head.getAs[Long]("neighbor_id") == 201L)
+  }
+
+  test("language id prefers the planted stopword profile") {
+    val d = docs(Seq(
+      10L -> "the cat and the dog of a house in the garden is it you that",
+      11L -> "der hund und die katze das ist nicht mit ein auf",
+      12L -> "el perro y la casa que en un los se no"))
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "en" && got(11L) == "de" && got(12L) == "es")
+  }
+
+  test("multimodal decode is deterministic with the declared shape") {
+    val media = Multimodal.mediaFromDocuments(spark, docs(corpus.take(5)))
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    for (f <- f1) {
+      assert(f.features.length == Multimodal.FakeCodec.FeatureDim)
+      assert(f.width >= 1 && f.width <= 640)
+      assert(f.height >= 1 && f.height <= 480)
+      assert(f.channels >= 1 && f.channels <= 4)
+      assert(f.byte_len == corpus.find(_._1 == f.media_id).get._2.getBytes("UTF-8").length)
+    }
+  }
+}
