@@ -29,14 +29,25 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Posting list (id, shingle) with stop-shingles (document frequency
-    * > dfCap) removed.
+  /** Exploded (id, shingle) postings — positions exploded first so the
+    * per-position `substr` stays inside whole-stage codegen (building a
+    * per-row shingle array with `transform` runs interpreted and
+    * dominates the scan at corpus scale). NOT distinct.
+    */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("__t"))
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))))
+          .as("__i"))
+      .select(col("id"), col("__t").substr(col("__i"), lit(k)).as("s"))
+
+  /** Distinct posting list (id, shingle) with stop-shingles (document
+    * frequency > dfCap) removed.
     */
   def rareShinglePostings(df: DataFrame, idCol: String, textCol: String,
                           k: Int, dfCap: Long): DataFrame = {
-    val post = df
-      .select(col(idCol).as("id"),
-        explode(TextAnalysis.charShingles(col(textCol), k)).as("s"))
+    val post = shinglePostings(df, idCol, textCol, k).distinct()
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     post.join(dfreq.select("s"), Seq("s"))
@@ -63,16 +74,22 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** MinHash signature columns sig_0..sig_{m-1}: per hash function j,
-    * the minimum of xxhash64(shingle, j) over the document's shingles.
+  /** MinHash signatures (id, sig_0..sig_{m-1}): per hash function j, the
+    * minimum of xxhash64(shingle, j) over the document's shingles.
+    * Shape: explode shingles once, then ONE hash-aggregate with m
+    * codegen'd `min` columns — a single shuffle on the id, instead of m
+    * interpreted array-transform passes per row.
     */
-  def withMinhashSignature(df: DataFrame, textCol: String,
-                           numHashes: Int, k: Int): DataFrame = {
-    val shingles = TextAnalysis.charShingles(col(textCol), k)
-    (0 until numHashes).foldLeft(df.withColumn("__sh", shingles)) { (acc, j) =>
-      acc.withColumn(s"sig_$j",
-        array_min(transform(col("__sh"), s => xxhash64(s, lit(j)))))
-    }
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, k: Int): DataFrame = {
+    // hash each shingle string once; the m permutations re-hash the
+    // 8-byte value (xxhash64 over a long), not the string
+    val post = shinglePostings(df, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    post.groupBy(col("id")).agg(
+      min(xxhash64(col("h"), lit(0))).as("sig_0"),
+      (1 until numHashes).map(j =>
+        min(xxhash64(col("h"), lit(j))).as(s"sig_$j")): _*)
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join
@@ -84,26 +101,42 @@ object Dedup {
                       tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = withMinhashSignature(df.select(col(idCol).as("id"), col(textCol)),
-      textCol, numHashes, k)
-      .withColumn("__sh", array_distinct(col("__sh")))
-      .cache()
-    val banded = sig.select(col("id") +: (0 until bands).map { b =>
-      hash((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as(s"band_$b")
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, k)
+    // one evaluation of the signature aggregation: explode the band
+    // hashes out of each row (a unionAll of per-band projections would
+    // re-run the whole signature job once per band per join side)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
     }: _*)
-    val buckets = (0 until bands).map { b =>
-      banded.select(lit(b).as("band"), col(s"band_$b").as("bh"), col("id"))
-    }.reduce(_ unionAll _)
+    val buckets = sig.select(col("id"), explode(bandStructs).as("e"))
+      .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id"))
+      .cache()
+    // cand is referenced three times below (pair join + both candDocs
+    // arms); Spark re-executes shared subtrees, so cache the tiny result
     val cand = buckets.toDF("band", "bh", "id1")
       .join(buckets.toDF("band", "bh", "id2"), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val sets = sig.select(col("id"), col("__sh"))
-    val jac = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-      size(array_union(col("sh1"), col("sh2")))
-    cand
-      .join(sets.toDF("id1", "sh1"), Seq("id1"))
-      .join(sets.toDF("id2", "sh2"), Seq("id2"))
+      .select("id1", "id2").distinct().cache()
+    // exact-Jaccard verification via distinct shingle postings of the
+    // candidate docs only: |A n B| = count of shingles reached from the
+    // pair through both docs' postings; stays in whole-stage codegen
+    // (per-row shingle arrays would run interpreted), and never joins
+    // postings-to-postings on the shingle (hot shingles would blow up
+    // quadratically) — the pair list drives the join instead.
+    val candDocs = cand.select(col("id1").as("id"))
+      .unionAll(cand.select(col("id2").as("id"))).distinct()
+    val post = shinglePostings(df, idCol, textCol, k).distinct()
+      .join(candDocs, Seq("id"), "left_semi").cache()
+    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(post.select(col("id").as("id1"), col("s")), Seq("id1"))
+      .join(post.select(col("id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    val jac = col("c") / (col("n1") + col("n2") - col("c"))
+    common
+      .join(sizes.toDF("id1", "n1"), Seq("id1"))
+      .join(sizes.toDF("id2", "n2"), Seq("id2"))
       .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
@@ -151,12 +184,15 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol).cache()
-    val chunks = (0 until 4).map { c =>
-      sigs.select(lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"),
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunkStructs = array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }: _*)
+    val chunks = sigs.select(col("id"), col("simhash"), explode(chunkStructs).as("e"))
+      .select(col("e.chunk").as("chunk"), col("e.key").as("key"),
         col("id"), col("simhash"))
-    }.reduce(_ unionAll _)
+      .cache()
     val cand = chunks.toDF("chunk", "key", "id1", "sh1")
       .join(chunks.toDF("chunk", "key", "id2", "sh2"), Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))

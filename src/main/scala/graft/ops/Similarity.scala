@@ -12,13 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, z) => acc + z)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** Cosine similarity of two array<float/double> columns (double math),
+    * via the codegen'd native expression ([[graft.functions.CosineSimilarity]],
+    * registered by [[graft.GraftExtensions]]): one tight primitive loop
+    * instead of interpreted zip_with/aggregate lambdas.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** All pairs with cosine >= tau. Exact; the self-join is a broadcast
     * of the smaller side when feasible. For corpora where n^2 is
@@ -69,9 +68,7 @@ object Similarity {
   /** Sign-random-projection bucket id over `numPlanes` hyperplanes. */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val hp = typedLit(hyperplane(p, dim))
-      val proj = aggregate(zip_with(vec, hp, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, z) => acc + z)
+      val proj = call_function("vec_dot", vec, typedLit(hyperplane(p, dim)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Dev tool: run one registered query N times with timings and print its
+  * formatted physical plan. Usage:
+  *   runMain graft.tools.Explain <queryName> [sfDir] [reps] [--no-aqe]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    var b = Sessions.builder(cpus)
+    if (args.contains("--no-aqe")) b = b.config("spark.sql.adaptive.enabled", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    println(s"=== $name @ $sfDir (aqe=${!args.contains("--no-aqe")}) ===")
+    fn(spark, sfDir).explain("formatted")
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
