@@ -79,6 +79,44 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
     totalEntropy - sumClogC / numRows
   }
 
+  /** Sparse-count variant (reference A4/A5/P6,
+    * `entropy/CompressedDB.java:270-346`): drop singleton groups with
+    * `HAVING cnt > 1` before the final aggregate and reconstruct their
+    * contribution analytically — `1*log2(1) = 0`, so the correction term
+    * vanishes in this formulation and the filter only shrinks the
+    * aggregate's input (the reference stores sparse CNT tables for the
+    * same reason). Result is identical to [[entropy]]; kept as a
+    * separate path for inventory parity and as the shape to prefer when
+    * group counts are heavily skewed toward singletons.
+    */
+  def entropySparse(x: AttrSet): Double = {
+    if (x.isEmpty) return 0.0
+    numQueriesIssued += 1
+    val s = df.groupBy(colsOf(x): _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(sum(col("cnt").cast("double") * log(2.0, col("cnt")))).head()
+    val sumClogC = if (s.isNullAt(0)) 0.0 else s.getDouble(0)
+    totalEntropy - sumClogC / numRows
+  }
+
+  /** C4 parity: pre-warm the memo with every (n-1)- and (n-2)-subset
+    * entropy (the "most specific separators" the JD miners probe first),
+    * as shared-scan batches (`entropy/MasterCompressedDB.java:53-69`).
+    */
+  def precomputeMostSpecific(): Unit = {
+    val n = numAttrs
+    val sets =
+      (0 until n).map(fullSet - _) ++
+        (for (i <- 0 until n; j <- i + 1 until n) yield fullSet - i - j)
+    prefetch(sets)
+  }
+
+  /** C5 parity: the full entropy lattice (all non-empty subsets),
+    * batched. Exponential in the attribute count — callers guard n.
+    */
+  def allEntropies(maxBatch: Int = 16): Map[AttrSet, Double] =
+    entropies(AttrSet.allNonEmptySubsets(numAttrs), maxBatch)
+
   /** Ensure all of `sets` are memoized, sharing scans: uncached subsets
     * are grouped into GROUPING SETS batches of `maxBatch`, one Spark job
     * per batch (one scan + one shuffle each).

@@ -192,6 +192,55 @@ object CoreQueries {
       |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** A4/A5: sparse-count entropy (HAVING cnt>1 + analytic singleton
+    * term) — must equal the dense path.
+    */
+  private def entSparse(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus", "l_quantity")
+    val eng = new EntropyEngine(li)
+    scalarDouble(s, "entropy", eng.entropySparse(AttrSet(0, 1)))
+  }
+
+  private val entSparseSql = {
+    val n = "(SELECT CAST(count(*) AS DOUBLE) FROM lineitem)"
+    s"""SELECT round(log2($n) -
+       |  (SELECT coalesce(sum(cnt * log2(cnt)), 0)
+       |   FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM lineitem
+       |         GROUP BY l_returnflag, l_linestatus
+       |         HAVING count(*) > 1) g) / $n, 6) AS entropy""".stripMargin
+  }
+
+  /** A6: composite-key hashing parity — group counts keyed by
+    * sha256(concat of the subset's values), the reference's stored
+    * artifact shape for multi-column group keys.
+    */
+  private def a6HashKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(sha2(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")), 256)
+        .as("key_hash"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val a6Sql =
+    """SELECT sha256(concat_ws('|', o_orderstatus, o_orderpriority)) AS key_hash,
+      |       count(*) AS cnt
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** S1-S4: CSV ingest round trip — dump a projection to CSV, re-read it
+    * through the engine's CSV path (trim + EMPTY sentinel + positional
+    * att{i} naming), aggregate; must match the parquet-side counts.
+    */
+  private def s1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_csv_${math.abs(dir.hashCode)}"
+    Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    Ingest.readCsv(s, tmp, hasHeader = true)
+      .groupBy(col("att0"), col("att1")).agg(count(lit(1)).as("cnt"))
+  }
+
+  private val s1Sql =
+    """SELECT o_orderstatus AS att0, o_orderpriority AS att1, count(*) AS cnt
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   private[queries] def scalarDouble(s: SparkSession, name: String, v: Double): DataFrame =
     s.createDataFrame(
       java.util.Arrays.asList(Row(math.rint(v * 1e6) / 1e6)),
@@ -209,7 +258,10 @@ object CoreQueries {
     QueryDef("p4_distinct_count", p4DistinctCount, Some(p4Sql)),
     QueryDef("s5_dictionary", s5Dict, Some(s5Sql)),
     QueryDef("s5_encode_roundtrip", s5Encoded, Some(s5EncodedSql)),
+    QueryDef("s1_csv_roundtrip", s1CsvRoundtrip, Some(s1Sql)),
     QueryDef("a2_entropy_single", entSingle, Some(entSingleSql)),
+    QueryDef("a5_entropy_sparse", entSparse, Some(entSparseSql)),
+    QueryDef("a6_hashed_group_keys", a6HashKeys, Some(a6Sql)),
     QueryDef("a3_entropy_multi", entMulti, Some(entMultiSql)),
     QueryDef("fd_measure", fdMeasure, Some(fdMeasureSql)),
     QueryDef("mvd_measure", mvdMeasure, Some(mvdMeasureSql)),

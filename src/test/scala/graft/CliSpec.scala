@@ -1,0 +1,91 @@
+package graft
+
+import graft.cli.{CsvReport, Reports, SepFiles}
+import graft.core.{AttrSet, Jd, Measure}
+import graft.entropy.EntropyEngine
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class CliSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test(".sep line round-trips through the reference grammar") {
+    val line = "13,{{4, 9}|{1},{6, 11},{2, 5, 7, 8, 10, 12},{3}},8.881784197001252E-16"
+    val (n, jd) = SepFiles.parseLine(line)
+    assert(n == 13)
+    assert(jd.lhs == AttrSet(4, 9))
+    assert(jd.components == Vector(AttrSet(1), AttrSet(6, 11),
+      AttrSet(2, 5, 7, 8, 10, 12), AttrSet(3)))
+    assert(jd.measure.value == 8.881784197001252e-16)
+    assert(SepFiles.formatLine(n, jd) == line)
+  }
+
+  test(".sep file write/read with empty separator and threshold filename") {
+    val dir = Files.createTempDirectory("graft-sep").toString
+    val jds = Seq(
+      Jd(AttrSet.empty, Vector(AttrSet(0), AttrSet(1, 2)), Measure.exact(0.0)),
+      Jd(AttrSet(1), Vector(AttrSet(0), AttrSet(2)), Measure.exact(0.25)))
+    val path = s"$dir/orders.THRESH.0.5.sep"
+    SepFiles.write(path, 3, jds)
+    val back = SepFiles.read(path)
+    assert(back.map(_._2) == jds.map(_.canonical))
+    assert(SepFiles.thresholdOf("orders.THRESH.0.5.sep").contains(0.5))
+    assert(SepFiles.thresholdOf("x.THRESH.8.88E-16.sep").contains(8.88e-16))
+    assert(SepFiles.thresholdOf("orders.sep").isEmpty)
+  }
+
+  test("csv report appends with header once and escapes fields") {
+    val path = Files.createTempDirectory("graft-rep").toString + "/m.csv"
+    val r1 = new CsvReport(path, Reports.MiningHeader)
+    r1.record(Seq(3, 100, 0.5, 2, 7, "1.0", "2.0", 50))
+    r1.close()
+    val r2 = new CsvReport(path, Reports.MiningHeader)
+    r2.record(Seq(3, 100, 0.5, "with,comma", 7, "1.0", "2.0", 50))
+    r2.close()
+    val lines = Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size == 3)
+    assert(lines.get(0) == Reports.MiningHeader.mkString(","))
+    assert(lines.get(2).contains("\"with,comma\""))
+  }
+
+  test("sparse entropy equals dense entropy; precompute + lattice helpers") {
+    val rows = mvdFixture(noise = 10)
+    val eng = new EntropyEngine(relation(rows).cache())
+    for (x <- Seq(AttrSet(0), AttrSet(0, 1), AttrSet(1, 2))) {
+      assert(math.abs(eng.entropySparse(x) - eng.entropy(x)) < 1e-9, s"$x")
+    }
+    val fresh = new EntropyEngine(relation(rows))
+    fresh.precomputeMostSpecific()
+    assert(fresh.cachedEntropies >= 3) // 3 singletons + pairs for n=3
+    val lattice = fresh.allEntropies()
+    assert(lattice.size == 7)
+    for ((x, h) <- lattice if x.size < 3) {
+      assert(math.abs(h - naiveEntropy(rows, x.toSeq)) < 1e-9)
+    }
+  }
+
+  test("mining workflow end-to-end on a csv input with reports") {
+    // write the chain fixture as a CSV, run the MVD workflow pieces
+    val dir = Files.createTempDirectory("graft-cli").toString
+    val csv = s"$dir/rel.csv"
+    val body = chainFixture(0).map(_.mkString(",")).mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(csv), "a,b,c,d\n" + body)
+    graft.cli.MineMvds.main(Array("--input", csv, "--header", "true",
+      "--thresholds", "0.0", "--timeout", "600",
+      "--report", s"$dir/mining.csv"))
+    val report = Files.readAllLines(java.nio.file.Paths.get(s"$dir/mining.csv"))
+    assert(report.size == 2 && !report.get(1).contains("TIMEOUT"))
+    graft.cli.MineSeps.main(Array("--input", csv, "--header", "true",
+      "--thresholds", "0.0", "--timeout", "600", "--out", s"$dir/jds",
+      "--report", s"$dir/jdmining.csv"))
+    val seps = new java.io.File(s"$dir/jds").listFiles()
+    assert(seps != null && seps.nonEmpty)
+    graft.cli.EnumerateSchemas.main(Array("--input", csv, "--header", "true",
+      "--seps", s"$dir/jds", "--limit", "3", "--report", s"$dir/enum.csv"))
+    val enumRep = Files.readAllLines(java.nio.file.Paths.get(s"$dir/enum.csv"))
+    assert(enumRep.size >= 2)
+    // threshold-0 schemas on the exact chain fixture must be lossless
+    assert(enumRep.get(1).split(",")(6) == "0")
+  }
+}

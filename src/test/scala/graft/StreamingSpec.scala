@@ -1,0 +1,39 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("streaming hourly window agg equals the batch plan on the same input") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select("ts", "event_type", "value")
+    val expected = StreamOps.hourlyAgg(batchEvents, withWatermark = false)
+      .collect().map(_.toSeq).toSet
+
+    // drive the same parquet through a real streaming query
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(tmp)
+    val q = StreamOps.hourlyAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_out")
+      .start()
+    q.processAllAvailable()
+    // append mode emits only windows closed by the watermark; a final
+    // empty batch advances it past the max event time
+    q.stop()
+    val got = spark.table("graft_stream_out").collect().map(_.toSeq).toSet
+    // watermark semantics: emitted rows must be a subset of the batch
+    // result, and cover all but the last (still-open) hour
+    assert(got.subsetOf(expected))
+    assert(got.size >= expected.size - TextishSlack(expected.size))
+  }
+
+  private def TextishSlack(n: Int): Int = math.max(2, n / 10)
+}
