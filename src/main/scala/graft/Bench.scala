@@ -21,7 +21,11 @@ object Bench {
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // drop caches between queries so measurements don't bleed into each
+      // other (queries cache intermediates they never unpersist)
+      spark.catalog.clearCache()
+      q.name -> secs
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    CoreQueries.qs ++ DecomposeQueries.qs ++ PipelineQueries.qs
+    CoreQueries.qs ++ DecomposeQueries.qs ++ PipelineQueries.qs ++
+      MiningQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
