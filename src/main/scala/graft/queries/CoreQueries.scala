@@ -241,6 +241,29 @@ object CoreQueries {
     """SELECT o_orderstatus AS att0, o_orderpriority AS att1, count(*) AS cnt
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Sessionization (batch twin of the flatMapGroupsWithState streaming
+    * op): per-user sessions split at >30 min idle.
+    */
+  private def evSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionizeBatch(
+      Tables.events(s, dir).select("user_id", "ts", "value"), gapMinutes = 30)
+
+  private val evSessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+      |         ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   private[queries] def scalarDouble(s: SparkSession, name: String, v: Double): DataFrame =
     s.createDataFrame(
       java.util.Arrays.asList(Row(math.rint(v * 1e6) / 1e6)),
@@ -266,5 +289,6 @@ object CoreQueries {
     QueryDef("fd_measure", fdMeasure, Some(fdMeasureSql)),
     QueryDef("mvd_measure", mvdMeasure, Some(mvdMeasureSql)),
     QueryDef("ev_hourly_window", evHourly, Some(evHourlySql)),
+    QueryDef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
   )
 }

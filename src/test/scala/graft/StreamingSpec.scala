@@ -36,4 +36,31 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   private def TextishSlack(n: Int): Int = math.max(2, n / 10)
+
+  test("stateful streaming sessionization matches the batch window plan") {
+    import graft.streaming.StreamOps
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "value")
+    val batch = StreamOps.sessionizeBatch(ev, gapMinutes = 30)
+      .collect().map(_.toSeq).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .as[StreamOps.UserEvent]
+    val q = StreamOps.sessionizeStream(stream, gapMinutes = 30)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_sessions").collect().map(_.toSeq).toSet
+    // append mode: only watermark-closed sessions are emitted; they must
+    // all be real sessions of the batch result, and most sessions close
+    assert(got.subsetOf(batch),
+      s"streaming emitted non-batch sessions: ${(got -- batch).take(3)}")
+    assert(got.size >= (batch.size * 6) / 10,
+      s"only ${got.size} of ${batch.size} sessions closed")
+  }
 }
