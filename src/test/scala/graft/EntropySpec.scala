@@ -57,6 +57,30 @@ class EntropySpec extends AnyFunSuite {
       (mvdExpected.abs < 1e-7 && got == 0.0))
   }
 
+  test("information inequalities hold on random tables (seeded)") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rng = new Lcg(seed)
+      val rows = (0 until 200).map(_ =>
+        Seq(rng.nextInt(4), rng.nextInt(3), rng.nextInt(5), rng.nextInt(2)))
+      val eng = new EntropyEngine(relation(rows).cache())
+      val subsets = AttrSet.allNonEmptySubsets(4).filter(_.size < 4)
+      val hs = eng.entropies(subsets)
+      // the full set is excluded: its engine value is log2(N) by the
+      // reference's convention, not the data entropy, and the
+      // inequalities only govern data entropies
+      for (x <- subsets; y <- subsets if x != y && x.union(y).size < 4) {
+        val hxy = hs(x.union(y))
+        // monotone: H(X u Y) >= H(X); subadditive: H(X u Y) <= H(X)+H(Y)
+        assert(hxy >= hs(x) - 1e-9, s"seed=$seed mono $x $y")
+        assert(hxy <= hs(x) + hs(y) + 1e-9, s"seed=$seed subadd $x $y")
+      }
+      // batch values equal naive oracle
+      for (x <- subsets) {
+        assert(math.abs(hs(x) - naiveEntropy(rows, x.toSeq)) < 1e-9)
+      }
+    }
+  }
+
   test("condMutualInfo is symmetric and non-negative on fixtures") {
     val a = AttrSet(0); val b = AttrSet(2); val c = AttrSet(1)
     val m1 = eng.condMutualInfo(a, b, c)

@@ -1,0 +1,121 @@
+package graft
+
+import graft.core.{AttrSet, Jd, Measure}
+import graft.cli.SepFiles
+import graft.mine.Transversals
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PropertySpec extends AnyFunSuite {
+
+  /** Raw-ScalaCheck bridge (no scalatestplus in the offline cache):
+    * assertions inside the property surface as exception failures.
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    check(Prop.forAll(g) { a => f(a); true })
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    check(Prop.forAll(g1, g2) { (a, b) => f(a, b); true })
+
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])
+                             (f: (A, B, C) => Unit): Unit =
+    check(Prop.forAll(g1, g2, g3) { (a, b, c) => f(a, b, c); true })
+
+  private val genSet: Gen[Set[Int]] =
+    Gen.listOf(Gen.choose(0, 15)).map(_.toSet)
+
+  test("AttrSet algebra matches the Set[Int] model") {
+    forAll(genSet, genSet) { (a: Set[Int], b: Set[Int]) =>
+      val (x, y) = (AttrSet.of(a), AttrSet.of(b))
+      assert(x.union(y).bits.toSet == (a | b))
+      assert(x.intersect(y).bits.toSet == (a & b))
+      assert(x.minus(y).bits.toSet == (a -- b))
+      assert(x.subsetOf(y) == a.subsetOf(b))
+      assert(x.intersects(y) == (a & b).nonEmpty)
+      assert(x.complement(16).bits.toSet == ((0 until 16).toSet -- a))
+      assert(x.size == a.size)
+    }
+  }
+
+  test("AttrSet ordering is a consistent total order") {
+    forAll(genSet, genSet, genSet) { (a: Set[Int], b: Set[Int], c: Set[Int]) =>
+      val (x, y, z) = (AttrSet.of(a), AttrSet.of(b), AttrSet.of(c))
+      assert(math.signum(x.compare(y)) == -math.signum(y.compare(x)))
+      if (x.compare(y) <= 0 && y.compare(z) <= 0) assert(x.compare(z) <= 0)
+      assert((x.compare(y) == 0) == (x == y))
+    }
+  }
+
+  private val genHypergraph: Gen[List[Set[Int]]] =
+    Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.nonEmptyListOf(Gen.choose(0, 6)).map(_.toSet)))
+
+  test("incremental transversals equal brute-force minimal hitting sets") {
+    forAll(genHypergraph) { (edges: List[Set[Int]]) =>
+      val tr = new Transversals(AttrSet.full(7))
+      edges.foreach(e => tr.addHyperedge(AttrSet.of(e)))
+      val all = AttrSet.allNonEmptySubsets(7) :+ AttrSet.empty
+      val hitting = all.filter(s => edges.forall(e => e.exists(s.contains)))
+      val minimal = hitting.filter(s => !hitting.exists(t => t.properSubsetOf(s)))
+      assert(tr.minimalTransversals.toSet == minimal.toSet)
+    }
+  }
+
+  private val genJd: Gen[(Int, Jd)] = for {
+    n <- Gen.choose(3, 12)
+    lhsSize <- Gen.choose(0, n - 2)
+    lhs = (0 until lhsSize).toSet
+    rest = (lhsSize until n).toVector
+    k <- Gen.choose(2, math.max(2, rest.size))
+    assignment <- Gen.listOfN(rest.size, Gen.choose(0, k - 1))
+    measure <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.0, 3.0),
+      Gen.const(8.881784197001252e-16))
+  } yield {
+    val comps = rest.zip(assignment).groupBy(_._2).values
+      .map(g => AttrSet.of(g.map(_._1))).toVector
+    (n, Jd(AttrSet.of(lhs), comps, Measure.exact(measure)))
+  }
+
+  test(".sep format round-trips arbitrary JDs") {
+    forAll(genJd) { (t: (Int, Jd)) =>
+      val (n, jd) = t
+      val line = SepFiles.formatLine(n, jd)
+      val (n2, jd2) = SepFiles.parseLine(line)
+      assert(n2 == n)
+      assert(jd2.lhs == jd.lhs)
+      assert(jd2.components.toSet == jd.components.toSet)
+      assert(jd2.measure.value == jd.measure.value)
+    }
+  }
+
+  test("merging JD components preserves the partition") {
+    forAll(genJd) { (t: (Int, Jd)) =>
+      val (_, jd) = t
+      if (jd.numComponents >= 2) {
+        val merged = jd.mergeComponents(0, jd.numComponents - 1)
+        assert(merged.numComponents == jd.numComponents - 1)
+        assert(merged.attrs == jd.attrs)
+        assert(merged.components.forall(_.disjoint(merged.lhs)))
+        // components stay pairwise disjoint
+        for (i <- merged.components.indices; j <- i + 1 until merged.numComponents) {
+          assert(merged.components(i).disjoint(merged.components(j)))
+        }
+      }
+    }
+  }
+
+  test("measure interval tightening respects slack invariants") {
+    forAll(Gen.choose(0.0, 5.0), Gen.choose(0.0, 5.0)) { (a: Double, b: Double) =>
+      val m = Measure.unknown.withLower(math.min(a, b)).withUpper(math.max(a, b))
+      assert(m.lower <= m.upper + Measure.Slack)
+      val tightened = m.withUpper(m.lower)
+      assert(tightened.isExactlyKnown)
+    }
+  }
+}
