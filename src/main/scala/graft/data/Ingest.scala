@@ -83,12 +83,28 @@ object Ingest {
     }.toSeq: _*)
 
   /** Per-column dictionary: distinct values with dense 0-based codes in
-    * value order. Tiny (one row per distinct value) — broadcast-joinable.
+    * value order. Distributed end-to-end: a global `row_number` window
+    * would funnel every distinct value through one task, which breaks on
+    * high-cardinality columns at scale — instead the sorted distinct
+    * values are indexed with `zipWithIndex` (one extra count job over the
+    * range-partitioned sort, no single-task stage; one of the rare
+    * justified RDD drops, there being no codegen'd global-index
+    * operator). Deterministic across runs and cluster layouts because
+    * codes follow value order.
     */
-  def dictionary(df: DataFrame, column: String): DataFrame =
-    df.select(col(column).as("value")).distinct()
-      .withColumn("code",
-        (row_number().over(Window.orderBy("value")) - 1).cast("int"))
+  def dictionary(df: DataFrame, column: String): DataFrame = {
+    val spark = df.sparkSession
+    val distinct = df.select(col(column).as("value")).distinct().sort("value")
+    val valueType = distinct.schema("value").dataType
+    val indexed = distinct.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i.toInt)
+    }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", valueType, nullable = true),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 
   /** Dictionary-encode every column of a normalized relation to dense
     * ints. Returns the encoded DataFrame (same column names, IntegerType)

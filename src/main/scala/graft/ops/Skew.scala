@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling (on by default in
+  * [[graft.Sessions]]) covers sort-merge joins; this explicit salting
+  * covers the cases AQE can't re-plan — e.g. a skewed `groupBy` key or a
+  * broadcast-ineligible dimension join where one key dominates.
+  */
+object Skew {
+
+  /** Inner equi-join with salted keys: the big (skewed) side gets a
+    * deterministic salt from its row content, the small side is exploded
+    * into one replica per salt, and the join runs on (keys + salt) so a
+    * hot key spreads over `numSalts` shuffle partitions. Result equals
+    * the plain inner join (each big row matches exactly the replica
+    * carrying its salt).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 numSalts: Int): DataFrame = {
+    require(numSalts > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(numSalts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", "inner").drop("__salt")
+  }
+
+  /** Two-phase aggregation for a skewed group key: partial aggregate on
+    * (keys + salt), then final aggregate on the keys. `partial` and
+    * `merge` must form the usual partial/final pair (e.g. count -> sum).
+    */
+  def saltedCount(df: DataFrame, keys: Seq[String], numSalts: Int): DataFrame = {
+    require(numSalts > 0)
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(numSalts)).cast("int"))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("cnt"))
+  }
+}

@@ -110,6 +110,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got(10L) == "en" && got(11L) == "de" && got(12L) == "es")
   }
 
+  test("salted join and salted count equal their unsalted plans") {
+    import graft.ops.Skew
+    val rng = new Lcg(3)
+    // heavy skew: 80% of rows share key 0
+    val big = relation((0 until 500).map { i =>
+      Seq(if (rng.nextInt(5) < 4) 0 else rng.nextInt(10), rng.nextInt(100))
+    }).withColumnRenamed("att0", "k").withColumnRenamed("att1", "v")
+    val small = relation((0 until 10).map(i => Seq(i, i * 7)))
+      .withColumnRenamed("att0", "k").withColumnRenamed("att1", "w")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), numSalts = 8)
+      .select(plain.headOption.map(_ => big.columns ++ Array("w")).getOrElse(Array("k"))
+        .map(col).toSeq: _*)
+      .collect().map(_.toSeq).toSeq
+    assert(salted.groupBy(identity).view.mapValues(_.size).toMap ==
+      plain.groupBy(identity).view.mapValues(_.size).toMap)
+    val plainCnt = big.groupBy(col("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val saltedCnt = Skew.saltedCount(big, Seq("k"), numSalts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(saltedCnt == plainCnt)
+  }
+
   test("multimodal decode is deterministic with the declared shape") {
     val media = Multimodal.mediaFromDocuments(spark, docs(corpus.take(5)))
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
