@@ -72,23 +72,32 @@ object Similarity {
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket,
-    * then exact cosine ranking within it. Bucket count 2^numPlanes bounds
-    * each candidate list to ~n/2^numPlanes — the 100 TB path where the
-    * brute-force cross join is impossible.
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * plus its `probes` Hamming-1 neighbor buckets (multi-probe — near
+    * misses on one hyperplane sign are the dominant recall loss), then
+    * exact cosine ranking within them. Bucket count 2^numPlanes bounds
+    * each candidate list to ~(1+probes)*n/2^numPlanes — the 100 TB path
+    * where the brute-force cross join is impossible.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, dim: Int,
-              numPlanes: Int = 8): DataFrame = {
+              numPlanes: Int = 8, probes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(probes >= 0 && probes <= numPlanes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val q = v.filter(col("id").isin(queryIds: _*))
+    val qBase = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    // probe buckets: the query's own, plus flips of the first `probes` bits
+    val probeBuckets = array((lit(0) +:
+      (0 until probes).map(p => lit(1 << p))).map(col("bucket").bitwiseXOR): _*)
+    val q = qBase.select(col("query_id"), col("qv"),
+      explode(probeBuckets).as("bucket"))
     val scored = v.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .distinct() // a candidate can surface through several probe buckets
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -60,9 +60,20 @@ object MiningQueries {
     strDf(s, Seq("a", "b", "separator"), rows)
   }
 
+  /** D8/D9/D13: JDs mined for each minimal separator. */
+  private def mineJds(s: SparkSession, dir: String): DataFrame = {
+    val eng = engine(s, dir)
+    val miner = new JdMiner(eng, 1.0)
+    val rows = miner.mineAllFullJds(limit = 5).sortBy(_.toString).map(jd =>
+      Seq(jd.lhs.toString, jd.components.mkString(","),
+        (math.rint(jd.measure.value * 1e6) / 1e6).toString))
+    strDf(s, Seq("separator", "components", "measure"), rows)
+  }
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("d_mine_fds", mineFds, None),
     QueryDef("d_mine_mvds", mineMvds, None),
     QueryDef("d_mine_minseps", mineSeps, None),
+    QueryDef("d_mine_jds", mineJds, None),
   )
 }

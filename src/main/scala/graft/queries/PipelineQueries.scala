@@ -88,7 +88,8 @@ object PipelineQueries {
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4)
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4,
+      probes = 2)
 
   // ---- text analysis ----
 
