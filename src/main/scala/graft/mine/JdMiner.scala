@@ -190,6 +190,9 @@ final class JdMiner(eng: EntropyEngine, epsilon: Double,
     */
   def mineAllMinSeps(): Map[AttrSet, Seq[(Int, Int)]] = {
     val out = mutable.HashMap.empty[AttrSet, mutable.ArrayBuffer[(Int, Int)]]
+    // the elemental seeds probe every (n-1)/(n-2)-subset entropy — warm
+    // them as shared-scan batches before the per-pair loops (C4)
+    eng.precomputeMostSpecific()
     for (a <- 0 until n; b <- a + 1 until n if !stop()) {
       for (s <- minimalSeparators(a, b)) {
         out.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((a, b))

@@ -48,13 +48,18 @@ final class MvdMiner(eng: EntropyEngine, threshold: Double) {
       .sortBy(-_._1).map(_._2) // most specific first, as the reference walks
   }
 
-  /** Exhaustive oracle: measure every candidate. */
+  /** Exhaustive oracle: measure every candidate. Entropies for a whole
+    * determinant level are prefetched as one shared-scan batch set — the
+    * Spark job count scales with lattice depth, not candidate count.
+    */
   def bruteForce(): Seq[Mvd] = {
     val out = mutable.ArrayBuffer.empty[Mvd]
-    for (level <- determinantsBySize; x <- level) {
-      val cands = candidatesFor(x)
-      eng.prefetch(cands.flatMap(y => Seq(x.union(y), full.minus(y))) :+ x)
-      for (y <- cands) {
+    for (level <- determinantsBySize) {
+      val byX = level.map(x => x -> candidatesFor(x))
+      eng.prefetch(byX.flatMap { case (x, cands) =>
+        x +: cands.flatMap(y => Seq(x.union(y), full.minus(y)))
+      })
+      for ((x, cands) <- byX; y <- cands) {
         val m = eng.mvdMeasure(x, y)
         if (Measure.exact(m).belowThreshold(threshold)) out += Mvd(x, y, Measure.exact(m))
       }
@@ -68,25 +73,27 @@ final class MvdMiner(eng: EntropyEngine, threshold: Double) {
     val out = mutable.ArrayBuffer.empty[Mvd]
     val lattice = new LatticeOrderingInference
     val basis = new DependencyBasis(n)
-    for (level <- determinantsBySize; x <- level) {
-      val cands = candidatesFor(x)
-      // resolve what inference can, batch-measure the rest in one scan
-      val pending = mutable.ArrayBuffer.empty[AttrSet]
-      val resolved = mutable.ArrayBuffer.empty[(AttrSet, Double)]
-      for (y <- cands) {
+    for (level <- determinantsBySize) {
+      // resolve what inference can level-wide, batch the rest into
+      // shared-scan jobs (one batch set per lattice level)
+      val pending = mutable.ArrayBuffer.empty[(AttrSet, AttrSet)]
+      val resolved = mutable.ArrayBuffer.empty[(AttrSet, AttrSet, Double)]
+      for (x <- level; y <- candidatesFor(x)) {
         val inferred: Option[Double] =
           (if (useLatticeInference) lattice.upperBound(x, y) else None)
             .filter(b => Measure(0, b).belowThreshold(threshold))
             .orElse((if (useDependencyBasis) basis.upperBound(x, y) else None)
               .filter(b => Measure(0, b).belowThreshold(threshold)))
         inferred match {
-          case Some(b) => resolved += ((y, b))
-          case None => pending += y
+          case Some(b) => resolved += ((x, y, b))
+          case None => pending += ((x, y))
         }
       }
-      eng.prefetch(pending.flatMap(y => Seq(x.union(y), full.minus(y))) :+ x)
-      val measured = pending.map(y => (y, eng.mvdMeasure(x, y)))
-      for ((y, m) <- resolved.iterator ++ measured.iterator) {
+      eng.prefetch(pending.flatMap { case (x, y) =>
+        Seq(x, x.union(y), full.minus(y))
+      })
+      val measured = pending.map { case (x, y) => (x, y, eng.mvdMeasure(x, y)) }
+      for ((x, y, m) <- resolved.iterator ++ measured.iterator) {
         if (Measure.exact(m).belowThreshold(threshold)) {
           val mvd = Mvd(x, y, Measure.exact(m))
           out += mvd
