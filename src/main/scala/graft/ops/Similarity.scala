@@ -53,6 +53,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Unit-normalize an array vector (double math) so euclidean
+    * clustering aligns with cosine geometry.
+    */
+  def normalized(vec: Column): Column = {
+    val norm = sqrt(call_function("vec_dot", vec, vec))
+    transform(vec, x => x.cast("double") / norm)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * over the unit-normalized vectors partitions the corpus into
+    * `numCells` cells; each query scores only the `nProbe` cells nearest
+    * its own vector (centroid ranking is driver-side — the centroid
+    * table is tiny), then exact cosine ranks within the probed cells.
+    * The scale path pairs with [[lshTopK]]: IVF adapts cells to the data
+    * distribution, LSH needs no training pass.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, numCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(normalized(col(vecCol))).as("features")).cache()
+    val model = new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
+      .fit(v.select("features"))
+    val assigned = model.transform(v)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    // per query: nearest nProbe centroids, computed on the driver from
+    // the collected (tiny) query vectors
+    val queryVecs = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("features")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray)
+    val probeRows = queryVecs.flatMap { case (qid, qv) =>
+      centroids.map { case (c, cell) =>
+        val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, cell, d)
+      }.sortBy(_._3).take(nProbe).map { case (q, cell, _) => (q, cell) }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "cell")
+    val q = assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes (+-1 components) from a
     * splitmix-style hash — no RNG state, reproducible across runs and
     * cluster layouts.

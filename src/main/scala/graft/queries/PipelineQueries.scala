@@ -86,6 +86,10 @@ object PipelineQueries {
       |      FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCells = 16, nProbe = 4)
+
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4,
@@ -183,6 +187,7 @@ object PipelineQueries {
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_lsh", annLsh, None),
+    QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),

@@ -100,6 +100,26 @@ class OpsSpec extends AnyFunSuite {
     assert(res.length == 1 && res.head.getAs[Long]("neighbor_id") == 201L)
   }
 
+  test("IVF top-k recalls the exact top neighbor on probed cells") {
+    val rng = new Lcg(11)
+    val vecs = (0L until 100L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(200) / 100.0f - 1.0f)
+    } :+ (500L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (501L -> Array.tabulate(8)(j => 3.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    // 501 is colinear with 500: identical after normalization -> same
+    // KMeans cell, and cosine 1.0 makes it the exact #1
+    val res = Similarity.ivfTopK(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, numCells = 8, nProbe = 2).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 501L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
   test("language id prefers the planted stopword profile") {
     val d = docs(Seq(
       10L -> "the cat and the dog of a house in the garden is it you that",
