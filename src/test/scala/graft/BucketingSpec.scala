@@ -1,0 +1,33 @@
+package graft
+
+import graft.data.Bucketing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketingSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("bucketed join and aggregation run without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bucketed",
+      "l_orderkey", 8)
+
+    val lb = Bucketing.read(spark, "li_bucketed")
+    val ob = Bucketing.read(spark, "o_bucketed")
+    // force SMJ so the test asserts the bucket layout, not a broadcast
+    val joined = lb.hint("merge").join(ob.hint("merge"), Seq("l_orderkey"))
+    assert(Bucketing.isShuffleFree(joined),
+      joined.queryExecution.executedPlan.toString.take(2000))
+    // bucketed groupBy on the bucket key needs no exchange either
+    val agg = lb.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")))
+    assert(Bucketing.isShuffleFree(agg),
+      agg.queryExecution.executedPlan.toString.take(2000))
+    // and results match the unbucketed plans
+    assert(joined.count() ==
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+  }
+}
