@@ -46,7 +46,9 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
   /** `H(R) = log2 N` (`entropy/AbstractDataset.java:203-207`). */
   lazy val totalEntropy: Double = log2(numRows.toDouble)
 
-  private val memo = mutable.HashMap.empty[AttrSet, Double]
+  // concurrent: the async decomposition service and any embedding caller
+  // may share one engine across threads
+  private val memo = scala.collection.concurrent.TrieMap.empty[AttrSet, Double]
   // telemetry (the reference reports #queries / #cached entropies)
   var numQueriesIssued: Long = 0L
   var numCacheHits: Long = 0L
