@@ -101,6 +101,24 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
     totalEntropy - sumClogC / numRows
   }
 
+  /** One-pass multi-subset entropies via the custom aggregate
+    * ([[MultiSubsetEntropy]]): ONE scan with per-subset count maps and no
+    * Expand row-multiplication, the reference's shared-scan profile. Use
+    * for many low-cardinality subsets; [[entropies]] (GROUPING SETS)
+    * remains the default and the exact path for key-like subsets.
+    */
+  def entropiesOnePass(sets: Seq[AttrSet]): Map[AttrSet, Double] = {
+    val pending = sets.filter(s => s.nonEmpty && s != fullSet && !memo.contains(s)).distinct
+    if (pending.nonEmpty) {
+      numQueriesIssued += 1
+      val sums = MultiSubsetEntropy.sumClogC(df, pending.map(colsOf))
+      pending.zip(sums).foreach { case (x, s) =>
+        memo(x) = totalEntropy - s / numRows
+      }
+    }
+    sets.map(s => s -> entropy(s)).toMap
+  }
+
   /** C4 parity: pre-warm the memo with every (n-1)- and (n-2)-subset
     * entropy (the "most specific separators" the JD miners probe first),
     * as shared-scan batches (`entropy/MasterCompressedDB.java:53-69`).

@@ -30,6 +30,16 @@ class EntropySpec extends AnyFunSuite {
     assert(fresh.numQueriesIssued == 1)
   }
 
+  test("one-pass custom aggregate equals the grouping-sets batch") {
+    val fresh = new EntropyEngine(relation(rows))
+    val subsets = AttrSet.allNonEmptySubsets(3).filter(_.size < 3)
+    val onePass = fresh.entropiesOnePass(subsets)
+    assert(fresh.numQueriesIssued == 1) // one scan for all subsets
+    for (x <- subsets) {
+      assert(math.abs(onePass(x) - naiveEntropy(rows, x.toSeq)) < 1e-9, s"$x")
+    }
+  }
+
   test("total entropy is log2(N) and empty set is 0") {
     assert(math.abs(eng.totalEntropy - math.log(rows.size) / math.log(2)) < 1e-12)
     assert(eng.entropy(AttrSet.empty) == 0.0)
