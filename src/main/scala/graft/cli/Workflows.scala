@@ -101,7 +101,7 @@ object MineMvds {
       val t0 = System.nanoTime()
       val scans0 = eng.numQueriesIssued
       val mined = withTimeout(spark, timeout, s"mine-mvds-$t", stop) {
-        new MvdMiner(eng, t).mine()
+        new MvdMiner(eng, t, () => stop.get()).mine()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       mined match {
@@ -147,7 +147,7 @@ object MineSeps {
       val miner = new JdMiner(eng, t, () => stop.get())
       val result = withTimeout(spark, timeout, s"mine-seps-$t", stop) {
         val seps = miner.mineAllMinSeps()
-        val jds = miner.mineAllFullJds(limit = 10)
+        val jds = miner.mineAllFullJds(limit = 10, seps = Some(seps))
         (seps, jds)
       }
       val secs = (System.nanoTime() - t0) / 1e9

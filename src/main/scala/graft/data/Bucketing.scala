@@ -35,8 +35,9 @@ object Bucketing {
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketing is meant to buy.
+    * the property bucketing is meant to buy. (Broadcast exchanges are
+    * fine: they move the tiny side, not the bucketed data.)
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange")
 }

@@ -97,6 +97,9 @@ object Ingest {
     val distinct = df.select(col(column).as("value")).distinct().sort("value")
     val valueType = distinct.schema("value").dataType
     val indexed = distinct.rdd.zipWithIndex().map { case (r, i) =>
+      // Int codes suit categorical columns; fail loudly rather than
+      // wrap if a column is too high-cardinality to dictionary-encode
+      require(i <= Int.MaxValue, s"column $column exceeds 2^31 distinct values")
       org.apache.spark.sql.Row(r.get(0), i.toInt)
     }
     spark.createDataFrame(indexed,

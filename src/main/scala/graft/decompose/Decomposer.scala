@@ -48,11 +48,14 @@ final class Decomposer(relation: DataFrame) {
   /** P5: cluster projection row count. */
   def clusterSize(c: AttrSet): Long = clusterTable(c).count()
 
-  /** A7/A8: acyclic-join cardinality via the join-tree count fold. */
-  def joinSize(tree: JoinTree.Tree): BigInt = {
+  /** A7/A8: acyclic-join cardinality via the join-tree count fold.
+    * `tableFor` lets callers supply pre-cached cluster tables.
+    */
+  def joinSize(tree: JoinTree.Tree,
+               tableFor: AttrSet => DataFrame = clusterTable): BigInt = {
     val adj = tree.adjacency
     def fold(node: Int, parent: Int): DataFrame = {
-      var t = clusterTable(tree.clusters(node))
+      var t = tableFor(tree.clusters(node))
       for (e <- adj.getOrElse(node, Nil)) {
         val child = if (e.a == node) e.b else e.a
         if (child != parent) {
@@ -89,16 +92,22 @@ final class Decomposer(relation: DataFrame) {
     joined.distinct().count()
   }
 
-  /** A9: full evaluation of one schema against the data. */
+  /** A9: full evaluation of one schema against the data. Each cluster
+    * projection is computed once, cached for both the size counts and
+    * the fold, and released afterwards.
+    */
   def evaluate(tree: JoinTree.Tree): DecompositionInfo = {
-    val sizes = tree.clusters.map(c => c -> clusterSize(c))
-    val js = joinSize(tree)
-    DecompositionInfo(
-      clusters = tree.clusters,
-      clusterSizes = sizes.map(_._2),
-      joinSize = js,
-      spurious = js - numTuples,
-      numTuples = numTuples)
+    val cached = tree.clusters.distinct.map(c => c -> clusterTable(c).cache()).toMap
+    try {
+      val sizes = tree.clusters.map(c => cached(c).count())
+      val js = joinSize(tree, cached)
+      DecompositionInfo(
+        clusters = tree.clusters,
+        clusterSizes = sizes,
+        joinSize = js,
+        spurious = js - numTuples,
+        numTuples = numTuples)
+    } finally cached.values.foreach(_.unpersist())
   }
 }
 

@@ -47,11 +47,14 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
   lazy val totalEntropy: Double = log2(numRows.toDouble)
 
   // concurrent: the async decomposition service and any embedding caller
-  // may share one engine across threads
+  // may share one engine across threads (worst case under a race is a
+  // duplicated — still correct — Spark job)
   private val memo = scala.collection.concurrent.TrieMap.empty[AttrSet, Double]
   // telemetry (the reference reports #queries / #cached entropies)
-  var numQueriesIssued: Long = 0L
-  var numCacheHits: Long = 0L
+  private val queriesIssued = new java.util.concurrent.atomic.AtomicLong()
+  private val cacheHits = new java.util.concurrent.atomic.AtomicLong()
+  def numQueriesIssued: Long = queriesIssued.get()
+  def numCacheHits: Long = cacheHits.get()
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
@@ -63,10 +66,10 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
   def entropy(x: AttrSet): Double = {
     if (x.isEmpty) return 0.0
     memo.get(x) match {
-      case Some(h) => numCacheHits += 1; h
+      case Some(h) => cacheHits.incrementAndGet(); h
       case None =>
         if (x == fullSet) { memo(x) = totalEntropy; return totalEntropy }
-        numQueriesIssued += 1
+        queriesIssued.incrementAndGet()
         val h = entropyJob(x)
         memo(x) = h
         h
@@ -93,7 +96,7 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
     */
   def entropySparse(x: AttrSet): Double = {
     if (x.isEmpty) return 0.0
-    numQueriesIssued += 1
+    queriesIssued.incrementAndGet()
     val s = df.groupBy(colsOf(x): _*).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .agg(sum(col("cnt").cast("double") * log(2.0, col("cnt")))).head()
@@ -110,7 +113,7 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
   def entropiesOnePass(sets: Seq[AttrSet]): Map[AttrSet, Double] = {
     val pending = sets.filter(s => s.nonEmpty && s != fullSet && !memo.contains(s)).distinct
     if (pending.nonEmpty) {
-      numQueriesIssued += 1
+      queriesIssued.incrementAndGet()
       val sums = MultiSubsetEntropy.sumClogC(df, pending.map(colsOf))
       pending.zip(sums).foreach { case (x, s) =>
         memo(x) = totalEntropy - s / numRows
@@ -157,7 +160,7 @@ final class EntropyEngine(val df: DataFrame, precomputedN: Option[Long] = None) 
   private def batchJob(batch: Seq[AttrSet]): Unit = {
     if (batch.isEmpty) return
     if (batch.length == 1) { entropy(batch.head); return }
-    numQueriesIssued += 1
+    queriesIssued.incrementAndGet()
     val unionCols: Seq[Int] = batch.foldLeft(AttrSet.empty)(_ union _).toSeq
     val pos = unionCols.zipWithIndex.toMap // attr -> bit position (left-to-right)
     val nCols = unionCols.length

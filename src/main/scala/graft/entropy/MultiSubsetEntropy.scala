@@ -76,10 +76,17 @@ object MultiSubsetEntropy {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  /** `sum c*log2 c` for each column subset, in one scan of `df`. */
+  /** `sum c*log2 c` for each column subset, in one scan of `df`.
+    *
+    * Group identity hashes interleave a null-indicator with every column:
+    * Spark's `xxhash64` skips NULL inputs entirely, so without the
+    * indicators the groups (NULL, v) and (v, NULL) of a 2-column subset
+    * would hash identically and merge.
+    */
   def sumClogC(df: DataFrame, subsets: Seq[Seq[Column]]): Seq[Double] = {
     require(subsets.nonEmpty)
-    val hashes = array(subsets.map(cols => xxhash64(cols: _*)): _*)
+    val hashes = array(subsets.map(cols =>
+      xxhash64(cols.flatMap(c => Seq(c.isNull.cast("int"), c)): _*)): _*)
     val agg = udaf(new Agg(subsets.length),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     df.select(hashes.as("h")).agg(agg(col("h"))).head()

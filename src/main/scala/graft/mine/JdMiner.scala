@@ -203,10 +203,14 @@ final class JdMiner(eng: EntropyEngine, epsilon: Double,
 
   /** Full-MVD expansion (reference D13): for each mined minimal
     * separator, enumerate JDs with that LHS (up to `limit` per pair).
+    * Pass `seps` when `mineAllMinSeps()` already ran — otherwise the
+    * whole fixpoint search would execute a second time.
     */
-  def mineAllFullJds(limit: Int = 10): Seq[Jd] = {
+  def mineAllFullJds(limit: Int = 10,
+                     seps: Option[Map[AttrSet, Seq[(Int, Int)]]] = None): Seq[Jd] = {
     val seen = mutable.LinkedHashSet.empty[Jd]
-    for ((sep, pairs) <- mineAllMinSeps().toSeq.sortBy(_._1); (a, b) <- pairs) {
+    val sepMap = seps.getOrElse(mineAllMinSeps())
+    for ((sep, pairs) <- sepMap.toSeq.sortBy(_._1); (a, b) <- pairs) {
       mineJdsWithLhs(sep, a, b, limit).foreach(jd => seen += jd.canonical)
     }
     seen.toSeq

@@ -20,7 +20,8 @@ import scala.collection.mutable
   * and prefetching each level's entropies as shared-scan batches.
   * Both return the same set (enforced by differential tests).
   */
-final class MvdMiner(eng: EntropyEngine, threshold: Double) {
+final class MvdMiner(eng: EntropyEngine, threshold: Double,
+                     stop: () => Boolean = () => false) {
   private val n = eng.numAttrs
   private val full = eng.fullSet
 
@@ -54,7 +55,7 @@ final class MvdMiner(eng: EntropyEngine, threshold: Double) {
     */
   def bruteForce(): Seq[Mvd] = {
     val out = mutable.ArrayBuffer.empty[Mvd]
-    for (level <- determinantsBySize) {
+    for (level <- determinantsBySize if !stop()) {
       val byX = level.map(x => x -> candidatesFor(x))
       eng.prefetch(byX.flatMap { case (x, cands) =>
         x +: cands.flatMap(y => Seq(x.union(y), full.minus(y)))
@@ -73,7 +74,8 @@ final class MvdMiner(eng: EntropyEngine, threshold: Double) {
     val out = mutable.ArrayBuffer.empty[Mvd]
     val lattice = new LatticeOrderingInference
     val basis = new DependencyBasis(n)
-    for (level <- determinantsBySize) {
+    // cooperative cancellation between levels (the reference's STOP flag)
+    for (level <- determinantsBySize if !stop()) {
       // resolve what inference can level-wide, batch the rest into
       // shared-scan jobs (one batch set per lattice level)
       val pending = mutable.ArrayBuffer.empty[(AttrSet, AttrSet)]

@@ -179,17 +179,30 @@ object Dedup {
       .groupBy(col("id")).agg(simhashUdaf(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
-    * 16-bit chunks (a pair within distance d <= 3 must agree on at least
-    * one of the 4 chunks).
+    * maxDist+1 signature chunks: by pigeonhole a pair within distance d
+    * must agree exactly on at least one of d+1 disjoint chunks, so
+    * blocking is lossless for the requested radius.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "need >= 2 bits per chunk")
+    val numChunks = maxDist + 1
+    val base = 64 / numChunks
+    val rem = 64 % numChunks
+    // chunk c covers [off, off+width) with widths differing by <= 1
+    val bounds = (0 until numChunks).map { c =>
+      val off = c * base + math.min(c, rem)
+      val width = base + (if (c < rem) 1 else 0)
+      (c, off, width)
+    }
     val sigs = simhashSignatures(df, idCol, textCol)
-    val chunkStructs = array((0 until 4).map { c =>
+    val chunkStructs = array(bounds.map { case (c, off, width) =>
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        shiftrightunsigned(col("simhash"), off)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }: _*)
-    val chunks = sigs.select(col("id"), col("simhash"), explode(chunkStructs).as("e"))
+    val chunks = sigs
+      .select(col("id"), col("simhash"), explode(chunkStructs).as("e"))
       .select(col("e.chunk").as("chunk"), col("e.key").as("key"),
         col("id"), col("simhash"))
       .cache()

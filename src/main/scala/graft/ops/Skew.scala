@@ -17,11 +17,19 @@ object Skew {
     * the plain inner join (each big row matches exactly the replica
     * carrying its salt).
     */
+  /** Row-position salt: content-derived hashing would give every copy of
+    * a duplicated hot row the same salt — exactly the rows that need
+    * spreading. The salt value itself never affects correctness (the
+    * small side carries every salt), so per-execution position ids are
+    * safe.
+    */
+  private def rowSalt(numSalts: Int) =
+    pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  numSalts: Int): DataFrame = {
     require(numSalts > 0)
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(numSalts)).cast("int"))
+    val saltedBig = big.withColumn("__salt", rowSalt(numSalts))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ "__salt", "inner").drop("__salt")
@@ -33,8 +41,7 @@ object Skew {
     */
   def saltedCount(df: DataFrame, keys: Seq[String], numSalts: Int): DataFrame = {
     require(numSalts > 0)
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(numSalts)).cast("int"))
+    df.withColumn("__salt", rowSalt(numSalts))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keys.map(col): _*)
