@@ -56,6 +56,37 @@ object CoreQueries {
       |  AND l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Six-table equijoin pipeline (TPC-H Q5 shape): revenue by nation for
+    * orders where customer and supplier share the nation — exercises the
+    * full dimension chain with broadcast dims over the lineitem fact.
+    */
+  private def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem, orders, customer, nation, region, supplier
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |GROUP BY r_name, n_name""".stripMargin
+
   /** P2: distinct projection ("cluster table"). */
   private def p2Distinct(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority").distinct()
@@ -277,6 +308,7 @@ object CoreQueries {
   def qs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q3_join", q3Join, Some(q3Sql)),
+    QueryDef("q5_six_table_join", q5Join, Some(q5Sql)),
     QueryDef("p2_distinct_proj", p2Distinct, Some(p2Sql)),
     QueryDef("p4_distinct_count", p4DistinctCount, Some(p4Sql)),
     QueryDef("s5_dictionary", s5Dict, Some(s5Sql)),
