@@ -88,6 +88,16 @@ object TextAnalysis {
     round((alpha * lit(0.5)) + (tokOk * lit(0.25)) + (lenOk * lit(0.25)), 6)
   }
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * punctuation runs count separately (the pre-tokenization split BPE
+    * vocabularies are trained on), so it tracks LLM token counts far
+    * closer than whitespace splitting on code/punctuation-heavy text.
+    */
+  val BpeishPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Whitespace-normalization fingerprint (md5 hex) for exact near-layout
     * dedup; stable across engines.
     */

@@ -161,6 +161,36 @@ object PipelineQueries {
        |FROM sc""".stripMargin
   }
 
+  private def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens"))
+
+  // DuckDB single-quoted strings don't process backslash escapes, so the
+  // Java pattern string drops in verbatim
+  private val tokenCountBpeSql =
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INT)
+       |    AS n_tokens
+       |FROM documents""".stripMargin
+
+  /** Rolling-hash document sketch: minimum shingle digest per document
+    * (the first row of a winnowing/min-k sketch), engine-stable because
+    * md5 hex compares identically everywhere.
+    */
+  private def minShingleFp(s: SparkSession, dir: String): DataFrame =
+    Dedup.shinglePostings(Tables.documents(s, dir), "doc_id", "text", 8)
+      .groupBy(col("id").as("doc_id")).agg(min(md5(col("s"))).as("min_shingle_fp"))
+      .select(col("doc_id"), col("min_shingle_fp"))
+
+  private val minShingleFpSql =
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u)
+      |SELECT doc_id, min(md5(s)) AS min_shingle_fp
+      |FROM sh GROUP BY doc_id""".stripMargin
+
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -189,6 +219,8 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_lsh", annLsh, None),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
+    QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
