@@ -34,12 +34,16 @@ object CoreQueries {
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** J3-style multi-table equijoin + aggregation (broadcast dims). */
+  /** J3-style multi-table equijoin + aggregation. Only the genuinely
+    * dimensional side (filtered customers) carries a broadcast hint;
+    * orders and lineitem are fact-sized at scale, so their join is left
+    * to Catalyst/AQE (shuffle join at 100 TB, auto-broadcast at test SF).
+    */
   private def q3Join(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
-    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -67,7 +71,8 @@ object CoreQueries {
     val supp = Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+      // orders is fact-sized: no broadcast hint, Catalyst/AQE decides
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") &&
