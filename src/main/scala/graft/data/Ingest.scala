@@ -2,7 +2,6 @@ package graft.data
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Ingest: turn an arbitrary input (CSV file or an existing DataFrame's
   * column subset) into the engine's canonical *encoded relation* — columns
