@@ -25,6 +25,16 @@ object StreamOps extends Serializable {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: first occurrence per key within the
+    * watermark horizon (state for a key is droppable once the watermark
+    * passes it — bounded state on an unbounded feed). Works on batch
+    * DataFrames too, where it degenerates to plain dropDuplicates.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserSession(user_id: Long, session_start: String,
                                n_events: Long, sum_value: Double)

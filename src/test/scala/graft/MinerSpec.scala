@@ -37,6 +37,31 @@ class MinerSpec extends AnyFunSuite {
     }
   }
 
+  test("MVD miner equals brute force on the 5-attr path fixture") {
+    val eng = new EntropyEngine(relation(pathFixture5(noise = 5)).cache())
+    for (t <- Seq(0.0, 0.3)) {
+      val brute = new MvdMiner(eng, t).bruteForce().map(mvdKey).toSet
+      val fast = new MvdMiner(eng, t).mine().map(mvdKey).toSet
+      assert(fast == brute, s"threshold $t: " +
+        s"missing=${(brute -- fast).take(3)} extra=${(fast -- brute).take(3)}")
+    }
+  }
+
+  test("min-seps on the 5-attr path: middle singletons separate the ends") {
+    val eng = new EntropyEngine(relation(pathFixture5(noise = 0)).cache())
+    val miner = new JdMiner(eng, 0.0)
+    val seps04 = miner.minimalSeparators(0, 4).toSet
+    // each interior vertex of the path is a minimal (A,E)-separator
+    assert(seps04 == Set(AttrSet(1), AttrSet(2), AttrSet(3)), s"got $seps04")
+    // end-to-end: mined JDs reassemble losslessly
+    val jds = miner.mineAllFullJds(limit = 3).toVector
+    val schemas = new graft.schema.SchemaEnumerator(5, jds).schemas(limit = 2).toSeq
+    val dec = new graft.decompose.Decomposer(relation(pathFixture5(0)))
+    for (schema <- schemas) {
+      assert(dec.evaluate(schema.tree).isLossless, s"${schema.clusters}")
+    }
+  }
+
   test("inference saves entropy queries on the exact fixture") {
     val engBrute = new EntropyEngine(relation(chainFixture(noise = 0)).cache())
     new MvdMiner(engBrute, 0.0).bruteForce()

@@ -56,6 +56,30 @@ object SparkSuite {
     base ++ extra
   }
 
+  /** 5-attribute path fixture A-B-C-D-E: each column's value depends
+    * only on its predecessor plus a free bit, so every middle singleton
+    * separates its two sides exactly.
+    */
+  def pathFixture5(noise: Int): Seq[Seq[Int]] = {
+    val base = for {
+      b <- 0 until 3
+      a <- 0 until 2
+      c <- 0 until 2
+      d <- 0 until 2
+      e <- 0 until 2
+    } yield {
+      val colC = c + 2 * (b % 2)
+      val colD = d + 2 * (colC % 2)
+      val colE = e + 2 * (colD % 2)
+      Seq(a + 2 * b, b, colC, colD, colE)
+    }
+    val rng = new Lcg(13)
+    val extra = (0 until noise).map { _ =>
+      Seq(rng.nextInt(6), rng.nextInt(3), rng.nextInt(4), rng.nextInt(4), rng.nextInt(4))
+    }
+    base ++ extra
+  }
+
   /** 4-attribute fixture: join of (att0,att1), (att1,att2), (att2,att3)
     * chains — a path join tree with separators {att1} and {att2}.
     */

@@ -37,6 +37,23 @@ class StreamingSpec extends AnyFunSuite {
 
   private def TextishSlack(n: Int): Int = math.max(2, n / 10)
 
+  test("streaming dedup emits one row per key") {
+    import graft.streaming.StreamOps
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select("ts", "event_type", "user_id")
+    val expected = ev.select("event_type").distinct().count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = StreamOps.streamingDedup(stream, Seq("event_type"), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_dedup_out").count() == expected)
+  }
+
   test("stateful streaming sessionization matches the batch window plan") {
     import graft.streaming.StreamOps
     val dir = "/root/testdata/sf0.001"
