@@ -208,6 +208,20 @@ object PipelineQueries {
       .select("media_id", "content_type", "byte_len", "width", "height", "channels")
   }
 
+  /** Composed multimodal pipeline: binary media -> batched (stub) decode
+    * -> feature vectors -> brute-force cosine top-3 over the decoded
+    * features. Exercises the full media-to-similarity dataflow the
+    * engine is meant for; rows-only (the stub codec's features are not
+    * SQL-reproducible).
+    */
+  private def mmPipeline(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("features"))
+    Similarity.bruteForceTopK(feats, "media_id", "features",
+      queryIds = Seq(0L, 1L, 2L), k = 3)
+  }
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
@@ -225,5 +239,6 @@ object PipelineQueries {
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("mm_decode_features", mmDecode, None),
+    QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
   )
 }
