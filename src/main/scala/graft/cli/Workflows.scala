@@ -191,28 +191,37 @@ object EnumerateSchemas {
     val files = Option(new File(sepDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".sep"))
       .sortBy(f => SepFiles.thresholdOf(f.getName).getOrElse(Double.MaxValue))
-    for (f <- files) {
-      val parsed = SepFiles.read(f.getPath)
-      if (parsed.nonEmpty) {
-        val n = parsed.head._1
-        val jds = parsed.map(_._2).toVector
-        val t0 = System.nanoTime()
-        var count = 0
-        new SchemaEnumerator(n, jds).schemas(limit).foreach { schema =>
-          count += 1
-          val info = svc.submitJobSynchronous(schema.tree)
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          report.record(Seq(
-            schema.jds.map(_.measure.value).maxOption.getOrElse(0.0),
-            schema.separators.map(_.size).maxOption.getOrElse(0),
-            f"$elapsed%.3f", count, info.largestRelation,
-            info.clusters.size, info.spurious, info.totalTuples,
-            info.totalCells))
+    try {
+      for (f <- files) {
+        val parsed = SepFiles.read(f.getPath)
+        if (parsed.nonEmpty) {
+          val n = parsed.head._1
+          val jds = parsed.map(_._2).toVector
+          val t0 = System.nanoTime()
+          var count = 0
+          new SchemaEnumerator(n, jds).schemas(limit).foreach { schema =>
+            count += 1
+            try {
+              val info = svc.submitJobSynchronous(schema.tree)
+              val elapsed = (System.nanoTime() - t0) / 1e9
+              report.record(Seq(
+                schema.jds.map(_.measure.value).maxOption.getOrElse(0.0),
+                schema.separators.map(_.size).maxOption.getOrElse(0),
+                f"$elapsed%.3f", count, info.largestRelation,
+                info.clusters.size, info.spurious, info.totalTuples,
+                info.totalCells))
+            } catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[enumerate] schema ${schema.jds.take(3)}... failed: ${e.getMessage}")
+            }
+          }
         }
       }
+    } finally {
+      report.close()
+      svc.shutdown()
+      if (ownSession) spark.stop()
     }
-    report.close()
-    svc.shutdown()
-    if (ownSession) spark.stop()
   }
 }

@@ -22,7 +22,14 @@ final class DecompositionService(
     workers: Int = math.min(4, Runtime.getRuntime.availableProcessors() - 1),
     cacheMax: Int = 100) {
 
-  private val pool = Executors.newFixedThreadPool(math.max(1, workers))
+  // daemon workers: a missed shutdown() (e.g. an exception before it)
+  // must not pin the JVM open
+  private val pool = Executors.newFixedThreadPool(math.max(1, workers),
+    (r: Runnable) => {
+      val t = new Thread(r, "decomposition-worker")
+      t.setDaemon(true)
+      t
+    })
   private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
   // access-ordered LRU, like the reference's LinkedHashMap(accessOrder)

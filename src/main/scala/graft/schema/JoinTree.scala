@@ -39,17 +39,28 @@ object JoinTree {
     var leaves = Vector(AttrSet.full(n))
     // ascending separator size, as the reference sorts
     for (jd <- jds.sortBy(j => (j.lhs.size, j.lhs))) {
-      val idx = leaves.indexWhere(l => jd.lhs.subsetOf(l))
-      if (idx < 0) return None
-      val host = leaves(idx)
-      val pieces = jd.components.map(_.intersect(host)).filter(_.nonEmpty)
-      if (pieces.length < 2) return None
-      // every attr of host-lhs must be covered by the pieces (the JD's
-      // components partition R-lhs, so this holds whenever host wholly
-      // sits inside the JD's attribute universe)
-      val covered = pieces.foldLeft(jd.lhs)(_ union _)
-      if (!host.subsetOf(covered)) return None
-      leaves = leaves.patch(idx, pieces.map(_.union(jd.lhs)), 1)
+      // several leaves may contain the separator (e.g. every cluster of
+      // a prior JD with the same lhs); the JD applies to the one it
+      // genuinely splits — taking merely the first match would reject
+      // compatible sets
+      def splitOf(host: AttrSet): Option[Vector[AttrSet]] = {
+        val pieces = jd.components.map(_.intersect(host)).filter(_.nonEmpty)
+        // every attr of host-lhs must be covered by the pieces (the JD's
+        // components partition R-lhs, so this holds whenever host wholly
+        // sits inside the JD's attribute universe)
+        if (pieces.length >= 2 &&
+          host.subsetOf(pieces.foldLeft(jd.lhs)(_ union _)))
+          Some(pieces.map(_.union(jd.lhs)))
+        else None
+      }
+      val applied = leaves.zipWithIndex.collectFirst {
+        case (l, i) if jd.lhs.subsetOf(l) && splitOf(l).isDefined =>
+          (i, splitOf(l).get)
+      }
+      applied match {
+        case Some((idx, split)) => leaves = leaves.patch(idx, split, 1)
+        case None => return None
+      }
     }
     Some(leaves)
   }

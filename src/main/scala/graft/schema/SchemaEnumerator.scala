@@ -41,25 +41,34 @@ final class SchemaEnumerator(n: Int, jds: Vector[Jd]) {
 
   /** Lazily enumerate maximal independent sets: start from the greedy
     * maximal set; each emitted set S expands by every excluded node v —
-    * drop v's neighbors from S, add v, re-maximalize.
+    * drop v's neighbors from S, add v, re-maximalize. Pairwise
+    * compatibility is the reference's filter, but the operational
+    * join-tree build is the ground truth — sets whose tree fails to
+    * assemble are expanded from but not emitted (`skippedUnrealizable`
+    * counts them).
     */
+  var skippedUnrealizable: Int = 0
+
   def schemas(limit: Int = Int.MaxValue): Iterator[AcyclicSchema] = {
     if (k == 0) return Iterator.empty
     val seen = mutable.HashSet.empty[AttrSet]
     val queue = mutable.Queue[AttrSet](maximalize(AttrSet.empty))
     seen += queue.head
-    new Iterator[AcyclicSchema] {
-      private var emitted = 0
-      override def hasNext: Boolean = queue.nonEmpty && emitted < limit
-      override def next(): AcyclicSchema = {
+    val raw = new Iterator[AttrSet] {
+      override def hasNext: Boolean = queue.nonEmpty
+      override def next(): AttrSet = {
         val s = queue.dequeue()
-        emitted += 1
         for (v <- 0 until k if !s.contains(v)) {
-          val next = maximalize(s.minus(incompat(v)) + v)
-          if (seen.add(next)) queue.enqueue(next)
+          val nxt = maximalize(s.minus(incompat(v)) + v)
+          if (seen.add(nxt)) queue.enqueue(nxt)
         }
-        AcyclicSchema(n, s.toSeq.map(jds).toVector)
+        s
       }
     }
+    raw.flatMap { s =>
+      val schema = AcyclicSchema(n, s.toSeq.map(jds).toVector)
+      if (JoinTree.fromJds(n, schema.jds).isDefined) Some(schema)
+      else { skippedUnrealizable += 1; None }
+    }.take(limit)
   }
 }
