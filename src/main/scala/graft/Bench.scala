@@ -29,7 +29,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // entropy-engine job counts per mining query (reference telemetry,
+    // MinimalJDGenerator.java:970-979): a batching regression shows up
+    // here long before it shows up in sf0.1 seconds
+    val tel = graft.queries.MiningQueries.telemetry.toSeq.sortBy(_._1)
+      .map { case (k, (jobs, hits)) =>
+        s""""$k":{"entropy_jobs":$jobs,"memo_hits":$hits}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"telemetry":$tel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,15 +44,15 @@ object Ingest {
     val raw =
       if (naiveSplit) {
         val lines = spark.read.text(path)
-        val body = if (hasHeader) {
-          // drop the exact header line (reference skips first line only;
-          // for a multi-partition file we drop all lines equal to it —
-          // identical for well-formed inputs)
-          val header = lines.limit(1).collect().head.getString(0)
-          lines.filter(col("value") =!= lit(header))
-        } else lines
-        val n = spark.read.text(path).limit(1).collect()
-          .head.getString(0).split(",", -1).length
+        // one first-line collect serves both arity inference and the
+        // header skip (reference skips first line only; for a
+        // multi-partition file we drop all lines equal to it — identical
+        // for well-formed inputs)
+        val first = lines.limit(1).collect().head.getString(0)
+        val n = first.split(",", -1).length
+        val body =
+          if (hasHeader) lines.filter(col("value") =!= lit(first))
+          else lines
         val parts = split(col("value"), ",", -1)
         body.select((0 until n).map(i =>
           element_at(parts, i + 1).as(s"att$i")): _*)

@@ -35,14 +35,64 @@ final class JdMiner(eng: EntropyEngine, epsilon: Double,
   def mostSpecific(lhs: AttrSet): Jd =
     Jd(lhs, full.minus(lhs).toSeq.map(AttrSet.single).toVector)
 
-  /** Merge-to-consistency (reference D8): starting from the most-specific
-    * JD, repeatedly merge any component pair whose pairwise conditional
-    * mutual information given `lhs` exceeds epsilon, until stable.
+  /** Merge-to-consistency (reference D8), graph form — the default.
+    * Each round: ONE prefetched entropy batch covers every pairwise
+    * conditional-MI test over the current components, every pair
+    * exceeding epsilon becomes an undirected must-merge edge, and the
+    * edge graph's connected components merge in one shot (the
+    * reference's second construction,
+    * `search/JDGeneratorGivenLHS.java:337-405` +
+    * `common/GraphUtils.java:6-64` in /root/reference). Converges in
+    * far fewer rounds — and so far fewer entropy batches — than the
+    * pairwise loop, which restarts its O(k^2) sweep after every single
+    * merge; consistentJd is the innermost hot loop of min-sep mining.
     * Returns None if attributes `a` and `b` end up in one component or
     * only one component remains (lhs fails to separate a from b), or if
     * the final JD's measure exceeds the (k-1)*epsilon validity bound.
     */
   def consistentJd(lhs: AttrSet, a: Int, b: Int): Option[Jd] = {
+    require(!lhs.contains(a) && !lhs.contains(b))
+    var jd = mostSpecific(lhs)
+    var changed = true
+    while (changed && jd.numComponents > 1 && !stop()) {
+      changed = false
+      val comps = jd.components
+      val k = comps.length
+      // one shared-scan batch: every entropy the k(k-1)/2 tests may need
+      val pairUnions = for (i <- 0 until k - 1; j <- i + 1 until k)
+        yield comps(i).union(comps(j)).union(lhs)
+      eng.prefetch((comps.map(_.union(lhs)) ++ pairUnions) :+ lhs)
+      // must-merge edges -> connected components via union-find
+      val parent = Array.tabulate(k)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      for (i <- 0 until k - 1; j <- i + 1 until k
+           if mustMerge(comps(i), comps(j), lhs)) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { parent(rj) = ri; changed = true }
+      }
+      if (changed) {
+        // deterministic component order: groups sorted by smallest member
+        val newComps = (0 until k).groupBy(find).toVector.sortBy(_._2.head)
+          .map(_._2.map(comps).reduce(_ union _))
+        jd = Jd(lhs, newComps)
+      }
+    }
+    validated(jd, a, b)
+  }
+
+  /** Merge-to-consistency, pairwise form (reference D8's first
+    * construction): repeatedly merge one component pair whose conditional
+    * MI given `lhs` exceeds epsilon, rescanning after every merge. Same
+    * fixpoint as [[consistentJd]]; kept as its differential oracle (each
+    * merge issues fresh entropy queries, so it batches far worse).
+    */
+  def consistentJdPairwise(lhs: AttrSet, a: Int, b: Int): Option[Jd] = {
     require(!lhs.contains(a) && !lhs.contains(b))
     var jd = mostSpecific(lhs)
     // prefetch the entropies the pairwise tests need for the first sweep
@@ -64,6 +114,13 @@ final class JdMiner(eng: EntropyEngine, epsilon: Double,
         i += 1
       }
     }
+    validated(jd, a, b)
+  }
+
+  /** Shared tail of both D8 constructions: reject when lhs fails to
+    * separate `a` from `b`, otherwise gate on the JD validity bound.
+    */
+  private def validated(jd: Jd, a: Int, b: Int): Option[Jd] = {
     val ca = jd.componentOf(a)
     val cb = jd.componentOf(b)
     if (jd.numComponents <= 1 || ca == cb) None

@@ -71,14 +71,22 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, numCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, maxTrainRows: Long = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_to_vector(normalized(col(vecCol))).as("features")).cache()
+    // a coarse quantizer only needs a sample: fitting on the full corpus
+    // would make the training pass dominate at scale (the iterative
+    // KMeans re-scans its input per iteration — unacceptable over 100 TB)
+    val corpusN = v.count()
+    val train =
+      if (corpusN <= maxTrainRows) v
+      else v.sample(withReplacement = false,
+        maxTrainRows.toDouble / corpusN, seed = 42)
     val model = new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
-      .fit(v.select("features"))
+      .fit(train.select("features"))
     val assigned = model.transform(v)
       .select(col("id"), col("v"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
@@ -130,6 +138,40 @@ object Similarity {
       val proj = call_function("vec_dot", vec, typedLit(hyperplane(p, dim)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** All pairs with cosine >= tau at scale — the LSH path [[cosinePairs]]
+    * defers to when n^2 is prohibitive. Every vector posts into its own
+    * sign-random-projection bucket plus `probes` Hamming-1 probe buckets
+    * (near misses on one hyperplane sign are the dominant recall loss);
+    * two vectors sharing any posted bucket become a candidate pair,
+    * verified by exact cosine. Only (id, bucket) postings ride the
+    * self-join — the vector payloads join back after the pair list is
+    * deduped, so embeddings never multiply through the probe explode.
+    * Candidates per bucket are ~((1+probes) * n / 2^numPlanes)^2, so no
+    * n^2 shuffle ever forms; recall tightens with more probes or fewer
+    * planes at the cost of candidate volume.
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, dim: Int, numPlanes: Int = 8,
+                     probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val own = v.select(col("id"),
+      lshBucket(col("v"), dim, numPlanes).as("own"))
+    val probeBuckets = array((lit(0) +:
+      (0 until probes).map(p => lit(1 << p))).map(col("own").bitwiseXOR): _*)
+    val posts = own.select(col("id"), explode(probeBuckets).as("bucket"))
+    val cand = posts.toDF("id1", "bucket")
+      .join(posts.toDF("id2", "bucket"), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct() // pairs can share several buckets
+    cand
+      .join(v.toDF("id1", "v1"), Seq("id1"))
+      .join(v.toDF("id2", "v2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus its `probes` Hamming-1 neighbor buckets (multi-probe — near

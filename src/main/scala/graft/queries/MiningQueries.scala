@@ -24,6 +24,22 @@ object MiningQueries {
     new EntropyEngine(Tables.lineitem(s, dir)
       .select(MiningOracles.cols.map(org.apache.spark.sql.functions.col): _*).cache())
 
+  /** Per-query entropy-engine telemetry — (Spark jobs issued, memo hits)
+    * of the most recent run. The reference reports exactly these counters
+    * per mining run (`search/MinimalJDGenerator.java:970-979` in
+    * /root/reference); [[graft.Bench]] folds them into its JSON line so
+    * a batching regression (the real 100x-scale risk: many small entropy
+    * jobs instead of few shared-scan batches) is visible per round.
+    */
+  val telemetry = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def recorded(name: String, eng: EntropyEngine)
+                      (body: => DataFrame): DataFrame = {
+    val out = body
+    telemetry(name) = (eng.numQueriesIssued, eng.numCacheHits)
+    out
+  }
+
   /** Round to 6 decimals, half away from zero — DuckDB `round` parity. */
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -41,48 +57,58 @@ object MiningQueries {
     * low-entropy flag/status columns are determined approximately.
     */
   private def mineFds(s: SparkSession, dir: String): DataFrame = {
-    val fds = new FdMiner(engine(s, dir), 2.0).mineMinimal()
-    mkDf(s, depSchema, fds.sortBy(f => (f.lhs, f.rhs)).map(f =>
-      Row(f.lhs.toString, f.rhs.toString, r6(f.measure.value))))
+    val eng = engine(s, dir)
+    recorded("d_mine_fds", eng) {
+      val fds = new FdMiner(eng, 2.0).mineMinimal()
+      mkDf(s, depSchema, fds.sortBy(f => (f.lhs, f.rhs)).map(f =>
+        Row(f.lhs.toString, f.rhs.toString, r6(f.measure.value))))
+    }
   }
 
   /** D3/D4: approximate MVDs (inference-accelerated miner). */
   private def mineMvds(s: SparkSession, dir: String): DataFrame = {
-    val mvds = new MvdMiner(engine(s, dir), 1.0).mine()
-    val schema = StructType(Seq(
-      StructField("lhs", StringType, nullable = false),
-      StructField("rhs", StringType, nullable = false)))
-    mkDf(s, schema, mvds.sortBy(m => (m.lhs, m.rhs)).map(m =>
-      Row(m.lhs.toString, m.rhs.toString)))
+    val eng = engine(s, dir)
+    recorded("d_mine_mvds", eng) {
+      val mvds = new MvdMiner(eng, 1.0).mine()
+      val schema = StructType(Seq(
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false)))
+      mkDf(s, schema, mvds.sortBy(m => (m.lhs, m.rhs)).map(m =>
+        Row(m.lhs.toString, m.rhs.toString)))
+    }
   }
 
   /** D11/D12: minimal separators for every attribute pair. */
   private def mineSeps(s: SparkSession, dir: String): DataFrame = {
     val eng = engine(s, dir)
-    val miner = new JdMiner(eng, 1.0)
-    val schema = StructType(Seq(
-      StructField("a", StringType, nullable = false),
-      StructField("b", StringType, nullable = false),
-      StructField("separator", StringType, nullable = false)))
-    val rows = for {
-      a <- 0 until eng.numAttrs
-      b <- a + 1 until eng.numAttrs
-      sep <- miner.minimalSeparators(a, b).sorted
-    } yield Row(a.toString, b.toString, sep.toString)
-    mkDf(s, schema, rows)
+    recorded("d_mine_minseps", eng) {
+      val miner = new JdMiner(eng, 1.0)
+      val schema = StructType(Seq(
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false),
+        StructField("separator", StringType, nullable = false)))
+      val rows = for {
+        a <- 0 until eng.numAttrs
+        b <- a + 1 until eng.numAttrs
+        sep <- miner.minimalSeparators(a, b).sorted
+      } yield Row(a.toString, b.toString, sep.toString)
+      mkDf(s, schema, rows)
+    }
   }
 
   /** D8/D9/D13: JDs mined for each minimal separator. */
   private def mineJds(s: SparkSession, dir: String): DataFrame = {
     val eng = engine(s, dir)
-    val miner = new JdMiner(eng, 1.0)
-    val schema = StructType(Seq(
-      StructField("separator", StringType, nullable = false),
-      StructField("components", StringType, nullable = false),
-      StructField("measure", DoubleType, nullable = false)))
-    val rows = miner.mineAllFullJds(limit = 5).sortBy(_.toString).map(jd =>
-      Row(jd.lhs.toString, jd.components.mkString(","), r6(jd.measure.value)))
-    mkDf(s, schema, rows)
+    recorded("d_mine_jds", eng) {
+      val miner = new JdMiner(eng, 1.0)
+      val schema = StructType(Seq(
+        StructField("separator", StringType, nullable = false),
+        StructField("components", StringType, nullable = false),
+        StructField("measure", DoubleType, nullable = false)))
+      val rows = miner.mineAllFullJds(limit = 5).sortBy(_.toString).map(jd =>
+        Row(jd.lhs.toString, jd.components.mkString(","), r6(jd.measure.value)))
+      mkDf(s, schema, rows)
+    }
   }
 
   def qs: Seq[QueryDef] = Seq(

@@ -69,6 +69,15 @@ object PipelineQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
       |                                   b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
 
+  /** The scale path for the same all-pairs workload as
+    * [[embCosinePairs]]: LSH-bucketed candidates + exact verification.
+    * Rows-only gate (bucket membership isn't SQL-reproducible); the
+    * recall bound vs the exact baseline lives in OpsSpec.
+    */
+  private def embLshCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.35, dim = 64, numPlanes = 4, probes = 2)
+
   private def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
@@ -229,6 +238,7 @@ object PipelineQueries {
     QueryDef("dedup_simhash_sigs", simhashSigs, None),
     QueryDef("dedup_simhash_pairs", simhashPairs, None),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
+    QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_lsh", annLsh, None),
     QueryDef("sim_ann_topk_ivf", annIvf, None),

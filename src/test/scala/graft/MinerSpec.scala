@@ -120,4 +120,33 @@ class MinerSpec extends AnyFunSuite {
       assert(jd.measure.value <= (jd.numComponents - 1) * 0.0 + Measure.ThresholdSlack)
     }
   }
+
+  test("graph-CC consistent-JD equals pairwise and issues fewer entropy jobs") {
+    val fixtures = Seq(
+      (mvdFixture(noise = 8), 3),
+      (chainFixture(noise = 6), 4),
+      (pathFixture5(noise = 5), 5))
+    for ((rows, n) <- fixtures) {
+      // separate engines so the job-count comparison is uncontaminated;
+      // each accumulates its memo across thresholds, like real mining
+      val engCC = new EntropyEngine(relation(rows).cache())
+      val engPW = new EntropyEngine(relation(rows).cache())
+      for (t <- Seq(0.0, 0.5, 1.0)) {
+        val cc = new JdMiner(engCC, t)
+        val pw = new JdMiner(engPW, t)
+        for {
+          a <- 0 until n; b <- a + 1 until n
+          lhs <- AttrSet.empty +: AttrSet.allNonEmptySubsets(n)
+          if !lhs.contains(a) && !lhs.contains(b)
+        } {
+          val viaCC = cc.consistentJd(lhs, a, b).map(_.canonical)
+          val viaPW = pw.consistentJdPairwise(lhs, a, b).map(_.canonical)
+          assert(viaCC == viaPW, s"n=$n t=$t lhs=$lhs pair=($a,$b)")
+        }
+      }
+      assert(engCC.numQueriesIssued <= engPW.numQueriesIssued,
+        s"n=$n: CC issued ${engCC.numQueriesIssued} jobs, " +
+          s"pairwise ${engPW.numQueriesIssued}")
+    }
+  }
 }

@@ -100,6 +100,32 @@ class OpsSpec extends AnyFunSuite {
     assert(res.length == 1 && res.head.getAs[Long]("neighbor_id") == 201L)
   }
 
+  test("LSH cosine pairs: exact precision and full recall at high tau") {
+    val rng = new Lcg(7)
+    // 40 random vectors + two planted colinear pairs (cosine 1.0)
+    val vecs = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(200) / 100.0f - 1.0f)
+    } :+ (300L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (301L -> Array.tabulate(8)(j => 2.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val tau = 0.9
+    val brute = Similarity.cosinePairs(df, "vec_id", "embedding", tau)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(df, "vec_id", "embedding", tau,
+        dim = 8, numPlanes = 4, probes = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification => no false positives, ever
+    assert((lsh -- brute).isEmpty, s"false positives: ${lsh -- brute}")
+    // full multi-probe at numPlanes=4 recovers every high-cosine pair
+    // (colinear vectors share all hyperplane signs; tau=0.9 pairs differ
+    // in at most one sign at this dimension/seed)
+    assert(brute.subsetOf(lsh), s"missed: ${brute -- lsh}")
+    assert(lsh.contains((300L, 301L)))
+  }
+
   test("IVF top-k recalls the exact top neighbor on probed cells") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
