@@ -77,25 +77,57 @@ object Workflows {
   }
 }
 
-/** Workflow 1 (`Main.main`, SURVEY §3.1): mine approximate MVDs of a
-  * relation across a threshold sweep, with the reference's report
-  * columns. Usage:
+/** Workflow 1 (`Main.main`, SURVEY §3.1): mine approximate MVDs across a
+  * threshold sweep, with the reference's report columns. Two modes:
+  *
+  * Single relation:
   *   runMain graft.cli.MineMvds --input <csv|parquet> [--header true]
   *     [--thresholds 0.1,0.5] [--timeout 12000] [--report out/mining.csv]
+  *
+  * Directory batch sweep (the reference's main experiment harness,
+  * `Main.java:202-221` in /root/reference: every input file in the
+  * directory, smallest file first, the full threshold sweep per file,
+  * one `<name>.out.csv` report per input in the output directory):
+  *   runMain graft.cli.MineMvds --inputDir <dir> [--out reports/mining]
+  *     [--header true] [--thresholds ...] [--timeout 12000]
   */
 object MineMvds {
   import Workflows._
 
   def main(args: Array[String]): Unit = {
-    val input = arg(args, "--input", "/root/testdata/sf0.001/orders.parquet")
+    val inputDir = arg(args, "--inputDir", "")
     val (spark, ownSession) = session()
-    val rel = loadRelation(spark, input, arg(args, "--header", "true").toBoolean)
-    val eng = new EntropyEngine(rel)
+    val header = arg(args, "--header", "true").toBoolean
     val thresholds = arg(args, "--thresholds", "")
       match { case "" => defaultThresholds case s => s.split(",").toSeq.map(_.toDouble) }
     val timeout = arg(args, "--timeout", "12000").toLong
-    val report = new CsvReport(arg(args, "--report", "reports/mining.csv"),
-      Reports.MiningHeader)
+    if (inputDir.nonEmpty) {
+      val outDir = arg(args, "--out", "reports/mining")
+      val files = Option(new File(inputDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => (f.isFile && f.getName.endsWith(".csv")) ||
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.length()) // smallest first, as the reference sorts
+      for (f <- files) {
+        sweep(spark, f.getPath, header, thresholds, timeout,
+          s"$outDir/${f.getName}.out.csv")
+      }
+    } else {
+      val input = arg(args, "--input", "/root/testdata/sf0.001/orders.parquet")
+      sweep(spark, input, header, thresholds, timeout,
+        arg(args, "--report", "reports/mining.csv"))
+    }
+    if (ownSession) spark.stop()
+  }
+
+  /** One relation, full threshold sweep, one report file; a TIMEOUT row
+    * marks each threshold the miner couldn't finish inside the budget.
+    */
+  private def sweep(spark: SparkSession, input: String, header: Boolean,
+                    thresholds: Seq[Double], timeout: Long,
+                    reportPath: String): Unit = {
+    val rel = loadRelation(spark, input, header)
+    val eng = new EntropyEngine(rel)
+    val report = new CsvReport(reportPath, Reports.MiningHeader)
     for (t <- thresholds) {
       val stop = new AtomicBoolean(false)
       val t0 = System.nanoTime()
@@ -115,7 +147,7 @@ object MineMvds {
       }
     }
     report.close()
-    if (ownSession) spark.stop()
+    rel.unpersist() // a batch sweep must not pin every relation in memory
   }
 }
 

@@ -132,37 +132,49 @@ object Similarity {
       if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
     }
 
-  /** Sign-random-projection bucket id over `numPlanes` hyperplanes. */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+  /** Sign-random-projection bucket id over `numPlanes` hyperplanes.
+    * `planeOffset` selects an independent plane family — distinct offsets
+    * give the independent hash tables of the OR-construction.
+    */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int,
+                planeOffset: Int = 0): Column =
     (0 until numPlanes).map { p =>
-      val proj = call_function("vec_dot", vec, typedLit(hyperplane(p, dim)))
+      val proj = call_function("vec_dot", vec,
+        typedLit(hyperplane(planeOffset + p, dim)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** All pairs with cosine >= tau at scale — the LSH path [[cosinePairs]]
-    * defers to when n^2 is prohibitive. Every vector posts into its own
-    * sign-random-projection bucket plus `probes` Hamming-1 probe buckets
-    * (near misses on one hyperplane sign are the dominant recall loss);
-    * two vectors sharing any posted bucket become a candidate pair,
-    * verified by exact cosine. Only (id, bucket) postings ride the
-    * self-join — the vector payloads join back after the pair list is
-    * deduped, so embeddings never multiply through the probe explode.
-    * Candidates per bucket are ~((1+probes) * n / 2^numPlanes)^2, so no
-    * n^2 shuffle ever forms; recall tightens with more probes or fewer
-    * planes at the cost of candidate volume.
+    * defers to when n^2 is prohibitive (the near-dup dedup workload,
+    * where tau is high). Standard OR-construction: every vector posts
+    * into one bucket per independent hash table (`tables` families of
+    * `numPlanes` sign-random-projection bits) plus `probes` Hamming-1
+    * probe buckets per table; two vectors sharing any posted (table,
+    * bucket) become a candidate pair, verified by exact cosine — so
+    * false positives are impossible and recall is
+    * `1 - (1 - p^b)^tables` per pair (p = 1 - angle/pi), tightened
+    * further by the probes. Only (id, table, bucket) postings ride the
+    * self-join — vector payloads join back after the pair list is
+    * deduped, so embeddings never multiply through the explode. Each
+    * table's candidate lists are bounded by ~n/2^numPlanes per bucket;
+    * no n^2 shuffle ever forms.
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double, dim: Int, numPlanes: Int = 8,
-                     probes: Int = 0): DataFrame = {
-    require(probes >= 0 && probes <= numPlanes)
+                     tables: Int = 4, probes: Int = 0): DataFrame = {
+    require(tables >= 1 && probes >= 0 && probes <= numPlanes)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val own = v.select(col("id"),
-      lshBucket(col("v"), dim, numPlanes).as("own"))
+    val own = v.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(col("v"), dim, numPlanes, t * numPlanes).as("own"))
+    }: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.own").as("own"))
     val probeBuckets = array((lit(0) +:
       (0 until probes).map(p => lit(1 << p))).map(col("own").bitwiseXOR): _*)
-    val posts = own.select(col("id"), explode(probeBuckets).as("bucket"))
-    val cand = posts.toDF("id1", "bucket")
-      .join(posts.toDF("id2", "bucket"), Seq("bucket"))
+    val posts = own.select(col("id"), col("t"),
+      explode(probeBuckets).as("bucket"))
+    val cand = posts.toDF("id1", "t", "bucket")
+      .join(posts.toDF("id2", "t", "bucket"), Seq("t", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct() // pairs can share several buckets
     cand

@@ -69,14 +69,18 @@ object PipelineQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
       |                                   b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
 
-  /** The scale path for the same all-pairs workload as
-    * [[embCosinePairs]]: LSH-bucketed candidates + exact verification.
-    * Rows-only gate (bucket membership isn't SQL-reproducible); the
-    * recall bound vs the exact baseline lives in OpsSpec.
+  /** The scale path for the all-pairs cosine workload: LSH-bucketed
+    * candidates (multi-table OR-construction) + exact verification.
+    * tau sits at the top of the synthetic embeddings' cosine range
+    * (max ~0.5 — the generator plants no near-dup pairs), where 8
+    * tables x 4 planes + 1 probe give ~95% recall by the sign-agreement
+    * geometry; a real near-dup sweep at tau>=0.8 needs far fewer
+    * tables. Rows-only gate (bucket membership isn't SQL-reproducible);
+    * the recall bound vs the exact baseline lives in OpsSpec.
     */
   private def embLshCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      tau = 0.35, dim = 64, numPlanes = 4, probes = 2)
+      tau = 0.45, dim = 64, numPlanes = 4, tables = 8, probes = 1)
 
   private def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -174,6 +178,19 @@ object PipelineQueries {
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens"))
 
+  /** Real merge-table BPE counts: train on a bounded deterministic
+    * sample, encode the whole table in one mapPartitions pass. Rows-only
+    * gate (the merge loop isn't SQL-expressible); BpeSpec hand-verifies
+    * the algorithm and pins the distributed path to the driver-side
+    * encoder.
+    */
+  private def tokenCountBpeReal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.trainOnTable(s, docs, "doc_id", "text",
+      sampleDocs = 64, numMerges = 60)
+    graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+  }
+
   // DuckDB single-quoted strings don't process backslash escapes, so the
   // Java pattern string drops in verbatim
   private val tokenCountBpeSql =
@@ -244,6 +261,7 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
+    QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),
     QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),

@@ -88,4 +88,29 @@ class CliSpec extends AnyFunSuite {
     // threshold-0 schemas on the exact chain fixture must be lossless
     assert(enumRep.get(1).split(",")(6) == "0")
   }
+
+  test("directory batch sweep mines every csv, one report per input") {
+    val dir = Files.createTempDirectory("graft-sweep").toString
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    // two inputs of different size: the 3-attr MVD fixture and the
+    // larger 4-attr chain fixture
+    Files.writeString(java.nio.file.Paths.get(s"$in/small.csv"),
+      "a,b,c\n" + mvdFixture(0).map(_.mkString(",")).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/big.csv"),
+      "a,b,c,d\n" + chainFixture(0).map(_.mkString(",")).mkString("\n"))
+    graft.cli.MineMvds.main(Array("--inputDir", in, "--header", "true",
+      "--thresholds", "0.0,0.5", "--timeout", "600", "--out", s"$dir/out"))
+    for ((name, attrs) <- Seq("small.csv" -> 3, "big.csv" -> 4)) {
+      val rep = Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/out/$name.out.csv"))
+      assert(rep.size == 3, s"$name: ${rep.size} lines") // header + 2 thresholds
+      assert(rep.get(0) == graft.cli.Reports.MiningHeader.mkString(","))
+      for (i <- 1 to 2) {
+        val row = rep.get(i).split(",")
+        assert(row(0).toInt == attrs, s"$name row $i")
+        assert(!rep.get(i).contains("TIMEOUT"), s"$name row $i")
+      }
+    }
+  }
 }

@@ -115,13 +115,14 @@ class OpsSpec extends AnyFunSuite {
     val brute = Similarity.cosinePairs(df, "vec_id", "embedding", tau)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshCosinePairs(df, "vec_id", "embedding", tau,
-        dim = 8, numPlanes = 4, probes = 4)
+        dim = 8, numPlanes = 4, tables = 4, probes = 4)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact verification => no false positives, ever
     assert((lsh -- brute).isEmpty, s"false positives: ${lsh -- brute}")
-    // full multi-probe at numPlanes=4 recovers every high-cosine pair
-    // (colinear vectors share all hyperplane signs; tau=0.9 pairs differ
-    // in at most one sign at this dimension/seed)
+    // 4 independent tables with full multi-probe recover every
+    // high-cosine pair (colinear vectors share all hyperplane signs in
+    // every table; a tau=0.9 pair escaping all 4 tables needs >=2 sign
+    // flips in each — vanishingly unlikely, and deterministic here)
     assert(brute.subsetOf(lsh), s"missed: ${brute -- lsh}")
     assert(lsh.contains((300L, 301L)))
   }
