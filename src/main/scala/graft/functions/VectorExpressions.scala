@@ -73,6 +73,92 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared sign-random-projection kernel: deterministic +-1 hyperplane
+  * components from a splitmix-style hash of (planeIdx, dim index) — the
+  * same bit stream for the interpreted path, the codegen path, and
+  * [[graft.ops.Similarity.lshBucket]]'s literal-array form, so every
+  * surface buckets identically. Plane matrices are memoized per
+  * (planes, dim): building one bucket column from 256 literal-array
+  * `vec_dot`s blows past the whole-stage-codegen method-size budget and
+  * falls back to interpreted, boxed evaluation (~1 ms/row measured at
+  * 32 tables x 8 planes); one kernel call over a cached primitive
+  * matrix is ~100x cheaper and keeps the surrounding stage codegen'd.
+  */
+object LshKernel {
+  def planeSign(planeIdx: Int, j: Int): Double = {
+    var z = planeIdx.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(totalPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((totalPlanes, dim), { _ =>
+      Array.tabulate(totalPlanes, dim)(planeSign)
+    })
+
+  /** All `tables` bucket ids of `vec` (table t uses planes
+    * [t*numPlanes, (t+1)*numPlanes) — the same independent families as
+    * chained [[graft.ops.Similarity.lshBucket]] calls).
+    */
+  def buckets(vec: ArrayData, isFloat: Boolean, tables: Int,
+              numPlanes: Int): ArrayData = {
+    val dim = vec.numElements()
+    val m = planes(tables * numPlanes, dim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val plane = m(t * numPlanes + p)
+        var s = 0.0
+        var j = 0
+        if (isFloat) while (j < dim) { s += vec.getFloat(j) * plane(j); j += 1 }
+        else while (j < dim) { s += vec.getDouble(j) * plane(j); j += 1 }
+        if (s >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `lsh_buckets(vec, tables, numPlanes)`: array<int> of all independent
+  * hash-table bucket ids in one kernel call per row.
+  */
+case class LshBuckets(child: Expression, tables: Int, numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _)
+        if tables >= 1 && numPlanes >= 1 && numPlanes <= 30 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, tables >= 1, 1 <= planes <= 30), " +
+        s"got ${child.dataType.catalogString}, $tables, $numPlanes")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    LshKernel.buckets(v.asInstanceOf[ArrayData], isFloat, tables, numPlanes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshKernel$$.MODULE$$.buckets($c, $isFloat, $tables, $numPlanes)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `cosine_sim(a, b)`: one pass accumulating dot, |a|^2, |b|^2 —
   * numerically identical to dot/sqrt(na*nb) with sequential summation
   * (what the DuckDB oracle computes on DOUBLE[]).

@@ -122,15 +122,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (+-1 components) from a
     * splitmix-style hash — no RNG state, reproducible across runs and
-    * cluster layouts.
+    * cluster layouts. Shares [[graft.functions.LshKernel]]'s bit stream
+    * so the literal-array form buckets identically to `lsh_buckets`.
     */
   private def hyperplane(planeIdx: Int, dim: Int): Seq[Double] =
-    (0 until dim).map { j =>
-      var z = planeIdx.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-    }
+    (0 until dim).map(j => graft.functions.LshKernel.planeSign(planeIdx, j))
 
   /** Sign-random-projection bucket id over `numPlanes` hyperplanes.
     * `planeOffset` selects an independent plane family — distinct offsets
@@ -143,6 +139,30 @@ object Similarity {
         typedLit(hyperplane(planeOffset + p, dim)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Auto-size the OR-construction for corpus size `n` and threshold
+    * `tau`: bits-per-table from `log2(n / targetOccupancy)` so expected
+    * bucket occupancy — and with it candidates-per-row — stays constant
+    * as the corpus grows (fixed bits make candidates quadratic in n:
+    * occupancy ~ n/2^b, within-bucket pairs ~ occupancy^2); the table
+    * count then compensates recall by `(1/p)^(b-b0)` with
+    * `p = 1 - acos(tau)/pi` (the hyperplane collision probability), up
+    * to `maxTables`. Past the cap, recall decays with n — the
+    * fundamental n^rho LSH trade-off: cheap at realistic near-dup
+    * thresholds (tau >= 0.8, p >= 0.8), steep at low tau where LSH is
+    * the wrong tool and [[cosinePairs]] partitioned by time/source is
+    * honest.
+    */
+  def lshAutoParams(n: Long, tau: Double, targetOccupancy: Int = 128,
+                    basePlanes: Int = 4, baseTables: Int = 8,
+                    maxTables: Int = 32): (Int, Int) = {
+    val b = math.min(20, math.max(basePlanes,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val l = math.min(maxTables.toDouble,
+      math.ceil(baseTables * math.pow(1.0 / p, (b - basePlanes).toDouble))).toInt
+    (b, math.max(baseTables, l))
+  }
 
   /** All pairs with cosine >= tau at scale — the LSH path [[cosinePairs]]
     * defers to when n^2 is prohibitive (the near-dup dedup workload,
@@ -157,32 +177,46 @@ object Similarity {
     * self-join — vector payloads join back after the pair list is
     * deduped, so embeddings never multiply through the explode. Each
     * table's candidate lists are bounded by ~n/2^numPlanes per bucket;
-    * no n^2 shuffle ever forms.
+    * no n^2 shuffle ever forms. `numPlanes = 0` sizes both parameters
+    * from the corpus count via [[lshAutoParams]] (costs one count job).
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                     tau: Double, dim: Int, numPlanes: Int = 8,
-                     tables: Int = 4, probes: Int = 0): DataFrame = {
-    require(tables >= 1 && probes >= 0 && probes <= numPlanes)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val own = v.select(col("id"), explode(array((0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        lshBucket(col("v"), dim, numPlanes, t * numPlanes).as("own"))
-    }: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.own").as("own"))
+                     tau: Double, dim: Int, numPlanes: Int = 0,
+                     tables: Int = 8, probes: Int = 0): DataFrame = {
+    val v0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (planes, tbls) =
+      if (numPlanes > 0) (numPlanes, tables)
+      else lshAutoParams(v0.count(), tau)
+    val v = if (numPlanes > 0) v0 else v0.cache() // counted above; reused twice below
+    require(tbls >= 1 && probes >= 0 && probes <= planes)
+    // all table buckets in one native-kernel call per row
+    // ([[graft.functions.LshBuckets]]): the equivalent column expression
+    // (tables x planes literal-array vec_dots) exceeds the whole-stage
+    // codegen budget and falls back to interpreted boxed eval
+    val own = v.select(col("id"),
+      posexplode(call_function("lsh_buckets", col("v"), lit(tbls), lit(planes))))
+      .select(col("id"), col("pos").as("t"), col("col").as("own"))
     val probeBuckets = array((lit(0) +:
       (0 until probes).map(p => lit(1 << p))).map(col("own").bitwiseXOR): _*)
     val posts = own.select(col("id"), col("t"),
       explode(probeBuckets).as("bucket"))
+    // candidates keep their multiplicity (a pair can share several
+    // buckets): the verifying cosine is ~10x cheaper per row than the
+    // shuffle a pair-level distinct costs at ~2.4x average multiplicity
+    // (measured 34 s distinct vs 4 s verify at 114M candidates), so
+    // verify everything and dedup only the tau-survivors — a vanishing
+    // fraction of the candidate stream.
     val cand = posts.toDF("id1", "t", "bucket")
       .join(posts.toDF("id2", "t", "bucket"), Seq("t", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct() // pairs can share several buckets
+      .select("id1", "id2")
     cand
       .join(v.toDF("id1", "v1"), Seq("id1"))
       .join(v.toDF("id2", "v2"), Seq("id2"))
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
+      .distinct()
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket

@@ -80,7 +80,8 @@ object PipelineQueries {
     */
   private def embLshCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      tau = 0.45, dim = 64, numPlanes = 4, tables = 8, probes = 1)
+      tau = 0.45, dim = 64, numPlanes = 0 /* auto-size from corpus count */,
+      probes = 1)
 
   private def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",

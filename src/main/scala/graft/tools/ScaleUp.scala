@@ -1,0 +1,117 @@
+package graft.tools
+
+import graft.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: blow the sf0.1 testdata up `--factor`x by unioning
+  * key-shifted copies of the fact-sized tables, so per-query scaling
+  * behavior (linear vs super-linear) can be measured beyond the largest
+  * driver-provided SF. Copies shift only entity keys — orderkeys, user
+  * ids, doc/vec ids — so join semantics, group cardinalities per key,
+  * and per-entity distributions stay exactly those of the source
+  * (more orders/users/docs, not fatter ones). Dimension tables pass
+  * through unchanged; every shifted fact still joins copy-0 dimensions.
+  *
+  * Content columns must NOT be replicated verbatim: identical text /
+  * embeddings across copies give every row `factor-1` exact near-dup
+  * twins, so pair-emitting queries (LSH cosine, MinHash) blow up
+  * quadratically in the copy count — measuring output inflation, not
+  * plan scaling. Each copy is therefore content-decorrelated by a
+  * structure-preserving transform: embeddings get a per-copy cyclic
+  * dimension rotation (orthogonal, so within-copy cosines are exactly
+  * preserved while cross-copy cosines look random), and document text
+  * gets a per-copy lowercase-alphabet rotation cipher (bijective on
+  * shingles, so within-copy Jaccard is exactly preserved while
+  * cross-copy shingle overlap is negligible). Per-copy dedup/ANN pair
+  * structure is thus exactly the source's, and totals scale linearly.
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleUp [--src /root/testdata/sf0.1]
+  *     [--out target/testdata-sf1] [--factor 10]
+  */
+object ScaleUp {
+
+  private def arg(args: Array[String], key: String, default: String): String =
+    args.sliding(2).collectFirst { case Array(`key`, v) => v }.getOrElse(default)
+
+  /** Union `factor` copies with `keyCol` shifted by a stride past the
+    * source's max key; `perCopy` decorrelates content columns per copy
+    * (copy 0 is always the untouched source).
+    */
+  private def replicate(df: DataFrame, keyCol: String, factor: Int,
+      perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+    val stride = df.agg(max(col(keyCol))).head().getLong(0) + 1L
+    (0 until factor).map { i =>
+      perCopy(df, i).withColumn(keyCol, (col(keyCol) + lit(i * stride)).cast("long"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Rotate lowercase letters by `i` (bijective on shingles: within-copy
+    * Jaccard/MinHash structure is exactly the source's; cross-copy
+    * shingle overlap is incidental).
+    */
+  private def cipher(df: DataFrame, i: Int): DataFrame = {
+    if (i == 0) df else {
+      val az = "abcdefghijklmnopqrstuvwxyz"
+      val rot = az.drop(i % 26) + az.take(i % 26)
+      df.withColumn("text", translate(col("text"), az, rot))
+    }
+  }
+
+  /** Cyclically rotate embedding dimensions by `i` — an orthogonal
+    * transform, so within-copy cosines are exactly the source's while
+    * cross-copy cosines are decorrelated.
+    */
+  private def rotateDims(df: DataFrame, i: Int): DataFrame = {
+    if (i == 0) df else {
+      val n = size(col("embedding"))
+      val k = (lit(i) % n) + 1
+      df.withColumn("embedding",
+        concat(slice(col("embedding"), k, n), slice(col("embedding"), lit(1), k - 1)))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = arg(args, "--src", "/root/testdata/sf0.1")
+    val out = arg(args, "--out", "target/testdata-sf1")
+    val factor = arg(args, "--factor", "10").toInt
+    val spark = Sessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$table.parquet")
+
+    // dimensions: pass through
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+
+    // facts: key-shifted copies. orders/lineitem share the orderkey
+    // shift so the join lineage stays intact across copies.
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val orderStride = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    write((0 until factor).map(i => orders.withColumn("o_orderkey",
+      (col("o_orderkey") + lit(i * orderStride)).cast("long")))
+      .reduce(_ unionAll _), "orders")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write((0 until factor).map(i => li.withColumn("l_orderkey",
+      (col("l_orderkey") + lit(i * orderStride)).cast("long")))
+      .reduce(_ unionAll _), "lineitem")
+
+    // events: keep the raw TIMESTAMP(NANOS)-as-long layout the loaders
+    // expect (graft.Tables.events converts); shift user ids so state
+    // size per key is unchanged — scale adds users, not session length
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(replicate(spark.read.parquet(s"$src/events.parquet"),
+      "user_id", factor), "events")
+
+    write(replicate(spark.read.parquet(s"$src/documents.parquet"),
+      "doc_id", factor, cipher), "documents")
+    write(replicate(spark.read.parquet(s"$src/embeddings.parquet"),
+      "vec_id", factor, rotateDims), "embeddings")
+
+    println(s"[scaleup] wrote ${factor}x $src -> $out")
+    spark.stop()
+  }
+}

@@ -125,6 +125,29 @@ class OpsSpec extends AnyFunSuite {
     // flips in each — vanishingly unlikely, and deterministic here)
     assert(brute.subsetOf(lsh), s"missed: ${brute -- lsh}")
     assert(lsh.contains((300L, 301L)))
+    // auto-sizing at fixture scale resolves to the base config and must
+    // keep the planted colinear pair (same no-false-positive guarantee)
+    val auto = Similarity.lshCosinePairs(df, "vec_id", "embedding", tau,
+        dim = 8, numPlanes = 0, probes = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((auto -- brute).isEmpty && auto.contains((300L, 301L)))
+  }
+
+  test("LSH auto-params hold bucket occupancy constant and compensate recall") {
+    // bits grow with log2(n): occupancy n/2^b stays within [64, 256)
+    // until the 20-bit cap (beyond which occupancy grows again — cap the
+    // plan blowup, not the corpus)
+    for (n <- Seq(10000L, 100000L, 10000000L, 1000000000L)) {
+      val (b, _) = Similarity.lshAutoParams(n, tau = 0.9)
+      val occ = n.toDouble / (1L << b)
+      assert(b == 20 || (occ <= 256 && (b == 4 || occ > 64)), s"n=$n b=$b occ=$occ")
+    }
+    // table count compensates the finer buckets, more steeply at low tau
+    val (b1, l1) = Similarity.lshAutoParams(2000L, tau = 0.9)
+    assert((b1, l1) == (4, 8)) // base config at verify scale
+    val (_, lHighTau) = Similarity.lshAutoParams(1000000L, tau = 0.9)
+    val (_, lLowTau) = Similarity.lshAutoParams(1000000L, tau = 0.45)
+    assert(lHighTau > 8 && lLowTau >= lHighTau && lLowTau <= 32)
   }
 
   test("IVF top-k recalls the exact top neighbor on probed cells") {
