@@ -24,7 +24,15 @@ import org.apache.spark.sql.functions._
   * gets a per-copy lowercase-alphabet rotation cipher (bijective on
   * shingles, so within-copy Jaccard is exactly preserved while
   * cross-copy shingle overlap is negligible). Per-copy dedup/ANN pair
-  * structure is thus exactly the source's, and totals scale linearly.
+  * structure is thus exactly the source's. Text-dedup totals then scale
+  * linearly; embedding-pair totals do NOT, and that is a property of
+  * the workload, not the replication: the synthetic embeddings are
+  * isotropic unit vectors, so at any fixed tau within a few sigma of
+  * the cosine distribution (tau=0.45 is ~3.6 sigma at dim 64) the
+  * qualifying-pair count itself is Theta(n^2) x tail-mass — measured
+  * 144 pairs at n=2k vs 16,786 at n=20k, ~15k of them genuine
+  * cross-copy random near-misses. Scaling analyses of pair-emitting
+  * queries over this table must normalize by output rows.
   *
   * Usage:
   *   runMain graft.tools.ScaleUp [--src /root/testdata/sf0.1]
