@@ -141,6 +141,77 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Connected components over an undirected pair graph — the step after
+    * candidate-pair generation in a dedup pipeline: near-dup PAIRS become
+    * duplicate CLUSTERS, each labeled by its minimum member id (the
+    * canonical document to keep).
+    *
+    * Iterative min-label propagation with pointer jumping: each round
+    * every node takes `min(own label, neighbors' labels, label of its
+    * current label)`. The pointer-jumping term contracts chains
+    * geometrically, so rounds are O(log diameter) rather than
+    * O(diameter) — the published large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * shape, expressed as DataFrame joins. Each round is two hash joins +
+    * one aggregation on (id, label) pairs only — edge payloads never
+    * travel — and `localCheckpoint` truncates the growing lineage so
+    * plan size stays constant across iterations. Dedup components are
+    * overwhelmingly tiny (dup groups), so 3-4 rounds converge even at
+    * corpus scale; convergence is detected exactly (no changed label).
+    *
+    * `edges` needs columns (`id1`, `id2`); `nodes` one `id` column (ids
+    * absent from any edge become singleton clusters of themselves).
+    * Returns (`id`, `cluster`).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
+      .unionAll(edges.select(col("id2").as("id"), col("id1").as("nbr")))
+      .distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("cluster"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("nlbl")),
+          Seq("nbr"))
+        .groupBy("id").agg(min(col("nlbl")).as("nbr_min"))
+      // pointer jumping: label(label(x)) — labels only ever decrease, so
+      // this hops straight toward the component minimum
+      val jump = labels
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("jlbl")),
+          Seq("cluster"))
+        .select(col("id"), col("jlbl"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"),
+            coalesce(col("nbr_min"), col("cluster")),
+            coalesce(col("jlbl"), col("cluster"))).as("next"))
+        .localCheckpoint()
+      converged = stepped.filter(col("next") < col("cluster")).isEmpty
+      labels = stepped.select(col("id"), col("next").as("cluster"))
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** Jaccard near-dup clusters over a document table: every document
+    * labeled with the minimum doc id of its near-dup component (itself
+    * when it has no near-dups). Composes [[jaccardPairs]] →
+    * [[connectedComponents]].
+    */
+  def jaccardClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, dfCap: Long = 20, tau: Double = 0.3): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, k, dfCap, tau)
+    connectedComponents(pairs.select("id1", "id2"),
+      df.select(col(idCol).as("id")))
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   /** 64-bit SimHash aggregator over token hashes: per bit, sum +-1 and
     * take the sign. A `TypedImperativeAggregate`-style Aggregator (one
     * pass, constant memory) — the idiomatic Spark form of a custom

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group ranking/selection for training-data pipelines — "keep the
+  * best k documents per language/domain/source" is the standard quota
+  * step after quality scoring.
+  */
+object Ranking {
+
+  /** Top `k` rows per key by `order` (include a unique tiebreaker column
+    * in `order` for deterministic output). One shuffle on the key;
+    * `row_number` + filter lets the sort stay partial (rank > k rows
+    * never leave the window operator's buffer sorted — Spark's
+    * WindowExec spills but never collects a group to the driver).
+    *
+    * Scale note: a single key heavier than one executor's spill budget
+    * (the 100 TB "one domain is half the corpus" case) should be
+    * pre-thinned with [[preTopK]] before this exact pass.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                 k: Int): DataFrame =
+    df.withColumn("rank",
+        row_number().over(
+          Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+
+  /** Salted pre-pass for skewed keys: keep the top `k` per (key, salt)
+    * over `salts` random-but-deterministic shards, shrinking a hot key's
+    * row count to `salts * k` before the exact [[topKPerKey]] pass.
+    * Global top-k per key is preserved: every true top-k row is top-k
+    * within its shard. Composition `topKPerKey(preTopK(df), ...)` is
+    * exactly equivalent to `topKPerKey(df, ...)` for any salts >= 1.
+    */
+  def preTopK(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+              k: Int, salts: Int = 64): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
+    salted.withColumn("__prank",
+        row_number().over(
+          Window.partitionBy((keyCols :+ "__salt").map(col): _*)
+            .orderBy(order: _*)))
+      .filter(col("__prank") <= k)
+      .drop("__salt", "__prank")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,39 @@ object PipelineQueries {
       |JOIN sizes n1 ON n1.doc_id = id1
       |JOIN sizes n2 ON n2.doc_id = id2
       |WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3""".stripMargin
+
+  /** Near-dup clusters: connected components over the Jaccard pair
+    * graph, every doc labeled with its component's minimum doc id. The
+    * oracle computes the same components with a recursive CTE (min label
+    * over the transitive closure).
+    */
+  private def jaccardClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClusters(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, dfCap = 20, tau = 0.3)
+
+  private val jaccardClustersSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |dfr AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |post AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2 FROM common
+      |          JOIN sizes n1 ON n1.doc_id = id1
+      |          JOIN sizes n2 ON n2.doc_id = id2
+      |          WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION SELECT id2 AS a, id1 AS b FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+      |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -218,6 +251,54 @@ object PipelineQueries {
       |SELECT doc_id, min(md5(s)) AS min_shingle_fp
       |FROM sh GROUP BY doc_id""".stripMargin
 
+  /** Quota selection: the 5 best-quality docs per predicted language —
+    * the standard "keep top-k per group" step after scoring. Ordering is
+    * fully deterministic: quality is rounded to 6dp on both engines and
+    * ties break on doc_id.
+    */
+  private def topkQualityByLang(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    Ranking.topKPerKey(scored, Seq("lang_pred"),
+      Seq(col("quality").desc, col("doc_id").asc), k = 5)
+  }
+
+  private val topkQualityByLangSql = {
+    val langScores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val langCases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH b AS (
+       |  SELECT doc_id, trim(text) AS t,
+       |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks,
+       |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\\s+')), 1)
+       |         AS DOUBLE) AS ntoks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $langScores FROM b),
+       |lang AS (SELECT doc_id, CASE $langCases ELSE '${langs.last}' END AS lang_pred
+       |         FROM sc),
+       |q AS (SELECT doc_id,
+       |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+       |    + (CASE WHEN length(regexp_replace(t, '\\s+', '', 'g')) / ntoks
+       |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+       |    6) AS quality
+       |  FROM b)
+       |SELECT doc_id, lang_pred, quality, CAST(rank AS INT) AS rank
+       |FROM (SELECT q.doc_id, lang.lang_pred, q.quality,
+       |        row_number() OVER (PARTITION BY lang.lang_pred
+       |                           ORDER BY q.quality DESC, q.doc_id) AS rank
+       |      FROM q JOIN lang USING (doc_id)) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -252,6 +333,7 @@ object PipelineQueries {
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
+    QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
     QueryDef("dedup_simhash_sigs", simhashSigs, None),
     QueryDef("dedup_simhash_pairs", simhashPairs, None),
@@ -267,6 +349,8 @@ object PipelineQueries {
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_topk_quality_by_lang", topkQualityByLang,
+      Some(topkQualityByLangSql)),
     QueryDef("mm_decode_features", mmDecode, None),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
   )

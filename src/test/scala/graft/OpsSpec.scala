@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,6 +29,93 @@ class OpsSpec extends AnyFunSuite {
     val nearDup = 100L -> (base(0)._2.split(" ").init :+ "zulu").mkString(" ")
     val exactDup = 101L -> ("  " + base(1)._2.replace(" ", "   ") + " ")
     base :+ nearDup :+ exactDup
+  }
+
+  private def edgeDf(es: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(es.map(e => Row(e._1, e._2)): _*),
+      StructType(Seq(StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false))))
+
+  private def nodeDf(ns: Seq[Long]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ns.map(Row(_)): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+
+  test("connected components label chains, stars, and singletons") {
+    // chain 1-2-3-4-5, star 10-{11,12,13}, edge-listed-backwards 21-20,
+    // isolated 30
+    val edges = edgeDf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 10L -> 12L, 10L -> 13L, 21L -> 20L))
+    val nodes = nodeDf(Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L,
+      20L, 21L, 30L))
+    val got = Dedup.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("connected components match a brute-force transitive closure") {
+    // pseudo-random sparse graph over 60 nodes
+    val rng = new Lcg(7)
+    val es = (0 until 45).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val ns = (0L until 60L)
+    // brute force: repeated relaxation over the edge list in Scala
+    val lbl = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      es.foreach { case (a, b) =>
+        val m = math.min(lbl(a), lbl(b))
+        if (lbl(a) != m || lbl(b) != m) { lbl(a) = m; lbl(b) = m; changed = true }
+      }
+    }
+    val got = Dedup.connectedComponents(edgeDf(es), nodeDf(ns)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl.toMap)
+  }
+
+  test("jaccard clusters put near-dups with their canonical doc") {
+    val clusters = Dedup.jaccardClusters(docs(corpus), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == corpus.size)
+    // the planted near-dup of doc 0 joins doc 0's cluster, labeled by
+    // the component minimum
+    assert(clusters(100L) == clusters(0L) && clusters(0L) == 0L)
+    // the whitespace-variant dup of doc 1 is invisible to raw-character
+    // shingles (every 8-shingle spans a widened gap) — catching it is
+    // exactDedup's job, so it stays a singleton here
+    assert(clusters(101L) == 101L)
+  }
+
+  test("topKPerKey is deterministic and preTopK thinning preserves it") {
+    val rows = (0L until 200L).map { i =>
+      (i, s"g${(i % 3)}", (i * 37 % 11).toDouble)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("key", StringType, nullable = false),
+        StructField("score", DoubleType, nullable = false))))
+    val order = Seq(col("score").desc, col("id").asc)
+    val top = Ranking.topKPerKey(df, Seq("key"), order, k = 4)
+      .select("key", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // per key: scores repeat (mod 11), so rank must fall back to id order
+    assert(top.size == 12)
+    val brute = rows.groupBy(_._2).flatMap { case (key, g) =>
+      g.sortBy(r => (-r._3, r._1)).take(4).zipWithIndex
+        .map { case (r, i) => (key, r._1, i + 1) }
+    }.toSet
+    assert(top == brute)
+    val thinned = Ranking.topKPerKey(
+        Ranking.preTopK(df, Seq("key"), order, k = 4, salts = 8),
+        Seq("key"), order, k = 4)
+      .select("key", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(thinned == top)
   }
 
   test("exact dedup groups whitespace-variant duplicates") {
