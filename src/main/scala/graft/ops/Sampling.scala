@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * The keep decision is `md5(salt:key)` compared lexicographically
+  * against an 8-hex-digit threshold — a pure per-row predicate: no RNG
+  * state, no shuffle, reproducible across runs, engines (any md5
+  * produces the same lowercase hex), cluster layouts, and incremental
+  * re-runs (a row's fate never depends on which batch it arrived in —
+  * the property `DataFrame.sample` cannot give you). Selectivity is
+  * `round(rate * 2^32) / 2^32`, exact over the uniform first 8 hex
+  * chars of md5.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold with P(md5_hex < threshold) = rate (md5 hex
+    * is 32 chars, so prefix-equal comparisons resolve to "longer string
+    * sorts after" — the boundary digest itself is excluded).
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = math.min((rate * 4294967296.0).round, 4294967296L)
+    if (t >= 4294967296L) "ffffffffg" // > every hex digest: keep all
+    else f"$t%08x"
+  }
+
+  /** The keep predicate for a uniform deterministic sample of `rate`. */
+  def keepExpr(key: Column, rate: Double, salt: String): Column =
+    md5(concat(lit(salt), lit(":"), key.cast("string"))) < lit(hexThreshold(rate))
+
+  /** Uniform deterministic sample: keep ~`rate` of rows keyed by
+    * `keyCol`. Distinct `salt` values draw independent samples.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 salt: String = "s"): DataFrame =
+    df.filter(keepExpr(col(keyCol), rate, salt))
+
+  /** Stratified deterministic sample: per-stratum rates (the
+    * "downsample over-represented sources, keep all of the rare ones"
+    * corpus-mixing step), `defaultRate` for strata not in the map. One
+    * codegen'd scan-side filter — no shuffle, no per-stratum pass.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double], defaultRate: Double,
+                           salt: String = "s"): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultRate))) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(
+      md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < threshold)
+  }
+}

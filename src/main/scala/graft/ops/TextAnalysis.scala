@@ -103,4 +103,31 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** PII patterns kept to the RE2-compatible subset (no backrefs or
+    * lookaround) so the Java-regex Spark path and an RE2 oracle match
+    * byte-for-byte. The IPv4 pattern is deliberately naive (any dotted
+    * quad, no 0-255 range check) — scrubbing favors recall.
+    */
+  val EmailPattern =
+    "[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\d{1,3}(?:\\.\\d{1,3}){3})"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub emails then IPv4s (in that order — an email like
+    * `user@1.2.3.4` must become one `[EMAIL]`, not a partial `[IP]`).
+    * Pure codegen'd column expressions; at 100 TB this is scan-side
+    * work with no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Redaction telemetry: how many of each PII kind a document held
+    * (IPs counted after email removal, mirroring [[redactPii]]'s order).
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailPattern)).as("email_cnt"),
+    regexp_count(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      lit(Ipv4Pattern)).as("ip_cnt"))
 }

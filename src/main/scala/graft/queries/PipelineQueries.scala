@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,50 @@ object PipelineQueries {
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
+  /** PII scrubbing: emails then IPv4s redacted, with per-kind counts.
+    * Patterns are RE2-compatible so the Java-regex Spark path and the
+    * DuckDB (RE2) oracle agree byte-for-byte.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id") +: TextAnalysis.redactPii(col("text")).as("redacted") +:
+        TextAnalysis.piiCounts(col("text")): _*)
+
+  private val piiRedactSql = {
+    val em = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
+       |                 '$ip', '[IP]', 'g') AS redacted,
+       |  CAST(length(regexp_extract_all(text, '$em')) AS INT) AS email_cnt,
+       |  CAST(length(regexp_extract_all(
+       |    regexp_replace(text, '$em', '[EMAIL]', 'g'), '$ip')) AS INT) AS ip_cnt
+       |FROM documents""".stripMargin
+  }
+
+  /** Corpus-mix rates for the stratified-sample query: throttle the
+    * high-volume event types, keep every error. One map drives BOTH the
+    * Spark filter and the oracle CASE, so the two can't drift.
+    */
+  private val stratRates = Map("view" -> 0.1, "click" -> 0.25, "error" -> 1.0)
+  private val stratDefault = 0.5
+  private val stratSalt = "mix1"
+
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(Tables.events(s, dir), "event_id",
+        "event_type", stratRates, stratDefault, stratSalt)
+      .select("event_id", "event_type", "user_id")
+
+  private val stratifiedSampleSql = {
+    val cases = stratRates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN '${Sampling.hexThreshold(r)}'"
+    }.mkString("\n    ")
+    s"""SELECT event_id, event_type, user_id FROM events
+       |WHERE md5('$stratSalt:' || CAST(event_id AS VARCHAR)) <
+       |  CASE event_type $cases
+       |    ELSE '${Sampling.hexThreshold(stratDefault)}' END""".stripMargin
+  }
+
   // ---- multimodal plumbing (stubbed codec; rows-only check) ----
 
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -351,6 +395,9 @@ object PipelineQueries {
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_topk_quality_by_lang", topkQualityByLang,
       Some(topkQualityByLangSql)),
+    QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("ev_stratified_sample", stratifiedSample,
+      Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
   )

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -116,6 +116,57 @@ class OpsSpec extends AnyFunSuite {
       .select("key", "id", "rank").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(thinned == top)
+  }
+
+  test("PII redaction scrubs emails before IPs and counts each kind") {
+    val fixtures = Seq(
+      1L -> "contact me at jane.doe+x@example.co.uk or 10.0.0.1 thanks",
+      2L -> "server user@1.2.3.4 logged 192.168.1.255 and 8.8.8.8",
+      3L -> "no pii here, just version 1.2 and a dot.",
+      4L -> "two mails: a@b.io b@c.org")
+    val got = docs(fixtures).select(
+        col("doc_id") +: TextAnalysis.redactPii(col("text")).as("r") +:
+          TextAnalysis.piiCounts(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("contact me at [EMAIL] or [IP] thanks", 1, 1)))
+    // the dotted-quad inside the email is ONE [EMAIL], not a partial [IP]
+    assert(got(2L) == (("server [EMAIL] logged [IP] and [IP]", 1, 2)))
+    assert(got(3L) == (("no pii here, just version 1.2 and a dot.", 0, 0)))
+    assert(got(4L) == (("two mails: [EMAIL] [EMAIL]", 2, 0)))
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and salt-independent") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val a = Sampling.hashSample(ids, "id", 0.25, "s1")
+    val n1 = a.count()
+    assert(n1 == Sampling.hashSample(ids, "id", 0.25, "s1").count()) // deterministic
+    assert(math.abs(n1 - 5000.0) / 5000.0 < 0.05, s"got $n1 of ~5000")
+    // nested rates: a 0.1 sample is a subset of the same-salt 0.25 sample
+    val tight = Sampling.hashSample(ids, "id", 0.1, "s1")
+    assert(tight.join(a, Seq("id"), "left_anti").count() == 0)
+    // distinct salts draw ~independent samples: overlap ~ rate^2
+    val b = Sampling.hashSample(ids, "id", 0.25, "s2")
+    val overlap = a.join(b, Seq("id")).count()
+    assert(overlap > 800 && overlap < 1800, s"overlap $overlap vs ~1250")
+    // edge rates
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000)
+    assert(Sampling.hashSample(ids, "id", 0.0).count() == 0)
+  }
+
+  test("stratified sampling hits per-stratum rates with one filter") {
+    val rows = (0L until 12000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("src", StringType, nullable = false))))
+    val got = Sampling.stratifiedHashSample(df, "id", "src",
+        Map("a" -> 0.1, "b" -> 1.0), defaultRate = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("a") - 400.0) / 400.0 < 0.15, s"a: ${got("a")}")
+    assert(got("b") == 4000L)
+    assert(math.abs(got("c") - 2000.0) / 2000.0 < 0.1, s"c: ${got("c")}")
   }
 
   test("exact dedup groups whitespace-variant duplicates") {
