@@ -130,4 +130,37 @@ object TextAnalysis {
     regexp_count(text, lit(EmailPattern)).as("email_cnt"),
     regexp_count(regexp_replace(text, EmailPattern, "[EMAIL]"),
       lit(Ipv4Pattern)).as("ip_cnt"))
+
+  /** Repetition score per document: the fraction of all word bigrams
+    * taken by the single most frequent bigram (documents dominated by
+    * one repeated phrase — boilerplate, keyword spam, decode loops —
+    * score high and get filtered before training). Docs with fewer than
+    * two tokens score 0.
+    *
+    * Shape: one explode + one window `lead` (bigrams without a per-row
+    * array build, so the scan stays codegen'd) + two aggregations, all
+    * partitioned by the doc id — a single shuffle lineage, no join
+    * against per-doc arrays. Returns (`idCol`, `top_bigram_frac`,
+    * `n_bigrams`).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val bigrams = toks
+      .withColumn("nxt",
+        lead("tok", 1).over(Window.partitionBy("id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val perBigram = bigrams.groupBy("id", "bigram").agg(count(lit(1)).as("c"))
+    val perDoc = perBigram.groupBy("id").agg(
+      round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("top_bigram_frac"),
+      sum(col("c")).as("n_bigrams"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
 }

@@ -352,6 +352,27 @@ object PipelineQueries {
        |    ELSE '${Sampling.hexThreshold(stratDefault)}' END""".stripMargin
   }
 
+  /** Gopher-style repetition filter signal: top-bigram fraction per doc. */
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+
+  private val repetitionSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS l
+      |           FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(
+      |           generate_series(1, greatest(length(l) - 1, 0)),
+      |           i -> l[i] || ' ' || l[i + 1])) AS bigram
+      |       FROM b),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+      |               CAST(sum(c) AS BIGINT) AS n_bigrams
+      |        FROM cnt GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |       coalesce(a.n_bigrams, 0) AS n_bigrams
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ---- multimodal plumbing (stubbed codec; rows-only check) ----
 
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -396,6 +417,7 @@ object PipelineQueries {
     QueryDef("text_topk_quality_by_lang", topkQualityByLang,
       Some(topkQualityByLangSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),

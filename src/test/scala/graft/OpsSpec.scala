@@ -136,6 +136,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == (("two mails: [EMAIL] [EMAIL]", 2, 0)))
   }
 
+  test("repetition stats flag the dominated doc and zero tiny docs") {
+    val fixtures = Seq(
+      1L -> "buy now buy now buy now buy now buy now",  // bigram "buy now" x5 of 9
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "single",
+      4L -> "two words")
+    val got = TextAnalysis.repetitionStats(docs(fixtures), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((math.round(5.0 / 9.0 * 1e6) / 1e6, 9L)))
+    // all 8 bigrams distinct -> top fraction 1/8
+    assert(got(2L) == ((0.125, 8L)))
+    assert(got(3L) == ((0.0, 0L)))
+    assert(got(4L) == ((1.0, 1L)))
+  }
+
   test("hash sampling is deterministic, rate-accurate, and salt-independent") {
     val ids = spark.range(0, 20000).toDF("id")
     val a = Sampling.hashSample(ids, "id", 0.25, "s1")
