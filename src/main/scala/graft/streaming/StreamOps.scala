@@ -35,6 +35,113 @@ object StreamOps extends Serializable {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ---- incremental near-dup detection ----
+
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class BucketDoc(bucket: String, doc_id: Long, ts: java.sql.Timestamp)
+  final case class NearDupCand(id1: Long, id2: Long, bucket: String)
+  final case class BucketState(ids: List[Long])
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash band-bucket keys of one document, computed in plain Scala so
+    * the streaming path and its batch parity twin share the identical
+    * bit stream (MurmurHash3 string hash + splitmix re-mixing — both
+    * public, deterministic across JVMs). `bands` must divide
+    * `numHashes`.
+    */
+  def bandKeys(text: String, k: Int, numHashes: Int, bands: Int): Seq[String] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val t = text.trim.toLowerCase
+    val shingles =
+      if (t.length <= k) Set(t)
+      else (0 to t.length - k).iterator.map(i => t.substring(i, i + k)).toSet
+    val hs = shingles.map(s =>
+      mix64(scala.util.hashing.MurmurHash3.stringHash(s).toLong))
+    val sig = Array.tabulate(numHashes)(j => hs.map(h => mix64(h ^ (j * 0xC2B2AE3D27D4EB4FL))).min)
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
+      val bh = (b * rows until (b + 1) * rows)
+        .foldLeft(-3750763034362895579L)((acc, j) => mix64(acc ^ sig(j)))
+      s"$b:$bh"
+    }
+  }
+
+  /** Incremental near-duplicate detection over an unbounded document
+    * feed: every arriving doc posts into its MinHash band buckets
+    * (`flatMapGroupsWithState` keyed by bucket) and is paired against
+    * the bucket's previous members — a candidate pair is emitted the
+    * moment the SECOND member of a near-dup group arrives, not at the
+    * end of a batch job. The batch twin of this operator is
+    * [[graft.ops.Dedup.minhashLshPairs]]'s candidate stage; exact
+    * verification stays a downstream batch join either way.
+    *
+    * State is bounded two ways, which is what makes this run forever:
+    * event-time timeout drops a bucket once the watermark passes its
+    * last arrival by `ttl` (the "near-dups arrive within T of each
+    * other" incremental contract), and `maxPerBucket` freezes hot
+    * buckets (the streaming analog of the batch stop-shingle df-cap —
+    * a bucket hit by everything carries no signal, and without the cap
+    * one hot bucket emits quadratically).
+    */
+  def nearDupCandidatesStream(docs: Dataset[DocEvent], k: Int = 8,
+                              numHashes: Int = 16, bands: Int = 4,
+                              watermark: String = "1 hour",
+                              ttlMs: Long = 3600L * 1000L,
+                              maxPerBucket: Int = 64): Dataset[NearDupCand] = {
+    import docs.sparkSession.implicits._
+    val buckets = docs
+      .flatMap(d => bandKeys(d.text, k, numHashes, bands)
+        .map(bk => BucketDoc(bk, d.doc_id, d.ts)))
+      .withWatermark("ts", watermark)
+
+    def update(bucket: String, rows: Iterator[BucketDoc],
+               state: GroupState[BucketState]): Iterator[NearDupCand] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        var ids = state.getOption.map(_.ids).getOrElse(Nil)
+        val out = List.newBuilder[NearDupCand]
+        var maxTs = Long.MinValue
+        for (r <- sorted) {
+          maxTs = math.max(maxTs, r.ts.getTime)
+          if (!ids.contains(r.doc_id) && ids.size < maxPerBucket) {
+            for (o <- ids) out += NearDupCand(math.min(o, r.doc_id),
+              math.max(o, r.doc_id), bucket)
+            ids = r.doc_id :: ids
+          }
+        }
+        state.update(BucketState(ids))
+        if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
+        out.result().iterator
+      }
+    }
+
+    buckets.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch parity twin of [[nearDupCandidatesStream]]: all within-bucket
+    * pairs over the same Scala bucket keys, cap-free (the reference
+    * answer an unsaturated stream converges to — the spec keeps bucket
+    * occupancy under `maxPerBucket` when comparing).
+    */
+  def nearDupCandidatesBatch(docs: Dataset[DocEvent], k: Int = 8,
+                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = docs.flatMap(d => bandKeys(d.text, k, numHashes, bands)
+      .map(bk => (bk, d.doc_id))).toDF("bucket", "id")
+    b.toDF("bucket", "id1").join(b.toDF("bucket", "id2"), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "bucket")
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserSession(user_id: Long, session_start: String,
                                n_events: Long, sum_value: Double)

@@ -80,4 +80,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= (batch.size * 6) / 10,
       s"only ${got.size} of ${batch.size} sessions closed")
   }
+
+  test("incremental near-dup candidates match the batch bucket pairs") {
+    import spark.implicits._
+    // documents arriving over time: two planted near-dup groups (0/100
+    // near-identical, 1/101 identical) among distinct docs
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val rng = new Lcg(42)
+    val base = (0L until 12L).map { i =>
+      i -> (0 until 30).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val rows = (base :+
+        (100L -> (base(0)._2.split(" ").init :+ "zulu").mkString(" ")) :+
+        (101L -> base(1)._2))
+      .zipWithIndex.map { case ((id, text), i) =>
+        StreamOps.DocEvent(id, new java.sql.Timestamp(t0 + i * 60000L), text)
+      }
+    val ds = spark.createDataset(rows)
+
+    val batchPairs = StreamOps.nearDupCandidatesBatch(ds)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted dups must collide in at least one band
+    assert(batchPairs.contains((0L, 100L)) && batchPairs.contains((1L, 101L)))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    ds.toDF().write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ds.toDF().schema).parquet(tmp)
+      .as[StreamOps.DocEvent]
+    val q = StreamOps.nearDupCandidatesStream(stream)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_neardup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_neardup_out")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unsaturated buckets: the stream must emit exactly the batch pairs
+    assert(got == batchPairs,
+      s"missing: ${(batchPairs -- got).take(3)} extra: ${(got -- batchPairs).take(3)}")
+  }
 }
