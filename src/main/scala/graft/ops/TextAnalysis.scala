@@ -131,6 +131,34 @@ object TextAnalysis {
     regexp_count(regexp_replace(text, EmailPattern, "[EMAIL]"),
       lit(Ipv4Pattern)).as("ip_cnt"))
 
+  /** Split documents into fixed-token sliding windows (`chunkTokens`
+    * per chunk, step `stride` — overlap `chunkTokens - stride`): the
+    * context-length preparation step before tokenized training. Pure
+    * column expressions — one explode over the chunk count, each chunk
+    * an `array_join(slice(...))`; no shuffle at all (chunking is
+    * embarrassingly row-parallel and stays scan-side at 100 TB).
+    * Returns (`idCol`, `chunk_idx`, `chunk_text`, `n_chunk_tokens`);
+    * every token lands in at least one chunk, short docs get exactly
+    * one.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkTokens: Int, stride: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens, got $stride / $chunkTokens")
+    val toks = tokens(col(textCol))
+    val extra = greatest(size(toks) - chunkTokens, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("n_chunk_tokens"))
+  }
+
   /** Repetition score per document: the fraction of all word bigrams
     * taken by the single most frequent bigram (documents dominated by
     * one repeated phrase — boilerplate, keyword spam, decode loops —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -373,6 +373,47 @@ object PipelineQueries {
       |       coalesce(a.n_bigrams, 0) AS n_bigrams
       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Context-length chunking: 40-token windows, stride 30 (10-token
+    * overlap) — small enough that the synthetic docs produce multi-chunk
+    * output.
+    */
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+      chunkTokens = 40, stride = 30)
+
+  private val chunksSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS l
+      |           FROM documents),
+      |c AS (SELECT doc_id, l,
+      |        unnest(generate_series(0,
+      |          CAST(ceil(greatest(length(l) - 40, 0) / 30.0) AS INT))) AS ci
+      |      FROM b)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  array_to_string(list_slice(l, ci * 30 + 1, ci * 30 + 40), ' ')
+      |    AS chunk_text,
+      |  CAST(length(list_slice(l, ci * 30 + 1, ci * 30 + 40)) AS INT)
+      |    AS n_chunk_tokens
+      |FROM c""".stripMargin
+
+  /** Sequence packing: per-source contiguous packs of 512 tokens. */
+  private def packs(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.contiguousPack(scored, "doc_id", "n_tokens", "source", budget = 512)
+  }
+
+  private val packsSql =
+    """WITH b AS (SELECT source, doc_id,
+      |  CAST(length(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+      |    AS n_tokens
+      |  FROM documents)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |         ROWS UNBOUNDED PRECEDING) - n_tokens) * 1.0 / 512) AS BIGINT)
+      |    AS pack_id
+      |FROM b""".stripMargin
+
   // ---- multimodal plumbing (stubbed codec; rows-only check) ----
 
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -418,6 +459,8 @@ object PipelineQueries {
       Some(topkQualityByLangSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
+    QueryDef("text_chunks", chunks, Some(chunksSql)),
+    QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),

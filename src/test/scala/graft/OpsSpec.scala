@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -150,6 +150,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0.125, 8L)))
     assert(got(3L) == ((0.0, 0L)))
     assert(got(4L) == ((1.0, 1L)))
+  }
+
+  test("chunking covers every token with the declared overlap") {
+    val ws = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fixtures = Seq(1L -> ws, 2L -> "short doc", 3L -> "x")
+    val got = TextAnalysis.chunkDocs(docs(fixtures), "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // 10 tokens, chunk 4 / stride 3 -> 3 chunks at offsets 0, 3, 6
+    assert(got(1L -> 0) == (("w1 w2 w3 w4", 4)))
+    assert(got(1L -> 1) == (("w4 w5 w6 w7", 4)))
+    assert(got(1L -> 2) == (("w7 w8 w9 w10", 4)))
+    assert(!got.contains(1L -> 3))
+    // short docs: exactly one (possibly partial) chunk
+    assert(got(2L -> 0) == (("short doc", 2)))
+    assert(got(3L -> 0) == (("x", 1)))
+  }
+
+  test("contiguous packing cuts shard streams at the token budget") {
+    val rows = Seq(
+      // shard a: sizes 100, 300, 200, 150 -> cum starts 0,100,400,600
+      (1L, "a", 100), (2L, "a", 300), (3L, "a", 200), (4L, "a", 150),
+      // shard b independent: 600, 10 -> starts 0, 600
+      (5L, "b", 600), (6L, "b", 10))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("n_tokens", IntegerType, nullable = false))))
+    val got = Packing.contiguousPack(df, "doc_id", "n_tokens", "source", 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L))
   }
 
   test("hash sampling is deterministic, rate-accurate, and salt-independent") {
