@@ -131,6 +131,39 @@ object TextAnalysis {
     regexp_count(regexp_replace(text, EmailPattern, "[EMAIL]"),
       lit(Ipv4Pattern)).as("ip_cnt"))
 
+  /** Winnowing fingerprint sketch (the published MOSS scheme): hash
+    * every k-gram, slide a window of `window` consecutive hashes, keep
+    * each window's minimum, dedup — a guaranteed-coverage sketch (any
+    * match of length >= k + window - 1 shares a fingerprint) at ~2/(w+1)
+    * density. [[fingerprint]] and the min-shingle sketch are the
+    * 1-fingerprint degenerate forms; this is the real sub-document-match
+    * sketch.
+    *
+    * Shape: position explode (substr stays codegen'd), window `min`
+    * ordered by position, distinct — one shuffle on the doc id, one on
+    * the distinct. md5-hex comparisons are engine-stable, so the whole
+    * sketch is oracle-reproducible. Returns (`idCol`, `fp`) — the
+    * fingerprint SET per document.
+    */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, k: Int = 8, window: Int = 4):
+      org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && window >= 1)
+    import org.apache.spark.sql.expressions.Window.partitionBy
+    val nShingles = greatest(length(col("__t")) - (k - 1), lit(1))
+    df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("__t"))
+      .select(col("id"), col("__t"), nShingles.as("__ns"),
+        explode(sequence(lit(1), nShingles)).as("pos"))
+      .select(col("id"), col("pos"), col("__ns"),
+        md5(col("__t").substr(col("pos"), lit(k))).as("h"))
+      .withColumn("fp", min(col("h")).over(
+        partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)))
+      // only full windows fingerprint (standard winnowing); short docs
+      // (< window shingles) keep their single global min
+      .filter(col("pos") <= greatest(col("__ns") - (window - 1), lit(1)))
+      .select(col("id").as(idCol), col("fp")).distinct()
+  }
+
   /** Split documents into fixed-token sliding windows (`chunkTokens`
     * per chunk, step `stride` — overlap `chunkTokens - stride`): the
     * context-length preparation step before tokenized training. Pure

@@ -299,6 +299,25 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Winnowing sketch over the documents table (k=8 chars, window=4). */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(Tables.documents(s, dir),
+      "doc_id", "text", k = 8, window = 4)
+
+  private val winnowFpsSql =
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT doc_id, greatest(length(txt) - 7, 1) AS ns,
+      |         CAST(i AS INT) AS pos, md5(substr(txt, CAST(i AS INT), 8)) AS h
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |wmin AS (SELECT doc_id, ns, pos,
+      |           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |         FROM sh)
+      |SELECT DISTINCT doc_id, fp FROM wmin
+      |WHERE pos <= greatest(ns - 3, 1)""".stripMargin
+
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -452,6 +471,7 @@ object PipelineQueries {
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),
     QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
+    QueryDef("text_winnow_fps", winnowFps, Some(winnowFpsSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),

@@ -152,6 +152,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1.0, 1L)))
   }
 
+  test("winnowing fingerprints: match guarantee, density, short docs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val fps = TextAnalysis.winnowingFingerprints(docs(corpus), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: docs 0 and 100 share a long prefix (>= k + w - 1 chars)
+    // -> must share at least one fingerprint
+    assert(fps(0L).intersect(fps(100L)).nonEmpty)
+    // density: a sketch, not the full shingle set (~2/(w+1) expected)
+    val n0 = corpus.find(_._1 == 0L).get._2.trim.length - 7
+    assert(fps(0L).size < n0 / 2, s"${fps(0L).size} fps for $n0 shingles")
+    // short doc (< window shingles): exactly the global min shingle hash
+    val shortFps = TextAnalysis.winnowingFingerprints(
+        docs(Seq(7L -> "abcdefghij")), "doc_id", "text")
+      .collect().map(_.getString(1)).toSet
+    val expect = Seq("abcdefgh", "bcdefghi", "cdefghij").map(md5hex).min
+    assert(shortFps == Set(expect))
+  }
+
   test("chunking covers every token with the declared overlap") {
     val ws = (1 to 10).map(i => s"w$i").mkString(" ")
     val fixtures = Seq(1L -> ws, 2L -> "short doc", 3L -> "x")
