@@ -433,6 +433,104 @@ object PipelineQueries {
       |    AS pack_id
       |FROM b""".stripMargin
 
+  /** The flagship composed pipeline — what the library exists for, as
+    * ONE declarative plan: quality + language gate → PII redaction →
+    * exact dedup (keep min id per normalized fingerprint) → near-dup
+    * cluster dedup (keep each Jaccard component's canonical doc) →
+    * context-length chunking. Every stage is the registry operator it
+    * reuses, so the whole composition stays oracle-expressible; Catalyst
+    * sees one tree and pipelines the scan-side stages (quality, lang,
+    * redact are a single pass over the parquet scan).
+    */
+  private def e2ePrep(s: SparkSession, dir: String): DataFrame = {
+    val filt = Tables.documents(s, dir)
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.85 &&
+        TextAnalysis.langId(col("text")) === "en")
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("text"))
+    val exKeep = filt
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exDocs = filt.join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val keep = Dedup.jaccardClusters(exDocs, "doc_id", "text")
+      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    val finalDocs = exDocs.join(keep, Seq("doc_id"), "left_semi")
+    TextAnalysis.chunkDocs(finalDocs, "doc_id", "text",
+      chunkTokens = 40, stride = 30)
+  }
+
+  private val e2ePrepSql = {
+    val em = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val langScores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val langCases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH RECURSIVE qb AS (
+       |  SELECT doc_id, text, trim(text) AS t,
+       |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks,
+       |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\\s+')), 1)
+       |         AS DOUBLE) AS ntoks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $langScores FROM qb),
+       |lang AS (SELECT doc_id, CASE $langCases ELSE '${langs.last}' END AS lang_pred
+       |         FROM sc),
+       |filt AS (SELECT qb.doc_id,
+       |    regexp_replace(regexp_replace(qb.text, '$em', '[EMAIL]', 'g'),
+       |                   '$ip', '[IP]', 'g') AS txt0
+       |  FROM qb JOIN lang USING (doc_id)
+       |  WHERE lang.lang_pred = 'en'
+       |    AND round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+       |      + (CASE WHEN length(regexp_replace(t, '\\s+', '', 'g')) / ntoks
+       |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       |      + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+       |      6) >= 0.85),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM filt
+       |       GROUP BY md5(lower(regexp_replace(trim(txt0), '\\s+', ' ', 'g')))),
+       |exd AS (SELECT f.doc_id, f.txt0 FROM filt f JOIN ex USING (doc_id)),
+       |jt AS (SELECT doc_id, lower(trim(txt0)) AS txt FROM exd),
+       |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |       FROM (SELECT doc_id, txt,
+       |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |             FROM jt) u),
+       |dfr AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+       |post AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2 FROM common
+       |          JOIN sizes n1 ON n1.doc_id = id1
+       |          JOIN sizes n2 ON n2.doc_id = id2
+       |          WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM exd
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |clus AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |fin AS (SELECT e.doc_id, e.txt0 FROM exd e
+       |        JOIN clus c ON c.id = e.doc_id AND c.cluster = e.doc_id),
+       |cb AS (SELECT doc_id, string_split_regex(lower(trim(txt0)), '\\s+') AS l
+       |       FROM fin),
+       |cc AS (SELECT doc_id, l,
+       |         unnest(generate_series(0,
+       |           CAST(ceil(greatest(length(l) - 40, 0) / 30.0) AS INT))) AS ci
+       |       FROM cb)
+       |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       |  array_to_string(list_slice(l, ci * 30 + 1, ci * 30 + 40), ' ')
+       |    AS chunk_text,
+       |  CAST(length(list_slice(l, ci * 30 + 1, ci * 30 + 40)) AS INT)
+       |    AS n_chunk_tokens
+       |FROM cc""".stripMargin
+  }
+
   // ---- multimodal plumbing (stubbed codec; rows-only check) ----
 
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -481,6 +579,7 @@ object PipelineQueries {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
+    QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
