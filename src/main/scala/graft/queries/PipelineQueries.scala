@@ -450,7 +450,12 @@ object PipelineQueries {
     val exKeep = filt
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // the surviving doc set fans out into three consumers (cluster
+    // postings, CC node list, final chunk scan); without a cache each
+    // re-evaluates the regex-heavy quality/langid/redact filter stage
+    // (measured 18 s -> ~7 s at sf0.1)
     val exDocs = filt.join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .cache()
     val keep = Dedup.jaccardClusters(exDocs, "doc_id", "text")
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val finalDocs = exDocs.join(keep, Seq("doc_id"), "left_semi")
