@@ -15,9 +15,14 @@ object SparkEntry {
     CoreQueries.qs ++ DecomposeQueries.qs ++ PipelineQueries.qs ++
       MiningQueries.qs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the composed training-data prep pipeline — the
+    * library end to end in one plan (quality/lang gate → PII redact →
+    * exact + near-dup dedup → chunking).
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry.head.fn(spark, "/root/testdata/sf0.001")
+    registry.find(_.name == "pipeline_e2e_prep")
+      .getOrElse(registry.head).fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
