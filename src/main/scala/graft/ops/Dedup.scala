@@ -165,9 +165,14 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50): DataFrame = {
+    // localCheckpoint, not cache: the edge list's lineage is the whole
+    // upstream pair pipeline, and every iteration would re-ANALYZE that
+    // deep plan in each of its two joins (measured as seconds of pure
+    // driver/optimizer time per round on a composed query); the eager
+    // checkpoint truncates it once
     val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
       .unionAll(edges.select(col("id2").as("id"), col("id1").as("nbr")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("cluster"))
       .distinct().localCheckpoint()
     var converged = false
@@ -195,7 +200,6 @@ object Dedup {
       labels = stepped.select(col("id"), col("next").as("cluster"))
       iter += 1
     }
-    adj.unpersist()
     labels
   }
 
