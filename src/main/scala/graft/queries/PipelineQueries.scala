@@ -536,6 +536,27 @@ object PipelineQueries {
        |FROM cc""".stripMargin
   }
 
+  /** JSONL source roundtrip — the interchange format training corpora
+    * actually arrive in. Schema is explicit (inference costs a full
+    * extra pass over 100 TB); text is excluded from the written subset
+    * so the roundtrip exercises the reader, not JSON string-escaping
+    * trivia. Aggregate must match the parquet-side truth.
+    */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_jsonl_${math.abs(dir.hashCode)}"
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .json(tmp)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val jsonlRoundtripSql =
+    """SELECT lang, source, count(*) AS cnt,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ---- multimodal plumbing (stubbed codec; rows-only check) ----
 
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -585,6 +606,7 @@ object PipelineQueries {
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
+    QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),

@@ -30,4 +30,29 @@ class BucketingSpec extends AnyFunSuite {
     assert(joined.count() ==
       li.join(o, li("l_orderkey") === o("o_orderkey")).count())
   }
+
+  test("shard writer produces disjoint, internally-sorted range shards") {
+    import graft.data.ShardWriter
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    ShardWriter.writeShards(docs, "doc_id", numShards = 4, out)
+
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 4, s"expected 4 shards, got ${parts.length}")
+    // each shard is internally sorted; shard key ranges are disjoint
+    val ranges = parts.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
 }
