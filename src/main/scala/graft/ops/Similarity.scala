@@ -120,6 +120,109 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Product-quantization approximate top-k with asymmetric distance
+    * computation: the unit-normalized vector is split into `m`
+    * subspaces, each k-means'd into `ksub` centroids (fit on a capped
+    * sample, like [[ivfTopK]]); the corpus then carries only the m
+    * small codes per vector — m bytes against 4·dim for raw floats,
+    * the ~32x compression that fits billion-vector indexes in memory
+    * at corpus scale. A query never reconstructs vectors: it builds an
+    * m×ksub table of partial dot products against every centroid once
+    * (driver-side, tiny), and a candidate's approximate cosine is m
+    * table lookups over its codes. The top `rerank` candidates per
+    * query are re-ranked with the exact native cosine, absorbing the
+    * quantization error.
+    *
+    * The ADC lookup runs as a higher-order `aggregate` over the codes
+    * (interpreted — acceptable because it touches only
+    * |queries| × corpus rows and m is small; a native `pq_adc`
+    * Expression is the drop-in upgrade if query fan-out ever makes
+    * this the hot path). `dim` must be divisible by `m`.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int, dim: Int, m: Int = 8,
+             ksub: Int = 16, rerank: Int = 50,
+             maxTrainRows: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normalized(col(vecCol)).as("nv")).cache()
+    val withFeats = (0 until m).foldLeft(v) { (d, i) =>
+      d.withColumn(s"f_$i", array_to_vector(slice(col("nv"), i * sub + 1, sub)))
+    }
+    val corpusN = v.count()
+    val train =
+      if (corpusN <= maxTrainRows) withFeats
+      else withFeats.sample(withReplacement = false,
+        maxTrainRows.toDouble / corpusN, seed = 42)
+    // the m per-subspace fits are independent — submit them as
+    // concurrent Spark jobs (sequential fits were 8 back-to-back
+    // iterative job chains, ~7 s of pure scheduling at sf0.1)
+    val models = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cached = train.select((0 until m).map(i => col(s"f_$i")): _*).cache()
+      cached.count()
+      val fits = (0 until m).map { i =>
+        Future {
+          new KMeans().setK(ksub).setSeed(42 + i).setMaxIter(10)
+            .setFeaturesCol(s"f_$i").setPredictionCol(s"c_$i")
+            .fit(cached.select(s"f_$i"))
+        }
+      }
+      val ms = Await.result(Future.sequence(fits), Duration.Inf)
+      cached.unpersist()
+      ms
+    }
+    // m projection-only transforms compose into one pass — no shuffle
+    val coded = models.foldLeft(withFeats)((d, mod) => mod.transform(d))
+      .select(col("id"), col("v"),
+        array((0 until m).map(i => col(s"c_$i")): _*).as("codes"))
+    val centroidArr = models.map(_.clusterCenters.map(_.toArray)).toArray
+    val queryVecs = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("nv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val tblRows = queryVecs.toSeq.map { case (qid, qv) =>
+      val tbl = Array.tabulate(m, ksub) { (i, c) =>
+        var s = 0.0
+        var j = 0
+        while (j < sub) { s += qv(i * sub + j) * centroidArr(i)(c)(j); j += 1 }
+        s
+      }.flatten.toSeq
+      (qid, tbl)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbls = tblRows.toDF("query_id", "tbl")
+    val approx = coded.crossJoin(broadcast(tbls))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("approx",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, i) =>
+          acc + element_at(col("tbl"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("id"))
+    val cand = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val exact = cand
+      .join(v.select(col("id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes (+-1 components) from a
     * splitmix-style hash — no RNG state, reproducible across runs and
     * cluster layouts. Shares [[graft.functions.LshKernel]]'s bit stream

@@ -137,6 +137,11 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCells = 16, nProbe = 4)
 
+  private def annPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, m = 8,
+      ksub = 16, rerank = 50)
+
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4,
@@ -591,6 +596,7 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_lsh", annLsh, None),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
+    QueryDef("sim_ann_topk_pq", annPq, None),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),

@@ -380,6 +380,34 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("PQ top-k recalls the exact top neighbor after re-rank") {
+    val rng = new Lcg(11)
+    val vecs = (0L until 100L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(200) / 100.0f - 1.0f)
+    } :+ (500L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (501L -> Array.tabulate(8)(j => 3.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    // 501 colinear with 500: identical normalized vector -> identical PQ
+    // codes -> top approx score, and exact re-rank pins cosine 1.0 at #1
+    val res = Similarity.pqTopK(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, dim = 8, m = 4, ksub = 8,
+      rerank = 10).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 501L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+    // re-rank uses exact cosine: the returned top-3 equal brute's top-3
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        Seq(500L), k = 3).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val pq = res.map(r =>
+      (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert((pq -- brute).size <= 1, s"pq $pq vs brute $brute")
+  }
+
   test("language id prefers the planted stopword profile") {
     val d = docs(Seq(
       10L -> "the cat and the dog of a house in the garden is it you that",
