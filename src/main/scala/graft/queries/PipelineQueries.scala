@@ -541,6 +541,48 @@ object PipelineQueries {
        |FROM cc""".stripMargin
   }
 
+  /** Quality-gate calibration: the exact 20th-percentile quality
+    * threshold per source and how many docs it keeps — the "drop each
+    * source's bottom quintile" step, computed with Spark's exact
+    * `percentile` (linear interpolation, the same definition as the
+    * oracle's `quantile_cont`). Interpolation runs over 6dp-rounded
+    * quality values and is itself rounded to 6dp, so cross-engine float
+    * parity holds.
+    */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val thr = q.groupBy(col("source"))
+      .agg(round(percentile(col("quality"), lit(0.2)), 6).as("q20"))
+    q.join(thr, Seq("source"))
+      .groupBy(col("source"), col("q20"))
+      .agg(count(when(col("quality") >= col("q20"), 1)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+      .select("source", "q20", "n_kept", "n_total")
+  }
+
+  private val qualityGateSql =
+    """WITH b AS (
+      |  SELECT doc_id, source, trim(text) AS t,
+      |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+      |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\s+')), 1)
+      |         AS DOUBLE) AS ntoks
+      |  FROM documents),
+      |q AS (SELECT doc_id, source,
+      |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+      |    + (CASE WHEN length(regexp_replace(t, '\s+', '', 'g')) / ntoks
+      |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+      |    6) AS quality
+      |  FROM b),
+      |thr AS (SELECT source, round(quantile_cont(quality, 0.2), 6) AS q20
+      |        FROM q GROUP BY source)
+      |SELECT q.source, thr.q20,
+      |       count(*) FILTER (q.quality >= thr.q20) AS n_kept,
+      |       count(*) AS n_total
+      |FROM q JOIN thr ON q.source = thr.source
+      |GROUP BY q.source, thr.q20""".stripMargin
+
   /** JSONL source roundtrip — the interchange format training corpora
     * actually arrive in. Schema is explicit (inference costs a full
     * extra pass over 100 TB); text is excluded from the written subset
@@ -613,6 +655,7 @@ object PipelineQueries {
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
+    QueryDef("text_quality_gate", qualityGate, Some(qualityGateSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
