@@ -1,5 +1,11 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +13,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode / feature-extraction runs
   * per-partition in batches over the binary payloads.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * container): [[FakeCodec]] derives deterministic pseudo-features from
-  * the bytes. The Spark-side contract — schema, encoders, partition-wise
-  * batched iteration, feature array shape — is real and tested; swapping
-  * `FakeCodec.decode` for a JNI/library decoder changes nothing else.
+  * Image payloads (PNG/JPEG/BMP/GIF, sniffed by magic bytes) are decoded
+  * for real via `javax.imageio` (JDK built-in — no external dependency):
+  * true width/height/channels plus a pooled-RGBA feature vector. Audio/
+  * video and unrecognized payloads fall back to [[FakeCodec]], a
+  * deterministic stand-in that keeps the pipeline runnable end-to-end
+  * for codecs this container cannot host.
   */
 object Multimodal {
 
@@ -25,9 +32,83 @@ object Multimodal {
                                  byte_len: Int, width: Int, height: Int,
                                  channels: Int, features: Array[Float])
 
-  /** STUB decoder: a real implementation would hand `payload` to an
-    * image/audio codec here. This one is a deterministic fake (splitmix
-    * over the bytes) so the pipeline is testable end-to-end.
+  /** Real image decoder over `javax.imageio`. Features are a 2x2
+    * spatial grid of per-cell mean R/G/B/A in [0,1] (grid-major, then
+    * channel) — a classic pooled-color descriptor that is rotation-
+    * sensitive but codec-independent: `getRGB` converts any underlying
+    * raster layout to sRGB, so the same pixels give the same vector
+    * whether they arrived as PNG, BMP, or GIF.
+    */
+  object ImageCodec {
+    val Grid = 2
+    val FeatureDim: Int = Grid * Grid * 4 // == FakeCodec.FeatureDim
+
+    ImageIO.setUseCache(false) // no temp-file disk cache on executors
+
+    private[ops] def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+    /** None when the payload is not a decodable image. */
+    def tryDecode(r: MediaRow): Option[MediaFeatures] = {
+      if (!looksLikeImage(r.payload)) None
+      else try {
+        Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map { img =>
+          MediaFeatures(r.media_id, r.content_type, r.payload.length,
+            width = img.getWidth, height = img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            features = pooledFeatures(img))
+        }
+      } catch { case NonFatal(_) => None }
+    }
+
+    /** 2x2 grid pooling: cell boundaries at the half-way pixel, each
+      * pixel contributing to exactly one cell; empty cells (1-pixel
+      * axes) pool as 0.
+      */
+    def pooledFeatures(img: BufferedImage): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Long](Grid * Grid, 4)
+      val cnts = new Array[Long](Grid * Grid)
+      var y = 0
+      while (y < h) {
+        val gy = if (y * Grid / h >= Grid) Grid - 1 else y * Grid / h
+        var x = 0
+        while (x < w) {
+          val gx = if (x * Grid / w >= Grid) Grid - 1 else x * Grid / w
+          val cell = gy * Grid + gx
+          val argb = img.getRGB(x, y)
+          sums(cell)(0) += (argb >>> 16) & 0xFF
+          sums(cell)(1) += (argb >>> 8) & 0xFF
+          sums(cell)(2) += argb & 0xFF
+          sums(cell)(3) += (argb >>> 24) & 0xFF
+          cnts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      var c = 0
+      while (c < Grid * Grid) {
+        var ch = 0
+        while (ch < 4) {
+          out(c * 4 + ch) =
+            if (cnts(c) == 0) 0f
+            else (sums(c)(ch).toDouble / (cnts(c) * 255.0)).toFloat
+          ch += 1
+        }
+        c += 1
+      }
+      out
+    }
+  }
+
+  /** Fallback decoder for payload kinds this container has no codec for
+    * (audio/video/opaque blobs): deterministic pseudo-features (splitmix
+    * over the bytes) so the pipeline stays testable end-to-end.
     */
   object FakeCodec {
     val FeatureDim = 16
@@ -51,12 +132,18 @@ object Multimodal {
     }
   }
 
+  /** Dispatching decode: real `javax.imageio` for image payloads,
+    * [[FakeCodec]] otherwise.
+    */
+  def decode(r: MediaRow): MediaFeatures =
+    ImageCodec.tryDecode(r).getOrElse(FakeCodec.decode(r))
+
   /** Batched per-partition decode: the executor-side loop a real codec
-    * would amortize native-init costs over. Pure map, no shuffle.
+    * amortizes init costs over. Pure map, no shuffle.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map(FakeCodec.decode))
+    media.mapPartitions(rows => rows.map(decode))
   }
 
   /** Wrap a text table as a fake media table (binary payload = utf8
@@ -69,5 +156,45 @@ object Multimodal {
         lit("application/octet-stream").as("content_type"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
+  }
+
+  /** Deterministic tiny PNG: `w`x`h`, pixel colors a splitmix function
+    * of (seed, x, y). Used to plant REAL image payloads in the media
+    * table so the imageio path is exercised by the registry query, not
+    * just unit tests.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed + (y.toLong * w + x + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        img.setRGB(x, y, (z ^ (z >>> 31)).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table with a REAL image column: even media_ids carry a
+    * deterministic PNG (dimensions a function of the id), odd ids keep
+    * the document's utf8 bytes — so one table exercises both the
+    * imageio path and the fallback in the same scan.
+    */
+  def mediaWithImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        if (id % 2 == 0)
+          MediaRow(id, "image/png",
+            syntheticPng(id, 4 + (id % 13).toInt, 4 + (id % 11).toInt))
+        else MediaRow(id, "text/plain", text.getBytes("UTF-8"))
+    }
   }
 }

@@ -604,22 +604,47 @@ object PipelineQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2""".stripMargin
 
-  // ---- multimodal plumbing (stubbed codec; rows-only check) ----
+  // ---- multimodal: real javax.imageio decode + FakeCodec fallback ----
 
+  /** Mixed media table: even ids are REAL PNG payloads (decoded by
+    * `javax.imageio`), odd ids are opaque text bytes (FakeCodec
+    * fallback). Rows-only overall (PNG byte_len / fallback dims are not
+    * SQL-reproducible) — the decoded image dims are oracle-checked
+    * separately by `mm_decode_image_dims`.
+    */
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    val media = Multimodal.mediaWithImages(s, Tables.documents(s, dir))
     Multimodal.extractFeatures(media).toDF()
       .select("media_id", "content_type", "byte_len", "width", "height", "channels")
   }
 
-  /** Composed multimodal pipeline: binary media -> batched (stub) decode
-    * -> feature vectors -> brute-force cosine top-3 over the decoded
-    * features. Exercises the full media-to-similarity dataflow the
-    * engine is meant for; rows-only (the stub codec's features are not
-    * SQL-reproducible).
+  /** The REAL-decode gate: planted PNGs have dimensions that are a pure
+    * function of media_id, so DuckDB can state the expected output of
+    * the imageio decode exactly. A stub codec cannot pass this oracle.
+    */
+  private def mmImageDims(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaWithImages(s, Tables.documents(s, dir))
+    Multimodal.extractFeatures(media).toDF()
+      .filter(col("content_type") === "image/png")
+      .select(col("media_id"), col("width"), col("height"), col("channels"))
+  }
+
+  private val mmImageDimsSql =
+    """SELECT doc_id AS media_id,
+      |       CAST(4 + doc_id % 13 AS INT) AS width,
+      |       CAST(4 + doc_id % 11 AS INT) AS height,
+      |       3 AS channels
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
+  /** Composed multimodal pipeline: binary media -> batched decode
+    * (real imageio for PNG rows, fallback for text rows) -> feature
+    * vectors -> brute-force cosine top-3 over the decoded features.
+    * Exercises the full media-to-similarity dataflow the engine is
+    * meant for; rows-only (pooled-pixel floats are not SQL-
+    * reproducible).
     */
   private def mmPipeline(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    val media = Multimodal.mediaWithImages(s, Tables.documents(s, dir))
     val feats = Multimodal.extractFeatures(media).toDF()
       .select(col("media_id"), col("features"))
     Similarity.bruteForceTopK(feats, "media_id", "features",
@@ -659,6 +684,7 @@ object PipelineQueries {
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
+    QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
   )
 }

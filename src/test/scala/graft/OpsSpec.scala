@@ -454,4 +454,56 @@ class OpsSpec extends AnyFunSuite {
       assert(f.byte_len == corpus.find(_._1 == f.media_id).get._2.getBytes("UTF-8").length)
     }
   }
+
+  test("imageio codec decodes a planted PNG with exact dims and pooled means") {
+    import graft.ops.Multimodal.{ImageCodec, MediaRow}
+    // 8x6 solid-color PNG: every pooled cell must equal the fill color
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decode(MediaRow(7L, "image/png", bos.toByteArray))
+    assert(f.width == 8 && f.height == 6 && f.channels == 3)
+    assert(f.features.length == ImageCodec.FeatureDim)
+    for (cell <- 0 until 4) {
+      assert(math.abs(f.features(cell * 4 + 0) - 0x33 / 255f) < 1e-6)
+      assert(math.abs(f.features(cell * 4 + 1) - 0x66 / 255f) < 1e-6)
+      assert(math.abs(f.features(cell * 4 + 2) - 0x99 / 255f) < 1e-6)
+      assert(f.features(cell * 4 + 3) == 1f) // opaque
+    }
+    // quadrant colors pool independently: 2x2 image, 4 distinct pixels
+    val q = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    q.setRGB(0, 0, 0xFF0000); q.setRGB(1, 0, 0x00FF00)
+    q.setRGB(0, 1, 0x0000FF); q.setRGB(1, 1, 0xFFFFFF)
+    val qb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(q, "png", qb)
+    val qf = Multimodal.decode(MediaRow(8L, "image/png", qb.toByteArray))
+    assert(qf.features.slice(0, 3).toSeq == Seq(1f, 0f, 0f))
+    assert(qf.features.slice(4, 7).toSeq == Seq(0f, 1f, 0f))
+    assert(qf.features.slice(8, 11).toSeq == Seq(0f, 0f, 1f))
+    assert(qf.features.slice(12, 15).toSeq == Seq(1f, 1f, 1f))
+  }
+
+  test("mixed media table routes PNGs to imageio and text to the fallback") {
+    val media = Multimodal.mediaWithImages(spark, docs(corpus.take(8)))
+    val fs = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    for (f <- fs) {
+      if (f.media_id % 2 == 0) {
+        // planted PNG: dims are a pure function of the id — real decode
+        assert(f.content_type == "image/png")
+        assert(f.width == 4 + (f.media_id % 13).toInt)
+        assert(f.height == 4 + (f.media_id % 11).toInt)
+        assert(f.channels == 3)
+      } else {
+        assert(f.content_type == "text/plain")
+        // fallback path: same pseudo-features as FakeCodec directly
+        val raw = corpus.find(_._1 == f.media_id).get._2.getBytes("UTF-8")
+        val expect = Multimodal.FakeCodec.decode(
+          graft.ops.Multimodal.MediaRow(f.media_id, "text/plain", raw))
+        assert(f.features.toSeq == expect.features.toSeq)
+      }
+    }
+  }
 }
