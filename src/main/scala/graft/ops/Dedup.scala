@@ -246,11 +246,19 @@ object Dedup {
 
   private lazy val simhashUdaf = udaf(SimHashAgg)
 
-  /** Per-document 64-bit SimHash over whitespace tokens. */
+  /** Per-document SimHash over whitespace tokens. The token hash is the
+    * top 60 bits of md5 (15 hex chars -> always a non-negative Long):
+    * md5 is bit-identical across engines, so a SQL oracle (DuckDB) can
+    * reproduce signatures exactly — xxhash64 would tie the result to
+    * Spark's implementation. Signature bits 60-63 are constantly 0
+    * (every token hash has them clear, so the +-1 sum is -count);
+    * a 60-bit SimHash loses nothing at near-dup Hamming radii.
+    */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("id")).agg(simhashUdaf(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on

@@ -223,6 +223,142 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Test/diagnostic probe for [[ivfPqTopK]]: records how many corpus
+    * rows the ADC stage actually scored, so pruning is assertable
+    * (production callers pass None — no extra jobs run).
+    */
+  final class IvfPqDiag {
+    @volatile var corpusRows: Long = -1L
+    @volatile var adcScannedRows: Long = -1L
+  }
+
+  /** IVF×PQ composition — the standard billion-vector index shape
+    * (IVFADC): a coarse KMeans quantizer assigns every vector to one of
+    * `numCells` cells, and PQ codes (m sub-codebooks over the
+    * unit-normalized vector) are stored per row; a query ADC-scans ONLY
+    * the `nProbe` cells nearest its own vector instead of the whole
+    * corpus — [[pqTopK]]'s one remaining linear pass, pruned by
+    * expected factor numCells/nProbe. Candidates surviving the
+    * approximate ranking are re-ranked with exact cosine, absorbing
+    * both quantization and cell-boundary error (a neighbor in an
+    * unprobed cell is the recall loss this trades for the pruning —
+    * raise `nProbe` to buy it back).
+    *
+    * Both fits run on one capped sample; the m sub-codebook fits are
+    * concurrent Spark jobs (same rationale as [[pqTopK]]). Codes are
+    * computed against the raw normalized vector, not the cell residual
+    * — residual PQ needs per-cell code streams and buys accuracy only
+    * below the error the exact re-rank already absorbs here.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int, dim: Int, numCells: Int = 16,
+                nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                rerank: Int = 50, maxTrainRows: Long = 100000,
+                diag: Option[IvfPqDiag] = None): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normalized(col(vecCol)).as("nv"))
+    val withFeats = (0 until m).foldLeft(
+        v.withColumn("features", array_to_vector(col("nv")))) { (d, i) =>
+      d.withColumn(s"f_$i", array_to_vector(slice(col("nv"), i * sub + 1, sub)))
+    }.cache()
+    val corpusN = withFeats.count()
+    val train =
+      if (corpusN <= maxTrainRows) withFeats
+      else withFeats.sample(withReplacement = false,
+        maxTrainRows.toDouble / corpusN, seed = 42)
+    // coarse quantizer + m sub-codebooks, all from the same sample; the
+    // m+1 fits are independent -> concurrent Spark jobs
+    val (coarse, models) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cached = train
+        .select(col("features") +: (0 until m).map(i => col(s"f_$i")): _*)
+        .cache()
+      cached.count()
+      val coarseF = Future {
+        new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(cached.select("features"))
+      }
+      val subFs = (0 until m).map { i =>
+        Future {
+          new KMeans().setK(ksub).setSeed(42 + i).setMaxIter(10)
+            .setFeaturesCol(s"f_$i").setPredictionCol(s"c_$i")
+            .fit(cached.select(s"f_$i"))
+        }
+      }
+      val out = (Await.result(coarseF, Duration.Inf),
+        Await.result(Future.sequence(subFs), Duration.Inf))
+      cached.unpersist()
+      out
+    }
+    // one projection-only encode pass: cell + m codes, no shuffle
+    val coded = models.foldLeft(coarse.transform(withFeats))((d, mod) =>
+        mod.transform(d))
+      .select(col("id"), col("v"), col("cell"),
+        array((0 until m).map(i => col(s"c_$i")): _*).as("codes"))
+    val cellCentroids = coarse.clusterCenters.map(_.toArray).zipWithIndex
+    val subCentroids = models.map(_.clusterCenters.map(_.toArray)).toArray
+    val queryVecs = withFeats.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("nv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // driver-side per query: nProbe nearest cells + the m x ksub ADC table
+    val probeRows = queryVecs.toSeq.flatMap { case (qid, qv) =>
+      cellCentroids.map { case (c, cell) =>
+        val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, cell, d)
+      }.sortBy(_._3).take(nProbe).map { case (q, cell, _) => (q, cell) }
+    }
+    val tblRows = queryVecs.toSeq.map { case (qid, qv) =>
+      val tbl = Array.tabulate(m, ksub) { (i, c) =>
+        var s = 0.0
+        var j = 0
+        while (j < sub) { s += qv(i * sub + j) * subCentroids(i)(c)(j); j += 1 }
+        s
+      }.flatten.toSeq
+      (qid, tbl)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "cell")
+    // THE pruned scan: only rows in probed cells reach the ADC lookup
+    val probed = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    diag.foreach { d =>
+      d.corpusRows = corpusN
+      d.adcScannedRows = probed.count()
+    }
+    val approx = probed.join(broadcast(tblRows.toDF("query_id", "tbl")),
+        Seq("query_id"))
+      .withColumn("approx",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, i) =>
+          acc + element_at(col("tbl"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("id"))
+    val cand = approx.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val exact = cand
+      .join(v.select(col("id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes (+-1 components) from a
     * splitmix-style hash — no RNG state, reproducible across runs and
     * cluster layouts. Shares [[graft.functions.LshKernel]]'s bit stream

@@ -85,8 +85,41 @@ object PipelineQueries {
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
 
+  /** DuckDB re-derivation of the SimHash sketch: md5-derived 60-bit
+    * token hashes are engine-portable, so the oracle rebuilds every
+    * per-bit +-1 sum and the exact signature — the sketch itself is
+    * hash-gated, not just its row count.
+    */
+  private val simhashSigsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bs
+      |  GROUP BY 1, 2)
+      |SELECT doc_id AS id,
+      |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+      |                     ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY 1""".stripMargin
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 6)
+
+  /** Pairs oracle: brute-force pairwise Hamming over the re-derived
+    * signatures — independently confirms the pigeonhole chunk blocking
+    * is lossless at the registered radius.
+    */
+  private val simhashPairsSql =
+    s"""WITH sigs AS ($simhashSigsSql)
+      |SELECT a.id AS id1, b.id AS id2,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
 
   // ---- similarity search ----
 
@@ -141,6 +174,11 @@ object PipelineQueries {
     Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, m = 8,
       ksub = 16, rerank = 50)
+
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numCells = 16,
+      nProbe = 4, m = 8, ksub = 16, rerank = 50)
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -656,14 +694,15 @@ object PipelineQueries {
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
-    QueryDef("dedup_simhash_sigs", simhashSigs, None),
-    QueryDef("dedup_simhash_pairs", simhashPairs, None),
+    QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
+    QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_lsh", annLsh, None),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_pq", annPq, None),
+    QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),

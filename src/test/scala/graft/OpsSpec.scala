@@ -408,6 +408,42 @@ class OpsSpec extends AnyFunSuite {
     assert((pq -- brute).size <= 1, s"pq $pq vs brute $brute")
   }
 
+  test("IVF-PQ prunes the ADC scan to probed cells with recall >= plain PQ") {
+    val rng = new Lcg(11)
+    val vecs = (0L until 100L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(200) / 100.0f - 1.0f)
+    } :+ (500L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (501L -> Array.tabulate(8)(j => 3.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val diag = new Similarity.IvfPqDiag
+    val res = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, dim = 8, numCells = 8, nProbe = 2,
+      m = 4, ksub = 8, rerank = 10, diag = Some(diag)).collect()
+    // the pruning is real: the ADC stage scored strictly fewer rows
+    // than the corpus (nProbe=2 of 8 cells; 1 query)
+    assert(diag.corpusRows == 102L)
+    assert(diag.adcScannedRows > 0 && diag.adcScannedRows < diag.corpusRows,
+      s"ADC scanned ${diag.adcScannedRows} of ${diag.corpusRows}")
+    // 501 colinear with 500: same cell as the query (identical normalized
+    // vector -> same coarse assignment), so pruning cannot lose it, and
+    // exact re-rank pins cosine 1.0 at rank 1
+    val top = res.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 501L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+    // recall vs brute is no worse than plain PQ on the same fixture
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        Seq(500L), k = 3).collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+        queryIds = Seq(500L), k = 3, dim = 8, m = 4, ksub = 8,
+        rerank = 10).collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val ivfpq = res.map(_.getAs[Long]("neighbor_id")).toSet
+    assert((ivfpq intersect brute).size >= (pq intersect brute).size,
+      s"ivfpq $ivfpq vs pq $pq vs brute $brute")
+  }
+
   test("language id prefers the planted stopword profile") {
     val d = docs(Seq(
       10L -> "the cat and the dog of a house in the garden is it you that",
