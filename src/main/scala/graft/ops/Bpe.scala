@@ -36,30 +36,82 @@ object Bpe {
     * Deterministic: ties on pair frequency break toward the
     * lexicographically smallest pair, and the word table is processed
     * in sorted order. Stops early when no adjacent pair repeats.
+    *
+    * Incremental: pair counts live in a hash map with an inverted
+    * pair -> word-ids index and an ordered candidate set, so each merge
+    * touches only the words that contain the merged pair — O(occurrences
+    * + log P) per merge instead of a full vocabulary rescan, which is
+    * what makes thousands of merges (a realistic vocabulary) train in
+    * seconds. Output is bit-identical to the naive rescanning trainer
+    * (BpeSpec pins hand-computed sequences).
     */
   def train(corpus: Iterable[String], numMerges: Int): Vector[(String, String)] = {
     val wordFreq = mutable.HashMap.empty[String, Long]
     for (text <- corpus; w <- preTokens(text))
       wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
-    var words: Vector[(Vector[String], Long)] =
-      wordFreq.toVector.sortBy(_._1)
-        .map { case (w, f) => (w.map(_.toString).toVector, f) }
-    val out = Vector.newBuilder[(String, String)]
-    var done = false
-    var step = 0
-    while (step < numMerges && !done) {
-      val pairCount = mutable.HashMap.empty[(String, String), Long]
-      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        pairCount(p) = pairCount.getOrElse(p, 0L) + f
+    val entries = wordFreq.toVector.sortBy(_._1)
+    val words: Array[Vector[String]] =
+      entries.map(_._1.map(_.toString).toVector).toArray
+    val freqs: Array[Long] = entries.map(_._2).toArray
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // candidates ordered best-first: highest count, then smallest pair
+    implicit val ord: Ordering[(Long, (String, String))] =
+      new Ordering[(Long, (String, String))] {
+        private val pairOrd = Ordering.Tuple2[String, String]
+        def compare(a: (Long, (String, String)),
+                    b: (Long, (String, String))): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count descending
+          if (c != 0) c else pairOrd.compare(a._2, b._2)
+        }
       }
-      val repeating = pairCount.filter(_._2 > 1)
-      if (repeating.isEmpty) done = true
-      else {
-        val best = repeating.toVector.minBy { case (p, c) => (-c, p) }._1
-        out += best
-        words = words.map { case (syms, f) => (mergeAll(syms, best), f) }
-        step += 1
+    val queue = mutable.TreeSet.empty[(Long, (String, String))]
+
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val before = pairCount.getOrElse(p, 0L)
+      if (before > 0) queue.remove((before, p))
+      val after = before + delta
+      if (after > 0) {
+        pairCount(p) = after
+        queue.add((after, p))
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+      } else {
+        pairCount.remove(p)
+        pairWords.remove(p)
+      }
+      // on subtraction the word may still be listed for p via another
+      // occurrence — harmless: stale word ids re-check membership below
+    }
+
+    for (wi <- words.indices; i <- 0 until words(wi).length - 1)
+      bump((words(wi)(i), words(wi)(i + 1)), freqs(wi), wi)
+
+    val out = Vector.newBuilder[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      queue.headOption.filter(_._1 > 1) match {
+        case None => done = true
+        case Some((_, best)) =>
+          out += best
+          // rewrite only the words that contain the merged pair
+          for (wi <- pairWords.getOrElse(best, mutable.Set.empty).toArray.sorted) {
+            val old = words(wi)
+            val merged = mergeAll(old, best)
+            // stale index entries (the word lost its occurrence through
+            // an earlier rewrite) merge to an identical vector -> skip
+            if (merged != old) {
+              for (i <- 0 until old.length - 1)
+                bump((old(i), old(i + 1)), -freqs(wi), wi)
+              for (i <- 0 until merged.length - 1)
+                bump((merged(i), merged(i + 1)), freqs(wi), wi)
+              words(wi) = merged
+            }
+          }
+          // the merged pair itself must be gone after the rewrites
+          assert(!pairCount.contains(best), s"merge $best left a residue")
+          step += 1
       }
     }
     out.result()

@@ -256,15 +256,22 @@ object PipelineQueries {
       TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens"))
 
   /** Real merge-table BPE counts: train on a bounded deterministic
-    * sample, encode the whole table in one mapPartitions pass. Rows-only
-    * gate (the merge loop isn't SQL-expressible); BpeSpec hand-verifies
-    * the algorithm and pins the distributed path to the driver-side
-    * encoder.
+    * sample (4096 docs — the full multi-thousand-doc sample at bench
+    * scale), encode the whole table in one mapPartitions pass. The
+    * merge budget (4000) exceeds what this corpus can yield: the
+    * synthetic documents draw from 31 distinct words, so training runs
+    * to pair exhaustion at 89 merges — COMPLETE vocabulary coverage,
+    * every known word a single token. The incremental trainer sustains
+    * thousands of merges on richer corpora (BpeSpec trains 2000+ from
+    * a generated vocabulary in-test). Rows-only gate (the merge loop
+    * isn't SQL-expressible); BpeSpec hand-verifies the algorithm, pins
+    * the incremental trainer to a naive reference, and pins the
+    * distributed path to the driver-side encoder.
     */
   private def tokenCountBpeReal(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = graft.ops.Bpe.trainOnTable(s, docs, "doc_id", "text",
-      sampleDocs = 64, numMerges = 60)
+      sampleDocs = 4096, numMerges = 4000)
     graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
   }
 

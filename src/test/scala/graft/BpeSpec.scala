@@ -19,9 +19,83 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Vector(("l", "o"), ("lo", "w"), ("e", "r")))
   }
 
+  test("incremental trainer matches a naive full-rescan reference") {
+    // naive reference: recount every pair from scratch each round
+    def naiveTrain(corpus: Seq[String], numMerges: Int): Vector[(String, String)] = {
+      def mergeAll(syms: Vector[String], p: (String, String)): Vector[String] = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+            b += syms(i) + syms(i + 1); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.result()
+      }
+      val wf = scala.collection.mutable.HashMap.empty[String, Long]
+      for (t <- corpus; w <- TextAnalysis.BpeishPattern.r.findAllIn(t.toLowerCase))
+        wf(w) = wf.getOrElse(w, 0L) + 1L
+      var words = wf.toVector.sortBy(_._1)
+        .map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Vector.newBuilder[(String, String)]
+      var step = 0
+      var done = false
+      while (step < numMerges && !done) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, f) <- words; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val rep = pc.filter(_._2 > 1)
+        if (rep.isEmpty) done = true
+        else {
+          val best = rep.toVector.minBy { case (p, c) => (-c, p) }._1
+          out += best
+          words = words.map { case (s, f) => (mergeAll(s, best), f) }
+          step += 1
+        }
+      }
+      out.result()
+    }
+    // pseudo-random corpus rich enough to exercise deep merge chains,
+    // repeated-symbol runs, and frequency ties
+    val rng = new Lcg(99)
+    val syll = Vector("ab", "ba", "ca", "aa", "bb", "xyz", "qu", "tt")
+    val corpus = (0 until 120).map { _ =>
+      (0 until 12).map(_ =>
+        (0 until 1 + rng.nextInt(3)).map(_ => syll(rng.nextInt(syll.size)))
+          .mkString).mkString(" ")
+    }
+    val fast = Bpe.train(corpus, numMerges = 200)
+    val naive = naiveTrain(corpus, numMerges = 200)
+    assert(fast == naive)
+  }
+
   test("trainer stops when no pair repeats") {
     val merges = Bpe.train(Seq("abc"), numMerges = 100)
     assert(merges.isEmpty) // every pair occurs once
+  }
+
+  test("trainer sustains a 2000+ merge vocabulary on a rich corpus") {
+    // generated vocabulary: 3000 distinct 6-12 char words, each frequent
+    // enough to merge fully -> tens of thousands of learnable pairs.
+    // (The registry corpus tops out at 89 merges — 31 distinct words —
+    // so vocabulary scale is exercised here, where the data allows it.)
+    val rng = new Lcg(7)
+    val vocab = (0 until 3000).map { _ =>
+      (0 until 6 + rng.nextInt(7)).map(_ => ('a' + rng.nextInt(26)).toChar)
+        .mkString
+    }.distinct
+    val corpus = vocab.grouped(50)
+      .map(ws => (ws ++ ws.take(25)).mkString(" ")).toSeq // skewed freqs
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(corpus, numMerges = 2500)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size >= 2000, s"only ${merges.size} merges")
+    assert(merges.distinct.size == merges.size) // no pair learned twice
+    assert(sec < 60.0, f"training took $sec%.1f s") // incremental, not O(V) rescans
+    // the trained table drives the real encoder end to end
+    val ranks = merges.zipWithIndex.toMap
+    val enc = Bpe.encode(vocab.head, ranks)
+    assert(enc.mkString == vocab.head)
   }
 
   test("encoder applies merges lowest-rank first") {
