@@ -32,10 +32,15 @@ object Bench {
 
     val names = SparkEntry.registry.map(_.name)
     val perRep: Seq[Map[String, Double]] = (1 to reps).map { rep =>
-      // Each rep starts from the same cache state: cross-query caches
-      // (deliberately shared within a rep — the decomposition group
-      // reuses its deduped relations) are dropped between reps.
-      if (rep > 1) spark.catalog.clearCache()
+      // Each rep starts from the same cache state: operator-scoped
+      // caches are released through their owner registry, and remaining
+      // cross-query caches (deliberately shared within a rep — the
+      // decomposition group reuses its deduped relations) are dropped
+      // wholesale.
+      if (rep > 1) {
+        graft.data.ScopedCaches.releaseAll()
+        spark.catalog.clearCache()
+      }
       SparkEntry.registry.map { q =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).count()

@@ -1,0 +1,56 @@
+package graft.data
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Dataset
+
+/** Explicit ownership for operator-scoped caches.
+  *
+  * Operators like `Dedup.jaccardPairs` or `Similarity.lshCosinePairs`
+  * must cache an intermediate (postings, buckets, the projected vector
+  * table) that the RETURNED lazy plan re-reads several times — so the
+  * cache cannot be released inside the operator (the caller has not
+  * executed the plan yet), and before this registry existed it simply
+  * had no owner: a long-lived service embedding these operators
+  * accumulated cache entries forever.
+  *
+  * The contract: operators register such caches via [[track]]; whoever
+  * drives the terminal action — `graft.Verify` after each query dump,
+  * `graft.Bench` between reps, a service at its own cadence — calls
+  * [[releaseAll]]. This is `Decomposer.evaluate`'s cache→use→release
+  * pattern with the release handed to the code that owns the action.
+  * Caches that are DELIBERATELY long-lived and shared across queries
+  * (`CoreQueries.liProj`, the mining projection, `Workflows` load
+  * tables) stay out of this registry by design; they are bounded and
+  * deduplicated by Spark's cache manager.
+  */
+object ScopedCaches {
+
+  private val tracked = new ConcurrentLinkedQueue[Dataset[_]]
+
+  /** Cache `ds` and register it for the next [[releaseAll]]. */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    val cached = ds.cache()
+    tracked.add(cached)
+    cached
+  }
+
+  /** Unpersist every tracked cache (non-blocking) and empty the registry. */
+  def releaseAll(): Unit = {
+    var d = tracked.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = tracked.poll()
+    }
+  }
+
+  /** Number of currently tracked caches (diagnostics/tests). */
+  def size: Int = tracked.size
+
+  /** Current tracked datasets without draining (diagnostics/tests). */
+  def snapshot: Seq[Dataset[_]] = {
+    val b = Vector.newBuilder[Dataset[_]]
+    tracked.forEach(d => b += d)
+    b.result()
+  }
+}

@@ -59,8 +59,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, dfCap: Long = 20, tau: Double = 0.3): DataFrame = {
-    val post = rareShinglePostings(df, idCol, textCol, k, dfCap)
-      .select(col("s"), col("id")).cache()
+    val post = graft.data.ScopedCaches.track(
+      rareShinglePostings(df, idCol, textCol, k, dfCap)
+        .select(col("s"), col("id")))
     val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = post.select(col("s"), col("id").as("id1"))
     val b = post.select(col("s"), col("id").as("id2"))
@@ -109,15 +110,16 @@ object Dedup {
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
     }: _*)
-    val buckets = sig.select(col("id"), explode(bandStructs).as("e"))
-      .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id"))
-      .cache()
+    val buckets = graft.data.ScopedCaches.track(
+      sig.select(col("id"), explode(bandStructs).as("e"))
+        .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id")))
     // cand is referenced three times below (pair join + both candDocs
     // arms); Spark re-executes shared subtrees, so cache the tiny result
-    val cand = buckets.toDF("band", "bh", "id1")
-      .join(buckets.toDF("band", "bh", "id2"), Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct().cache()
+    val cand = graft.data.ScopedCaches.track(
+      buckets.toDF("band", "bh", "id1")
+        .join(buckets.toDF("band", "bh", "id2"), Seq("band", "bh"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct())
     // exact-Jaccard verification via distinct shingle postings of the
     // candidate docs only: |A n B| = count of shingles reached from the
     // pair through both docs' postings; stays in whole-stage codegen
@@ -126,8 +128,9 @@ object Dedup {
     // quadratically) — the pair list drives the join instead.
     val candDocs = cand.select(col("id1").as("id"))
       .unionAll(cand.select(col("id2").as("id"))).distinct()
-    val post = shinglePostings(df, idCol, textCol, k).distinct()
-      .join(candDocs, Seq("id"), "left_semi").cache()
+    val post = graft.data.ScopedCaches.track(
+      shinglePostings(df, idCol, textCol, k).distinct()
+        .join(candDocs, Seq("id"), "left_semi"))
     val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(post.select(col("id").as("id1"), col("s")), Seq("id1"))
@@ -284,11 +287,10 @@ object Dedup {
         shiftrightunsigned(col("simhash"), off)
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }: _*)
-    val chunks = sigs
+    val chunks = graft.data.ScopedCaches.track(sigs
       .select(col("id"), col("simhash"), explode(chunkStructs).as("e"))
       .select(col("e.chunk").as("chunk"), col("e.key").as("key"),
-        col("id"), col("simhash"))
-      .cache()
+        col("id"), col("simhash")))
     val cand = chunks.toDF("chunk", "key", "id1", "sh1")
       .join(chunks.toDF("chunk", "key", "id2", "sh2"), Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))

@@ -75,8 +75,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array_to_vector(normalized(col(vecCol))).as("features")).cache()
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        array_to_vector(normalized(col(vecCol))).as("features")))
     // a coarse quantizer only needs a sample: fitting on the full corpus
     // would make the training pass dominate at scale (the iterative
     // KMeans re-scans its input per iteration — unacceptable over 100 TB)
@@ -148,8 +149,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      normalized(col(vecCol)).as("nv")).cache()
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normalized(col(vecCol)).as("nv")))
     val withFeats = (0 until m).foldLeft(v) { (d, i) =>
       d.withColumn(s"f_$i", array_to_vector(slice(col("nv"), i * sub + 1, sub)))
     }
@@ -262,10 +264,11 @@ object Similarity {
     val sub = dim / m
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       normalized(col(vecCol)).as("nv"))
-    val withFeats = (0 until m).foldLeft(
-        v.withColumn("features", array_to_vector(col("nv")))) { (d, i) =>
-      d.withColumn(s"f_$i", array_to_vector(slice(col("nv"), i * sub + 1, sub)))
-    }.cache()
+    val withFeats = graft.data.ScopedCaches.track(
+      (0 until m).foldLeft(
+          v.withColumn("features", array_to_vector(col("nv")))) { (d, i) =>
+        d.withColumn(s"f_$i", array_to_vector(slice(col("nv"), i * sub + 1, sub)))
+      })
     val corpusN = withFeats.count()
     val train =
       if (corpusN <= maxTrainRows) withFeats
@@ -422,11 +425,15 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double, dim: Int, numPlanes: Int = 0,
                      tables: Int = 8, probes: Int = 0): DataFrame = {
-    val v0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // cache unconditionally: the projection feeds the postings build AND
+    // both verification joins (3 scans) regardless of how the params
+    // were chosen — manual-planes mode used to skip the cache and pay
+    // the re-evaluations
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
     val (planes, tbls) =
       if (numPlanes > 0) (numPlanes, tables)
-      else lshAutoParams(v0.count(), tau)
-    val v = if (numPlanes > 0) v0 else v0.cache() // counted above; reused twice below
+      else lshAutoParams(v.count(), tau)
     require(tbls >= 1 && probes >= 0 && probes <= planes)
     // all table buckets in one native-kernel call per row
     // ([[graft.functions.LshBuckets]]): the equivalent column expression

@@ -504,8 +504,8 @@ object PipelineQueries {
     // postings, CC node list, final chunk scan); without a cache each
     // re-evaluates the regex-heavy quality/langid/redact filter stage
     // (measured 18 s -> ~7 s at sf0.1)
-    val exDocs = filt.join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi")
-      .cache()
+    val exDocs = graft.data.ScopedCaches.track(
+      filt.join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
     val keep = Dedup.jaccardClusters(exDocs, "doc_id", "text")
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val finalDocs = exDocs.join(keep, Seq("doc_id"), "left_semi")
