@@ -142,6 +142,98 @@ object StreamOps extends Serializable {
       .select("id1", "id2", "bucket")
   }
 
+  final case class PrepBucketDoc(bucket: String, doc_id: Long,
+                                 ts: java.sql.Timestamp, fp: String)
+  final case class PrepBucketState(ids: List[Long], fps: List[String])
+
+  /** Composed streaming prep pipeline — the incremental twin of the
+    * batch `pipeline_e2e_prep` front half: quality/language gate and
+    * PII redaction (stateless Column exprs, identical code to the batch
+    * plan), exact dedup on the content fingerprint, then incremental
+    * near-dup candidate detection, emitting a pair the moment the
+    * second member arrives.
+    *
+    * The exact dedup is FUSED into the bucket state rather than chained
+    * as `dropDuplicatesWithinWatermark` (Spark does not support
+    * flatMapGroupsWithState after another stateful operator): exact
+    * duplicates have identical redacted text, hence identical MinHash
+    * band buckets, so suppressing repeated fingerprints inside every
+    * bucket's state IS global exact dedup for pair purposes — one
+    * stateful operator, one watermark, and no cross-job handoff. CC
+    * clustering and chunking stay batch (they need the closed pair
+    * graph); at scale this stream feeds them as a periodic compaction.
+    */
+  def prepStream(docs: Dataset[DocEvent], minQuality: Double = 0.85,
+                 lang: String = "en", watermark: String = "1 hour",
+                 k: Int = 8, numHashes: Int = 16, bands: Int = 4,
+                 ttlMs: Long = 3600L * 1000L,
+                 maxPerBucket: Int = 64): Dataset[NearDupCand] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.TextAnalysis
+    val gated = docs.toDF()
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+        TextAnalysis.langId(col("text")) === lang)
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.redactPii(col("text")).as("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, java.sql.Timestamp, String, String)]
+    val buckets = gated
+      .flatMap { case (id, ts, text, fp) =>
+        bandKeys(text, k, numHashes, bands).map(bk => PrepBucketDoc(bk, id, ts, fp))
+      }
+      .withWatermark("ts", watermark)
+
+    def update(bucket: String, rows: Iterator[PrepBucketDoc],
+               state: GroupState[PrepBucketState]): Iterator[NearDupCand] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        var st = state.getOption.getOrElse(PrepBucketState(Nil, Nil))
+        val out = List.newBuilder[NearDupCand]
+        var maxTs = Long.MinValue
+        for (r <- sorted) {
+          maxTs = math.max(maxTs, r.ts.getTime)
+          val dup = st.fps.contains(r.fp) // exact dup: drop, pair nothing
+          if (!dup && !st.ids.contains(r.doc_id) && st.ids.size < maxPerBucket) {
+            for (o <- st.ids) out += NearDupCand(math.min(o, r.doc_id),
+              math.max(o, r.doc_id), bucket)
+            st = PrepBucketState(r.doc_id :: st.ids, r.fp :: st.fps)
+          }
+        }
+        state.update(st)
+        if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
+        out.result().iterator
+      }
+    }
+
+    buckets.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch parity twin of [[prepStream]]: identical gate/redact Column
+    * exprs, exact dedup keeping the min doc_id per fingerprint
+    * (deterministic where the stream keeps the first arrival — parity
+    * tests compare modulo the duplicate-group representative), then
+    * the cap-free within-bucket pairs.
+    */
+  def prepBatch(docs: Dataset[DocEvent], minQuality: Double = 0.85,
+                lang: String = "en", k: Int = 8, numHashes: Int = 16,
+                bands: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.ops.TextAnalysis
+    val gated = docs.toDF()
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+        TextAnalysis.langId(col("text")) === lang)
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.redactPii(col("text")).as("text"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keep = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = gated.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .select("doc_id", "ts", "text").as[DocEvent]
+    nearDupCandidatesBatch(deduped, k, numHashes, bands)
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserSession(user_id: Long, session_start: String,
                                n_events: Long, sum_value: Double)

@@ -123,4 +123,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchPairs,
       s"missing: ${(batchPairs -- got).take(3)} extra: ${(got -- batchPairs).take(3)}")
   }
+
+  test("composed streaming prep pipeline matches its batch twin") {
+    import spark.implicits._
+    // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
+    // token length) and classify "en" (zero stopwords everywhere ties
+    // all profiles -> deterministic tie-break picks en, both plans)
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val rng = new Lcg(43)
+    val base = (0L until 10L).map { i =>
+      i -> (0 until 30).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val all = base ++ Seq(
+      100L -> (base(0)._2.split(" ").init :+ "zulu").mkString(" "), // near-dup of 0
+      101L -> base(1)._2,                                           // exact dup of 1
+      200L -> ("der hund und die katze das ist nicht mit ein auf " * 3), // de -> gated
+      201L -> "123 456 789 000 111 222 333 444 555 666 777 888")    // junk -> gated
+    val rows = all.zipWithIndex.map { case ((id, text), i) =>
+      StreamOps.DocEvent(id, new java.sql.Timestamp(t0 + i * 60000L), text)
+    }
+    val ds = spark.createDataset(rows)
+
+    // duplicate-group representative: batch keeps min doc_id, the stream
+    // keeps the first arrival — compare pairs after canonicalizing
+    val canon = Map(101L -> 1L).withDefault(identity)
+    def norm(p: (Long, Long)): (Long, Long) = {
+      val (a, b) = (canon(p._1), canon(p._2))
+      (math.min(a, b), math.max(a, b))
+    }
+
+    val batchPairs = StreamOps.prepBatch(ds)
+      .select("id1", "id2").collect()
+      .map(r => norm((r.getLong(0), r.getLong(1)))).toSet
+    assert(batchPairs.contains((0L, 100L)), "planted near-dup must collide")
+    assert(!batchPairs.exists(p => Set(200L, 201L)(p._1) || Set(200L, 201L)(p._2)),
+      "gated docs leaked into the pair graph")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prep").toString
+    ds.toDF().write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ds.toDF().schema).parquet(tmp)
+      .as[StreamOps.DocEvent]
+    val q = StreamOps.prepStream(stream)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_prep_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_prep_out")
+      .select("id1", "id2").collect()
+      .map(r => norm((r.getLong(0), r.getLong(1)))).toSet
+    assert(got == batchPairs,
+      s"missing: ${(batchPairs -- got).take(3)} extra: ${(got -- batchPairs).take(3)}")
+  }
 }
