@@ -55,28 +55,54 @@ object ScaleUp {
     }.reduce(_ unionAll _)
   }
 
-  /** Rotate lowercase letters by `i` (bijective on shingles: within-copy
-    * Jaccard/MinHash structure is exactly the source's; cross-copy
-    * shingle overlap is incidental).
+  private val az = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Deterministic per-copy alphabet permutation (Fisher-Yates over a
+    * splitmix64 stream seeded by the copy index). A rotation cipher
+    * collides past 26 copies (copy 26 = copy 0's text verbatim ->
+    * spurious cross-copy exact dups); distinct random permutations stay
+    * injective at any factor. Still bijective on characters, so
+    * within-copy shingle/Jaccard/MinHash structure is exactly the
+    * source's; a cross-copy 8-char shingle match needs 8 simultaneous
+    * fixed points of a permutation pair — negligible.
     */
-  private def cipher(df: DataFrame, i: Int): DataFrame = {
-    if (i == 0) df else {
-      val az = "abcdefghijklmnopqrstuvwxyz"
-      val rot = az.drop(i % 26) + az.take(i % 26)
-      df.withColumn("text", translate(col("text"), az, rot))
+  private def permuted(i: Int): String = {
+    val arr = az.toCharArray
+    var s = i.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
     }
+    var j = arr.length - 1
+    while (j >= 1) {
+      val k = math.floorMod(next(), (j + 1).toLong).toInt
+      val t = arr(j); arr(j) = arr(k); arr(k) = t
+      j -= 1
+    }
+    new String(arr)
   }
 
-  /** Cyclically rotate embedding dimensions by `i` — an orthogonal
-    * transform, so within-copy cosines are exactly the source's while
-    * cross-copy cosines are decorrelated.
+  private def cipher(df: DataFrame, i: Int): DataFrame =
+    if (i == 0) df
+    else df.withColumn("text", translate(col("text"), az, permuted(i)))
+
+  /** Cyclically rotate embedding dimensions by `i` and apply a per-copy
+    * diagonal +-1 sign pattern — both orthogonal, so within-copy
+    * cosines are exactly the source's. The sign pattern keeps copies
+    * decorrelated even when the rotation index wraps past the dimension
+    * (copy i and copy i+dim share a rotation).
     */
   private def rotateDims(df: DataFrame, i: Int): DataFrame = {
     if (i == 0) df else {
       val n = size(col("embedding"))
       val k = (lit(i) % n) + 1
-      df.withColumn("embedding",
-        concat(slice(col("embedding"), k, n), slice(col("embedding"), lit(1), k - 1)))
+      val rotated = concat(
+        slice(col("embedding"), k, n), slice(col("embedding"), lit(1), k - 1))
+      df.withColumn("embedding", transform(rotated, (x, idx) =>
+        when(pmod(hash(lit(i), idx), lit(2)) === 0, x).otherwise(-x)))
     }
   }
 
@@ -84,6 +110,11 @@ object ScaleUp {
     val src = arg(args, "--src", "/root/testdata/sf0.1")
     val out = arg(args, "--out", "target/testdata-sf1")
     val factor = arg(args, "--factor", "10").toInt
+    // restrict to a table subset (e.g. "documents,embeddings" for a
+    // dedup/similarity-family rehearsal at factors where the TPC-H side
+    // would be wasted IO)
+    val only = arg(args, "--tables", "").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     val spark = Sessions.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,32 +123,42 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$out/$table.parquet")
 
     // dimensions: pass through
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")
+         if wanted(t))
       write(spark.read.parquet(s"$src/$t.parquet"), t)
 
     // facts: key-shifted copies. orders/lineitem share the orderkey
     // shift so the join lineage stays intact across copies.
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    val orderStride = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
-    write((0 until factor).map(i => orders.withColumn("o_orderkey",
-      (col("o_orderkey") + lit(i * orderStride)).cast("long")))
-      .reduce(_ unionAll _), "orders")
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    write((0 until factor).map(i => li.withColumn("l_orderkey",
-      (col("l_orderkey") + lit(i * orderStride)).cast("long")))
-      .reduce(_ unionAll _), "lineitem")
+    if (wanted("orders") || wanted("lineitem")) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val orderStride = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      if (wanted("orders"))
+        write((0 until factor).map(i => orders.withColumn("o_orderkey",
+          (col("o_orderkey") + lit(i * orderStride)).cast("long")))
+          .reduce(_ unionAll _), "orders")
+      if (wanted("lineitem")) {
+        val li = spark.read.parquet(s"$src/lineitem.parquet")
+        write((0 until factor).map(i => li.withColumn("l_orderkey",
+          (col("l_orderkey") + lit(i * orderStride)).cast("long")))
+          .reduce(_ unionAll _), "lineitem")
+      }
+    }
 
     // events: keep the raw TIMESTAMP(NANOS)-as-long layout the loaders
     // expect (graft.Tables.events converts); shift user ids so state
     // size per key is unchanged — scale adds users, not session length
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(replicate(spark.read.parquet(s"$src/events.parquet"),
-      "user_id", factor), "events")
+    if (wanted("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      write(replicate(spark.read.parquet(s"$src/events.parquet"),
+        "user_id", factor), "events")
+    }
 
-    write(replicate(spark.read.parquet(s"$src/documents.parquet"),
-      "doc_id", factor, cipher), "documents")
-    write(replicate(spark.read.parquet(s"$src/embeddings.parquet"),
-      "vec_id", factor, rotateDims), "embeddings")
+    if (wanted("documents"))
+      write(replicate(spark.read.parquet(s"$src/documents.parquet"),
+        "doc_id", factor, cipher), "documents")
+    if (wanted("embeddings"))
+      write(replicate(spark.read.parquet(s"$src/embeddings.parquet"),
+        "vec_id", factor, rotateDims), "embeddings")
 
     println(s"[scaleup] wrote ${factor}x $src -> $out")
     spark.stop()
