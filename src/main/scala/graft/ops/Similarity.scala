@@ -415,20 +415,34 @@ object Similarity {
     * bucket) become a candidate pair, verified by exact cosine — so
     * false positives are impossible and recall is
     * `1 - (1 - p^b)^tables` per pair (p = 1 - angle/pi), tightened
-    * further by the probes. Only (id, table, bucket) postings ride the
-    * self-join — vector payloads join back after the pair list is
-    * deduped, so embeddings never multiply through the explode. Each
-    * table's candidate lists are bounded by ~n/2^numPlanes per bucket;
-    * no n^2 shuffle ever forms. `numPlanes = 0` sizes both parameters
-    * from the corpus count via [[lshAutoParams]] (costs one count job).
+    * further by the probes.
+    *
+    * Verification is BUCKET-LOCAL: each posting row carries its vector
+    * into the (table, bucket) self-join, and the exact cosine + tau
+    * filter run inside the join stage, so a candidate pair exists only
+    * as a transient row that is scored and filtered in place. The
+    * payload shuffled is O(n * tables * (1+probes)) vectors — linear in
+    * the corpus. The alternative (ids-only candidates, vectors joined
+    * back afterwards) shuffles the CANDIDATE stream with payloads:
+    * candidates run ~occupancy x postings (~100x postings at the target
+    * occupancy 128), and past the broadcast threshold that join is
+    * sort-merge — at the factor-100 rehearsal (200k vectors, 114M+
+    * candidates) it sorted ~100 GB of candidate x vector rows and
+    * filled a 79 GB disk; a shuffle_hash hint still shuffles the same
+    * payload volume. Bucket-local scoring never materializes it at all.
+    * Tau-survivors (a vanishing fraction) are deduped at the end — a
+    * pair sharing several buckets is scored once per bucket, ~2.4x
+    * average multiplicity, ~10x cheaper per row than a candidate-level
+    * distinct (measured 34 s distinct vs 4 s verify at 114M candidates).
+    * Each table's buckets are bounded to ~targetOccupancy rows by
+    * [[lshAutoParams]]; no n^2 stage ever forms. `numPlanes = 0` sizes
+    * both parameters from the corpus count (costs one count job).
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      tau: Double, dim: Int, numPlanes: Int = 0,
                      tables: Int = 8, probes: Int = 0): DataFrame = {
-    // cache unconditionally: the projection feeds the postings build AND
-    // both verification joins (3 scans) regardless of how the params
-    // were chosen — manual-planes mode used to skip the cache and pay
-    // the re-evaluations
+    // cached: the projection feeds the auto-sizing count AND the
+    // postings build regardless of how the params were chosen
     val v = graft.data.ScopedCaches.track(
       df.select(col(idCol).as("id"), col(vecCol).as("v")))
     val (planes, tbls) =
@@ -439,26 +453,16 @@ object Similarity {
     // ([[graft.functions.LshBuckets]]): the equivalent column expression
     // (tables x planes literal-array vec_dots) exceeds the whole-stage
     // codegen budget and falls back to interpreted boxed eval
-    val own = v.select(col("id"),
+    val own = v.select(col("id"), col("v"),
       posexplode(call_function("lsh_buckets", col("v"), lit(tbls), lit(planes))))
-      .select(col("id"), col("pos").as("t"), col("col").as("own"))
+      .select(col("id"), col("v"), col("pos").as("t"), col("col").as("own"))
     val probeBuckets = array((lit(0) +:
       (0 until probes).map(p => lit(1 << p))).map(col("own").bitwiseXOR): _*)
-    val posts = own.select(col("id"), col("t"),
+    val posts = own.select(col("id"), col("v"), col("t"),
       explode(probeBuckets).as("bucket"))
-    // candidates keep their multiplicity (a pair can share several
-    // buckets): the verifying cosine is ~10x cheaper per row than the
-    // shuffle a pair-level distinct costs at ~2.4x average multiplicity
-    // (measured 34 s distinct vs 4 s verify at 114M candidates), so
-    // verify everything and dedup only the tau-survivors — a vanishing
-    // fraction of the candidate stream.
-    val cand = posts.toDF("id1", "t", "bucket")
-      .join(posts.toDF("id2", "t", "bucket"), Seq("t", "bucket"))
+    posts.toDF("id1", "v1", "t", "bucket")
+      .join(posts.toDF("id2", "v2", "t", "bucket"), Seq("t", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-    cand
-      .join(v.toDF("id1", "v1"), Seq("id1"))
-      .join(v.toDF("id2", "v2"), Seq("id2"))
       .select(col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
