@@ -35,6 +35,23 @@ object ScopedCaches {
     cached
   }
 
+  /** [[track]] + populate the cache NOW with one action. Use when the
+    * returned plan fans out into stages the scheduler submits
+    * concurrently: independent downstream stages that all read a
+    * not-yet-populated cache race to compute it, each re-running the
+    * cached subtree (Spark's cache fills per-partition with no
+    * cross-stage coordination). Materializing eagerly costs one job
+    * over data the plan needs anyway and removes the duplicate work —
+    * measured 94 s → ~55 s on `dedup_minhash_lsh` at the factor-100
+    * rehearsal, where the racing subtree was the md5 posting +
+    * 32-column signature aggregation.
+    */
+  def materialize[T](ds: Dataset[T]): Dataset[T] = {
+    val cached = track(ds)
+    cached.count()
+    cached
+  }
+
   /** Unpersist every tracked cache (non-blocking) and empty the registry. */
   def releaseAll(): Unit = {
     var d = tracked.poll()

@@ -75,27 +75,78 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Mersenne prime 2^31-1 — the permutation modulus. 31-bit minwise
+    * hashing is the published standard (Broder et al.); the estimator
+    * error it adds is negligible for documents far below 2^31 shingles,
+    * and the 31-bit domain is what makes `(a*x + b) mod P` computable in
+    * plain 64-bit arithmetic with NO overflow in any engine:
+    * a, x < 2^31 so a*x + b < 2^63. A 2^61-1 modulus would need 128-bit
+    * products; 64-bit wraparound mixing (xxhash/splitmix) would error
+    * out of DuckDB's checked BIGINT multiply. The modulus must also
+    * actually WRAP the products — a first cut bounded a, b so the sum
+    * stayed under the modulus, which degenerates the family to a
+    * near-monotone linear map: signatures correlate across j, band
+    * slices collide en masse, and the candidate stage explodes (387k
+    * pairs at sf1 vs ~3k from a real hash family).
+    */
+  val MinhashP: Long = (1L << 31) - 1
+
+  /** Per-permutation (a, b) with a in [1, P), b in [0, P), drawn from a
+    * splitmix64 stream (published constants) — a genuine
+    * pairwise-independent family over the 31-bit hash domain. The SAME
+    * constants are interpolated into the DuckDB oracle SQL, so both
+    * engines build bit-identical signatures.
+    */
+  def minhashConstants(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    var s = 0x243F6A8885A308D3L // pi digits — nothing up the sleeve
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until numHashes).map { _ =>
+      (math.floorMod(next(), MinhashP - 1) + 1, math.floorMod(next(), MinhashP))
+    }
+  }
+
   /** MinHash signatures (id, sig_0..sig_{m-1}): per hash function j, the
-    * minimum of xxhash64(shingle, j) over the document's shingles.
+    * minimum of a pairwise-independent permutation of the md5-derived
+    * 31-bit shingle hash over the document's shingles.
     * Shape: explode shingles once, then ONE hash-aggregate with m
     * codegen'd `min` columns — a single shuffle on the id, instead of m
-    * interpreted array-transform passes per row.
+    * interpreted array-transform passes per row. Every step is
+    * engine-portable (md5 + 64-bit modular arithmetic), so the DuckDB
+    * oracle re-derives exact signatures — see `dedup_minhash_lsh`'s
+    * oracle. xxhash64 would tie signatures to Spark's implementation.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, k: Int): DataFrame = {
-    // hash each shingle string once; the m permutations re-hash the
-    // 8-byte value (xxhash64 over a long), not the string
+    // hash each shingle string once (first 8 md5 hex chars, masked to
+    // 31 bits — portable and always a valid residue mod P)
     val post = shinglePostings(df, idCol, textCol, k)
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)).as("x"))
+    val cs = minhashConstants(numHashes)
+    def perm(j: Int): Column = {
+      val (a, b) = cs(j)
+      (lit(a) * col("x") + lit(b)) % lit(MinhashP)
+    }
     post.groupBy(col("id")).agg(
-      min(xxhash64(col("h"), lit(0))).as("sig_0"),
-      (1 until numHashes).map(j =>
-        min(xxhash64(col("h"), lit(j))).as(s"sig_$j")): _*)
+      min(perm(0)).as("sig_0"),
+      (1 until numHashes).map(j => min(perm(j)).as(s"sig_$j")): _*)
   }
 
   /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join
-    * on (band index, band hash), then verify candidates with the exact
-    * shingle Jaccard. `bands` must divide `numHashes`.
+    * on (band index, band values), then verify candidates with the
+    * exact shingle Jaccard. `bands` must divide `numHashes`. The bucket
+    * key is the band's raw signature slice, not a hash of it: equality
+    * on the slice is the exact LSH semantics (a hash would add
+    * collision-induced candidates — harmless after verification but
+    * irreproducible outside this engine), and it keeps the whole
+    * pipeline expressible as the DuckDB oracle SQL.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, k: Int = 8,
@@ -108,14 +159,19 @@ object Dedup {
     // re-run the whole signature job once per band per join side)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
+        array((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
     }: _*)
-    val buckets = graft.data.ScopedCaches.track(
+    // materialized, not just tracked: the self-join's two map stages
+    // are independent, so the scheduler submits them concurrently and
+    // an unpopulated cache would be computed twice — and the bucket
+    // subtree is the expensive part (md5 postings + 32-min signature
+    // aggregation)
+    val buckets = graft.data.ScopedCaches.materialize(
       sig.select(col("id"), explode(bandStructs).as("e"))
         .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id")))
     // cand is referenced three times below (pair join + both candDocs
-    // arms); Spark re-executes shared subtrees, so cache the tiny result
-    val cand = graft.data.ScopedCaches.track(
+    // arms); materialize the tiny result for the same reason
+    val cand = graft.data.ScopedCaches.materialize(
       buckets.toDF("band", "bh", "id1")
         .join(buckets.toDF("band", "bh", "id2"), Seq("band", "bh"))
         .filter(col("id1") < col("id2"))
@@ -128,7 +184,9 @@ object Dedup {
     // quadratically) — the pair list drives the join instead.
     val candDocs = cand.select(col("id1").as("id"))
       .unionAll(cand.select(col("id2").as("id"))).distinct()
-    val post = graft.data.ScopedCaches.track(
+    // three downstream reads (sizes + both common arms) — materialize
+    // so the distinct-postings shuffle runs once
+    val post = graft.data.ScopedCaches.materialize(
       shinglePostings(df, idCol, textCol, k).distinct()
         .join(candDocs, Seq("id"), "left_semi"))
     val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))

@@ -82,6 +82,48 @@ object PipelineQueries {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 32, bands = 8, k = 8, tau = 0.5)
 
+  /** DuckDB re-derivation of the full MinHash+LSH pipeline: md5-derived
+    * 31-bit shingle hashes and the `(a*x + b) mod 2^31-1` permutation
+    * family are plain 64-bit arithmetic, so the oracle rebuilds exact
+    * signatures from the SAME constants ([[Dedup.minhashConstants]],
+    * interpolated into the SQL), bands on the raw 4-value signature
+    * slices exactly as the engine does, and verifies candidates with
+    * the same exact shingle Jaccard — banding, signatures, and
+    * verification are all hash-gated, not just row counts.
+    */
+  private val minhashLshSql = {
+    val vals = Dedup.minhashConstants(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH cs(j, a, b) AS (VALUES $vals),
+       |t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |       FROM (SELECT doc_id, txt,
+       |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |             FROM t) u),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 2147483647 AS x
+       |       FROM sh),
+       |sigs AS (SELECT doc_id, j,
+       |           min((a * x + b) % ${Dedup.MinhashP}) AS sig
+       |         FROM hs CROSS JOIN cs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band, list(sig ORDER BY j) AS key
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id1, c.id2, count(*) AS cnt
+       |           FROM cand c
+       |           JOIN sh p1 ON p1.doc_id = c.id1
+       |           JOIN sh p2 ON p2.doc_id = c.id2 AND p2.s = p1.s
+       |           GROUP BY 1, 2)
+       |SELECT id1, id2, round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) AS jaccard
+       |FROM common
+       |JOIN sizes n1 ON n1.doc_id = id1
+       |JOIN sizes n2 ON n2.doc_id = id2
+       |WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5""".stripMargin
+  }
+
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
 
@@ -700,7 +742,7 @@ object PipelineQueries {
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
-    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
