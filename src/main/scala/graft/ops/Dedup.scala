@@ -59,7 +59,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, dfCap: Long = 20, tau: Double = 0.3): DataFrame = {
-    val post = graft.data.ScopedCaches.track(
+    // materialized: sizes' aggregation and the self-join's two map
+    // stages are submitted concurrently and would each recompute the
+    // df-capped postings (see ScopedCaches.materialize)
+    val post = graft.data.ScopedCaches.materialize(
       rareShinglePostings(df, idCol, textCol, k, dfCap)
         .select(col("s"), col("id")))
     val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -345,7 +348,9 @@ object Dedup {
         shiftrightunsigned(col("simhash"), off)
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }: _*)
-    val chunks = graft.data.ScopedCaches.track(sigs
+    // materialized: the self-join's two map stages race on a lazy cache
+    // and would each recompute the signature aggregation
+    val chunks = graft.data.ScopedCaches.materialize(sigs
       .select(col("id"), col("simhash"), explode(chunkStructs).as("e"))
       .select(col("e.chunk").as("chunk"), col("e.key").as("key"),
         col("id"), col("simhash")))

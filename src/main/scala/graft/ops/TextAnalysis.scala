@@ -224,4 +224,87 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
+
+  /** Distinct word n-grams per document: (`idCol`, `gram`). Documents
+    * shorter than `n` tokens produce no rows (the published
+    * decontamination convention — a doc with no full n-gram cannot be
+    * flagged). Zero-shuffle until the distinct.
+    */
+  def wordNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
+      .select(col(idCol),
+        array_join(slice(col("__toks"), col("__i"), lit(n)), " ").as("gram"))
+      .dropDuplicates(idCol, "gram")
+  }
+
+  /** Per-document TF-IDF top terms: (`idCol`, `term`, `tf`, `score`,
+    * `rank`) for each document's `k` highest-scoring terms.
+    * `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed IDF, the
+    * scikit-learn formulation), rounded to 6dp BEFORE ranking so the
+    * SQL oracle orders identically; ties break on the term string.
+    * Keyword extraction / topic signals for corpus analytics.
+    *
+    * Scale shape: term counts are one map-side-combinable aggregation on
+    * (id, term); document frequencies aggregate the same rows by term;
+    * N comes from a broadcast single-row aggregate (no driver action,
+    * stays one lazy plan); the final per-doc top-k is one window pass
+    * partitioned by the doc id. Vocabulary-sized data only rides the
+    * (term, df) join — never a per-doc array.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("__n") + 1).cast("double") /
+          (col("df") + 1)) + 1), 6))
+    Ranking.topKPerKey(scored, Seq(idCol),
+        Seq(col("score").desc, col("term").asc), k)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the fraction
+    * of its distinct word `n`-grams that appear anywhere in the
+    * benchmark set — the published n-gram-overlap test-set
+    * contamination check (GPT-3 appendix C / PaLM style, which flag
+    * training documents sharing 8-13-grams with evaluation data).
+    * Returns (`idCol`, `n_grams`, `bench_hits`, `contamination`) for
+    * every corpus doc with at least one full n-gram.
+    *
+    * Scale shape: benchmark suites are fixed-size (MBs — they do NOT
+    * grow with the corpus), so the distinct benchmark gram set is
+    * BROADCAST and the corpus-side plan is one scan + one shuffle (the
+    * per-doc distinct-then-count aggregation). No corpus-vs-corpus
+    * join, nothing cached: the corpus side streams. The broadcast left
+    * join marks hits so grams and hits come out of ONE aggregation.
+    */
+  def contamination(corpus: org.apache.spark.sql.DataFrame,
+                    bench: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int): org.apache.spark.sql.DataFrame = {
+    val benchGrams = broadcast(
+      wordNgrams(bench, idCol, textCol, n).select("gram").distinct()
+        .withColumn("__hit", lit(1)))
+    wordNgrams(corpus, idCol, textCol, n)
+      .join(benchGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("bench_hits"))
+      .select(col(idCol), col("n_grams"), col("bench_hits"),
+        round(col("bench_hits").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
 }

@@ -484,6 +484,68 @@ object PipelineQueries {
       |       coalesce(a.n_bigrams, 0) AS n_bigrams
       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Per-document TF-IDF top terms (k=3), smoothed scikit-learn IDF.
+    * Scores are rounded to 6dp BEFORE the window ranking on both sides
+    * so Spark and DuckDB order identically; ties break on the term.
+    */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+      k = 3)
+
+  private val tfidfTopTermsSql =
+    """WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+      |            FROM (SELECT doc_id,
+      |                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |                  FROM documents) u
+      |            WHERE t <> ''
+      |            GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, term, tf,
+      |             round(tf * (ln((n.n + 1) * 1.0 / (df + 1)) + 1), 6) AS score
+      |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, term ASC) AS INT) AS rank
+      |           FROM scored)
+      |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Benchmark decontamination: a deterministic 2% hash-sample of the
+    * documents table stands in for the held-out benchmark set; every
+    * remaining doc is scored by the fraction of its distinct word
+    * 5-grams that appear anywhere in the benchmark. The oracle rebuilds
+    * the same split (same md5 threshold predicate), the same n-grams,
+    * and the same overlap arithmetic.
+    */
+  private def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = Sampling.keepExpr(col("doc_id"), 0.02, "bench")
+    TextAnalysis.contamination(docs.filter(!keep), docs.filter(keep),
+      "doc_id", "text", n = 5)
+  }
+
+  private val contaminationSql = {
+    val thr = Sampling.hexThreshold(0.02)
+    s"""WITH sel AS (SELECT doc_id, lower(trim(text)) AS txt,
+       |              md5('bench:' || CAST(doc_id AS VARCHAR)) < '$thr' AS is_bench
+       |             FROM documents),
+       |bt AS (SELECT string_split_regex(txt, '\\s+') AS toks FROM sel WHERE is_bench),
+       |bg AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+       |       FROM (SELECT toks, unnest(generate_series(1, length(toks) - 4)) AS i
+       |             FROM bt WHERE length(toks) >= 5) u),
+       |ct AS (SELECT doc_id, string_split_regex(txt, '\\s+') AS toks
+       |       FROM sel WHERE NOT is_bench),
+       |cg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+       |       FROM (SELECT doc_id, toks, unnest(generate_series(1, length(toks) - 4)) AS i
+       |             FROM ct WHERE length(toks) >= 5) u)
+       |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS bench_hits,
+       |       round(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |             / count(*), 6) AS contamination
+       |FROM cg LEFT JOIN bg USING (gram)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Context-length chunking: 40-token windows, stride 30 (10-token
     * overlap) — small enough that the synthetic docs produce multi-chunk
     * output.
@@ -545,8 +607,10 @@ object PipelineQueries {
     // the surviving doc set fans out into three consumers (cluster
     // postings, CC node list, final chunk scan); without a cache each
     // re-evaluates the regex-heavy quality/langid/redact filter stage
-    // (measured 18 s -> ~7 s at sf0.1)
-    val exDocs = graft.data.ScopedCaches.track(
+    // (measured 18 s -> ~7 s at sf0.1). Materialized eagerly: the
+    // consumers' map stages are submitted concurrently and would race
+    // to compute a lazy cache (see ScopedCaches.materialize)
+    val exDocs = graft.data.ScopedCaches.materialize(
       filt.join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
     val keep = Dedup.jaccardClusters(exDocs, "doc_id", "text")
       .filter(col("doc_id") === col("cluster")).select("doc_id")
@@ -764,6 +828,8 @@ object PipelineQueries {
       Some(topkQualityByLangSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
+    QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
+    QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),

@@ -152,6 +152,50 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1.0, 1L)))
   }
 
+  test("tfidf top terms rank rare terms above ubiquitous ones") {
+    val fixtures = Seq(
+      1L -> "zebra zebra zebra common common",
+      2L -> "common filler words here",
+      3L -> "common filler words there")
+    val got = TextAnalysis.tfidfTopTerms(docs(fixtures), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getString(1)).toMap
+    // doc 1: zebra (tf=3, df=1) far above common (tf=2, df=3)
+    assert(got((1L, 1)) == "zebra")
+    assert(got((1L, 2)) == "common")
+    // docs 2/3: their unique location word (df=1) beats shared terms;
+    // "filler"/"words" (df=2) beat "common" (df=3), tie broken by term
+    assert(got((2L, 1)) == "here")
+    assert(got((2L, 2)) == "filler")
+    assert(got((3L, 1)) == "there")
+    // exact score check for doc 1 zebra: 3 * (ln(4/2) + 1)
+    val score = TextAnalysis.tfidfTopTerms(docs(fixtures), "doc_id", "text", 2)
+      .filter(col("term") === "zebra").head().getDouble(3)
+    assert(score == math.round(3.0 * (math.log(4.0 / 2.0) + 1) * 1e6) / 1e6)
+  }
+
+  test("contamination scores exact n-gram overlap against the benchmark") {
+    val bench = docs(Seq(
+      1000L -> "the capital of france is paris everyone knows",
+      1001L -> "water boils at one hundred degrees celsius"))
+    val corpusDocs = docs(Seq(
+      // contains the bench 5-gram "the capital of france is" (and 3 more
+      // overlapping ones from the 8-token bench prefix)
+      1L -> "we learned that the capital of france is paris everyone said",
+      // no overlap
+      2L -> "completely unrelated text about gardening and tomato plants growing",
+      // shorter than n tokens -> no row
+      3L -> "too short"))
+    val got = TextAnalysis.contamination(corpusDocs, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(3L))
+    assert(got(2L)._2 == 0L)
+    // doc 1 has 11 tokens -> 7 distinct 5-grams; the shared grams are
+    // "the capital of france is", "capital of france is paris",
+    // "of france is paris everyone"
+    assert(got(1L)._1 == 7L)
+    assert(got(1L)._2 == 3L, s"expected 3 bench hits, got ${got(1L)._2}")
+  }
+
   test("winnowing fingerprints: match guarantee, density, short docs") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
