@@ -29,6 +29,40 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental (cross-snapshot) exact dedup: classify every document
+    * of a new batch against an already-ingested reference corpus by
+    * normalized fingerprint. Verdicts: `dup_of_reference` (fingerprint
+    * already in the reference — the whole group is dropped, the
+    * reference copy wins), `dup_in_batch` (new fingerprint but not the
+    * batch's canonical minimum id), `keep` (the batch canonical of a
+    * fingerprint the reference has never seen). This is the recurring
+    * production shape — each crawl increment dedups against the
+    * accumulated corpus, never re-deduping the corpus against itself.
+    *
+    * Scale shape: the reference side reduces to a distinct fingerprint
+    * set BEFORE the join (16-byte keys, not documents), then one
+    * hash-shuffle join on the fingerprint; the batch-internal canonical
+    * is one map-side-combinable min aggregation. No broadcast
+    * assumption — at 100 TB the reference fingerprint set is itself
+    * large, and a shuffle join on md5 keys is the right plan (AQE may
+    * still broadcast small increments).
+    */
+  def dedupAgainstReference(batch: DataFrame, reference: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val refFps = reference
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct().withColumn("__ref", lit(1))
+    val batchFps = batch.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val canon = batchFps.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
+    batchFps
+      .join(refFps, Seq("fp"), "left")
+      .join(canon, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        when(col("__ref") === 1, lit("dup_of_reference"))
+          .when(col(idCol) =!= col("__keep"), lit("dup_in_batch"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Exploded (id, shingle) postings — positions exploded first so the
     * per-position `substr` stays inside whole-stage codegen (building a
     * per-row shingle array with `transform` runs interpreted and

@@ -276,6 +276,46 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Self-trained bigram language-model score (the CCNet-style
+    * perplexity quality signal): train add-one-smoothed bigram
+    * probabilities on the corpus itself, then score each document by the
+    * mean log-probability of its adjacent token pairs —
+    * `score = avg(ln((count(w1,w2) + 1) / (count(w1) + |V|)))`, rounded
+    * to 6dp. Low (very negative) scores mark improbable token streams
+    * (gibberish); implausibly high scores mark templated/repetitive
+    * text. Returns (`idCol`, `n_bigrams`, `lm_score`) for every doc with
+    * at least one bigram.
+    *
+    * Scale shape: bigram formation is ZERO-shuffle (`zip_with` over two
+    * `slice`s of the token array, then explode — no per-doc window
+    * sort); the unigram/bigram count tables are map-side-combinable
+    * aggregations; scoring is two hash-shuffle joins on (w1) and
+    * (w1, w2) — LM tables grow with the vocabulary, not the corpus, but
+    * no broadcast is assumed. |V| rides a broadcast single-row
+    * aggregate, so the whole thing is one lazy plan.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("__v"))
+    val t = tokens(col(textCol))
+    val bi = df
+      .select(col(idCol),
+        explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    bi.join(bg, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("bc") + 1).cast("double") /
+          (col("uc") + col("__v")).cast("double"))), 6).as("lm_score"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the fraction
     * of its distinct word `n`-grams that appear anywhere in the
     * benchmark set — the published n-gram-overlap test-set

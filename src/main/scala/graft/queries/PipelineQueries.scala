@@ -509,6 +509,76 @@ object PipelineQueries {
       |           FROM scored)
       |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Self-trained bigram-LM quality score (CCNet-style perplexity
+    * signal), add-one smoothing, mean ln-prob per doc. The oracle
+    * rebuilds the same LM from the same corpus: identical tokenization,
+    * counts, smoothing, and 6dp rounding of the mean.
+    */
+  private def lmScoreQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text")
+
+  private val lmScoreSql =
+    """WITH t AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+      |uni AS (SELECT tok, count(*) AS uc FROM toks GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      |bi AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+      |              ts[CAST(i AS INT) + 1] AS w2
+      |       FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, length(ts) - 1)) AS i
+      |             FROM t WHERE length(ts) >= 2) u),
+      |bg AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2)
+      |SELECT bi.doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln((bg.bc + 1.0) / (uni.uc + v.v))), 6) AS lm_score
+      |FROM bi JOIN bg USING (w1, w2)
+      |JOIN uni ON uni.tok = bi.w1
+      |CROSS JOIN v
+      |GROUP BY 1""".stripMargin
+
+  /** Incremental dedup of a new crawl batch (doc_id % 10 >= 8) against
+    * the accumulated reference corpus (doc_id % 10 < 8): every batch doc
+    * gets a verdict — already in the reference, duplicate within the
+    * batch, or keep. The synthetic corpus has no natural duplicates, so
+    * the batch additionally carries re-keyed copies of ten reference
+    * docs (+10000, must come back `dup_of_reference`) and ten batch docs
+    * (+20000, must come back `dup_in_batch`) — all three verdicts are
+    * live. The oracle rebuilds the same split, plants, fingerprints, and
+    * verdict CASE.
+    */
+  private def dedupAgainstRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 8)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    Dedup.dedupAgainstReference(batch,
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+  }
+
+  private val dedupAgainstRefSql =
+    """WITH fp AS (SELECT doc_id,
+      |              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |            FROM documents),
+      |ref AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 8),
+      |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 8
+      |          UNION ALL
+      |          SELECT doc_id + 10000, fp FROM fp WHERE doc_id % 50 = 0
+      |          UNION ALL
+      |          SELECT doc_id + 20000, fp FROM fp WHERE doc_id % 50 = 8),
+      |canon AS (SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+      |SELECT b.doc_id, b.fp,
+      |       CASE WHEN r.fp IS NOT NULL THEN 'dup_of_reference'
+      |            WHEN b.doc_id <> k.keep_id THEN 'dup_in_batch'
+      |            ELSE 'keep' END AS verdict
+      |FROM batch b
+      |LEFT JOIN ref r ON r.fp = b.fp
+      |JOIN canon k ON k.fp = b.fp""".stripMargin
+
   /** Benchmark decontamination: a deterministic 2% hash-sample of the
     * documents table stands in for the held-out benchmark set; every
     * remaining doc is scored by the fraction of its distinct word
@@ -806,6 +876,7 @@ object PipelineQueries {
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
+    QueryDef("dedup_against_reference", dedupAgainstRef, Some(dedupAgainstRefSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
@@ -830,6 +901,7 @@ object PipelineQueries {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),

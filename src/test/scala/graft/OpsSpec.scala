@@ -488,6 +488,42 @@ class OpsSpec extends AnyFunSuite {
       s"ivfpq $ivfpq vs pq $pq vs brute $brute")
   }
 
+  test("bigram LM score matches the hand-computed smoothed model") {
+    // corpus: uni a:3 b:2 c:1, V=3; bigrams (a,b):2 (b,a):1 (b,c):1
+    // doc 1 = a b a -> ln((2+1)/(3+3)), ln((1+1)/(2+3))
+    // doc 2 = a b c -> ln(3/6), ln(2/5) — same mean by construction
+    val d = docs(Seq(1L -> "a b a", 2L -> "a b c"))
+    val got = TextAnalysis.lmScore(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = BigDecimal((math.log(0.5) + math.log(0.4)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set((1L, 2L, exp), (2L, 2L, exp)))
+  }
+
+  test("bigram LM score separates templated from shuffled text") {
+    // 5 identical templated docs vs one doc of the same words in a
+    // scrambled order: the template's bigrams dominate the LM, so the
+    // templated docs must score strictly higher
+    val template = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val scrambled = "hotel alpha golf bravo foxtrot charlie echo delta"
+    val d = docs((0L until 5L).map(_ -> template) :+ (9L -> scrambled))
+    val byDoc = TextAnalysis.lmScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byDoc(0L) > byDoc(9L))
+  }
+
+  test("cross-snapshot dedup issues the three verdicts") {
+    val ref = docs(Seq(1L -> "shared text one", 2L -> "ref only text"))
+    val batch = docs(Seq(
+      10L -> "  shared   text one ", // normalizes to ref 1 -> dup_of_reference
+      11L -> "fresh text", 12L -> "fresh  text", // batch-internal dup group
+      13L -> "brand new"))
+    val got = Dedup.dedupAgainstReference(batch, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "dup_of_reference", 11L -> "keep",
+      12L -> "dup_in_batch", 13L -> "keep"))
+  }
+
   test("language id prefers the planted stopword profile") {
     val d = docs(Seq(
       10L -> "the cat and the dog of a house in the garden is it you that",
