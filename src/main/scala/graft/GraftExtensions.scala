@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, LshBuckets}
+import graft.functions.{CosineSimilarity, DotProduct, LshBuckets, PqAdc}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             LshBuckets(exprs(0), t, p)
           case other => throw new IllegalArgumentException(
             s"lsh_buckets(vec, tables, planes) needs integer literals, got $other")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        exprs(2) match {
+          case Literal(k: Int, _) => PqAdc(exprs(0), exprs(1), k)
+          case other => throw new IllegalArgumentException(
+            s"pq_adc(table, codes, ksub) needs an integer ksub literal, got $other")
         }
       }))
   }

@@ -159,6 +159,53 @@ case class LshBuckets(child: Expression, tables: Int, numPlanes: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `pq_adc(tbl, codes, ksub)`: asymmetric-distance lookup for product
+  * quantization — `sum_i tbl[i * ksub + codes[i]]` over the m code
+  * bytes of a row against a query's flattened m x ksub ADC table. The
+  * higher-order `aggregate(sequence(...))` form this replaces is
+  * interpreted per element with a boxed lambda frame per code; this is
+  * a tight primitive loop inside whole-stage codegen — the ADC scan is
+  * the one per-corpus-row stage of [[graft.ops.Similarity.pqTopK]], so
+  * it is exactly the loop that must not fall out of codegen.
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) if ksub >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double> table, array<int> codes, ksub >= 1), " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}, $ksub")
+  }
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val tbl = t.asInstanceOf[ArrayData]; val codes = c.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0; var i = 0
+    while (i < m) { s += tbl.getDouble(i * ksub + codes.getInt(i)); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $c.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $t.getDouble($i * $ksub + $c.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `cosine_sim(a, b)`: one pass accumulating dot, |a|^2, |b|^2 —
   * numerically identical to dot/sqrt(na*nb) with sequential summation
   * (what the DuckDB oracle computes on DOUBLE[]).

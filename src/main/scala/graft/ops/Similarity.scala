@@ -134,11 +134,10 @@ object Similarity {
     * query are re-ranked with the exact native cosine, absorbing the
     * quantization error.
     *
-    * The ADC lookup runs as a higher-order `aggregate` over the codes
-    * (interpreted — acceptable because it touches only
-    * |queries| × corpus rows and m is small; a native `pq_adc`
-    * Expression is the drop-in upgrade if query fan-out ever makes
-    * this the hot path). `dim` must be divisible by `m`.
+    * The ADC lookup is the native `pq_adc` Expression
+    * ([[graft.functions.PqAdc]]) — a primitive loop inside whole-stage
+    * codegen, since it is the one stage that touches every candidate
+    * row. `dim` must be divisible by `m`.
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int, dim: Int, m: Int = 8,
@@ -203,9 +202,7 @@ object Similarity {
     val approx = coded.crossJoin(broadcast(tbls))
       .filter(col("id") =!= col("query_id"))
       .withColumn("approx",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, i) =>
-          acc + element_at(col("tbl"),
-            i * ksub + element_at(col("codes"), i + 1) + 1)))
+        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))
@@ -340,9 +337,7 @@ object Similarity {
     val approx = probed.join(broadcast(tblRows.toDF("query_id", "tbl")),
         Seq("query_id"))
       .withColumn("approx",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, i) =>
-          acc + element_at(col("tbl"),
-            i * ksub + element_at(col("codes"), i + 1) + 1)))
+        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))

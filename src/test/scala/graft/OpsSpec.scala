@@ -452,6 +452,27 @@ class OpsSpec extends AnyFunSuite {
     assert((pq -- brute).size <= 1, s"pq $pq vs brute $brute")
   }
 
+  test("pq_adc equals the higher-order aggregate form it replaced") {
+    val ksub = 4
+    val rng = new Lcg(7)
+    val rows = (0 until 20).map { i =>
+      val tbl = Seq.tabulate(3 * ksub)(_ => rng.nextInt(1000) / 100.0)
+      val codes = Seq.tabulate(3)(_ => rng.nextInt(ksub))
+      Row(i.toLong, tbl, codes)
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("tbl", ArrayType(DoubleType, containsNull = false)),
+        StructField("codes", ArrayType(IntegerType, containsNull = false)))))
+    val got = df.select(col("id"),
+        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)).as("a"),
+        aggregate(sequence(lit(0), lit(2)), lit(0.0d), (acc, i) =>
+          acc + element_at(col("tbl"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)).as("b"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"row $r"))
+  }
+
   test("IVF-PQ prunes the ADC scan to probed cells with recall >= plain PQ") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
