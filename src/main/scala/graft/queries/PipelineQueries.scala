@@ -317,6 +317,55 @@ object PipelineQueries {
     graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
   }
 
+  /** BPE token counts under the PINNED vocabulary ([[graft.ops.BpeVocab]]
+    * — the fixed-artifact tokenizer shape production pipelines use), and
+    * the hash-gated twin of the rows-only trained variant above: with a
+    * fixed merge table the whole encode loop IS SQL-expressible. The
+    * oracle folds the merges in rank order over a delimited symbol
+    * string with greedy left-to-right `replace` — equivalent to the
+    * lowest-rank-first merge loop because a merge can only create pairs
+    * containing its new symbol, so a lower-rank pair can never reappear
+    * after its turn. Each symbol is bracketed by DISTINCT chr(1)/chr(2)
+    * delimiters: adjacent occurrences of a space-delimited pattern share
+    * the boundary space, so one greedy pass would merge only the first
+    * pair of an `aaaa` run — bracketed occurrences are disjoint and one
+    * pass is exactly mergeAll (BpeSpec pins both equivalences on random
+    * repeat-heavy words).
+    */
+  private def tokenCountBpePinned(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
+      graft.ops.BpeVocab.merges)
+
+  private val tokenCountBpePinnedSql = {
+    val vals = graft.ops.BpeVocab.merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    val n = graft.ops.BpeVocab.merges.size
+    s"""WITH RECURSIVE m(r, p1, p2) AS (VALUES $vals),
+       |docw AS (SELECT doc_id,
+       |           unnest(regexp_extract_all(lower(text),
+       |             '${TextAnalysis.BpeishPattern}')) AS w
+       |         FROM documents),
+       |words AS (SELECT DISTINCT w FROM docw),
+       |enc AS (
+       |  SELECT w,
+       |         chr(1) || array_to_string(string_split(w, ''),
+       |           chr(2) || chr(1)) || chr(2) AS state,
+       |         0 AS r
+       |  FROM words
+       |  UNION ALL
+       |  SELECT enc.w,
+       |         replace(enc.state,
+       |           chr(1) || m.p1 || chr(2) || chr(1) || m.p2 || chr(2),
+       |           chr(1) || m.p1 || m.p2 || chr(2)),
+       |         enc.r + 1
+       |  FROM enc JOIN m ON m.r = enc.r),
+       |fin AS (SELECT w, length(string_split(state, chr(1))) - 1 AS n
+       |        FROM enc WHERE r = $n),
+       |cnt AS (SELECT doc_id, sum(n) AS n FROM docw JOIN fin USING (w) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS INT) AS n_tokens
+       |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin
+  }
+
   // DuckDB single-quoted strings don't process backslash escapes, so the
   // Java pattern string drops in verbatim
   private val tokenCountBpeSql =
@@ -890,6 +939,8 @@ object PipelineQueries {
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),
+    QueryDef("text_token_count_bpe_pinned", tokenCountBpePinned,
+      Some(tokenCountBpePinnedSql)),
     QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
     QueryDef("text_winnow_fps", winnowFps, Some(winnowFpsSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),

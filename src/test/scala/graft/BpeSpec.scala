@@ -133,4 +133,41 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     for ((id, _) <- texts) assert(got(id) >= pre(id))
   }
+
+  test("rank-order greedy-replace fold equals the merge-loop encoder") {
+    // the equivalence the SQL oracle of text_token_count_bpe_pinned
+    // rests on: folding merges in rank order with greedy left-to-right
+    // literal replacement over a delimited symbol string gives exactly
+    // the lowest-rank-first merge loop (a merge only creates
+    // pairs containing its new symbol, so no lower-rank pair can appear
+    // after its turn). String.replace and DuckDB replace() share the
+    // greedy non-overlapping left-to-right semantics.
+    // each symbol rides between DISTINCT left/right delimiters: a
+    // space-separated form shares the boundary space between adjacent
+    // pattern occurrences, so one greedy pass merges only the FIRST
+    // pair of an `aaaa` run — bracketed tokens are disjoint and one
+    // pass IS mergeAll
+    val L = "\u0001"; val R = "\u0002"
+    def tok(s: String) = L + s + R
+    def foldEncode(w: String, merges: Seq[(String, String)]): Vector[String] = {
+      var state = w.map(c => tok(c.toString)).mkString
+      for ((a, b) <- merges) state = state.replace(tok(a) + tok(b), tok(a + b))
+      state.split(L).toVector.filter(_.nonEmpty).map(_.stripSuffix(R))
+    }
+    val rng = new Lcg(21)
+    // small alphabet -> dense repeats, including aa/aaa runs that
+    // stress the greedy-overlap corner of mergeAll
+    val words = (0 until 200).map(_ =>
+      (0 until 3 + rng.nextInt(10)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString)
+    val merges = Bpe.train(words, numMerges = 60)
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- words ++ Seq("aaa", "aaaa", "aaaaa", "abab", "aabb")) {
+      assert(foldEncode(w, merges) == Bpe.encode(w, ranks), s"word $w")
+    }
+    // and for the pinned production vocabulary itself
+    val pinnedRanks = graft.ops.BpeVocab.merges.zipWithIndex.toMap
+    for (w <- Seq("customer", "window", "sort", "value", "partition", "lineitem"))
+      assert(foldEncode(w, graft.ops.BpeVocab.merges) ==
+        Bpe.encode(w, pinnedRanks), s"word $w")
+  }
 }
