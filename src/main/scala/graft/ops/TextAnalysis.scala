@@ -298,7 +298,8 @@ object TextAnalysis {
               textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
-    val vocab = toks.agg(countDistinct(col("tok")).as("__v"))
+    // |V| = row count of the unigram table — no extra corpus scan
+    val vocab = uni.agg(count(lit(1)).as("__v"))
     val t = tokens(col(textCol))
     val bi = df
       .select(col(idCol),
