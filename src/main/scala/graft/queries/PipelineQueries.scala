@@ -628,6 +628,47 @@ object PipelineQueries {
       |LEFT JOIN ref r ON r.fp = b.fp
       |JOIN canon k ON k.fp = b.fp""".stripMargin
 
+  /** Per-label embedding centroids, one row per (label, dimension) —
+    * corpus analysis / nearest-class-mean building block. The explode
+    * never hits the wire: the (label, pos) aggregation is map-side
+    * combinable, so the single shuffle carries labels x dim partials.
+    */
+  private def embLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.labelCentroids(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label")
+
+  private val embLabelCentroidsSql =
+    """SELECT label, CAST(i - 1 AS INT) AS pos, count(*) AS n,
+      |       round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+      |FROM (SELECT label, embedding,
+      |        unnest(generate_series(1, length(embedding))) AS i
+      |      FROM embeddings) u
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-vector symmetric int8 quantization (4x embedding-store
+    * compression): scale = max |x_i|, codes in [-127, 127]. Codes ride
+    * as a CSV string in the gate output (the driver hash-gate has no
+    * array-column precedent); the operator itself returns typed arrays.
+    * Division and x127 are IEEE-double exact-rounded in both engines and
+    * both round() tie-break away from zero, so codes match exactly.
+    */
+  private def embInt8Quantize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.quantizeInt8(Tables.embeddings(s, dir),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes_csv"))
+
+  private val embInt8QuantizeSql =
+    """SELECT vec_id, round(s, 6) AS scale,
+      |       array_to_string(list_transform(embedding, x ->
+      |         CASE WHEN s = 0 THEN 0
+      |              ELSE CAST(round(CAST(x AS DOUBLE) / s * 127) AS INT) END),
+      |         ',') AS codes_csv
+      |FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+      |      FROM embeddings) t""".stripMargin
+
   /** Benchmark decontamination: a deterministic 2% hash-sample of the
     * documents table stands in for the held-out benchmark set; every
     * remaining doc is scored by the fraction of its distinct word
@@ -936,6 +977,9 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_pq", annPq, None),
     QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
+    QueryDef("emb_label_centroids", embLabelCentroids,
+      Some(embLabelCentroidsSql)),
+    QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),

@@ -509,6 +509,46 @@ class OpsSpec extends AnyFunSuite {
       s"ivfpq $ivfpq vs pq $pq vs brute $brute")
   }
 
+  test("label centroids average per dimension with map-side shape") {
+    import graft.ops.Embeddings
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 2.0f), 0), Row(2L, Seq(3.0f, 4.0f), 0),
+      Row(3L, Seq(10.0f, -2.0f), 1))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType, nullable = false))))
+    val got = Embeddings.labelCentroids(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map((0, 0) -> (2L, 2.0), (0, 1) -> (2L, 3.0),
+      (1, 0) -> (1L, 10.0), (1, 1) -> (1L, -2.0)))
+  }
+
+  test("int8 quantization spans the full range and round-trips closely") {
+    import graft.ops.Embeddings
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.0f, 0.25f)), // scale 1.0: codes 64, -127, 32
+      Row(2L, Seq(0.0f, 0.0f, 0.0f))) // all-zero: scale 0, codes 0
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val got = Embeddings.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(got(1L) == ((1.0, Seq(64, -127, 32))))
+    assert(got(2L) == ((0.0, Seq(0, 0, 0))))
+    // dequantized error bound: |x - code/127*scale| <= scale/254
+    val err = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .join(df, Seq("vec_id"))
+      .filter(col("scale") > 0)
+      .select(col("scale"),
+        array_max(zip_with(col("embedding"), col("codes"), (x, c) =>
+          abs(x.cast("double") - c.cast("double") / 127 * col("scale"))))
+          .as("m"))
+      .collect()
+    err.foreach(r => assert(r.getDouble(1) <= r.getDouble(0) / 254 + 1e-12))
+  }
+
   test("bigram LM score matches the hand-computed smoothed model") {
     // corpus: uni a:3 b:2 c:1, V=3; bigrams (a,b):2 (b,a):1 (b,c):1
     // doc 1 = a b a -> ln((2+1)/(3+3)), ln((1+1)/(2+3))
