@@ -38,6 +38,29 @@ object Sampling {
                  salt: String = "s"): DataFrame =
     df.filter(keepExpr(col(keyCol), rate, salt))
 
+  /** Deterministic train/val/test split assignment: every row gets a
+    * split label from consecutive hash bands — `fractions` are
+    * (label, rate) in priority order, remainder goes to the last label.
+    * Same portability story as [[hashSample]]: a doc's split never
+    * changes as the corpus grows (critical — a doc migrating from train
+    * to test across snapshots is silent eval contamination), and any
+    * engine recomputes the same assignment. Scan-side CASE, no shuffle.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split label")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val h = md5(concat(lit(salt), lit(":"), col(keyCol).cast("string")))
+    val cuts = fractions.init.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val label = fractions.init.zip(cuts).foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), rest) =>
+        when(h < lit(hexThreshold(cut)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified deterministic sample: per-stratum rates (the
     * "downsample over-represented sources, keep all of the rare ones"
     * corpus-mixing step), `defaultRate` for strata not in the map. One

@@ -628,6 +628,30 @@ object PipelineQueries {
       |LEFT JOIN ref r ON r.fp = b.fp
       |JOIN canon k ON k.fp = b.fp""".stripMargin
 
+  /** Train/val/test split assignment: consecutive md5 hash bands keyed
+    * on doc_id — a doc's split never migrates as the corpus grows (the
+    * silent-eval-contamination failure mode of count-based splits). One
+    * threshold list drives both the Spark CASE and the oracle.
+    */
+  private val splitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def docSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, dir), "doc_id", splitFractions)
+      .select("doc_id", "split")
+
+  private val docSplitAssignSql = {
+    val cuts = splitFractions.init
+      .scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val cases = splitFractions.init.zip(cuts).map { case ((name, _), cut) =>
+      s"WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < '${Sampling.hexThreshold(cut)}' THEN '$name'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE $cases
+       |    ELSE '${splitFractions.last._1}' END AS split
+       |FROM documents""".stripMargin
+  }
+
   /** Per-label embedding centroids, one row per (label, dimension) —
     * corpus analysis / nearest-class-mean building block. The explode
     * never hits the wire: the (label, pos) aggregation is map-side
@@ -1004,6 +1028,7 @@ object PipelineQueries {
     QueryDef("text_quality_gate", qualityGate, Some(qualityGateSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
+    QueryDef("doc_split_assign", docSplitAssign, Some(docSplitAssignSql)),
     QueryDef("mm_decode_features", mmDecode, None),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),

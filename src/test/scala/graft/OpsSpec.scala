@@ -509,6 +509,23 @@ class OpsSpec extends AnyFunSuite {
       s"ivfpq $ivfpq vs pq $pq vs brute $brute")
   }
 
+  test("split assignment is exhaustive, stable, and near the fractions") {
+    val ids = docs((0L until 2000L).map(i => i -> s"doc $i"))
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitAssign(ids, "doc_id", fr)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 2000L) // every doc exactly one split
+    assert(math.abs(got("train") - 1600L) < 100, got.toString)
+    assert(math.abs(got("val") - 200L) < 60, got.toString)
+    // growing the corpus never migrates an existing doc's split
+    val small = Sampling.splitAssign(docs((0L until 500L).map(i => i -> "x")),
+        "doc_id", fr).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val large = Sampling.splitAssign(ids, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((id, s) <- small) assert(large(id) == s, s"doc $id migrated")
+  }
+
   test("label centroids average per dimension with map-side shape") {
     import graft.ops.Embeddings
     val rows = Seq(
