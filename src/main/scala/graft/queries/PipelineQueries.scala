@@ -693,6 +693,63 @@ object PipelineQueries {
       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
       |      FROM embeddings) t""".stripMargin
 
+  /** Composed embedding-prep pipeline: int8 quantization → exact
+    * near-dup collapse at code resolution (identical codes = duplicate
+    * vector at int8 precision; canonical = min vec_id) → per-label
+    * centroids over the survivors, one Catalyst tree. The synthetic
+    * embeddings have no natural code collisions, so the batch carries
+    * re-keyed copies of every vec_id % 50 == 0 vector (+100000) — the
+    * dedup stage provably drops them (row parity with the planted-free
+    * centroid query). Mirrors `pipeline_e2e_prep`'s role for the
+    * embedding side of the library.
+    *
+    * Scale shape: quantization is scan-side; the code-collapse is one
+    * hash-shuffle on a 64-byte key with a map-side-combinable min; the
+    * centroid aggregation ships labels x dim partials. No broadcast
+    * assumptions, no driver collection.
+    */
+  private def embPrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val batch = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    val codes = graft.ops.Embeddings.quantizeInt8(batch, "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), _.cast("string")), ",").as("ck"))
+    val keep = codes.groupBy(col("ck")).agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+    graft.ops.Embeddings.labelCentroids(
+      batch.join(keep, Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", "label")
+  }
+
+  private val embPrepPipelineSql =
+    """WITH batch AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding, label FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |q AS (SELECT vec_id, embedding, label,
+      |        list_max(list_transform(embedding,
+      |          x -> abs(CAST(x AS DOUBLE)))) AS s
+      |      FROM batch),
+      |codes AS (SELECT vec_id, embedding, label,
+      |            array_to_string(list_transform(embedding, x ->
+      |              CASE WHEN s = 0 THEN 0
+      |                   ELSE CAST(round(CAST(x AS DOUBLE) / s * 127) AS INT)
+      |              END), ',') AS ck
+      |          FROM q),
+      |keep AS (SELECT min(vec_id) AS vec_id FROM codes GROUP BY ck),
+      |kept AS (SELECT c.label, c.embedding FROM codes c
+      |         JOIN keep USING (vec_id))
+      |SELECT label, CAST(i - 1 AS INT) AS pos, count(*) AS n,
+      |       round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+      |FROM (SELECT label, embedding,
+      |        unnest(generate_series(1, length(embedding))) AS i
+      |      FROM kept) u
+      |GROUP BY 1, 2""".stripMargin
+
   /** Benchmark decontamination: a deterministic 2% hash-sample of the
     * documents table stands in for the held-out benchmark set; every
     * remaining doc is scored by the fraction of its distinct word
@@ -1004,6 +1061,7 @@ object PipelineQueries {
     QueryDef("emb_label_centroids", embLabelCentroids,
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
+    QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),

@@ -566,6 +566,33 @@ class OpsSpec extends AnyFunSuite {
     err.foreach(r => assert(r.getDouble(1) <= r.getDouble(0) / 254 + 1e-12))
   }
 
+  test("embedding prep pipeline drops planted int8-identical duplicates") {
+    import graft.ops.Embeddings
+    val base = Seq(
+      Row(1L, Seq(1.0f, 2.0f), 0), Row(2L, Seq(3.0f, 4.0f), 0),
+      Row(3L, Seq(10.0f, -2.0f), 1))
+    // planted exact copy of vec 1 under a higher id
+    val rows = base :+ Row(100L, Seq(1.0f, 2.0f), 0)
+    def mk(rs: Seq[Row]) = spark.createDataFrame(
+      java.util.Arrays.asList(rs: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType, nullable = false))))
+    val batch = mk(rows)
+    val codes = Embeddings.quantizeInt8(batch, "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), _.cast("string")), ",").as("ck"))
+    val keep = codes.groupBy("ck").agg(min("vec_id").as("vec_id")).select("vec_id")
+    val got = Embeddings.labelCentroids(
+        batch.join(keep, Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val unplanted = Embeddings.labelCentroids(mk(base),
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got == unplanted) // the duplicate never reached the centroids
+  }
+
   test("bigram LM score matches the hand-computed smoothed model") {
     // corpus: uni a:3 b:2 c:1, V=3; bigrams (a,b):2 (b,a):1 (b,c):1
     // doc 1 = a b a -> ln((2+1)/(3+3)), ln((1+1)/(2+3))
