@@ -727,4 +727,58 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Skewed keyed fixture: key i has multiplicity m(i); rows are dealt
+    * round-robin so every key spreads over all partitions (the
+    * adversarial layout for per-partition sketching).
+    */
+  private def keyedDf(mults: Seq[(String, Int)], parts: Int): DataFrame = {
+    val rows = mults.flatMap { case (k, m) => Seq.fill(m)(k) }
+    val dealt = rows.zipWithIndex.sortBy(_._2 % 97).map(_._1)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(dealt.map(Row(_)), parts),
+      StructType(Seq(StructField("k", StringType, nullable = false))))
+  }
+
+  test("Misra-Gries candidates are a superset of the >n/k keys, bounded") {
+    import graft.ops.Sketches
+    val rng = new Lcg(7)
+    // 3 giants + 200 light keys with random small multiplicities
+    val mults = Seq("g1" -> 400, "g2" -> 300, "g3" -> 150) ++
+      (0 until 200).map(i => s"t$i" -> (1 + rng.nextInt(8)))
+    val n = mults.map(_._2).sum
+    val k = 20
+    for (parts <- Seq(1, 3, 8)) {
+      val cand = Sketches.mgCandidates(keyedDf(mults, parts), "k", k)
+        .collect().map(_.getString(0)).toSet
+      assert(cand.size <= parts * k)
+      val mustHave = mults.filter(_._2 > n.toDouble / k).map(_._1)
+      assert(mustHave.forall(cand), s"missing heavy key at parts=$parts")
+    }
+  }
+
+  test("heavyHitters is exact and invariant to partitioning") {
+    import graft.ops.Sketches
+    val rng = new Lcg(11)
+    val mults = Seq("a" -> 500, "b" -> 120, "c" -> 90, "d" -> 89) ++
+      (0 until 300).map(i => s"z$i" -> (1 + rng.nextInt(5)))
+    val n = mults.map(_._2).sum
+    val phi = 0.02
+    val threshold = math.ceil(phi * n).toLong
+    val expect = mults.filter(_._2 >= threshold)
+      .map { case (k, m) => (k, m.toLong) }.toSet
+    assert(expect.nonEmpty && expect.size < mults.size)
+    val results = Seq(1, 4, 9).map { parts =>
+      Sketches.heavyHitters(keyedDf(mults, parts), "k", phi, k = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    results.foreach(r => assert(r == expect))
+  }
+
+  test("heavyHitters rejects a k below the superset guarantee") {
+    import graft.ops.Sketches
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(keyedDf(Seq("a" -> 3), 1), "k", phi = 0.01, k = 50)
+    }
+  }
 }
