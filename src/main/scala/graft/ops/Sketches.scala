@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -100,5 +100,47 @@ object Sketches {
         // materialize off the cached plan before unpersist
         .localCheckpoint(true)
     } finally grouped.unpersist()
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) with
+    * engine-portable hashing: hash row j buckets a key by the first 8
+    * hex chars of `md5("j:key")` mod w — any engine's lowercase-hex md5
+    * replays it, so the sketch is exactly reproducible in SQL.
+    *
+    * Because CMS cells are purely ADDITIVE, the materialized sketch is
+    * deterministic under any partitioning / arrival order — unlike MG,
+    * whose candidate set is layout-dependent. Execution is one
+    * codegen'd pass: a d-way explode then groupBy(j, bucket), where
+    * map-side partial aggregation caps the shuffle at d×w cells per
+    * partition regardless of input size. The materialized sketch is
+    * d×w counters — broadcastable state for any number of events.
+    */
+  def cmsBucket(j: Column, key: Column, w: Int): Column =
+    conv(substring(md5(concat_ws(":", j, key)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** The materialized sketch: (j, bucket, cnt) cells, omitting empty
+    * cells (their count is 0 by definition).
+    */
+  def cmsCells(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got d=$d w=$w")
+    df.select(col(keyCol).cast("string").as("key"))
+      .select(explode(array((0 until d).map(lit): _*)).as("j"), col("key"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("key"), w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for every distinct key: min over the d cells the
+    * key hashes to. Standard CMS guarantee: cnt <= est, and
+    * est <= cnt + eps·N with prob 1-δ for w = ⌈e/eps⌉, d = ⌈ln 1/δ⌉.
+    * The d×w cell table is broadcast; the probe side never shuffles it.
+    */
+  def cmsEstimates(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    val cells = cmsCells(df, keyCol, d, w)
+    df.select(col(keyCol).cast("string").as("key")).distinct()
+      .select(col("key"), explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("key"), w))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("key").agg(min("cnt").as("cms_est"))
   }
 }

@@ -31,7 +31,44 @@ object SketchQueries {
       |GROUP BY user_id, n.total
       |HAVING count(*) >= CAST(ceil(0.008 * n.total) AS BIGINT)""".stripMargin
 
+  /** CMS point estimates joined against exact counts for every user:
+    * (user_id, cms_est, cnt) with cms_est >= cnt always. d=4, w=64 so
+    * 150 users at sf0.01 genuinely collide (the sketch is doing work,
+    * not memorizing). Fully deterministic: cells are additive and the
+    * hash family is pinned md5 — the oracle replays the entire sketch.
+    */
+  private def evFreqCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = Sketches.cmsEstimates(ev, "user_id", d = 4, w = 64)
+    val exact = ev.groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    est.join(exact, "key")
+      .select(col("key").cast("long").as("user_id"), col("cms_est"),
+        col("cnt"))
+  }
+
+  private val evFreqCmsSql =
+    """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      |js AS (SELECT unnest(range(4)) AS j),
+      |cells AS (
+      |  SELECT j,
+      |         CAST('0x' || substr(md5(j || ':' || key), 1, 8) AS BIGINT) % 64 AS bucket,
+      |         count(*) AS cnt
+      |  FROM ev CROSS JOIN js GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT DISTINCT key, j,
+      |         CAST('0x' || substr(md5(j || ':' || key), 1, 8) AS BIGINT) % 64 AS bucket
+      |  FROM ev CROSS JOIN js),
+      |est AS (
+      |  SELECT p.key, min(c.cnt) AS cms_est
+      |  FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      |  GROUP BY 1),
+      |exact AS (SELECT key, count(*) AS cnt FROM ev GROUP BY 1)
+      |SELECT CAST(est.key AS BIGINT) AS user_id, est.cms_est, exact.cnt
+      |FROM est JOIN exact ON est.key = exact.key""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
+    QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
   )
 }

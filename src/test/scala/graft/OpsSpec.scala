@@ -775,6 +775,26 @@ class OpsSpec extends AnyFunSuite {
     results.foreach(r => assert(r == expect))
   }
 
+  test("count-min estimates dominate exact counts and are layout-invariant") {
+    import graft.ops.Sketches
+    val rng = new Lcg(23)
+    val mults = (0 until 120).map(i => s"k$i" -> (1 + rng.nextInt(30)))
+    val exact = mults.toMap
+    val d = 3; val w = 32 // 120 keys into 32 buckets: collisions certain
+    val ests = Seq(1, 5).map { parts =>
+      Sketches.cmsEstimates(keyedDf(mults, parts), "k", d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // additive cells => identical estimates under any partitioning
+    assert(ests(0) == ests(1))
+    assert(ests(0).keySet == exact.keySet)
+    for ((k, est) <- ests(0)) assert(est >= exact(k), s"underestimate at $k")
+    // with 120 keys in 32 buckets at least one estimate must collide up
+    assert(ests(0).exists { case (k, est) => est > exact(k) })
+    // cell table is bounded by d*w regardless of input size
+    assert(Sketches.cmsCells(keyedDf(mults, 5), "k", d, w).count() <= d * w)
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
