@@ -143,4 +143,52 @@ object Sketches {
       .join(broadcast(cells), Seq("j", "bucket"))
       .groupBy("key").agg(min("cnt").as("cms_est"))
   }
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    * unbiased estimator from Beyer et al., SIGMOD 2007): the k smallest
+    * distinct values of a pinned 32-bit hash (first 8 md5 hex chars —
+    * the same engine-portable family as [[cmsBucket]]).
+    *
+    * The summary is a SET, so it is arrival-order- and layout-
+    * invariant, mergeable (union + re-truncate), and exactly
+    * reproducible in SQL as DISTINCT/ORDER BY/LIMIT k. Execution: the
+    * hash is computed codegen-side; each partition keeps a k-capped
+    * TreeSet (O(k) state, no pre-distinct full shuffle), and only
+    * partitions × k candidate hashes reach the final global
+    * truncation — the full-cardinality exchange a `countDistinct`
+    * needs never happens.
+    */
+  def kmvMinHashes(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+        }
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(_.longValue())
+      }
+      .toDF("h").distinct().sort("h").limit(k)
+  }
+
+  /** Distinct-count estimate from the KMV summary: (k-1)/U(h_k) with
+    * U the kth-smallest hash normalized to [0,1); exact (the observed
+    * hash count) when fewer than k distinct hashes exist. One tiny
+    * aggregate over the ≤k-row summary.
+    */
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    kmvMinHashes(df, keyCol, k)
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+      .select(
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round(
+            (col("k_used") - 1) * lit(4294967296.0) / col("kth_hash"), 6))
+          .as("dv_est"),
+        col("kth_hash"))
 }

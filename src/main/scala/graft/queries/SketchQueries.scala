@@ -67,8 +67,36 @@ object SketchQueries {
       |SELECT CAST(est.key AS BIGINT) AS user_id, est.cms_est, exact.cnt
       |FROM est JOIN exact ON est.key = exact.key""".stripMargin
 
+  /** KMV distinct-count estimate over event_id (the high-cardinality
+    * column — the case where exact countDistinct is the 100 TB
+    * bottleneck), reported against the exact count. k=256 gives
+    * ~1/sqrt(k) ≈ 6% expected relative error; the estimate itself is
+    * deterministic (pinned hashes, set semantics) so the oracle
+    * replays it to the digit.
+    */
+  private def evDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Sketches.kmvDistinctEstimate(ev, "event_id", k = 256)
+      .crossJoin(ev.agg(count_distinct(col("event_id")).as("dv_exact")))
+  }
+
+  private val evDistinctKmvSql =
+    """WITH hs AS (
+      |  SELECT DISTINCT
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM events),
+      |topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+      |agg AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM topk),
+      |tot AS (SELECT count(DISTINCT event_id) AS dv_exact FROM events)
+      |SELECT CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |            ELSE round((k_used - 1) * 4294967296.0 / kth_hash, 6)
+      |       END AS dv_est,
+      |       kth_hash, dv_exact
+      |FROM agg CROSS JOIN tot""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
+    QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
   )
 }

@@ -795,6 +795,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Sketches.cmsCells(keyedDf(mults, 5), "k", d, w).count() <= d * w)
   }
 
+  test("KMV summary is layout-invariant; estimate is exact below k and close above") {
+    import graft.ops.Sketches
+    // 5000 distinct keys, some repeated rows (dups must not perturb the set)
+    val mults = (0 until 5000).map(i => s"v$i" -> (1 + i % 3))
+    val k = 128
+    val sketches = Seq(1, 7).map { parts =>
+      Sketches.kmvMinHashes(keyedDf(mults, parts), "k", k)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(sketches(0) == sketches(1))
+    assert(sketches(0).length == k && sketches(0) == sketches(0).sorted)
+    val est = Sketches.kmvDistinctEstimate(keyedDf(mults, 7), "k", k)
+      .head.getDouble(0)
+    // deterministic draw; 1/sqrt(128) ~ 8.8% expected relative error
+    assert(math.abs(est - 5000) / 5000.0 < 0.3, s"estimate $est too far")
+    // below k the estimate is the exact distinct count
+    val small = Sketches.kmvDistinctEstimate(
+      keyedDf((0 until 50).map(i => s"s$i" -> 2), 3), "k", k).head.getDouble(0)
+    assert(small == 50.0)
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
