@@ -24,10 +24,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
+    // `div`, not `/`: Column./ is DOUBLE division, and 2024-era int64
+    // nanos exceed double's 2^53 mantissa — the rounded quotient is off
+    // by ±1 µs, which an exact-µs oracle (epoch_us arithmetic) catches.
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") /
-          org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -226,6 +226,34 @@ object CoreQueries {
     s"SELECT round($hxy + $hxz - log2($n) - $hx, 6) AS measure"
   }
 
+  /** As-of join: attribute every event to the user's most recent
+    * signup at-or-before it (the point-in-time attribution shape:
+    * "which session/campaign/snapshot was live when this row
+    * happened"). Union-tag forward-fill — one shuffle, no range
+    * explosion; oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  private def evAsofSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val anchors = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("id"))
+    graft.ops.AsofJoin.asofJoin(ev, anchors, "user_id", "ts",
+      payloadCols = Seq("id", "ts"), prefix = "anchor_")
+      .select(col("event_id"), col("user_id"),
+        col("anchor_id").as("anchor_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(col("anchor_ts"))).as("us_since_anchor"))
+  }
+
+  private val evAsofSignupSql =
+    """WITH anchors AS (
+      |  SELECT user_id, ts, max(event_id) AS anchor_id
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, a.anchor_id,
+      |       epoch_us(e.ts) - epoch_us(a.ts) AS us_since_anchor
+      |FROM events e ASOF LEFT JOIN anchors a
+      |  ON e.user_id = a.user_id AND e.ts >= a.ts""".stripMargin
+
   /** Streaming-shaped batch query: hourly tumbling-window counts over the
     * events table (same dataflow as readStream + window + agg).
     */
@@ -339,5 +367,6 @@ object CoreQueries {
     QueryDef("mvd_measure", mvdMeasure, Some(mvdMeasureSql)),
     QueryDef("ev_hourly_window", evHourly, Some(evHourlySql)),
     QueryDef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
+    QueryDef("ev_asof_last_signup", evAsofSignup, Some(evAsofSignupSql)),
   )
 }

@@ -816,6 +816,43 @@ class OpsSpec extends AnyFunSuite {
     assert(small == 50.0)
   }
 
+  test("asofJoin matches a naive latest-at-or-before oracle incl. edge cases") {
+    import graft.ops.AsofJoin
+    // left rows: (id, key, t); right rows: (rid, key, t)
+    val left = Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 2L), (5L, "b", 7L), (6L, "b", 100L), (7L, "c", 1L))
+    val right = Seq((90L, "a", 5L), (91L, "a", 9L), (92L, "a", 9L),
+      (93L, "b", 7L), (94L, "b", 50L)) // key c: no anchors at all
+    val lDf = spark.createDataFrame(
+      java.util.Arrays.asList(left.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("k", StringType, false), StructField("t", LongType, false))))
+      .repartition(5)
+    val rDf = spark.createDataFrame(
+      java.util.Arrays.asList(right.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("rid", LongType, false),
+        StructField("k", StringType, false), StructField("t", LongType, false))))
+      .repartition(3)
+    val got = AsofJoin.asofJoin(lDf, rDf, "k", "t", Seq("rid", "t"), "m_")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    val naive = left.map { case (id, k, t) =>
+      val cand = right.filter(r => r._2 == k && r._3 <= t)
+      val m = if (cand.isEmpty) None
+        // latest ts; tie-break max rid (struct-max with rid leading)
+        else Some(cand.maxBy(r => (r._3, r._1)))
+      (id, m.map(_._1), m.map(_._3))
+    }.toSet
+    assert(got == naive)
+    // spot-check semantics: id=1 matches rid=90 at equal ts (inclusive);
+    // id=2 hits the rid 91/92 tie broken to 92; id=4 and all of key c null
+    assert(naive.contains((1L, Some(90L), Some(5L))))
+    assert(naive.contains((2L, Some(92L), Some(9L))))
+    assert(naive.contains((4L, None, None)))
+    assert(naive.contains((7L, None, None)))
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
