@@ -254,6 +254,43 @@ object CoreQueries {
       |FROM events e ASOF LEFT JOIN anchors a
       |  ON e.user_id = a.user_id AND e.ts >= a.ts""".stripMargin
 
+  /** Interval join: per signup anchor, how many events (and purchases)
+    * the user produced in the 24 h strictly after it — the attribution-
+    * window shape. Bucketed (key, ⌊ts/W⌋) equijoin via
+    * [[graft.ops.IntervalJoin]]; zero-follow-up anchors are preserved
+    * by the left join back onto the anchor set.
+    */
+  private def evFollowup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val anchors = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("a_ts"))
+      .agg(max("event_id").as("anchor_id"))
+    val pairs = graft.ops.IntervalJoin.intervalJoin(
+      anchors.select("user_id", "a_ts", "anchor_id"),
+      ev.select(col("user_id"), col("ts"), col("event_type").as("e_type")),
+      "user_id", "a_ts", "ts", lengthMicros = 86400000000L)
+    val counts = pairs.groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_follow"),
+        count(when(col("e_type") === "purchase", 1)).as("n_purchase"))
+    anchors.join(counts, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("user_id"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+  }
+
+  private val evFollowupSql =
+    """WITH anchors AS (
+      |  SELECT user_id, ts, max(event_id) AS anchor_id
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT a.anchor_id, a.user_id,
+      |       count(e.event_id) AS n_follow,
+      |       count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS n_purchase
+      |FROM anchors a LEFT JOIN events e
+      |  ON e.user_id = a.user_id
+      | AND epoch_us(e.ts) > epoch_us(a.ts)
+      | AND epoch_us(e.ts) <= epoch_us(a.ts) + 86400000000
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming-shaped batch query: hourly tumbling-window counts over the
     * events table (same dataflow as readStream + window + agg).
     */
@@ -368,5 +405,6 @@ object CoreQueries {
     QueryDef("ev_hourly_window", evHourly, Some(evHourlySql)),
     QueryDef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     QueryDef("ev_asof_last_signup", evAsofSignup, Some(evAsofSignupSql)),
+    QueryDef("ev_signup_followup_24h", evFollowup, Some(evFollowupSql)),
   )
 }

@@ -853,6 +853,40 @@ class OpsSpec extends AnyFunSuite {
     assert(naive.contains((7L, None, None)))
   }
 
+  test("intervalJoin matches a naive range-predicate oracle on boundaries") {
+    import graft.ops.IntervalJoin
+    val len = 1000L // micros
+    // anchors chosen to straddle bucket boundaries: 999 -> window
+    // (999, 1999] spans buckets 0 and 1; 2000 is an exact multiple
+    val anchors = Seq((1L, "a", 999L), (2L, "a", 2000L), (3L, "b", 500L))
+    val evs = Seq((10L, "a", 999L), (11L, "a", 1000L), (12L, "a", 1999L),
+      (13L, "a", 2000L), (14L, "a", 3000L), (15L, "a", 3001L),
+      (16L, "b", 1500L), (17L, "b", 1501L), (18L, "c", 600L))
+    val aDf = spark.createDataFrame(
+      java.util.Arrays.asList(anchors.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("aid", LongType, false),
+        StructField("k", StringType, false), StructField("t0", LongType, false))))
+      .select(col("aid"), col("k"), timestamp_micros(col("t0")).as("a_ts"))
+      .repartition(3)
+    val eDf = spark.createDataFrame(
+      java.util.Arrays.asList(evs.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("eid", LongType, false),
+        StructField("k", StringType, false), StructField("t", LongType, false))))
+      .select(col("eid"), col("k"), timestamp_micros(col("t")).as("e_ts"))
+      .repartition(2)
+    val got = IntervalJoin.intervalJoin(aDf, eDf, "k", "a_ts", "e_ts", len)
+      .select("aid", "eid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (aid, ak, t0) <- anchors
+      (eid, ek, t) <- evs
+      if ak == ek && t > t0 && t <= t0 + len
+    } yield (aid, eid)).toSet
+    assert(got == naive)
+    // boundary semantics pinned: start-exclusive, end-inclusive,
+    // cross-bucket (12 is in bucket 1, anchor 1 in bucket 0)
+    assert(naive == Set((1L, 11L), (1L, 12L), (2L, 14L), (3L, 16L)))
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
