@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -182,6 +183,53 @@ object Sketches {
     * hash count) when fewer than k distinct hashes exist. One tiny
     * aggregate over the ≤k-row summary.
     */
+  /** Fixed-binning histogram over [lo, hi): bin = ⌊(v−lo)/width⌋
+    * clamped to [0, bins). Cells are additive, so like [[cmsCells]]
+    * the sketch is layout-invariant, SQL-replayable, and shuffles at
+    * most `bins` cells per partition after map-side combine.
+    */
+  def histogram(df: DataFrame, valCol: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(hi > lo && bins >= 2, s"bad histogram spec [$lo,$hi)x$bins")
+    val width = (hi - lo) / bins
+    df.groupBy(
+        least(greatest(floor((col(valCol) - lo) / width), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates read off the histogram by a cumulative walk
+    * with linear interpolation inside the covering bin:
+    * est(q) = lo + width·(b + (q·N − cum_before(b)) / cnt(b)) where b
+    * is the first bin with cum(b) ≥ q·N. Error is bounded by one bin
+    * width — choose bins from the tolerance, independent of N. The
+    * walk runs on the ≤bins-row summary (the unpartitioned window is
+    * sketch-sized by construction, not data-sized).
+    */
+  def histQuantiles(df: DataFrame, valCol: String, lo: Double, hi: Double,
+                    bins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val width = (hi - lo) / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = histogram(df, valCol, lo, hi, bins)
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    qs.toDF("q")
+      .join(c, col("cum") >= col("q") * col("n"))
+      .groupBy("q").agg(min("bin").as("bin"))
+      .join(c, "bin")
+      .select(col("q"),
+        round(lit(lo) + lit(width) *
+          (col("bin") + (col("q") * col("n") - (col("cum") - col("cnt"))) /
+            col("cnt")), 6).as("hist_est"))
+  }
+
   def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
     kmvMinHashes(df, keyCol, k)
       .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))

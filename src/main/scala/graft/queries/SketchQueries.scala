@@ -94,9 +94,51 @@ object SketchQueries {
       |       kth_hash, dv_exact
       |FROM agg CROSS JOIN tot""".stripMargin
 
+  /** Histogram-sketch quantiles of events.value (p50/p90/p99) next to
+    * the exact interpolated percentiles. 256 bins over [0, 640) bound
+    * the estimate error at one bin width (2.5) independent of N; both
+    * the sketch walk and the exact values are replayed by the oracle
+    * in pinned double arithmetic.
+    */
+  private def evValueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val qsArr = Seq(0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(ev, "value", lo = 0.0, hi = 640.0,
+      bins = 256, qs = qsArr)
+    val exact = ev
+      .select(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "ex")))
+      .select(element_at(typedLit(qsArr), col("i") + 1).as("q"),
+        round(col("ex"), 6).as("exact_q"))
+    est.join(exact, "q").select(col("q"), col("hist_est"), col("exact_q"))
+  }
+
+  private val evValueQuantilesSql =
+    """WITH h AS (
+      |  SELECT CAST(least(greatest(floor(value / 2.5::DOUBLE), 0), 255) AS BIGINT) AS bin,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT bin, cnt,
+      |        sum(cnt) OVER (ORDER BY bin) AS cum,
+      |        sum(cnt) OVER () AS n
+      |      FROM h),
+      |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+      |sel AS (SELECT q, min(bin) AS bin
+      |        FROM qs JOIN c ON c.cum >= q * c.n GROUP BY q),
+      |est AS (SELECT q,
+      |          round(2.5::DOUBLE * (c.bin + (q * c.n - (c.cum - c.cnt)) / c.cnt), 6) AS hist_est
+      |        FROM sel JOIN c USING (bin)),
+      |ex AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+      |              unnest(quantile_cont(value, [0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])) AS exq
+      |       FROM events)
+      |SELECT est.q, est.hist_est, round(ex.exq, 6) AS exact_q
+      |FROM est JOIN ex ON est.q = ex.q""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
+    QueryDef("ev_value_quantiles", evValueQuantiles,
+      Some(evValueQuantilesSql)),
   )
 }

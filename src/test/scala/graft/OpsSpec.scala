@@ -887,6 +887,40 @@ class OpsSpec extends AnyFunSuite {
     assert(naive == Set((1L, 11L), (1L, 12L), (2L, 14L), (3L, 16L)))
   }
 
+  test("histogram quantiles are within a bin width of exact, layout-invariant") {
+    import graft.ops.Sketches
+    val rng = new Lcg(31)
+    // skewed-ish values in [0, 200): squares of uniform draws
+    val vals = (0 until 4000).map { _ =>
+      val u = rng.nextInt(10000) / 10000.0; u * u * 200.0
+    }
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(Row(_)), parts),
+      StructType(Seq(StructField("v", DoubleType, nullable = false))))
+    val lo = 0.0; val hi = 200.0; val bins = 100
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = Seq(2, 8).map { p =>
+      Sketches.histQuantiles(df(p), "v", lo, hi, bins, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    }
+    assert(got(0) == got(1)) // additive cells => layout-invariant
+    val sorted = vals.sorted
+    val width = (hi - lo) / bins
+    for (q <- qs) {
+      // exact interpolated quantile (quantile_cont definition)
+      val pos = q * (sorted.size - 1)
+      val i = pos.toInt
+      val exact = if (i + 1 < sorted.size)
+        sorted(i) + (pos - i) * (sorted(i + 1) - sorted(i)) else sorted.last
+      // one bin width of sketch error + the q*N vs q*(N-1) rank-
+      // convention gap (at most one inter-sample spacing)
+      assert(math.abs(got(0)(q) - exact) <= 2 * width,
+        s"q=$q est=${got(0)(q)} exact=$exact")
+    }
+    // histogram cell count never exceeds the bin budget
+    assert(Sketches.histogram(df(8), "v", lo, hi, bins).count() <= bins)
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
