@@ -61,6 +61,31 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws u ∈ (0,1] from the pinned md5 hash
+    * of its key and competes with priority u^(1/w); the k highest
+    * priorities are a weighted sample where inclusion probability is
+    * proportional to weight, exactly as if drawn sequentially without
+    * replacement. Same portability story as [[hashSample]] — no RNG
+    * state, any engine replays the draw — plus a total order (priority
+    * desc, key asc) so the selected SET is well-defined.
+    *
+    * Scale: `orderBy(...).limit(k)` compiles to TakeOrderedAndProject —
+    * per-partition top-k heaps merged on the driver, never a global
+    * sort shuffle. k drives memory, not N.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                     salt: String = "w"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val u = (h + 1.0) / 4294967296.0 // (0,1]: u=0 would zero every priority
+    df.withColumn("pri", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("pri").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: per-stratum rates (the
     * "downsample over-represented sources, keep all of the rare ones"
     * corpus-mixing step), `defaultRate` for strata not in the map. One

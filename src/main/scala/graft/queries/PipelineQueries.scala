@@ -1043,6 +1043,30 @@ object PipelineQueries {
       queryIds = Seq(0L, 1L, 2L), k = 3)
   }
 
+  /** Length-weighted deterministic sample of 100 docs (longer docs
+    * proportionally likelier — the corpus-mixing "sample by quality
+    * weight" step) via Efraimidis-Spirakis priorities on pinned
+    * hashes. The oracle replays draw, priority, and the total order.
+    */
+  private def docWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(length(col("text")), lit(1)).cast("long").as("wt"))
+    Sampling.weightedSample(docs, "doc_id", col("wt"), k = 100)
+      .select(col("doc_id"), col("wt"), round(col("pri"), 6).as("pri"))
+  }
+
+  private val docWeightedSampleSql =
+    """WITH w AS (
+      |  SELECT doc_id, greatest(length(text), 1) AS wt,
+      |    (CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+      |      / 4294967296.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, wt, round(pow(u, 1.0 / wt), 6) AS pri
+      |FROM w
+      |ORDER BY pow(u, 1.0 / wt) DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
@@ -1087,6 +1111,8 @@ object PipelineQueries {
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("doc_split_assign", docSplitAssign, Some(docSplitAssignSql)),
+    QueryDef("doc_weighted_sample", docWeightedSample,
+      Some(docWeightedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),

@@ -921,6 +921,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Sketches.histogram(df(8), "v", lo, hi, bins).count() <= bins)
   }
 
+  test("weightedSample replays exactly and biases toward heavy weights") {
+    import graft.ops.Sampling
+    import java.security.MessageDigest
+    // 40 heavy keys (w=80) among 400 light ones (w=1)
+    val rows = (0 until 440).map { i =>
+      (s"d$i", if (i < 40) 80L else 1L)
+    }
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), parts),
+      StructType(Seq(StructField("id", StringType, false),
+        StructField("wt", LongType, false))))
+    val k = 60
+    val got = Seq(2, 7).map { p =>
+      Sampling.weightedSample(df(p), "id", col("wt"), k)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    }
+    assert(got(0).toSet == got(1).toSet) // layout-invariant
+    // exact JVM replay of the pinned draw (same md5, same double ops)
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive = rows.map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"w:$id").substring(0, 8), 16) + 1.0) / 4294967296.0
+      (id, math.pow(u, 1.0 / w))
+    }.sortBy { case (id, pri) => (-pri, id) }.take(k)
+    assert(got(0).map(_._1).toSet == naive.map(_._1).toSet)
+    assert(got(0).toMap == naive.toMap)
+    // 40 heavy keys at weight 80 should dominate the 60 slots
+    val heavies = naive.count(_._1.drop(1).toInt < 40)
+    assert(heavies > 30, s"only $heavies heavy keys sampled")
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
