@@ -183,6 +183,39 @@ object Sketches {
     * hash count) when fewer than k distinct hashes exist. One tiny
     * aggregate over the ≤k-row summary.
     */
+  /** Bloom-filter bit positions for a key set: d positions per key
+    * from the same pinned family as [[cmsBucket]] (md5("j:key") mod m),
+    * deduplicated — the filter IS this ≤m-row position set, an
+    * idempotent union-mergeable summary any engine can rebuild. At
+    * 100 TB the reference side of a cross-snapshot dedup collapses to
+    * these bits: broadcastable, and probing never shuffles the corpus.
+    */
+  def bloomBits(df: DataFrame, keyCol: String, m: Int, d: Int): DataFrame = {
+    require(m >= 16 && d >= 1, s"bad bloom spec m=$m d=$d")
+    df.select(col(keyCol).cast("string").as("key"))
+      .select(explode(array((0 until d).map(lit): _*)).as("j"), col("key"))
+      .select(cmsBucket(col("j"), col("key"), m).as("pos"))
+      .distinct()
+  }
+
+  /** Probe: appends `bloom_maybe` — true iff ALL d of the key's
+    * positions are set. Guarantees no false negatives (a member's
+    * positions are all in the set by construction); false positives
+    * occur at the standard (1-e^{-dn/m})^d rate and must be resolved
+    * by an exact join on the survivors only.
+    */
+  def bloomProbe(df: DataFrame, keyCol: String, bits: DataFrame,
+                 m: Int, d: Int): DataFrame = {
+    val probes = df.select(col(keyCol).cast("string").as("_bkey")).distinct()
+      .select(col("_bkey"), explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("pos", cmsBucket(col("j"), col("_bkey"), m))
+    val hits = probes.join(broadcast(bits), "pos")
+      .groupBy("_bkey").agg((count(lit(1)) === d).as("bloom_maybe"))
+    df.join(hits, col(keyCol).cast("string") === col("_bkey"), "left")
+      .withColumn("bloom_maybe", coalesce(col("bloom_maybe"), lit(false)))
+      .drop("_bkey")
+  }
+
   /** Fixed-binning histogram over [lo, hi): bin = ⌊(v−lo)/width⌋
     * clamped to [0, bins). Cells are additive, so like [[cmsCells]]
     * the sketch is layout-invariant, SQL-replayable, and shuffles at

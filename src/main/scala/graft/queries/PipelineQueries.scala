@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,54 @@ object PipelineQueries {
       |  UNION
       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
       |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  /** Bloom pre-filter over the same reference/batch split as
+    * `dedup_against_reference`: the reference fingerprint set becomes
+    * 65536 bits × 3 hashes, the batch probes them, and the output
+    * pairs the bloom verdict with exact membership — the oracle
+    * replays every bit position, so the no-false-negative property is
+    * hash-gated, not just spec-asserted. m is sized for the gate
+    * scales (1.8% fill at sf0.01, 18% at sf0.1); a production caller
+    * sizes m from |reference|.
+    */
+  private def dedupBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val ref = fps.filter(col("doc_id") % 10 < 8).select("fp").distinct()
+    val batch = fps.filter(col("doc_id") % 10 >= 8)
+      .unionByName(fps.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("fp")))
+    val bits = Sketches.bloomBits(ref, "fp", m = 65536, d = 3)
+    Sketches.bloomProbe(batch, "fp", bits, m = 65536, d = 3)
+      .join(ref.withColumn("is_ref", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_maybe"),
+        coalesce(col("is_ref"), lit(false)).as("is_ref"))
+  }
+
+  private val dedupBloomPrefilterSql =
+    """WITH fp AS (SELECT doc_id,
+      |              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |            FROM documents),
+      |ref AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 8),
+      |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 8
+      |          UNION ALL
+      |          SELECT doc_id + 10000, fp FROM fp WHERE doc_id % 50 = 0),
+      |js AS (SELECT unnest(range(3)) AS j),
+      |bits AS (SELECT DISTINCT
+      |           CAST('0x' || substr(md5(j || ':' || fp), 1, 8) AS BIGINT) % 65536 AS pos
+      |         FROM ref CROSS JOIN js),
+      |probe AS (SELECT b.doc_id, b.fp, j,
+      |            CAST('0x' || substr(md5(j || ':' || fp), 1, 8) AS BIGINT) % 65536 AS pos
+      |          FROM batch b CROSS JOIN js),
+      |hits AS (SELECT p.doc_id, count(*) AS nhit
+      |         FROM probe p JOIN bits ON bits.pos = p.pos
+      |         GROUP BY 1)
+      |SELECT b.doc_id,
+      |       coalesce(h.nhit, 0) = 3 AS bloom_maybe,
+      |       r.fp IS NOT NULL AS is_ref
+      |FROM batch b
+      |LEFT JOIN hits h ON h.doc_id = b.doc_id
+      |LEFT JOIN ref r ON r.fp = b.fp""".stripMargin
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1072,6 +1120,8 @@ object PipelineQueries {
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_against_reference", dedupAgainstRef, Some(dedupAgainstRefSql)),
+    QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,
+      Some(dedupBloomPrefilterSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

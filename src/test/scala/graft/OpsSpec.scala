@@ -953,6 +953,24 @@ class OpsSpec extends AnyFunSuite {
     assert(heavies > 30, s"only $heavies heavy keys sampled")
   }
 
+  test("bloom probe has zero false negatives and a sane false-positive rate") {
+    import graft.ops.Sketches
+    val members = (0 until 300).map(i => s"m$i" -> 1)
+    val others = (0 until 300).map(i => s"x$i" -> 1)
+    val m = 4096; val d = 3
+    val bits = Sketches.bloomBits(keyedDf(members, 3), "k", m, d)
+    val probed = Sketches.bloomProbe(
+      keyedDf(members ++ others, 4), "k", bits, m, d)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever
+    assert(members.forall { case (k, _) => probed(k) })
+    // fill = 1-(1-1/m)^(d*300) ~ 0.197 -> fp ~ 0.8%; allow generous slack
+    val fps = others.count { case (k, _) => probed(k) }
+    assert(fps < 30, s"$fps false positives out of 300")
+    // bit set is deduplicated and bounded
+    assert(bits.count() <= math.min(m, d * 300))
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
