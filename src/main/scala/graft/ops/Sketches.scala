@@ -36,6 +36,23 @@ object Sketches {
     * bounds, so they are deliberately NOT returned — only the key set
     * is, and the exact join-back recounts it deterministically.
     */
+  /** One MG step: fold `x` into a counter table capped at k entries.
+    * Shared by the batch per-partition pass and the streaming
+    * per-shard state so both paths run the identical algorithm.
+    */
+  def mgStep(counters: mutable.HashMap[String, Long], x: String,
+             k: Int): Unit =
+    counters.get(x) match {
+      case Some(c) => counters.update(x, c + 1L)
+      case None if counters.size < k => counters.update(x, 1L)
+      case None =>
+        // decrement-all; snapshot first (no mutation mid-iterate)
+        counters.toArray.foreach { case (key, c) =>
+          if (c == 1L) counters.remove(key)
+          else counters.update(key, c - 1L)
+        }
+    }
+
   def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
@@ -43,18 +60,7 @@ object Sketches {
     df.select(col(keyCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counters = mutable.HashMap.empty[String, Long]
-        it.foreach { x =>
-          counters.get(x) match {
-            case Some(c) => counters.update(x, c + 1L)
-            case None if counters.size < k => counters.update(x, 1L)
-            case None =>
-              // decrement-all; snapshot first (no mutation mid-iterate)
-              counters.toArray.foreach { case (key, c) =>
-                if (c == 1L) counters.remove(key)
-                else counters.update(key, c - 1L)
-              }
-          }
-        }
+        it.foreach(mgStep(counters, _, k))
         counters.keysIterator
       }
       .toDF("key").distinct()

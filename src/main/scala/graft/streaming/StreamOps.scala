@@ -319,4 +319,45 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class MgShardState(counters: Map[String, Long], seq: Long)
+  final case class MgShardCandidates(shard: Int, seq: Long,
+                                     keys: Seq[String])
+
+  /** Streaming Misra–Gries heavy-hitter candidates: keys are sharded by
+    * pinned hash (every occurrence of a key lands in ONE shard's
+    * state), each shard folds [[graft.ops.Sketches.mgStep]] — the same
+    * algorithm as the batch operator — into a k-capped counter table,
+    * and emits its current survivor set with a sequence number every
+    * micro-batch; the latest emission per shard is the live candidate
+    * set. State is O(shards × k) forever, on an unbounded feed.
+    *
+    * Superset guarantee carries over: a key's full stream count f is
+    * contained in its shard's substream of length n_s ≤ N, so
+    * f > N/k ⇒ f > n_s/k ⇒ the key survives its shard's table. As in
+    * batch, survivors are candidates only — an exact recount (e.g. a
+    * windowed groupBy downstream) makes the final answer exact.
+    */
+  def heavyHitterCandidatesStream(keys: Dataset[String], k: Int,
+                                  shards: Int): Dataset[MgShardCandidates] = {
+    import keys.sparkSession.implicits._
+    require(k >= 1 && shards >= 1, s"bad spec k=$k shards=$shards")
+
+    def update(shard: Int, rows: Iterator[String],
+               state: GroupState[MgShardState]): Iterator[MgShardCandidates] = {
+      val st = state.getOption.getOrElse(MgShardState(Map.empty, 0L))
+      val counters = scala.collection.mutable.HashMap.from(st.counters)
+      rows.foreach(graft.ops.Sketches.mgStep(counters, _, k))
+      val next = MgShardState(counters.toMap, st.seq + 1)
+      state.update(next)
+      Iterator.single(
+        MgShardCandidates(shard, next.seq, counters.keys.toSeq.sorted))
+    }
+
+    keys
+      .groupByKey(key => math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(key), shards))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

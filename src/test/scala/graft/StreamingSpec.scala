@@ -124,6 +124,51 @@ class StreamingSpec extends AnyFunSuite {
       s"missing: ${(batchPairs -- got).take(3)} extra: ${(got -- batchPairs).take(3)}")
   }
 
+  test("streaming MG candidates cover exact heavies; recount matches batch") {
+    import spark.implicits._
+    val rng = new Lcg(17)
+    // 3 giants among 150 light keys; interleaved arrival order
+    val mults = Seq("g1" -> 300, "g2" -> 200, "g3" -> 120) ++
+      (0 until 150).map(i => s"t$i" -> (1 + rng.nextInt(6)))
+    val rows = mults.flatMap { case (k, m) => Seq.fill(m)(k) }
+    val dealt = rows.zipWithIndex.sortBy(_._2 % 101).map(_._1)
+    val n = rows.size
+    val k = 40; val shards = 4; val phi = 0.05
+
+    // multiple parquet files + maxFilesPerTrigger=1 => real cross-
+    // micro-batch state evolution, not one mega-batch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    spark.createDataset(dealt).toDF("key").repartition(5)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema("key STRING")
+      .option("maxFilesPerTrigger", 1).parquet(tmp).as[String]
+    val q = StreamOps.heavyHitterCandidatesStream(stream, k, shards)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("graft_mg_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("graft_mg_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[String](2))).toSeq
+    assert(emissions.map(_._2).max > 1, "expected multiple micro-batches")
+    // live candidate set = latest emission per shard
+    val cand = emissions.groupBy(_._1).values
+      .flatMap(_.maxBy(_._2)._3).toSet
+
+    val exact = mults.filter(_._2 > n.toDouble / k).map(_._1).toSet
+    assert(exact.nonEmpty && exact.forall(cand),
+      s"stream candidates missed ${exact -- cand}")
+    // exact recount over candidates reproduces the batch operator
+    val threshold = math.ceil(phi * n).toLong
+    val fromStream = mults.filter { case (key, m) =>
+      cand(key) && m >= threshold }.map { case (key, m) => (key, m.toLong) }.toSet
+    val fromBatch = graft.ops.Sketches.heavyHitters(
+      spark.createDataset(dealt).toDF("key"), "key", phi, k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromStream == fromBatch)
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
