@@ -82,6 +82,36 @@ object CoreQueries {
         .as("revenue"), count(lit(1)).as("cnt"))
   }
 
+  /** Multi-level aggregate (ROLLUP): revenue at (region, nation),
+    * per-region subtotal, and grand total in ONE pass — Catalyst's
+    * Expand feeds all three grouping sets from a single scan+shuffle
+    * instead of three jobs (the same machinery the entropy engine
+    * batches subsets with). NULL group keys mark subtotal rows.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  private val qRollupSql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
   private val q5Sql =
     """SELECT r_name, n_name,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -391,6 +421,7 @@ object CoreQueries {
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q3_join", q3Join, Some(q3Sql)),
     QueryDef("q5_six_table_join", q5Join, Some(q5Sql)),
+    QueryDef("q_rollup_revenue", qRollup, Some(qRollupSql)),
     QueryDef("p2_distinct_proj", p2Distinct, Some(p2Sql)),
     QueryDef("p4_distinct_count", p4DistinctCount, Some(p4Sql)),
     QueryDef("s5_dictionary", s5Dict, Some(s5Sql)),

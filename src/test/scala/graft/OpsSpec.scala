@@ -971,6 +971,29 @@ class OpsSpec extends AnyFunSuite {
     assert(bits.count() <= math.min(m, d * 300))
   }
 
+  test("temporal join plans have the intended shape") {
+    import graft.ops.{AsofJoin, IntervalJoin}
+    val l = spark.range(100).select(col("id"),
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(col("id") * 1000).as("lts"))
+    val r = spark.range(50).select(col("id").as("rid"),
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(col("id") * 1700).as("rts"))
+    // as-of: the union-tag plan must not contain any join operator at
+    // all — the "join" is one window pass
+    val asofPlan = AsofJoin.asofJoin(l.withColumnRenamed("lts", "t"),
+      r.withColumnRenamed("rts", "t"), "k", "t", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(asofPlan.contains("Window"))
+    assert(!asofPlan.toLowerCase.contains("join"), s"unexpected join:\n$asofPlan")
+    // interval: bucketing must yield a real equijoin, never a
+    // nested-loop/cartesian fallback
+    val ivPlan = IntervalJoin.intervalJoin(l, r, "k", "lts", "rts", 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!ivPlan.contains("CartesianProduct") &&
+      !ivPlan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$ivPlan")
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
