@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.Sketches
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-backed frequency statistics over the events stream. Each
@@ -134,11 +135,97 @@ object SketchQueries {
       |SELECT est.q, est.hist_est, round(ex.exq, 6) AS exact_q
       |FROM est JOIN ex ON est.q = ex.q""".stripMargin
 
+  /** One composed table-profiler over events — the pre-training data-
+    * quality dashboard: per-column null counts, exact + KMV distinct,
+    * MG-pruned top values with exact recounts, histogram p50, min/max.
+    * Long format (col, metric, val_num, val_str); every metric is a
+    * sketch-family composition the oracle replays exactly. KMV on 150
+    * users also pins the below-k exactness path in a registry gate.
+    */
+  private def profileEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nullStr = lit(null).cast("string")
+    def row(c: String, m: String, v: Column): DataFrame =
+      ev.agg(v.cast("double").as("val_num"))
+        .select(lit(c).as("col"), lit(m).as("metric"), col("val_num"),
+          nullStr.as("val_str"))
+
+    val basics = Seq(
+      row("user_id", "null_cnt", count(lit(1)) - count(col("user_id"))),
+      row("user_id", "distinct_exact", count_distinct(col("user_id"))),
+      row("value", "null_cnt", count(lit(1)) - count(col("value"))),
+      row("value", "min", round(min(col("value")), 6)),
+      row("value", "max", round(max(col("value")), 6)),
+      row("event_type", "null_cnt",
+        count(lit(1)) - count(col("event_type"))))
+      .reduce(_ unionByName _)
+
+    val kmv = Sketches.kmvDistinctEstimate(ev, "user_id", k = 256)
+      .select(lit("user_id").as("col"), lit("distinct_kmv").as("metric"),
+        col("dv_est").cast("double").as("val_num"), nullStr.as("val_str"))
+
+    val p50 = Sketches.histQuantiles(ev, "value", lo = 0.0, hi = 640.0,
+      bins = 256, qs = Seq(0.5))
+      .select(lit("value").as("col"), lit("p50_hist").as("metric"),
+        col("hist_est").as("val_num"), nullStr.as("val_str"))
+
+    val byCount = Window.orderBy(col("cnt").desc, col("key").asc)
+    val top3 = Sketches.heavyHitters(ev, "event_type", phi = 0.1, k = 16)
+      .withColumn("rn", row_number().over(byCount))
+      .filter(col("rn") <= 3)
+      .select(lit("event_type").as("col"),
+        concat(lit("top"), col("rn")).as("metric"),
+        col("cnt").cast("double").as("val_num"), col("key").as("val_str"))
+
+    basics.unionByName(kmv).unionByName(p50).unionByName(top3)
+  }
+
+  private val profileEventsSql =
+    """WITH hs AS (
+      |  SELECT DISTINCT
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM events),
+      |kagg AS (SELECT count(*) AS k_used, max(h) AS kth
+      |         FROM (SELECT h FROM hs ORDER BY h LIMIT 256)),
+      |hist AS (
+      |  SELECT CAST(least(greatest(floor(value / 2.5::DOUBLE), 0), 255) AS BIGINT) AS bin,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |hc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |              sum(cnt) OVER () AS n FROM hist),
+      |hsel AS (SELECT min(bin) AS bin FROM hc WHERE cum >= 0.5::DOUBLE * n),
+      |p50 AS (SELECT round(2.5::DOUBLE * (hc.bin +
+      |            (0.5::DOUBLE * hc.n - (hc.cum - hc.cnt)) / hc.cnt), 6) AS est
+      |        FROM hsel JOIN hc USING (bin)),
+      |top3 AS (SELECT event_type AS v, count(*) AS c,
+      |                row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+      |         FROM events GROUP BY event_type
+      |         ORDER BY c DESC, v LIMIT 3)
+      |SELECT 'user_id' AS col, 'null_cnt' AS metric,
+      |       CAST(count(*) - count(user_id) AS DOUBLE) AS val_num,
+      |       NULL AS val_str FROM events
+      |UNION ALL SELECT 'user_id', 'distinct_exact',
+      |       CAST(count(DISTINCT user_id) AS DOUBLE), NULL FROM events
+      |UNION ALL SELECT 'value', 'null_cnt',
+      |       CAST(count(*) - count(value) AS DOUBLE), NULL FROM events
+      |UNION ALL SELECT 'value', 'min', round(min(value), 6), NULL FROM events
+      |UNION ALL SELECT 'value', 'max', round(max(value), 6), NULL FROM events
+      |UNION ALL SELECT 'event_type', 'null_cnt',
+      |       CAST(count(*) - count(event_type) AS DOUBLE), NULL FROM events
+      |UNION ALL SELECT 'user_id', 'distinct_kmv',
+      |       CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |            ELSE round((k_used - 1) * 4294967296.0 / kth, 6) END,
+      |       NULL FROM kagg
+      |UNION ALL SELECT 'value', 'p50_hist', est, NULL FROM p50
+      |UNION ALL SELECT 'event_type', 'top' || rn, CAST(c AS DOUBLE), v
+      |FROM top3""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
     QueryDef("ev_value_quantiles", evValueQuantiles,
       Some(evValueQuantilesSql)),
+    QueryDef("profile_events", profileEvents, Some(profileEventsSql)),
   )
 }
