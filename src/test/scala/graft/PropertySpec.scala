@@ -118,4 +118,74 @@ class PropertySpec extends AnyFunSuite {
       assert(tightened.isExactlyKnown)
     }
   }
+
+  // ---- Spark-backed properties: one job per case, so fewer cases ----
+
+  private def checkSpark(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // tight alphabets/time ranges force key collisions, equal timestamps,
+  // empty keys, and boundary hits — the as-of/interval edge cases
+  private val genTemporal: Gen[(List[(Long, String, Long)],
+      List[(Long, String, Long)])] = for {
+    nl <- Gen.choose(1, 25)
+    nr <- Gen.choose(0, 15)
+    l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 20L)))
+    r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 20L)))
+  } yield (
+    l.zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) },
+    r.zipWithIndex.map { case ((k, t), i) => (1000L + i, s"k$k", t) })
+
+  private def tsDf(rows: Seq[(Long, String, Long)], idName: String,
+                   tsName: String) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    SparkSuite.spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField(idName, LongType, false),
+        StructField("k", StringType, false),
+        StructField("t0", LongType, false))))
+      .select(org.apache.spark.sql.functions.col(idName),
+        org.apache.spark.sql.functions.col("k"),
+        timestamp_micros(org.apache.spark.sql.functions.col("t0")).as(tsName))
+  }
+
+  test("asofJoin equals the naive latest-at-or-before model on random data") {
+    checkSpark(Prop.forAll(genTemporal) { case (left, right) =>
+      val got = graft.ops.AsofJoin.asofJoin(
+        tsDf(left, "id", "lts").repartition(3),
+        tsDf(right, "rid", "rts").withColumnRenamed("rts", "lts"),
+        "k", "lts", Seq("rid"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      val naive = left.map { case (id, k, t) =>
+        val cand = right.filter(r => r._2 == k && r._3 <= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      got == naive
+    })
+  }
+
+  test("intervalJoin equals the naive range-predicate model on random data") {
+    checkSpark(Prop.forAll(genTemporal, Gen.oneOf(1L, 3L, 7L)) {
+      case ((left, right), len) =>
+        val got = graft.ops.IntervalJoin.intervalJoin(
+          tsDf(left, "id", "lts").repartition(3),
+          tsDf(right, "rid", "rts"), "k", "lts", "rts", len)
+          .select("id", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val naive = (for {
+          (id, lk, lt) <- left
+          (rid, rk, rt) <- right
+          if lk == rk && rt > lt && rt <= lt + len
+        } yield (id, rid)).toSet
+        got == naive
+    })
+  }
 }
