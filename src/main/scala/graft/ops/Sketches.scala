@@ -270,12 +270,52 @@ object Sketches {
   }
 
   def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    kmvMinHashes(df, keyCol, k)
-      .agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+    kmvEstimate(kmvMinHashes(df, keyCol, k), k)
+
+  /** Merge two KMV summaries (frames of column `h`): union the sets and
+    * re-truncate to the k smallest — the summary of the UNION of the
+    * underlying key sets, computed without touching either corpus
+    * again. With inclusion–exclusion this gives distinct-count
+    * estimates for unions and intersections of arbitrary key sets from
+    * k-sized state per set.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().sort("h").limit(k)
+
+  /** The (k-1)/U(h_k) estimator over an existing ≤k-row summary. */
+  def kmvEstimate(mins: DataFrame, k: Int): DataFrame =
+    mins.agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
       .select(
         when(col("k_used") < k, col("k_used").cast("double"))
           .otherwise(round(
             (col("k_used") - 1) * lit(4294967296.0) / col("kth_hash"), 6))
           .as("dv_est"),
         col("kth_hash"))
+
+  /** Per-group histogram quantile: the [[histQuantiles]] walk with
+    * every window partitioned by the group column — cells stay
+    * additive at ≤ groups×bins rows, one shuffle.
+    */
+  def histQuantileByGroup(df: DataFrame, grpCol: String, valCol: String,
+                          lo: Double, hi: Double, bins: Int,
+                          q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
+    val width = (hi - lo) / bins
+    val cells = df.groupBy(col(grpCol),
+        least(greatest(floor((col(valCol) - lo) / width), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(grpCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = cells
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(grpCol)))
+    c.filter(col("cum") >= lit(q) * col("n"))
+      .groupBy(grpCol).agg(min("bin").as("bin"))
+      .join(c, Seq(grpCol, "bin"))
+      .select(col(grpCol),
+        round(lit(lo) + lit(width) *
+          (col("bin") + (lit(q) * col("n") - (col("cum") - col("cnt"))) /
+            col("cnt")), 6).as("hist_est"))
+  }
 }

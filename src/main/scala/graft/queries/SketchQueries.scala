@@ -220,6 +220,107 @@ object SketchQueries {
       |UNION ALL SELECT 'event_type', 'top' || rn, CAST(c AS DOUBLE), v
       |FROM top3""".stripMargin
 
+  /** Per-type median of events.value: histogram cells partitioned by
+    * group (≤ groups×bins cells, one shuffle) next to the exact
+    * per-group interpolated median.
+    */
+  private def evP50ByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = Sketches.histQuantileByGroup(ev, "event_type", "value",
+      lo = 0.0, hi = 640.0, bins = 256, q = 0.5)
+    val exact = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("hist_est").as("p50_hist"),
+        col("p50_exact"))
+  }
+
+  private val evP50ByTypeSql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         CAST(least(greatest(floor(value / 2.5::DOUBLE), 0), 255) AS BIGINT) AS bin,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |        sum(cnt) OVER (PARTITION BY event_type) AS n
+      |      FROM h),
+      |sel AS (SELECT event_type, min(bin) AS bin FROM c
+      |        WHERE cum >= 0.5::DOUBLE * n GROUP BY 1),
+      |est AS (SELECT c.event_type,
+      |          round(2.5::DOUBLE * (c.bin +
+      |            (0.5::DOUBLE * c.n - (c.cum - c.cnt)) / c.cnt), 6) AS p50_hist
+      |        FROM sel JOIN c ON c.event_type = sel.event_type
+      |                       AND c.bin = sel.bin),
+      |ex AS (SELECT event_type,
+      |              round(quantile_cont(value, 0.5::DOUBLE), 6) AS p50_exact
+      |       FROM events GROUP BY 1)
+      |SELECT est.event_type, est.p50_hist, ex.p50_exact
+      |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin
+
+  /** KMV set algebra: distinct users who click, who purchase, their
+    * union via summary MERGE (k-sized state, no second corpus pass),
+    * and the intersection by inclusion–exclusion — all beside exact
+    * counts. At this cardinality the summaries are below k, so the
+    * oracle pins merge correctness exactly.
+    */
+  private def evKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val k = 256
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    val ska = Sketches.kmvMinHashes(users("click"), "user_id", k)
+    val skb = Sketches.kmvMinHashes(users("purchase"), "user_id", k)
+    val dvA = Sketches.kmvEstimate(ska, k).select(col("dv_est").as("dv_click"))
+    val dvB = Sketches.kmvEstimate(skb, k).select(col("dv_est").as("dv_purchase"))
+    val dvU = Sketches.kmvEstimate(Sketches.kmvMerge(ska, skb, k), k)
+      .select(col("dv_est").as("dv_union"))
+    val exact = ev.agg(
+      count_distinct(when(col("event_type") === "click", col("user_id")))
+        .as("exact_click"),
+      count_distinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("exact_purchase"))
+    val exactU = users("click").union(users("purchase"))
+      .agg(count_distinct(col("user_id")).as("exact_union"))
+    dvA.crossJoin(dvB).crossJoin(dvU)
+      .select(col("dv_click"), col("dv_purchase"), col("dv_union"),
+        round(col("dv_click") + col("dv_purchase") - col("dv_union"), 6)
+          .as("dv_intersect"))
+      .crossJoin(exact).crossJoin(exactU)
+  }
+
+  private val evKmvSetopsSql =
+    """WITH ha AS (SELECT DISTINCT
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM events WHERE event_type = 'click'),
+      |hb AS (SELECT DISTINCT
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM events WHERE event_type = 'purchase'),
+      |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      |        ORDER BY h LIMIT 256),
+      |ea AS (SELECT count(*) AS k_used, max(h) AS kth FROM ska),
+      |eb AS (SELECT count(*) AS k_used, max(h) AS kth FROM skb),
+      |eu AS (SELECT count(*) AS k_used, max(h) AS kth FROM sku),
+      |est AS (SELECT
+      |  CASE WHEN ea.k_used < 256 THEN CAST(ea.k_used AS DOUBLE)
+      |       ELSE round((ea.k_used - 1) * 4294967296.0 / ea.kth, 6) END AS dv_click,
+      |  CASE WHEN eb.k_used < 256 THEN CAST(eb.k_used AS DOUBLE)
+      |       ELSE round((eb.k_used - 1) * 4294967296.0 / eb.kth, 6) END AS dv_purchase,
+      |  CASE WHEN eu.k_used < 256 THEN CAST(eu.k_used AS DOUBLE)
+      |       ELSE round((eu.k_used - 1) * 4294967296.0 / eu.kth, 6) END AS dv_union
+      |  FROM ea, eb, eu)
+      |SELECT dv_click, dv_purchase, dv_union,
+      |  round(dv_click + dv_purchase - dv_union, 6) AS dv_intersect,
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |    WHERE event_type = 'click') AS exact_click,
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |    WHERE event_type = 'purchase') AS exact_purchase,
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |    WHERE event_type IN ('click', 'purchase')) AS exact_union
+      |FROM est""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
@@ -227,5 +328,7 @@ object SketchQueries {
     QueryDef("ev_value_quantiles", evValueQuantiles,
       Some(evValueQuantilesSql)),
     QueryDef("profile_events", profileEvents, Some(profileEventsSql)),
+    QueryDef("ev_p50_by_type", evP50ByType, Some(evP50ByTypeSql)),
+    QueryDef("ev_kmv_setops", evKmvSetops, Some(evKmvSetopsSql)),
   )
 }

@@ -994,6 +994,21 @@ class OpsSpec extends AnyFunSuite {
       !ivPlan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$ivPlan")
   }
 
+  test("KMV merge of summaries equals the direct union summary") {
+    import graft.ops.Sketches
+    val k = 64 // well below the 600/700-distinct inputs: truncation live
+    val a = keyedDf((0 until 600).map(i => s"a$i" -> 1), 4)
+    val b = keyedDf((300 until 1000).map(i => s"a$i" -> 1), 3) // overlaps a
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvMinHashes(a, "k", k),
+      Sketches.kmvMinHashes(b, "k", k), k)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Sketches.kmvMinHashes(a.union(b), "k", k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == direct)
+    assert(merged.length == k)
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
