@@ -348,4 +348,40 @@ object TextAnalysis {
         round(col("bench_hits").cast("double") / col("n_grams"), 6)
           .as("contamination"))
   }
+
+  /** Corpus-boilerplate pruning (the C4-style "drop content shared by
+    * most documents" step at token granularity, since this corpus has
+    * no line structure): remove every token whose document frequency
+    * exceeds `maxDfFrac` of the corpus, preserving the order of the
+    * survivors; docs whose every token is boilerplate survive as
+    * empty strings.
+    *
+    * Scale shape: one token-level shuffle for document frequencies
+    * (the unavoidable cost of a corpus-global criterion), then the
+    * stop set — by construction a tiny high-frequency vocabulary —
+    * broadcasts into a left-anti join, and reassembly is one
+    * groupBy(id) with an in-group sort of (pos, token) structs, not a
+    * global order.
+    */
+  def dropCorpusStopwords(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          maxDfFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
+      s"maxDfFrac must be in (0,1), got $maxDfFrac")
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("ndocs"))
+    val stop = toks.groupBy("w")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > lit(maxDfFrac) * col("ndocs"))
+      .select("w")
+    val kept = toks.join(broadcast(stop), Seq("w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("kept_text"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -1115,6 +1115,31 @@ object PipelineQueries {
       |ORDER BY pow(u, 1.0 / wt) DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** Corpus-stopword boilerplate pruning at df > 75%: the C4-style
+    * shared-content removal, token-granular for this line-less corpus.
+    * Ordering, empty-doc survival, and the corpus-global df criterion
+    * are all replayed by the oracle.
+    */
+  private def dropStopwords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dropCorpusStopwords(
+      Tables.documents(s, dir), "doc_id", "text", maxDfFrac = 0.75)
+
+  private val dropStopwordsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, i AS pos, ts[CAST(i AS INT)] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+      |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      |        FROM documents)),
+      |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM documents),
+      |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stop AS (SELECT w FROM dfreq, nd WHERE df > 0.75 * ndocs),
+      |kept AS (SELECT doc_id, pos, w FROM toks
+      |         WHERE w NOT IN (SELECT w FROM stop))
+      |SELECT d.doc_id,
+      |       coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS kept_text
+      |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
@@ -1154,6 +1179,7 @@ object PipelineQueries {
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
+    QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),

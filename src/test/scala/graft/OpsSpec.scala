@@ -1009,6 +1009,24 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.length == k)
   }
 
+  test("corpus stopword pruning drops ubiquitous tokens, keeps order, keeps empty docs") {
+    import graft.ops.TextAnalysis
+    // 'the' in 4/4 docs (df 1.0), 'data' in 3/4 (0.75 — NOT > 0.75),
+    // others rare; doc 4 is all-boilerplate and must survive empty
+    val docs4 = docs(Seq(
+      1L -> "the quick data fox the end",
+      2L -> "the data lazy dog",
+      3L -> "the data stream",
+      4L -> "the the the"))
+    val got = TextAnalysis.dropCorpusStopwords(docs4, "doc_id", "text", 0.75)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "quick data fox end",
+      2L -> "data lazy dog",
+      3L -> "data stream",
+      4L -> ""))
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {

@@ -169,6 +169,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream == fromBatch)
   }
 
+  test("streaming count-min cells equal the batch sketch exactly") {
+    import spark.implicits._
+    // additive cells make CMS a PLAIN streaming aggregation — no custom
+    // state op needed; complete-mode output must equal the batch sketch
+    val rng = new Lcg(29)
+    val keys = (0 until 3000).map(_ => s"k${rng.nextInt(200)}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    spark.createDataset(keys).toDF("key").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val d = 3; val w = 32
+    val batchCells = graft.ops.Sketches.cmsCells(
+      spark.read.parquet(tmp), "key", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = spark.readStream.schema("key STRING")
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = graft.ops.Sketches.cmsCells(stream, "key", d, w)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_cms_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_cms_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batchCells)
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
