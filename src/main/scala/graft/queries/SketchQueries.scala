@@ -321,7 +321,70 @@ object SketchQueries {
       |    WHERE event_type IN ('click', 'purchase')) AS exact_union
       |FROM est""".stripMargin
 
+  /** Ordered funnel: per user, did signup → click → purchase happen in
+    * strict first-occurrence order? One groupBy(user) with conditional
+    * min-timestamp aggregates — no joins, no window, one shuffle.
+    */
+  private def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts"))))
+    ev.groupBy("user_id")
+      .agg(firstTs("signup").as("t_signup"), firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_signup") < col("t_click"), 1))
+          .as("n_signup_then_click"),
+        count(when(col("t_signup") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+  }
+
+  private val evFunnelSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  count(t_signup) AS n_signup,
+      |  count(CASE WHEN t_signup < t_click THEN 1 END) AS n_signup_then_click,
+      |  count(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 END)
+      |    AS n_full_funnel
+      |FROM f""".stripMargin
+
+  /** Weekly retention cohorts: users bucketed by first-seen week,
+    * counted per (cohort_week, active_week) — the training-data-ops
+    * equivalent of "is my event feed complete per cohort". Two
+    * aggregations and one broadcast-sized join on user first-weeks.
+    */
+  private def evRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000L)).as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .groupBy("cohort_week", "week")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
+  private val evRetentionSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT c.cohort_week, e.week, count(DISTINCT e.user_id) AS active_users
+      |FROM (SELECT DISTINCT user_id, week FROM ev) e
+      |JOIN cohorts c ON c.user_id = e.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
+    QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
