@@ -382,7 +382,28 @@ object SketchQueries {
       |JOIN cohorts c ON c.user_id = e.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * props column scan-side (`get_json_object` stays inside whole-
+    * stage codegen — no UDF, no schema-inference pass) and aggregate
+    * it per type.
+    */
+  private def evJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("k")).as("k_present"),
+        sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"))
+
+  private val evJsonExtractSql =
+    """SELECT event_type, count(*) AS cnt,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+      |FROM events GROUP BY 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_json_extract", evJsonExtract, Some(evJsonExtractSql)),
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
     QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
