@@ -100,7 +100,9 @@ object Sketches {
       .cache()
     try {
       // ≤ |cand|+1 rows; total N recovered without a separate scan
-      val n = grouped.agg(sum("cnt")).head.getLong(0)
+      // (sum is NULL — not 0 — over an empty relation)
+      val n = Option(grouped.agg(sum("cnt")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val threshold = math.ceil(phi * n).toLong
       grouped.filter(col("key").isNotNull && col("cnt") >= threshold)
         .select(col("key"), col("cnt"))

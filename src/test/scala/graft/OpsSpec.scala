@@ -1027,6 +1027,18 @@ class OpsSpec extends AnyFunSuite {
       4L -> ""))
   }
 
+  test("sketch operators tolerate empty input") {
+    import graft.ops.Sketches
+    val empty = keyedDf(Seq("x" -> 1), 2).filter(col("k") =!= col("k"))
+    assert(Sketches.heavyHitters(empty, "k", 0.05, 64).count() == 0)
+    assert(Sketches.mgCandidates(empty, "k", 8).count() == 0)
+    assert(Sketches.cmsEstimates(empty, "k", 3, 16).count() == 0)
+    assert(Sketches.kmvMinHashes(empty, "k", 8).count() == 0)
+    val est = Sketches.kmvDistinctEstimate(empty, "k", 8).head
+    assert(est.getDouble(0) == 0.0)
+    assert(Sketches.histQuantiles(empty, "k", 0, 10, 4, Seq(0.5)).count() == 0)
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
