@@ -360,4 +360,48 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class KmvShardState(mins: Seq[Long], seq: Long)
+  final case class KmvShardSketch(shard: Int, seq: Long, mins: Seq[Long])
+
+  /** Streaming KMV distinct-count summary: each shard keeps the k
+    * smallest hashes it has seen (set semantics — re-deliveries and
+    * duplicates are free), emitting its current summary per
+    * micro-batch. Merging the latest per-shard summaries (union +
+    * re-truncate, [[graft.ops.Sketches.kmvMerge]] algebra) yields
+    * EXACTLY the batch [[graft.ops.Sketches.kmvMinHashes]] of the
+    * stream so far — deterministic, not approximately equal — because
+    * the k smallest of a union are the k smallest of per-part minima.
+    * State is O(shards × k) on an unbounded feed.
+    *
+    * `hashes` must be the pinned 32-bit hash column (compute it
+    * codegen-side exactly as the batch operator does, then stream the
+    * longs), so stream and batch draw from the identical family.
+    */
+  def kmvSketchStream(hashes: Dataset[Long], k: Int,
+                      shards: Int): Dataset[KmvShardSketch] = {
+    import hashes.sparkSession.implicits._
+    require(k >= 2 && shards >= 1, s"bad spec k=$k shards=$shards")
+
+    def update(shard: Int, rows: Iterator[Long],
+               state: GroupState[KmvShardState]): Iterator[KmvShardSketch] = {
+      val st = state.getOption.getOrElse(KmvShardState(Nil, 0L))
+      val set = new java.util.TreeSet[java.lang.Long]()
+      st.mins.foreach(set.add(_))
+      rows.foreach { h =>
+        if (set.size < k) set.add(h)
+        else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+      }
+      import scala.jdk.CollectionConverters._
+      val mins = set.iterator().asScala.map(_.longValue()).toSeq
+      val next = KmvShardState(mins, st.seq + 1)
+      state.update(next)
+      Iterator.single(KmvShardSketch(shard, next.seq, mins))
+    }
+
+    hashes
+      .groupByKey(h => math.floorMod(java.lang.Long.hashCode(h), shards))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

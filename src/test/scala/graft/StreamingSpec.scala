@@ -195,6 +195,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchCells)
   }
 
+  test("merged streaming KMV shards equal the batch summary exactly") {
+    import spark.implicits._
+    val rng = new Lcg(37)
+    val keys = (0 until 4000).map(_ => s"v${rng.nextInt(1500)}")
+    val k = 64; val shards = 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    spark.createDataset(keys).toDF("key").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+
+    val batch = graft.ops.Sketches.kmvMinHashes(
+      spark.read.parquet(tmp), "key", k)
+      .collect().map(_.getLong(0)).toSeq
+
+    // stream the SAME pinned hash column the batch operator derives
+    val hashExpr = conv(substring(md5(col("key").cast("string")), 1, 8),
+      16, 10).cast("long")
+    val stream = spark.readStream.schema("key STRING")
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+      .select(hashExpr.as("h")).as[Long]
+    val q = StreamOps.kmvSketchStream(stream, k, shards)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("graft_kmv_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("graft_kmv_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(emissions.map(_._2).max > 1, "expected multiple micro-batches")
+    val merged = emissions.groupBy(_._1).values
+      .flatMap(_.maxBy(_._2)._3).toSeq.distinct.sorted.take(k)
+    assert(merged == batch)
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
