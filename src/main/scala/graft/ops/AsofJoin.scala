@@ -39,6 +39,10 @@ object AsofJoin {
     require(payloadCols.nonEmpty, "need at least one payload column")
     val leftCols = left.columns.toSeq
     val r = right
+      // equality-join semantics: a NULL key matches nothing, so NULL-
+      // key right rows must not seed the forward fill (NULL-key left
+      // rows share a window partition and would otherwise absorb them)
+      .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("_k"), col(tsCol).as("_ts"))
       .agg(max(struct(payloadCols.map(col): _*)).as("_p"))
       .withColumn("_side", lit(0))

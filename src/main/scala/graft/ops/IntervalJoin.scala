@@ -36,6 +36,8 @@ object IntervalJoin {
     require(lengthMicros > 0, s"window must be positive, got $lengthMicros")
     require(leftTsCol != rightTsCol,
       "timestamp columns must be distinctly named")
+    require(!left.columns.contains("_b") && !right.columns.contains("_b"),
+      "a '_b' column on either side would be overwritten by the bucket id")
     // Column./ is double division, but micros < 2^53 are exact doubles
     // and a non-multiple quotient sits >= 1/W from any integer, far
     // beyond one ulp — so floor() here can never round across a bucket

@@ -20,22 +20,6 @@ import scala.collection.mutable
   */
 object Sketches {
 
-  /** Per-partition Misra–Gries candidate keys for frequency > n/k.
-    *
-    * Classic MG (Misra & Gries 1982; merge analysis in Agarwal et al.,
-    * "Mergeable Summaries", PODS 2012): k counters per partition; a key
-    * absent from a full counter table decrements every counter by one.
-    * Any key with partition frequency f_p > n_p/k ends with a positive
-    * counter. Globally, if f > N/k then some partition has
-    * f_p > n_p/k (pigeonhole over f = Σf_p, N = Σn_p), so the UNION of
-    * per-partition survivors is a superset of the global >N/k keys —
-    * no cross-partition merge step needed for the candidate phase.
-    *
-    * Returns ≤ numPartitions × k distinct keys as strings. The
-    * surviving counter values are partition-order-dependent lower
-    * bounds, so they are deliberately NOT returned — only the key set
-    * is, and the exact join-back recounts it deterministically.
-    */
   /** One MG step: fold `x` into a counter table capped at k entries.
     * Shared by the batch per-partition pass and the streaming
     * per-shard state so both paths run the identical algorithm.
@@ -53,6 +37,22 @@ object Sketches {
         }
     }
 
+  /** Per-partition Misra–Gries candidate keys for frequency > n/k.
+    *
+    * Classic MG (Misra & Gries 1982; merge analysis in Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): k counters per partition; a key
+    * absent from a full counter table decrements every counter by one.
+    * Any key with partition frequency f_p > n_p/k ends with a positive
+    * counter. Globally, if f > N/k then some partition has
+    * f_p > n_p/k (pigeonhole over f = Σf_p, N = Σn_p), so the UNION of
+    * per-partition survivors is a superset of the global >N/k keys —
+    * no cross-partition merge step needed for the candidate phase.
+    *
+    * Returns ≤ numPartitions × k distinct keys as strings. The
+    * surviving counter values are partition-order-dependent lower
+    * bounds, so they are deliberately NOT returned — only the key set
+    * is, and the exact join-back recounts it deterministically.
+    */
   def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
@@ -129,11 +129,15 @@ object Sketches {
       .cast("long") % w
 
   /** The materialized sketch: (j, bucket, cnt) cells, omitting empty
-    * cells (their count is 0 by definition).
+    * cells (their count is 0 by definition). NULL keys are excluded
+    * from the sketch — `concat_ws` would silently hash them as
+    * md5("j") while a SQL replay's `j || ':' || key` propagates NULL,
+    * so dropping them is the only semantics both engines agree on.
     */
   def cmsCells(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"need d>=1, w>=2; got d=$d w=$w")
     df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
       .select(explode(array((0 until d).map(lit): _*)).as("j"), col("key"))
       .groupBy(col("j"), cmsBucket(col("j"), col("key"), w).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -147,6 +151,7 @@ object Sketches {
   def cmsEstimates(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
     val cells = cmsCells(df, keyCol, d, w)
     df.select(col(keyCol).cast("string").as("key")).distinct()
+      .filter(col("key").isNotNull) // same NULL policy as cmsCells
       .select(col("key"), explode(array((0 until d).map(lit): _*)).as("j"))
       .withColumn("bucket", cmsBucket(col("j"), col("key"), w))
       .join(broadcast(cells), Seq("j", "bucket"))
@@ -173,6 +178,9 @@ object Sketches {
     import spark.implicits._
     df.select(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
         .cast("long").as("h"))
+      // NULL keys hash to NULL; they carry no distinct-count signal and
+      // would crash the non-nullable Long encoder below — drop them
+      .filter(col("h").isNotNull)
       .as[Long]
       .mapPartitions { it =>
         val set = new java.util.TreeSet[java.lang.Long]()
@@ -186,11 +194,6 @@ object Sketches {
       .toDF("h").distinct().sort("h").limit(k)
   }
 
-  /** Distinct-count estimate from the KMV summary: (k-1)/U(h_k) with
-    * U the kth-smallest hash normalized to [0,1); exact (the observed
-    * hash count) when fewer than k distinct hashes exist. One tiny
-    * aggregate over the ≤k-row summary.
-    */
   /** Bloom-filter bit positions for a key set: d positions per key
     * from the same pinned family as [[cmsBucket]] (md5("j:key") mod m),
     * deduplicated — the filter IS this ≤m-row position set, an
@@ -229,13 +232,19 @@ object Sketches {
     * the sketch is layout-invariant, SQL-replayable, and shuffles at
     * most `bins` cells per partition after map-side combine.
     */
+  /** The clamped-bin expression shared by every histogram path (and
+    * mirrored verbatim in each SQL oracle — keep them in sync).
+    */
+  private def binExpr(valCol: String, lo: Double, width: Double,
+                      bins: Int): Column =
+    least(greatest(floor((col(valCol) - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+
   def histogram(df: DataFrame, valCol: String, lo: Double, hi: Double,
                 bins: Int): DataFrame = {
     require(hi > lo && bins >= 2, s"bad histogram spec [$lo,$hi)x$bins")
     val width = (hi - lo) / bins
-    df.groupBy(
-        least(greatest(floor((col(valCol) - lo) / width), lit(0.0)),
-          lit((bins - 1).toDouble)).cast("long").as("bin"))
+    df.groupBy(binExpr(valCol, lo, width, bins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -271,6 +280,9 @@ object Sketches {
             col("cnt")), 6).as("hist_est"))
   }
 
+  /** Distinct-count estimate for a key column: [[kmvEstimate]] over
+    * its [[kmvMinHashes]] summary.
+    */
   def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
     kmvEstimate(kmvMinHashes(df, keyCol, k), k)
 
@@ -304,8 +316,7 @@ object Sketches {
     require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
     val width = (hi - lo) / bins
     val cells = df.groupBy(col(grpCol),
-        least(greatest(floor((col(valCol) - lo) / width), lit(0.0)),
-          lit((bins - 1).toDouble)).cast("long").as("bin"))
+        binExpr(valCol, lo, width, bins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(grpCol).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

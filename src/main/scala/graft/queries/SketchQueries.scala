@@ -145,20 +145,24 @@ object SketchQueries {
   private def profileEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val nullStr = lit(null).cast("string")
-    def row(c: String, m: String, v: Column): DataFrame =
-      ev.agg(v.cast("double").as("val_num"))
-        .select(lit(c).as("col"), lit(m).as("metric"), col("val_num"),
-          nullStr.as("val_str"))
 
-    val basics = Seq(
-      row("user_id", "null_cnt", count(lit(1)) - count(col("user_id"))),
-      row("user_id", "distinct_exact", count_distinct(col("user_id"))),
-      row("value", "null_cnt", count(lit(1)) - count(col("value"))),
-      row("value", "min", round(min(col("value")), 6)),
-      row("value", "max", round(max(col("value")), 6)),
-      row("event_type", "null_cnt",
-        count(lit(1)) - count(col("event_type"))))
-      .reduce(_ unionByName _)
+    // all six scalar metrics from ONE scan, unpivoted to long format
+    val basics = ev.agg(
+        (count(lit(1)) - count(col("user_id"))).cast("double").as("uid_nulls"),
+        count_distinct(col("user_id")).cast("double").as("uid_distinct"),
+        (count(lit(1)) - count(col("value"))).cast("double").as("val_nulls"),
+        round(min(col("value")), 6).as("val_min"),
+        round(max(col("value")), 6).as("val_max"),
+        (count(lit(1)) - count(col("event_type"))).cast("double")
+          .as("et_nulls"))
+      .selectExpr("""stack(6,
+          'user_id', 'null_cnt', uid_nulls,
+          'user_id', 'distinct_exact', uid_distinct,
+          'value', 'null_cnt', val_nulls,
+          'value', 'min', val_min,
+          'value', 'max', val_max,
+          'event_type', 'null_cnt', et_nulls) AS (col, metric, val_num)""")
+      .withColumn("val_str", nullStr)
 
     val kmv = Sketches.kmvDistinctEstimate(ev, "user_id", k = 256)
       .select(lit("user_id").as("col"), lit("distinct_kmv").as("metric"),
@@ -169,8 +173,14 @@ object SketchQueries {
       .select(lit("value").as("col"), lit("p50_hist").as("metric"),
         col("hist_est").as("val_num"), nullStr.as("val_str"))
 
+    // top-3 values: MG pruning (k=64 ⇒ any value with > 1.6% share
+    // survives — far below any plausible 3rd-ranked share; the oracle's
+    // unconditional top-3 assumes exactly that) + exact recount
+    val candKeys = Sketches.mgCandidates(ev, "event_type", 64)
+      .collect().map(_.getString(0)).toIndexedSeq
     val byCount = Window.orderBy(col("cnt").desc, col("key").asc)
-    val top3 = Sketches.heavyHitters(ev, "event_type", phi = 0.1, k = 16)
+    val top3 = ev.filter(col("event_type").isin(candKeys: _*))
+      .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(byCount))
       .filter(col("rn") <= 3)
       .select(lit("event_type").as("col"),
@@ -269,8 +279,12 @@ object SketchQueries {
     val k = 256
     def users(t: String) =
       ev.filter(col("event_type") === t).select("user_id")
+    // each ≤k-row summary feeds two consumers (estimate + merge);
+    // eager localCheckpoint computes the corpus sketch pass once
     val ska = Sketches.kmvMinHashes(users("click"), "user_id", k)
+      .localCheckpoint(true)
     val skb = Sketches.kmvMinHashes(users("purchase"), "user_id", k)
+      .localCheckpoint(true)
     val dvA = Sketches.kmvEstimate(ska, k).select(col("dv_est").as("dv_click"))
     val dvB = Sketches.kmvEstimate(skb, k).select(col("dv_est").as("dv_purchase"))
     val dvU = Sketches.kmvEstimate(Sketches.kmvMerge(ska, skb, k), k)
@@ -365,10 +379,10 @@ object SketchQueries {
       .select(col("user_id"),
         floor(unix_micros(col("ts")) / lit(604800000000L)).as("week"))
     val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-    ev.distinct()
+    ev.distinct() // (user_id, week) unique ⇒ plain count below is distinct
       .join(cohorts, "user_id")
       .groupBy("cohort_week", "week")
-      .agg(count_distinct(col("user_id")).as("active_users"))
+      .agg(count(lit(1)).as("active_users"))
   }
 
   private val evRetentionSql =
@@ -377,7 +391,7 @@ object SketchQueries {
       |         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
       |  FROM events),
       |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
-      |SELECT c.cohort_week, e.week, count(DISTINCT e.user_id) AS active_users
+      |SELECT c.cohort_week, e.week, count(*) AS active_users
       |FROM (SELECT DISTINCT user_id, week FROM ev) e
       |JOIN cohorts c ON c.user_id = e.user_id
       |GROUP BY 1, 2""".stripMargin
