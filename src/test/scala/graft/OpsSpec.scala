@@ -1039,6 +1039,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Sketches.histQuantiles(empty, "k", 0, 10, 4, Seq(0.5)).count() == 0)
   }
 
+  test("null keys: KMV/CMS drop them, asofJoin never matches them") {
+    import graft.ops.{AsofJoin, Sketches}
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        (Seq.fill(3)(Row(null)) ++ Seq(Row("a"), Row("a"), Row("b"))): _*),
+      StructType(Seq(StructField("k", StringType, nullable = true))))
+    // KMV: null rows carry no signal; 2 distinct real keys
+    assert(Sketches.kmvMinHashes(withNulls, "k", 8).count() == 2)
+    assert(Sketches.kmvDistinctEstimate(withNulls, "k", 8)
+      .head.getDouble(0) == 2.0)
+    // CMS: cells/estimates cover only the real keys, counts unpolluted
+    val est = Sketches.cmsEstimates(withNulls, "k", 3, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("a", "b"))
+    assert(est("a") >= 2 && est("b") >= 1)
+
+    // as-of: a NULL-key left row must not absorb NULL-key right rows
+    def side(rows: Seq[(Long, Any, Long)], id: String, ts: String) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+        StructType(Seq(StructField(id, LongType, false),
+          StructField("k", StringType, nullable = true),
+          StructField("t0", LongType, false))))
+        .select(col(id), col("k"), timestamp_micros(col("t0")).as(ts))
+    val got = AsofJoin.asofJoin(
+      side(Seq((1L, null, 10L), (2L, "a", 10L)), "id", "t"),
+      side(Seq((90L, null, 5L), (91L, "a", 5L)), "rid", "t")
+        .withColumnRenamed("rid", "rid"),
+      "k", "t", Seq("rid"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> None, 2L -> Some(91L)))
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
