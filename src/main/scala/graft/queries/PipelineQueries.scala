@@ -126,6 +126,52 @@ object PipelineQueries {
       |LEFT JOIN hits h ON h.doc_id = b.doc_id
       |LEFT JOIN ref r ON r.fp = b.fp""".stripMargin
 
+  /** Snapshot diff — dataset versioning's added/removed/changed/same
+    * report between two corpus versions (here: the %10<8 "old" snapshot
+    * vs a "new" one that drops %50==3 docs, rewrites the text of
+    * %50==7 docs, and adds the %10>=8 docs). One full outer join on
+    * the id with fingerprint comparison — at 100 TB both sides reduce
+    * to (id, 16-byte fp) projections before the join, and the verdict
+    * is a scan-side CASE.
+    */
+  private def docSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val old = fps.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("fp").as("old_fp"))
+    val newer = fps
+      .filter(col("doc_id") % 10 >= 8 ||
+        (col("doc_id") % 10 < 8 && col("doc_id") % 50 =!= 3))
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 7,
+          md5(concat(lit("edited:"), col("fp")))).otherwise(col("fp"))
+          .as("new_fp"))
+    old.join(newer, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("same").as("verdict"))
+  }
+
+  private val docSnapshotDiffSql =
+    """WITH fp AS (SELECT doc_id,
+      |              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |            FROM documents),
+      |old AS (SELECT doc_id, fp AS old_fp FROM fp WHERE doc_id % 10 < 8),
+      |newer AS (SELECT doc_id,
+      |            CASE WHEN doc_id % 50 = 7 THEN md5('edited:' || fp)
+      |                 ELSE fp END AS new_fp
+      |          FROM fp
+      |          WHERE doc_id % 10 >= 8
+      |             OR (doc_id % 10 < 8 AND doc_id % 50 != 3))
+      |SELECT coalesce(old.doc_id, newer.doc_id) AS doc_id,
+      |       CASE WHEN old_fp IS NULL THEN 'added'
+      |            WHEN new_fp IS NULL THEN 'removed'
+      |            WHEN old_fp != new_fp THEN 'changed'
+      |            ELSE 'same' END AS verdict
+      |FROM old FULL OUTER JOIN newer ON old.doc_id = newer.doc_id""".stripMargin
+
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 32, bands = 8, k = 8, tau = 0.5)
@@ -1147,6 +1193,7 @@ object PipelineQueries {
     QueryDef("dedup_against_reference", dedupAgainstRef, Some(dedupAgainstRefSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,
       Some(dedupBloomPrefilterSql)),
+    QueryDef("doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -416,7 +416,28 @@ object SketchQueries {
       |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Per-type moment statistics: mean, sample variance/stddev, and the
+    * spread, all map-side-combinable (sum/sum-of-squares partials) in
+    * one shuffle. Rounded 6dp on both engines for IEEE parity.
+    */
+  private def evTypeStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg("value"), 6).as("mean_v"),
+        round(var_samp("value"), 6).as("var_v"),
+        round(stddev_samp("value"), 6).as("sd_v"),
+        round(max("value") - min("value"), 6).as("range_v"))
+
+  private val evTypeStatsSql =
+    """SELECT event_type, count(*) AS cnt,
+      |  round(avg(value), 6) AS mean_v,
+      |  round(var_samp(value), 6) AS var_v,
+      |  round(stddev_samp(value), 6) AS sd_v,
+      |  round(max(value) - min(value), 6) AS range_v
+      |FROM events GROUP BY 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_type_stats", evTypeStats, Some(evTypeStatsSql)),
     QueryDef("ev_json_extract", evJsonExtract, Some(evJsonExtractSql)),
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
     QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
