@@ -66,6 +66,61 @@ object Sketches {
       .toDF("key").distinct()
   }
 
+  /** Per-group MG candidates: one k-capped counter table per (group,
+    * partition) — memory O(groups×k) per partition — with the same
+    * per-group pigeonhole guarantee: any key with in-group frequency
+    * f > N_g/k survives some partition's table for that group.
+    */
+  def mgCandidatesByGroup(df: DataFrame, grpCol: String, keyCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(grpCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val tables =
+          mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+        it.foreach { case (g, x) =>
+          mgStep(tables.getOrElseUpdate(g,
+            mutable.HashMap.empty[String, Long]), x, k)
+        }
+        tables.iterator.flatMap { case (g, t) => t.keysIterator.map(g -> _) }
+      }
+      .toDF("grp", "key").distinct()
+  }
+
+  /** Exact per-group heavy hitters — keys with in-group count >=
+    * ceil(phi × N_g) — via per-group MG pruning. The exact pass mirrors
+    * [[heavyHitters]]: candidate rows keep their key, everything else
+    * folds into a per-group NULL bucket, so each group's total N_g is
+    * recovered from the same single aggregation.
+    */
+  def heavyHittersByGroup(df: DataFrame, grpCol: String, keyCol: String,
+                          phi: Double, k: Int): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    require(k > 1.0 / phi,
+      s"k=$k too small for phi=$phi: need k > ${1.0 / phi}")
+    val cand = mgCandidatesByGroup(df, grpCol, keyCol, k)
+    val tagged = df
+      .select(col(grpCol).cast("string").as("grp"),
+        col(keyCol).cast("string").as("key"))
+      .join(broadcast(cand.withColumn("_c", lit(true))),
+        Seq("grp", "key"), "left")
+      .groupBy(col("grp"),
+        when(col("_c"), col("key")).otherwise(lit(null)).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    try {
+      val totals = tagged.groupBy("grp").agg(sum("cnt").as("n_g"))
+      tagged.join(broadcast(totals), "grp")
+        .filter(col("key").isNotNull &&
+          col("cnt") >= ceil(lit(phi) * col("n_g")))
+        .select(col("grp"), col("key"), col("cnt"))
+        .localCheckpoint(true)
+    } finally tagged.unpersist()
+  }
+
   /** Exact heavy hitters — keys with count >= ceil(phi × N) — computed
     * with MG candidate pruning instead of a full-cardinality groupBy.
     *

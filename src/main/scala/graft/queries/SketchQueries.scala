@@ -32,6 +32,25 @@ object SketchQueries {
       |GROUP BY user_id, n.total
       |HAVING count(*) >= CAST(ceil(0.008 * n.total) AS BIGINT)""".stripMargin
 
+  /** Per-group heavy hitters: users holding >= 0.8% of each event
+    * type's traffic, via per-group MG pruning — the "top keys per
+    * language/domain at unbounded key cardinality" shape where a full
+    * (group, key) groupBy is the 100 TB bottleneck.
+    */
+  private def evHeavyHittersByType(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHittersByGroup(Tables.events(s, dir), "event_type",
+      "user_id", phi = 0.008, k = 128)
+      .select(col("grp").as("event_type"),
+        col("key").cast("long").as("user_id"), col("cnt"))
+
+  private val evHeavyHittersByTypeSql =
+    """WITH g AS (SELECT event_type, count(*) AS n_g FROM events GROUP BY 1),
+      |c AS (SELECT event_type, user_id, count(*) AS cnt
+      |      FROM events GROUP BY 1, 2)
+      |SELECT c.event_type, c.user_id, c.cnt
+      |FROM c JOIN g ON g.event_type = c.event_type
+      |WHERE c.cnt >= ceil(0.008 * g.n_g)""".stripMargin
+
   /** CMS point estimates joined against exact counts for every user:
     * (user_id, cms_est, cnt) with cms_est >= cnt always. d=4, w=64 so
     * 150 users at sf0.01 genuinely collide (the sketch is doing work,
@@ -442,6 +461,8 @@ object SketchQueries {
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
     QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
+    QueryDef("ev_heavy_hitters_by_type", evHeavyHittersByType,
+      Some(evHeavyHittersByTypeSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
     QueryDef("ev_value_quantiles", evValueQuantiles,

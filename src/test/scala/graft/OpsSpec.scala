@@ -1073,6 +1073,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> None, 2L -> Some(91L)))
   }
 
+  test("heavyHittersByGroup is exact per group and partitioning-invariant") {
+    import graft.ops.Sketches
+    val rng = new Lcg(41)
+    // group A: one giant + tail; group B: two giants + tail; group C: tail only
+    val rows: Seq[(String, String)] =
+      Seq.fill(200)("A" -> "hot1") ++ Seq.fill(90)("B" -> "hot2") ++
+        Seq.fill(80)("B" -> "hot3") ++
+        (0 until 300).map(i => Seq("A", "B", "C")(i % 3) -> s"t${rng.nextInt(80)}")
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.zipWithIndex.sortBy(_._2 % 89).map { case ((g, x), _) => Row(g, x) },
+        parts),
+      StructType(Seq(StructField("g", StringType, false),
+        StructField("k", StringType, false))))
+    val phi = 0.1
+    val expect = rows.groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case ((g, x), c) => (g, x, c.toLong) }
+      .filter { case (g, _, c) =>
+        c >= math.ceil(phi * rows.count(_._1 == g)).toLong }
+      .toSet
+    assert(expect.nonEmpty)
+    for (parts <- Seq(2, 7)) {
+      val got = Sketches.heavyHittersByGroup(df(parts), "g", "k", phi, k = 16)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {
