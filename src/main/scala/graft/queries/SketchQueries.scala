@@ -51,6 +51,31 @@ object SketchQueries {
       |FROM c JOIN g ON g.event_type = c.event_type
       |WHERE c.cnt >= ceil(0.008 * g.n_g)""".stripMargin
 
+  /** Exponentially decayed activity mass per user — the standard
+    * recency-weighted feature signal: each event contributes
+    * exp(-(T−t)/τ) with T the corpus max timestamp and τ = 7 days.
+    * Scan-side arithmetic + one groupBy; T comes from a single-row
+    * broadcast aggregate, not a second pass over grouped state.
+    */
+  private def evRecencyScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val tMax = ev.agg(max("us").as("t_max"))
+    val tau = 7.0 * 86400000000.0
+    ev.crossJoin(broadcast(tMax))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(exp((col("us") - col("t_max")) / tau)), 6)
+          .as("recency_score"))
+  }
+
+  private val evRecencyScoreSql =
+    """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(exp((epoch_us(ts) - t_max) / 604800000000.0)), 6)
+      |    AS recency_score
+      |FROM events, t GROUP BY user_id""".stripMargin
+
   /** CMS point estimates joined against exact counts for every user:
     * (user_id, cms_est, cnt) with cms_est >= cnt always. d=4, w=64 so
     * 150 users at sf0.01 genuinely collide (the sketch is doing work,
@@ -463,6 +488,7 @@ object SketchQueries {
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_heavy_hitters_by_type", evHeavyHittersByType,
       Some(evHeavyHittersByTypeSql)),
+    QueryDef("ev_recency_score", evRecencyScore, Some(evRecencyScoreSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
     QueryDef("ev_value_quantiles", evValueQuantiles,
