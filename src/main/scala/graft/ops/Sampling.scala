@@ -81,7 +81,12 @@ object Sampling {
       md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))), 1, 8),
       16, 10).cast("double")
     val u = (h + 1.0) / 4294967296.0 // (0,1]: u=0 would zero every priority
-    df.withColumn("pri", pow(u, lit(1.0) / weight.cast("double")))
+    // E-S priorities are defined for w > 0 only; a negative w makes
+    // u^(1/w) >= 1 (outranking every valid row) and w = 0 with u = 1
+    // yields NaN, which desc-sorts FIRST — filter rather than corrupt.
+    // w <= 0 therefore means "never sampled", the natural limit.
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("pri", pow(u, lit(1.0) / weight.cast("double")))
       .orderBy(col("pri").desc, col(keyCol).asc)
       .limit(k)
   }

@@ -325,11 +325,11 @@ object CoreQueries {
     * events table (same dataflow as readStream + window + agg).
     */
   private def evHourly(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("cnt"), col("sum_value"))
+    // the ONE shared batch/stream definition (StreamOps documents the
+    // parity contract) — never re-implement the window agg inline here
+    graft.streaming.StreamOps.hourlyAgg(
+      Tables.events(s, dir).select("ts", "event_type", "value"),
+      withWatermark = false)
 
   private val evHourlySql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -174,8 +174,11 @@ object StreamOps extends Serializable {
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
         TextAnalysis.langId(col("text")) === lang)
       .select(col("doc_id"), col("ts"),
-        TextAnalysis.redactPii(col("text")).as("text"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+        TextAnalysis.redactPii(col("text")).as("text"))
+      // withColumn AFTER the select so the fingerprint sees the
+      // REDACTED text (inside the select above, col("text") would
+      // still resolve to the raw input column) — must match prepBatch
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .as[(Long, java.sql.Timestamp, String, String)]
     val buckets = gated
       .flatMap { case (id, ts, text, fp) =>
@@ -293,8 +296,10 @@ object StreamOps extends Serializable {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.lastMs <= gapMs =>
-            cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
-              s.n + 1, s.sum + e.value))
+            // min: a late in-gap event above the watermark can predate
+            // the open session's start; the batch twin reports min(ts)
+            cur = Some(SessionState(math.min(s.startMs, t),
+              math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed ::= finish(userId, s)
             cur = Some(SessionState(t, t, 1, e.value))
@@ -311,7 +316,13 @@ object StreamOps extends Serializable {
 
     def finish(userId: Long, s: SessionState): UserSession =
       UserSession(userId, fmt.format(java.time.Instant.ofEpochMilli(s.startMs)),
-        s.n, math.rint(s.sum * 1e4) / 1e4)
+        s.n,
+        // BigDecimal HALF_UP, not math.rint: Spark's round() goes
+        // through the decimal string (0.12345 -> 0.1235) while rint's
+        // binary half-even gives 0.1234 — batch parity requires the
+        // identical rule
+        java.math.BigDecimal.valueOf(s.sum)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")

@@ -1102,6 +1102,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle SQL copies of the quality/lang derivations cannot drift") {
+    // The quality-score expression and the language-ID scoring appear in
+    // several oracle strings (different quoting contexts make a shared
+    // constant riskier than it looks); this spec is the anti-drift
+    // guard: every copy must canonicalize to the pinned fragment.
+    def canon(s: String): String =
+      s.replace("\\\\", "\\").replaceAll("\\s+", " ")
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    val o = graft.SparkEntry.oracleSql
+
+    val qualityFrag = canon(
+      """round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+        |    + (CASE WHEN length(regexp_replace(t, '\s+', '', 'g')) / ntoks
+        |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+        |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+        |    6)""".stripMargin)
+    for (name <- Seq("text_quality", "text_topk_quality_by_lang",
+        "pipeline_e2e_prep", "text_quality_gate")) {
+      assert(count(canon(o(name)), qualityFrag) == 1,
+        s"$name: quality expression drifted from the pinned form")
+    }
+
+    // language scores: every profile's list_intersect fragment, built
+    // from the same stopwordProfiles the engine uses
+    val langFrags = graft.ops.TextAnalysis.stopwordProfiles.map {
+      case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        canon(s"length(list_intersect(dtoks, $arr)) AS s_$l")
+    }
+    for (name <- Seq("text_langid", "text_topk_quality_by_lang",
+        "pipeline_e2e_prep"); frag <- langFrags) {
+      assert(canon(o(name)).contains(frag),
+        s"$name: language-ID scoring drifted from stopwordProfiles")
+    }
+  }
+
   test("heavyHitters rejects a k below the superset guarantee") {
     import graft.ops.Sketches
     intercept[IllegalArgumentException] {

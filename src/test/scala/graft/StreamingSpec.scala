@@ -228,6 +228,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batch)
   }
 
+  test("late in-gap events lower session_start; rounding matches batch HALF_UP") {
+    import spark.implicits._
+    def ev(uid: Long, t: String, v: Double) =
+      StreamOps.UserEvent(uid, java.sql.Timestamp.valueOf(t), v)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def write(sub: String, rows: Seq[StreamOps.UserEvent]): Unit =
+      spark.createDataset(rows).toDF()
+        .write.mode("overwrite").parquet(s"$tmp/$sub")
+    // drive batches in a controlled order: write file, then drain
+    new java.io.File(tmp).mkdirs()
+    val schema = spark.createDataset(
+      Seq(ev(0L, "2026-01-01 00:00:00", 0.0))).toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/*")
+      .as[StreamOps.UserEvent]
+    val q = StreamOps.sessionizeStream(stream, gapMinutes = 30)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_out")
+      .start()
+    // batch 1: u1 at 10:05; u2's sum 0.12345 pins the rounding rule
+    write("b1", Seq(ev(1L, "2026-01-01 10:05:00", 1.0),
+      ev(2L, "2026-01-01 10:00:00", 0.12345)))
+    q.processAllAvailable()
+    // batch 2: u1's LATE event at 09:40 — within gap, above watermark
+    // (10:05 - 30m = 09:35) — must merge AND lower session_start
+    write("b2", Seq(ev(1L, "2026-01-01 09:40:00", 2.0)))
+    q.processAllAvailable()
+    // batch 3: far-future event closes everything
+    write("b3", Seq(ev(3L, "2026-01-01 13:00:00", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_late_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.contains((1L, "2026-01-01 09:40:00", 2L, 3.0)),
+      s"late event did not lower session_start: $got")
+    // Spark round() semantics: 0.12345 -> 0.1235 (HALF_UP), not 0.1234
+    assert(got.contains((2L, "2026-01-01 10:00:00", 1L, 0.1235)), s"$got")
+    // parity with the batch twin on the full event set holds
+    val all = Seq(ev(1L, "2026-01-01 10:05:00", 1.0),
+      ev(2L, "2026-01-01 10:00:00", 0.12345),
+      ev(1L, "2026-01-01 09:40:00", 2.0), ev(3L, "2026-01-01 13:00:00", 0.0))
+    val batch = StreamOps.sessionizeBatch(
+      spark.createDataset(all).toDF(), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.subsetOf(batch), s"stream emitted non-batch sessions: ${got -- batch}")
+  }
+
+  test("prepStream fingerprints the REDACTED text: PII-only variants dedupe") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val rng = new Lcg(47)
+    val baseText = (0 until 30).map(_ => vocab(rng.nextInt(vocab.length)))
+      .mkString(" ")
+    // identical after email redaction, different raw
+    val a = s"$baseText contact alice@example.com"
+    val b = s"$baseText contact bob@test.org"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val rows = Seq(10L -> a, 20L -> b).zipWithIndex.map { case ((id, tx), i) =>
+      StreamOps.DocEvent(id, new java.sql.Timestamp(t0 + i * 60000L), tx)
+    }
+    val ds = spark.createDataset(rows)
+    // both docs genuinely pass the gate (not vacuously excluded)
+    val gatePass = ds.toDF().filter(
+      TextAnalysis.qualityScore(col("text")) >= 0.85 &&
+        TextAnalysis.langId(col("text")) === "en").count()
+    assert(gatePass == 2, s"fixture failed the gate: $gatePass/2")
+
+    val batchPairs = StreamOps.prepBatch(ds)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!batchPairs.contains((10L, 20L)),
+      "batch twin must collapse redaction-identical docs")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    ds.toDF().write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ds.toDF().schema).parquet(tmp)
+      .as[StreamOps.DocEvent]
+    val q = StreamOps.prepStream(stream)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_pii_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_pii_out")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((10L, 20L)),
+      "stream paired docs that differ only in redacted PII")
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
