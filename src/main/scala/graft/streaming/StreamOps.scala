@@ -372,6 +372,29 @@ object StreamOps extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming twin of [[graft.ops.IntervalJoin.intervalJoin]]: on
+    * streams, Spark's native stream-stream inner join with an
+    * event-time range condition IS the interval join — watermarks on
+    * both sides bound the buffered state to the window length, no
+    * custom operator needed. Same semantics as the batch op:
+    * right.ts ∈ (left.ts, left.ts + lengthMicros], key equality.
+    * Column names must be disjoint apart from `keyCol` (the right
+    * frame's key is renamed internally for the join condition).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTsCol: String, rightTsCol: String,
+                         lengthMicros: Long, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+      .withColumnRenamed(keyCol, "__rk")
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(rightTsCol) > col(leftTsCol) &&
+        col(rightTsCol) <=
+          col(leftTsCol) + expr(s"INTERVAL $lengthMicros MICROSECOND"))
+      .drop("__rk")
+  }
+
   final case class KmvShardState(mins: Seq[Long], seq: Long)
   final case class KmvShardSketch(shard: Int, seq: Long, mins: Seq[Long])
 

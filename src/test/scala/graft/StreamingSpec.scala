@@ -322,6 +322,45 @@ class StreamingSpec extends AnyFunSuite {
       "stream paired docs that differ only in redacted PII")
   }
 
+  test("native stream-stream interval join equals the batch bucketed join") {
+    import spark.implicits._
+    val rng = new Lcg(53)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(minOff: Int) = new java.sql.Timestamp(t0 + minOff * 60000L)
+    val anchors = (0 until 40).map(i =>
+      (i.toLong, s"u${rng.nextInt(6)}", ts(rng.nextInt(300))))
+    val evs = (0 until 200).map(i =>
+      (1000L + i, s"u${rng.nextInt(6)}", ts(rng.nextInt(330))))
+    val aDf = spark.createDataset(anchors).toDF("aid", "k", "a_ts")
+    val eDf = spark.createDataset(evs).toDF("eid", "k", "e_ts")
+    val len = 3600000000L // 1 hour in micros
+
+    val batch = graft.ops.IntervalJoin
+      .intervalJoin(aDf, eDf, "k", "a_ts", "e_ts", len)
+      .select("aid", "eid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+
+    val tmpA = java.nio.file.Files.createTempDirectory("graft-iva").toString
+    val tmpE = java.nio.file.Files.createTempDirectory("graft-ive").toString
+    aDf.write.mode("overwrite").parquet(tmpA)
+    eDf.write.mode("overwrite").parquet(tmpE)
+    val sa = spark.readStream.schema(aDf.schema).parquet(tmpA)
+    val se = spark.readStream.schema(eDf.schema).parquet(tmpE)
+    val q = StreamOps.intervalJoinStream(sa, se, "k", "a_ts", "e_ts",
+      len, watermark = "2 hours")
+      .select("aid", "eid")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_iv_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_iv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch,
+      s"missing: ${(batch -- got).take(3)} extra: ${(got -- batch).take(3)}")
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
