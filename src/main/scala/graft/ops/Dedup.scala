@@ -397,4 +397,67 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
   }
+
+  /** SemDeDup-style semantic dedup over an embedding column (Abbas et
+    * al. 2023, arXiv:2303.09540): items are pre-bucketed into semantic
+    * clusters (`clusterCol` — a class label, KMeans/IVF cell, or any
+    * coarse partition), and within each cluster an item is a duplicate
+    * iff some LOWER-id item of the same cluster has cosine >= tau.
+    * That lowest-id-survives rule is exactly the paper's released
+    * upper-triangular implementation (mark j duplicate when any i<j
+    * exceeds tau) — no transitive closure, so the result is
+    * deterministic and SQL-reproducible. Output one row per input id:
+    * (`id`, `cluster`, `kept`, `dup_of`) with `dup_of` the smallest
+    * such earlier id (null for survivors).
+    *
+    * Scale shape: one shuffle on the cluster key; the self-join is
+    * quadratic in CLUSTER size, never corpus size — the clustering
+    * prefilter is the blocking stage, the same role LSH bands play for
+    * [[minhashLshPairs]]. SemDeDup sizes k so n/k stays ~10^4-10^5; a
+    * hot cluster means re-cluster with larger k (or fall back to
+    * [[Similarity.lshCosinePairs]] inside that cluster), not a wider
+    * join. Use [[semanticDedupKMeans]] when no precomputed cluster id
+    * exists.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val v = df.select(col(clusterCol).cast("long").as("cluster"),
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val dups = v.toDF("cluster", "id1", "v1")
+      .join(v.toDF("cluster", "id2", "v2"), Seq("cluster"))
+      .filter(col("id1") < col("id2") &&
+        round(Similarity.cosine(col("v1"), col("v2")), 6) >= tau)
+      .groupBy(col("id2").as("id"))
+      .agg(min(col("id1")).as("dup_of"))
+    v.select("cluster", "id").join(dups, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** The full SemDeDup composition for corpora with no precomputed
+    * cluster column: coarse KMeans cells (sample-fit, same discipline
+    * as [[Similarity.ivfTopK]]'s quantizer) feed [[semanticDedup]] as
+    * the blocking stage. Not SQL-reproducible (KMeans); gate is the
+    * OpsSpec invariant suite + rows.
+    */
+  def semanticDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, numCells: Int = 16,
+                          maxTrainRows: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        array_to_vector(Similarity.normalized(col(vecCol)))
+          .as("features")))
+    val corpusN = v.count()
+    val train =
+      if (corpusN <= maxTrainRows) v
+      else v.sample(withReplacement = false,
+        maxTrainRows.toDouble / corpusN, seed = 42)
+    val model = new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
+      .fit(train.select("features"))
+    semanticDedup(model.transform(v)
+      .select(col("id"), col("v"), col("prediction").as("cell")),
+      "id", "v", "cell", tau)
+  }
 }

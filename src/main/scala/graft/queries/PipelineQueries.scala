@@ -257,6 +257,29 @@ object PipelineQueries {
       |FROM sigs a JOIN sigs b ON a.id < b.id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
 
+  /** SemDeDup semantic dedup with the `label` column as the semantic
+    * cluster (the corpus ships its class partition, so the blocking
+    * stage is oracle-reproducible; [[graft.ops.Dedup.semanticDedupKMeans]]
+    * is the self-clustering form, gated in OpsSpec). tau 0.32 sits at
+    * the p99+ of the synthetic within-label cosine mass — a real
+    * near-dup sweep runs at 0.9+ where duplicates are unambiguous.
+    */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", tau = 0.32)
+
+  private val semanticDedupSql =
+    """WITH d AS (
+      |  SELECT b.vec_id AS id, min(a.vec_id) AS dup_of
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                     b.embedding::DOUBLE[]), 6) >= 0.32
+      |  GROUP BY 1)
+      |SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS cluster,
+      |       d.dup_of IS NULL AS kept, d.dup_of
+      |FROM embeddings e LEFT JOIN d ON d.id = e.vec_id""".stripMargin
+
   // ---- similarity search ----
 
   private def embCosinePairs(s: SparkSession, dir: String): DataFrame =
@@ -1197,6 +1220,7 @@ object PipelineQueries {
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),

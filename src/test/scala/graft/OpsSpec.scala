@@ -338,6 +338,77 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs((0L, 2L)) == 1.0) // colinear
   }
 
+  test("semantic dedup matches the brute-force upper-triangular rule") {
+    val rng = new Lcg(23)
+    // 3 clusters x 12 vectors + planted colinear dups of ids 0 and 12
+    val base = (0L until 36L).map { i =>
+      (i, i / 12L, Array.tabulate(6)(_ => rng.nextInt(100) / 50.0f - 1.0f))
+    }
+    val planted = Seq(
+      (100L, 0L, base(0)._3.map(_ * 3.0f)),
+      (101L, 1L, base(12)._3.map(_ * 0.5f)))
+    val rows = base ++ planted
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(v => Row(v._1, v._2, v._3.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val tau = 0.9
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", "label", tau)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val r = d / math.sqrt(a.map(x => x.toDouble * x.toDouble).sum *
+        b.map(x => x.toDouble * x.toDouble).sum)
+      math.rint(r * 1e6) / 1e6
+    }
+    // brute-force model: j is a dup iff any lower-id same-cluster i
+    // has cosine >= tau; dup_of is the smallest such i
+    val expect = rows.map { case (j, cl, vj) =>
+      val earlier = rows.filter { case (i, ci, vi) =>
+        ci == cl && i < j && cos(vi, vj) >= tau
+      }.map(_._1)
+      j -> (cl, earlier.isEmpty,
+        if (earlier.isEmpty) None else Some(earlier.min))
+    }.toMap
+    assert(got == expect)
+    // the planted colinear dups are dropped toward their originals
+    assert(got(100L) == ((0L, false, Some(0L))))
+    assert(got(101L) == ((1L, false, Some(12L))))
+    // one output row per input id
+    assert(got.size == rows.size)
+  }
+
+  test("semantic dedup KMeans composition drops planted colinear dups") {
+    val rng = new Lcg(29)
+    val base = (0L until 60L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(100) / 50.0f - 1.0f)
+    }
+    // colinear (cosine exactly 1.0) pairs MUST share a KMeans cell:
+    // cells partition the unit sphere by nearest centroid and the two
+    // normalized vectors are identical
+    val planted = Seq(200L -> base(3)._2.map(_ * 2.0f),
+      201L -> base(7)._2.map(_ * 4.0f))
+    val rows = base ++ planted
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val res = Dedup.semanticDedupKMeans(df, "vec_id", "embedding",
+      tau = 0.999999, numCells = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(res.size == rows.size)
+    assert(res(200L) == ((false, Some(3L))))
+    assert(res(201L) == ((false, Some(7L))))
+    // nothing else reaches cosine 0.999999 in an 8-dim random corpus
+    assert(res.count(!_._2._1) == 2)
+  }
+
   test("LSH top-k self-bucket always contains the exact top neighbor for colinear vectors") {
     val rng = new Lcg(5)
     val vecs = (0L until 50L).map { i =>
