@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-analytics operators: long→wide pivot with a pinned
+  * domain, per-key time-range rolling aggregates, population z-score
+  * outlier flagging, and a Deequ-style constraint evaluator. These are
+  * thin, deliberately: each is the *scale-correct* arrangement of
+  * built-in Catalyst operators (explicit pivot values, fused window
+  * frames, broadcast stats joins, single-scan audit aggregates), which
+  * is the part users get wrong at 100 TB.
+  */
+object Analytics {
+
+  /** Counts of `pivotCol` values per `keyCol` group, pivoted wide with
+    * an EXPLICIT value domain. Pinned values keep the pivot a single
+    * plan-time-schema aggregation; an unpinned pivot runs a distinct
+    * collect over the full column first — never acceptable when the
+    * domain is known. Absent (key, value) combos are 0, not null.
+    */
+  def pivotCounts(df: DataFrame, keyCol: Column, keyName: String,
+                  pivotCol: String, values: Seq[String]): DataFrame =
+    df.groupBy(keyCol.as(keyName))
+      .pivot(pivotCol, values)
+      .count()
+      .na.fill(0L)
+
+  /** Per-key trailing time-range aggregates at every row: count and sum
+    * of `valCol` over [ts − windowMicros, ts], the frame inclusive at
+    * both ends, ordered by epoch MICROSECONDS (integer — no
+    * sub-second truncation drift between engines). One shuffle on
+    * `keyCol`; both frames evaluate in a single Window pass.
+    */
+  def rollingByKey(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, windowMicros: Long,
+                   outCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    df.select(outCols.map(col) :+
+      count(lit(1)).over(w).as("roll_cnt") :+
+      round(sum(col(valCol)).over(w), 6).as("roll_sum"): _*)
+  }
+
+  /** Rows whose `valCol` sits >= `minZ` sample standard deviations from
+    * their group's mean. The per-group statistics table (one row per
+    * group) is broadcast back onto the stream, so flagging is map-side:
+    * two scans, one tiny shuffle, no window over the full data. Groups
+    * with undefined deviation (a single row, or constant values → sd
+    * 0/null) flag nothing: z is null there and null comparisons are
+    * false. The ROUNDED score is compared, so an oracle can reproduce
+    * the boundary exactly.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     minZ: Double, outCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(avg(valCol).as("m"), stddev_samp(valCol).as("sd"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", round((col(valCol) - col("m")) /
+        when(col("sd") === 0d, lit(null)).otherwise(col("sd")), 6))
+      .filter(abs(col("z")) >= minZ)
+      .select(outCols.map(col) :+ col("z"): _*)
+  }
+
+  /** One data-quality constraint: a name, a displayed metric expression
+    * (any type — cast to double or null), and a boolean pass predicate,
+    * both evaluated over the single global aggregate row.
+    */
+  final case class Constraint(name: String, metric: Column, passed: Column)
+
+  /** Evaluate a Deequ-style constraint suite in ONE full scan: all
+    * aggregates ride a single global aggregation (distinct counts
+    * included), then each constraint unpivots to a
+    * (`constraint`, `metric`, `passed`) row. The scan is the audit's
+    * cost floor at any scale; this adds nothing beyond it.
+    */
+  def dqSuite(df: DataFrame, aggs: Seq[Column],
+              constraints: Seq[Constraint]): DataFrame = {
+    // explode-of-structs over the one aggregate row, NOT a union of
+    // per-constraint selects — a union would replay the aggregation
+    // per constraint (ReuseExchange dedupes the shuffle but not the
+    // final-phase aggs), while this is one job end to end
+    val rows = array(constraints.map(c =>
+      struct(lit(c.name).as("constraint"),
+        c.metric.cast("double").as("metric"),
+        c.passed.as("passed"))): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(rows).as("r"))
+      .select("r.*")
+  }
+}

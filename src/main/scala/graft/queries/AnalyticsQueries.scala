@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Analytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-analytics shapes over the events table that round out the
+  * warehouse surface: pivot (long→wide), time-range rolling windows,
+  * population-statistics outlier flagging, and a Deequ-style data-quality
+  * constraint suite. All exact, all hash-gated against DuckDB.
+  */
+object AnalyticsQueries {
+
+  /** Daily event counts pivoted to one column per event type. The pivot
+    * value list is EXPLICIT: with pinned values Spark compiles the pivot
+    * to a single map-side-combinable groupBy over `pivot_count`
+    * conditionals — one shuffle on `day`, schema fixed at plan time. An
+    * unpinned pivot first runs a distinct job to discover values and
+    * collects them to the driver — never do that over 100 TB when the
+    * domain is known (and when it isn't, a long-format groupBy is the
+    * honest shape; the wide layout only exists for humans).
+    */
+  private def evPivotDayType(s: SparkSession, dir: String): DataFrame =
+    Analytics.pivotCounts(Tables.events(s, dir), to_date(col("ts")), "day",
+      "event_type", Seq("click", "error", "purchase", "signup", "view"))
+
+  private val evPivotDayTypeSql =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Per-user trailing-7-day activity at every event: count and value
+    * sum over the time-RANGE frame [ts − 7 d, ts]. The frame is over
+    * epoch MICROSECONDS on both engines — a seconds-granularity cast
+    * would disagree with the oracle on events sharing a boundary
+    * second. One shuffle on `user_id`; the frame scan is linear per
+    * partition (two pointers), and per-user history is bounded by human
+    * activity — the partition key that grows with corpus size is users,
+    * not events-per-user, so the shape holds at 100 TB.
+    */
+  private def evUserRolling7d(s: SparkSession, dir: String): DataFrame =
+    Analytics.rollingByKey(Tables.events(s, dir), "user_id", "ts", "value",
+      windowMicros = 7L * 24 * 3600 * 1000000,
+      outCols = Seq("event_id", "user_id"))
+
+  private val evUserRolling7dSql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS roll_cnt,
+      |  round(sum(value) OVER w, 6) AS roll_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Population z-score outliers: events whose value sits >= 2.5
+    * sample standard deviations from their type's mean. The per-type
+    * statistics table is tiny (one row per event type) and BROADCAST to
+    * the second scan, so flagging is map-side — no second shuffle, no
+    * window over the full stream. The filter compares the ROUNDED score
+    * so the oracle cannot disagree on a boundary ulp.
+    */
+  private def evAnomalyZscore(s: SparkSession, dir: String): DataFrame =
+    Analytics.zscoreOutliers(Tables.events(s, dir), "event_type", "value",
+      minZ = 2.5, outCols = Seq("event_id", "event_type", "value"))
+      .withColumn("value", round(col("value"), 6))
+
+  private val evAnomalyZscoreSql =
+    """WITH s AS (SELECT event_type, avg(value) AS m,
+      |                  stddev_samp(value) AS sd
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+      |       round((e.value - s.m) / s.sd, 6) AS z
+      |FROM events e JOIN s ON s.event_type = e.event_type
+      |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 2.5""".stripMargin
+
+  /** Deequ-style data-quality constraint suite, one row per constraint:
+    * (`constraint`, `metric` value, `passed`). Completeness, key
+    * uniqueness, value bounds, domain conformance, and freshness — the
+    * standard pre-ingest gate — computed in ONE full scan (a single
+    * multi-aggregate; `count_distinct` rides the same job) and
+    * unpivoted with `stack`. At 100 TB the scan is the cost floor for
+    * any audit; this suite adds nothing beyond it.
+    */
+  private def dqConstraintsEvents(s: SparkSession, dir: String): DataFrame = {
+    import Analytics.Constraint
+    val allowed = Seq("click", "error", "purchase", "signup", "view")
+    Analytics.dqSuite(Tables.events(s, dir),
+      aggs = Seq(
+        (count(col("user_id")) / count(lit(1))).as("uid_complete"),
+        (count_distinct(col("event_id")) === count(lit(1)))
+          .cast("double").as("eid_unique"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(when(!col("event_type").isin(allowed: _*), 1L).otherwise(0L))
+          .cast("double").as("bad_domain"),
+        max(col("ts")).cast("date").cast("string").as("max_day")),
+      constraints = Seq(
+        Constraint("completeness_user_id", round(col("uid_complete"), 6),
+          col("uid_complete") === 1.0),
+        Constraint("unique_event_id", col("eid_unique"),
+          col("eid_unique") === 1.0),
+        Constraint("value_in_bounds", round(col("v_max"), 6),
+          col("v_min") >= 0.0 && col("v_max") <= 1000.0),
+        Constraint("domain_event_type", col("bad_domain"),
+          col("bad_domain") === 0.0),
+        Constraint("freshness_max_day", lit(null),
+          col("max_day") >= "2024-01-25")))
+  }
+
+  private val dqConstraintsEventsSql =
+    """WITH a AS (
+      |  SELECT count(user_id)::DOUBLE / count(*) AS uid_complete,
+      |         CASE WHEN count(DISTINCT event_id) = count(*)
+      |              THEN 1.0 ELSE 0.0 END AS eid_unique,
+      |         min(value) AS v_min, max(value) AS v_max,
+      |         sum(CASE WHEN event_type NOT IN
+      |               ('click','error','purchase','signup','view')
+      |             THEN 1 ELSE 0 END)::DOUBLE AS bad_domain,
+      |         CAST(CAST(max(ts) AS DATE) AS VARCHAR) AS max_day
+      |  FROM events)
+      |SELECT 'completeness_user_id' AS constraint,
+      |       round(uid_complete, 6) AS metric,
+      |       uid_complete = 1.0 AS passed FROM a
+      |UNION ALL SELECT 'unique_event_id', eid_unique, eid_unique = 1.0 FROM a
+      |UNION ALL SELECT 'value_in_bounds', round(v_max, 6),
+      |       v_min >= 0.0 AND v_max <= 1000.0 FROM a
+      |UNION ALL SELECT 'domain_event_type', bad_domain, bad_domain = 0.0 FROM a
+      |UNION ALL SELECT 'freshness_max_day', NULL, max_day >= '2024-01-25' FROM a""".stripMargin
+
+  def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
+    QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
+    QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
+    QueryDef("dq_constraints_events", dqConstraintsEvents,
+      Some(dqConstraintsEventsSql)),
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def ts(us: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(us / 1000) // fixture stays at ms granularity
+
+  private def evDf(rows: Seq[(Long, Long, java.sql.Timestamp, String, java.lang.Double)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5)): _*),
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("event_type", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = true))))
+
+  test("rollingByKey includes the window boundary and splits by key") {
+    val day = 24L * 3600 * 1000000
+    val rows = Seq(
+      // user 1: events at t=0, t=7d (exactly on the frame boundary), t=10d
+      (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(7 * day), "a", java.lang.Double.valueOf(2.0)),
+      (3L, 1L, ts(10 * day), "a", java.lang.Double.valueOf(4.0)),
+      // user 2: single event — window of itself only
+      (4L, 2L, ts(3 * day), "a", java.lang.Double.valueOf(8.0)))
+    val got = Analytics.rollingByKey(evDf(rows), "user_id", "ts", "value",
+      windowMicros = 7 * day, outCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // event 2 at exactly t0+7d: the frame [ts-7d, ts] INCLUDES event 1
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((2L, 3.0)), "boundary event must be included")
+    // event 3 at 10d: sees event 2 (3d earlier) but not event 1 (10d)
+    assert(got(3L) == ((2L, 6.0)))
+    assert(got(4L) == ((1L, 8.0)), "keys must not mix")
+  }
+
+  test("pivotCounts zero-fills absent combos and drops unpinned values") {
+    val rows = Seq(
+      (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(1000), "a", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(2000), "b", java.lang.Double.valueOf(1.0)),
+      (4L, 1L, ts(3000), "zzz", java.lang.Double.valueOf(1.0))) // not pinned
+    val got = Analytics.pivotCounts(evDf(rows), col("user_id"), "uid",
+      "event_type", Seq("a", "b", "c")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("a") == 2L && r.getAs[Long]("b") == 1L)
+    assert(r.getAs[Long]("c") == 0L, "absent combo must be 0, not null")
+    assert(!got.head.schema.fieldNames.contains("zzz"))
+  }
+
+  test("zscoreOutliers flags planted outliers, never constant or singleton groups") {
+    val vals = Seq(10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.2, 9.8, 100.0)
+    val normal = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), "n", java.lang.Double.valueOf(v))
+    }
+    val constant = (100L to 104L).map(i =>
+      (i, 1L, ts(i * 1000000L), "const", java.lang.Double.valueOf(5.0)))
+    val single = Seq((200L, 1L, ts(0), "one", java.lang.Double.valueOf(3.0)))
+    val got = Analytics.zscoreOutliers(evDf(normal ++ constant ++ single),
+      "event_type", "value", minZ = 2.0, outCols = Seq("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(8L), s"only the planted 100.0 outlier, got $got")
+  }
+
+  test("dqSuite computes the suite in one scan and flags planted violations") {
+    val rows = Seq(
+      (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
+      (1L, 2L, ts(1000000L), "a", java.lang.Double.valueOf(-5.0)), // dup id, oob value
+      (3L, 3L, ts(2000000L), "weird", null.asInstanceOf[java.lang.Double]))
+    import Analytics.Constraint
+    val got = Analytics.dqSuite(evDf(rows),
+      aggs = Seq(
+        (count(col("value")) / count(lit(1))).as("v_complete"),
+        (count_distinct(col("event_id")) === count(lit(1)))
+          .cast("double").as("eid_unique"),
+        min(col("value")).as("v_min"),
+        sum(when(!col("event_type").isin("a", "b"), 1L).otherwise(0L))
+          .cast("double").as("bad_domain")),
+      constraints = Seq(
+        Constraint("complete", round(col("v_complete"), 6), col("v_complete") === 1.0),
+        Constraint("unique", col("eid_unique"), col("eid_unique") === 1.0),
+        Constraint("bounds", col("v_min"), col("v_min") >= 0.0),
+        Constraint("domain", col("bad_domain"), col("bad_domain") === 0.0)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got("complete")._2 == false && math.abs(got("complete")._1 - 2.0 / 3) < 1e-6)
+    assert(got("unique") == ((0.0, false)))
+    assert(got("bounds") == ((-5.0, false)))
+    assert(got("domain") == ((1.0, false)))
+  }
+}
