@@ -64,6 +64,32 @@ object Analytics {
       .select(outCols.map(col) :+ col("z"): _*)
   }
 
+  /** Curriculum binning: assign every row to one of `k` global
+    * score-quantile bins (bin = #thresholds strictly below the score,
+    * ties landing in the lower bin). This is the scale-correct form of
+    * `ntile(k)` OVER the whole table — a global-order window moves
+    * every row to ONE partition, while here the k−1 exact thresholds
+    * (Spark `percentile` == `quantile_cont` interpolation, over
+    * 6dp-rounded scores for cross-engine parity) reduce to a single
+    * broadcast row and binning is a scan-side fold. Rows beyond
+    * `outCols` carry (`score`, `bin`).
+    */
+  def quantileBins(df: DataFrame, scoreCol: Column, k: Int,
+                   outCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val scored = df.withColumn("score", round(scoreCol, 6))
+    val thr = scored.agg(
+      transform(
+        percentile(col("score"),
+          array((1 until k).map(i => lit(i.toDouble / k)): _*)),
+        t => round(t, 6)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(outCols.map(col) :+ col("score") :+
+        aggregate(col("thr"), lit(0),
+          (acc, t) => acc + when(col("score") > t, 1).otherwise(0))
+          .as("bin"): _*)
+  }
+
   /** One data-quality constraint: a name, a displayed metric expression
     * (any type — cast to double or null), and a boolean pass predicate,
     * both evaluated over the single global aggregate row.

@@ -131,11 +131,48 @@ object AnalyticsQueries {
       |UNION ALL SELECT 'domain_event_type', bad_domain, bad_domain = 0.0 FROM a
       |UNION ALL SELECT 'freshness_max_day', NULL, max_day >= '2024-01-25' FROM a""".stripMargin
 
+  /** Curriculum decile bins over the document quality score — the
+    * "order the corpus easy→hard" assignment done the scale-correct
+    * way: 9 exact global thresholds broadcast, binning scan-side. A
+    * `ntile(10) OVER (ORDER BY quality)` would sort the corpus on one
+    * partition. The score is [[graft.ops.TextAnalysis.qualityScore]]
+    * (already 6dp-rounded — the same cross-engine parity the
+    * `text_quality_gate` oracle pins).
+    */
+  private def docCurriculumBins(s: SparkSession, dir: String): DataFrame =
+    Analytics.quantileBins(Tables.documents(s, dir),
+      graft.ops.TextAnalysis.qualityScore(col("text")), k = 10,
+      outCols = Seq("doc_id"))
+
+  private val docCurriculumBinsSql =
+    """WITH b AS (
+      |  SELECT doc_id, trim(text) AS t,
+      |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+      |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\s+')), 1)
+      |         AS DOUBLE) AS ntoks
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+      |    + (CASE WHEN length(regexp_replace(t, '\s+', '', 'g')) / ntoks
+      |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+      |    6) AS score
+      |  FROM b),
+      |thr AS (SELECT list_transform(
+      |          quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |          t -> round(t, 6)) AS ts
+      |        FROM q)
+      |SELECT q.doc_id, q.score,
+      |       CAST(length(list_filter(thr.ts, t -> t < q.score)) AS INT) AS bin
+      |FROM q, thr""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
     QueryDef("dq_constraints_events", dqConstraintsEvents,
       Some(dqConstraintsEventsSql)),
+    QueryDef("doc_curriculum_bins", docCurriculumBins,
+      Some(docCurriculumBinsSql)),
   )
 }

@@ -71,6 +71,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Set(8L), s"only the planted 100.0 outlier, got $got")
   }
 
+  test("quantileBins: ties at a threshold land in the lower bin, bins are balanced") {
+    // 20 distinct scores 1..20: quartile thresholds (k=4) interpolate to
+    // 5.75, 10.5, 15.25 — bins of exactly 5
+    val rows = (1 to 20).map(i =>
+      (i.toLong, 1L, ts(i * 1000000L), "a", java.lang.Double.valueOf(i.toDouble)))
+    val got = Analytics.quantileBins(evDf(rows), col("value"), k = 4,
+      outCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1 to 20).forall(i => got(i.toLong) == (i - 1) / 5),
+      s"expected 4 equal bins, got $got")
+
+    // planted tie AT an exact threshold: scores {0,0,10,10} with k=2 →
+    // median 5; both 0s below (bin 0), both 10s above (bin 1); a score
+    // EQUAL to a threshold stays in the lower bin
+    val tie = Seq(0.0, 0.0, 5.0, 10.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), "a", java.lang.Double.valueOf(v))
+    }
+    val got2 = Analytics.quantileBins(evDf(tie), col("value"), k = 2,
+      outCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    // median of {0,0,5,10} = 2.5; score 5 and 10 above, 0s below
+    assert(got2(0L)._2 == 0 && got2(1L)._2 == 0)
+    assert(got2(2L)._2 == 1 && got2(3L)._2 == 1)
+    // and a direct boundary check: {1,2,3} k=3 → thresholds 1.666.., 2.333..;
+    // score 2 sits between → bin 1
+    val three = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), "a", java.lang.Double.valueOf(v))
+    }
+    val got3 = Analytics.quantileBins(evDf(three), col("value"), k = 3,
+      outCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got3 == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
