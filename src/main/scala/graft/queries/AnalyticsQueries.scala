@@ -166,6 +166,46 @@ object AnalyticsQueries {
       |       CAST(length(list_filter(thr.ts, t -> t < q.score)) AS INT) AS bin
       |FROM q, thr""".stripMargin
 
+  /** GDPR erasure audit over the TPC-H FK chain: a deterministic 2%
+    * of customers file deletion requests (the same portable
+    * md5-threshold predicate as [[graft.ops.Sampling]], so the seed is
+    * reproducible in any engine), and the cascade walks
+    * customer → orders → lineitem reporting per-table deleted/kept
+    * counts.
+    */
+  private def gdprForgetCascade(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Forget, Sampling}
+    val cust = Tables.customer(s, dir)
+    val seed = cust
+      .filter(Sampling.keepExpr(col("c_custkey"), 0.02, "gdpr"))
+      .select("c_custkey")
+    Forget.cascadeCounts(seed, Seq(
+      Forget.Level("customer", cust, "c_custkey", "c_custkey"),
+      Forget.Level("orders", Tables.orders(s, dir), "o_custkey", "o_orderkey"),
+      Forget.Level("lineitem", Tables.lineitem(s, dir), "l_orderkey", "l_orderkey")))
+  }
+
+  private val gdprForgetCascadeSql = {
+    val thr = graft.ops.Sampling.hexThreshold(0.02)
+    s"""WITH f AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE md5('gdpr:' || CAST(c_custkey AS VARCHAR)) < '$thr'),
+       |od AS (SELECT DISTINCT o_orderkey FROM orders
+       |       WHERE o_custkey IN (SELECT c_custkey FROM f))
+       |SELECT 'customer' AS "table",
+       |       (SELECT count(*) FROM f) AS n_deleted,
+       |       (SELECT count(*) FROM customer) - (SELECT count(*) FROM f) AS n_kept
+       |UNION ALL SELECT 'orders',
+       |       (SELECT count(*) FROM od),
+       |       (SELECT count(*) FROM orders) - (SELECT count(*) FROM od)
+       |UNION ALL SELECT 'lineitem',
+       |       (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+       |          (SELECT o_orderkey FROM od)),
+       |       (SELECT count(*) FROM lineitem) -
+       |       (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+       |          (SELECT o_orderkey FROM od))""".stripMargin
+  }
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
@@ -174,5 +214,7 @@ object AnalyticsQueries {
       Some(dqConstraintsEventsSql)),
     QueryDef("doc_curriculum_bins", docCurriculumBins,
       Some(docCurriculumBinsSql)),
+    QueryDef("gdpr_forget_cascade", gdprForgetCascade,
+      Some(gdprForgetCascadeSql)),
   )
 }

@@ -105,6 +105,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got3 == Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
 
+  test("forget cascade counts deletions level by level, dedups fan-in keys") {
+    import graft.ops.Forget
+    def df2(name1: String, name2: String, rows: Seq[(Long, Long)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+        StructType(Seq(StructField(name1, LongType, nullable = false),
+          StructField(name2, LongType, nullable = false))))
+    // users 1..4; forget {1, 2}; user 1 has 2 orders, user 2 none;
+    // order 10 has 3 items, order 11 has 1; order 20 (user 3) survives
+    val users = df2("uid", "uid2", Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    val orders = df2("o_uid", "oid",
+      Seq((1L, 10L), (1L, 11L), (3L, 20L)))
+    val items = df2("i_oid", "iid",
+      Seq((10L, 100L), (10L, 101L), (10L, 102L), (11L, 103L), (20L, 104L)))
+    val seed = users.filter(col("uid") <= 2L).select("uid")
+    val got = Forget.cascadeCounts(seed, Seq(
+      Forget.Level("users", users, "uid", "uid"),
+      Forget.Level("orders", orders, "o_uid", "oid"),
+      Forget.Level("items", items, "i_oid", "iid")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("users") == ((2L, 2L)))
+    assert(got("orders") == ((2L, 1L)))
+    assert(got("items") == ((4L, 1L)))
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
