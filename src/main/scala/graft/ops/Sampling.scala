@@ -106,4 +106,35 @@ object Sampling {
     df.filter(
       md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < threshold)
   }
+
+  /** Rebalance a skewed corpus to a UNIFORM group mixture — the
+    * dataset-mixing step that downsamples over-represented
+    * languages/sources to the smallest group's size: rate_g =
+    * min_h(n_h) / n_g, keep decided by the same pinned md5 draw as
+    * [[hashSample]]. Unlike [[stratifiedHashSample]], the rates are
+    * derived FROM the data inside the plan — one tiny group-count
+    * aggregate broadcast back onto the scan, no driver collect, no
+    * precomputed rate table to drift out of date.
+    *
+    * The per-group threshold is `floor(rate * 2^32)` rendered as the
+    * 8-hex-digit string the digest is compared against (floor, not
+    * round: identical IEEE semantics in any engine, where half-up vs
+    * half-even rounding could disagree on a boundary). The smallest
+    * group has rate exactly 1.0 and is kept wholesale via an explicit
+    * guard — its 9-hex-digit threshold would otherwise compare
+    * lexicographically WRONG against 8-char digest prefixes.
+    */
+  def rebalanceGroups(df: DataFrame, keyCol: String, groupCol: String,
+                      salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val rate = col("__mn").cast("double") / col("__n").cast("double")
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(minN))
+      .filter(rate >= 1.0 ||
+        md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < thr)
+      .drop("__n", "__mn")
+  }
 }

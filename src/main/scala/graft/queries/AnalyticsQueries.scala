@@ -206,6 +206,25 @@ object AnalyticsQueries {
        |          (SELECT o_orderkey FROM od))""".stripMargin
   }
 
+  /** Rebalance the document corpus to a uniform language mixture (the
+    * synthetic corpus is en-heavy ~3.4:1): data-derived per-language
+    * rates, pinned md5 keep decision — see
+    * [[graft.ops.Sampling.rebalanceGroups]].
+    */
+  private def docLangRebalance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.rebalanceGroups(
+      Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", "lang")
+
+  private val docLangRebalanceSql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT min(n) AS mn FROM c)
+      |SELECT d.lang, d.doc_id
+      |FROM documents d JOIN c ON c.lang = d.lang, m
+      |WHERE CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE) >= 1.0
+      |   OR md5('mix:' || CAST(d.doc_id AS VARCHAR)) <
+      |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
+      |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
@@ -216,5 +235,7 @@ object AnalyticsQueries {
       Some(docCurriculumBinsSql)),
     QueryDef("gdpr_forget_cascade", gdprForgetCascade,
       Some(gdprForgetCascadeSql)),
+    QueryDef("doc_lang_rebalance", docLangRebalance,
+      Some(docLangRebalanceSql)),
   )
 }

@@ -438,4 +438,19 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming data-quality monitor: [[graft.ops.Analytics.dqSuite]]
+    * verbatim over a streaming DataFrame — the definition is SHARED, so
+    * batch and stream cannot drift. Run it in complete output mode: the
+    * global aggregate is one state row per metric, updated every
+    * micro-batch, and the constraint explode is a stateless projection
+    * over that row. Restriction vs the batch suite: constraints needing
+    * DISTINCT aggregates (exact uniqueness) are not streamable —
+    * monitor cardinality with the streaming KMV sketch instead and keep
+    * exact uniqueness in the batch audit.
+    */
+  def dqMonitorStream(df: DataFrame,
+                      aggs: Seq[org.apache.spark.sql.Column],
+                      constraints: Seq[graft.ops.Analytics.Constraint]): DataFrame =
+    graft.ops.Analytics.dqSuite(df, aggs, constraints)
 }

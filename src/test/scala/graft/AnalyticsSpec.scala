@@ -130,6 +130,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("items") == ((4L, 1L)))
   }
 
+  test("rebalanceGroups keeps the smallest group whole and replays the md5 draw") {
+    import graft.ops.Sampling
+    // skewed corpus: group a = 40 rows, b = 10, c = 5 (min)
+    val rows = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b")) ++
+      (200 until 205).map(i => (i.toLong, "c")))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("grp", StringType, nullable = false))))
+    val kept = Sampling.rebalanceGroups(df, "doc_id", "grp")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    // smallest group survives wholesale (rate exactly 1.0)
+    assert((200L until 205L).forall(kept))
+    // JVM replay of the floor-threshold predicate for the other groups
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def thr(rate: Double): String =
+      ("0" * 8 + java.lang.Long.toHexString(math.floor(rate * 4294967296.0).toLong))
+        .takeRight(8)
+    val expect = rows.filter { case (id, g) =>
+      val rate = g match { case "a" => 5.0 / 40; case "b" => 5.0 / 10; case _ => 1.0 }
+      rate >= 1.0 || md5hex(s"mix:$id") < thr(rate)
+    }.map(_._1).toSet
+    assert(kept == expect)
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),

@@ -37,6 +37,42 @@ class StreamingSpec extends AnyFunSuite {
 
   private def TextishSlack(n: Int): Int = math.max(2, n / 10)
 
+  test("streaming DQ monitor equals the batch suite on the drained stream") {
+    import graft.ops.Analytics
+    import Analytics.Constraint
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select("ts", "event_type", "value")
+    val aggs = Seq(
+      (count(col("value")) / count(lit(1))).as("v_complete"),
+      min(col("value")).as("v_min"),
+      max(col("value")).as("v_max"),
+      sum(when(!col("event_type").isin("click", "error", "purchase",
+        "signup", "view"), 1L).otherwise(0L)).cast("double").as("bad_domain"))
+    val constraints = Seq(
+      Constraint("completeness_value", round(col("v_complete"), 6),
+        col("v_complete") === 1.0),
+      Constraint("value_in_bounds", round(col("v_max"), 6),
+        col("v_min") >= 0.0 && col("v_max") <= 1000.0),
+      Constraint("domain_event_type", col("bad_domain"),
+        col("bad_domain") === 0.0))
+    val expected = Analytics.dqSuite(batchEvents, aggs, constraints)
+      .collect().map(_.toSeq).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(tmp)
+    val q = StreamOps.dqMonitorStream(stream, aggs, constraints)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_dq_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_dq_out").collect().map(_.toSeq).toSet
+    // complete mode over a drained finite stream = exact batch parity
+    assert(got == expected)
+  }
+
   test("streaming dedup emits one row per key") {
     import graft.streaming.StreamOps
     val dir = "/root/testdata/sf0.001"
