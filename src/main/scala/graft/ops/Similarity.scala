@@ -53,6 +53,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Metadata-filtered (hybrid) exact top-k: neighbors restricted to
+    * rows sharing the query's `labelCol` value — "nearest documents in
+    * the same language/source/tenant", the filtered-search shape every
+    * vector store needs. The constraint is not a post-filter: it joins
+    * the (tiny, broadcast) query set to the corpus ON the label, so the
+    * scan prunes to matching rows before any dot product, and at scale
+    * the equality becomes the shuffle key instead of a cross join.
+    * Post-filtering a plain top-k would instead return < k rows
+    * whenever the unconstrained neighborhood is dominated by other
+    * labels.
+    */
+  def labelFilteredTopK(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, queryIds: Seq[Long],
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("qlbl"))
+    val scored = v.join(broadcast(q),
+        col("lbl") === col("qlbl") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Unit-normalize an array vector (double math) so euclidean
     * clustering aligns with cosine geometry.
     */
@@ -67,17 +98,22 @@ object Similarity {
     * its own vector (centroid ranking is driver-side — the centroid
     * table is tiny), then exact cosine ranks within the probed cells.
     * The scale path pairs with [[lshTopK]]: IVF adapts cells to the data
-    * distribution, LSH needs no training pass.
+    * distribution, LSH needs no training pass. With `labelCol` set the
+    * search is metadata-filtered ([[labelFilteredTopK]]'s constraint):
+    * candidates must share the query's label, enforced inside the
+    * probed-cell scan before any dot product.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, numCells: Int = 16,
-              nProbe: Int = 4, maxTrainRows: Long = 100000): DataFrame = {
+              nProbe: Int = 4, maxTrainRows: Long = 100000,
+              labelCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = graft.data.ScopedCaches.track(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        array_to_vector(normalized(col(vecCol))).as("features")))
+      df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        array_to_vector(normalized(col(vecCol))).as("features") +:
+        labelCol.map(c => col(c).as("lbl")).toSeq: _*))
     // a coarse quantizer only needs a sample: fitting on the full corpus
     // would make the training pass dominate at scale (the iterative
     // KMeans re-scans its input per iteration — unacceptable over 100 TB)
@@ -89,7 +125,8 @@ object Similarity {
     val model = new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
       .fit(train.select("features"))
     val assigned = model.transform(v)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .select(col("id") +: col("v") +: col("prediction").as("cell") +:
+        labelCol.map(_ => col("lbl")).toSeq: _*)
     val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
     // per query: nearest nProbe centroids, computed on the driver from
     // the collected (tiny) query vectors
@@ -107,10 +144,14 @@ object Similarity {
     import spark.implicits._
     val probes = probeRows.toDF("query_id", "cell")
     val q = assigned.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"))
+      .select(col("id").as("query_id") +: col("v").as("qv") +:
+        labelCol.map(_ => col("lbl").as("qlbl")).toSeq: _*)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .join(broadcast(q), Seq("query_id"))
-      .filter(col("id") =!= col("query_id"))
+      .filter(col("id") =!= col("query_id") &&
+        // hybrid search: the metadata constraint prunes candidates
+        // BEFORE any dot product, in the same probed-cell scan
+        labelCol.map(_ => col("lbl") === col("qlbl")).getOrElse(lit(true)))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
       .distinct()

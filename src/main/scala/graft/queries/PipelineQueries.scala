@@ -325,6 +325,37 @@ object PipelineQueries {
       |      FROM scored) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Hybrid (metadata-filtered) search: top-3 same-label neighbors for
+    * 5 query vectors, exact. The label join prunes candidates before
+    * any dot product — see [[Similarity.labelFilteredTopK]].
+    */
+  private def annSameLabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelFilteredTopK(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
+
+  private val annSameLabelSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |             round(list_cosine_similarity(q.qv::DOUBLE[],
+      |                                          e.embedding::DOUBLE[]), 6) AS cosine
+      |           FROM q JOIN embeddings e
+      |             ON e.label = q.label AND e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM scored) t
+      |WHERE rank <= 3""".stripMargin
+
+  /** The filtered search at scale: the same label constraint enforced
+    * inside IVF's probed-cell scan. Rows-only (KMeans); OpsSpec pins
+    * recall vs [[annSameLabel]]'s exact result.
+    */
+  private def annIvfSameLabel(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, numCells = 8, nProbe = 4,
+      labelCol = Some("label"))
+
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCells = 16, nProbe = 4)
@@ -1224,6 +1255,8 @@ object PipelineQueries {
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
+    QueryDef("sim_ann_topk_same_label", annSameLabel, Some(annSameLabelSql)),
+    QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel, None),
     QueryDef("sim_ann_topk_lsh", annLsh, None),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_pq", annPq, None),

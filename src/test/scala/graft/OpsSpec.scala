@@ -475,6 +475,48 @@ class OpsSpec extends AnyFunSuite {
     assert(lHighTau > 8 && lLowTau >= lHighTau && lLowTau <= 32)
   }
 
+  test("label-filtered top-k: every neighbor shares the query's label; ranks exact") {
+    val rng = new Lcg(31)
+    val rows = (0L until 50L).map { i =>
+      (i, i % 5L, Array.tabulate(6)(_ => rng.nextInt(100) / 50.0f - 1.0f))
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(v => Row(v._1, v._2, v._3.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val got = Similarity.labelFilteredTopK(df, "vec_id", "embedding", "label",
+      queryIds = Seq(0L, 1L), k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val c = d / math.sqrt(a.map(x => x.toDouble * x.toDouble).sum *
+        b.map(x => x.toDouble * x.toDouble).sum)
+      math.rint(c * 1e6) / 1e6
+    }
+    for (qid <- Seq(0L, 1L)) {
+      val (_, qlbl, qv) = rows(qid.toInt)
+      val expect = rows
+        .filter { case (i, l, _) => l == qlbl && i != qid }
+        .map { case (i, _, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      val gotIds = (1 to 3).map(r => got((qid, r)))
+      assert(gotIds == expect, s"query $qid")
+    }
+    // the filtered-IVF composition: candidates must share the label and
+    // recall the exact filtered top-1 with every cell probed
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 3, numCells = 4, nProbe = 4,
+      labelCol = Some("label")).collect()
+    val lblOf = rows.map(r => r._1 -> r._2).toMap
+    assert(ivf.forall(r => lblOf(r.getLong(1)) == lblOf(r.getLong(0))))
+    for (qid <- Seq(0L, 1L)) {
+      val top1 = got((qid, 1))
+      assert(ivf.exists(r => r.getLong(0) == qid && r.getLong(1) == top1),
+        s"filtered IVF with all cells probed must recall query $qid's exact top-1")
+    }
+  }
+
   test("IVF top-k recalls the exact top neighbor on probed cells") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
