@@ -439,9 +439,19 @@ object Dedup {
     * as [[Similarity.ivfTopK]]'s quantizer) feed [[semanticDedup]] as
     * the blocking stage. Not SQL-reproducible (KMeans); gate is the
     * OpsSpec invariant suite + rows.
+    *
+    * `numCells = 0` (the default) derives the cell count from the
+    * corpus: ceil(n / targetCellSize), min 16. This is the load-bearing
+    * scale knob — the within-cell stage is quadratic in CELL size, so
+    * the cell count must grow with the corpus to hold per-cell cost
+    * constant (SemDeDup runs ~100k cells for billions of docs). A
+    * FIXED blocking partition — like a class-label column whose
+    * cardinality doesn't grow with the data — degrades quadratically
+    * and is only appropriate while groups stay bounded.
     */
   def semanticDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
-                          tau: Double, numCells: Int = 16,
+                          tau: Double, numCells: Int = 0,
+                          targetCellSize: Int = 4096,
                           maxTrainRows: Long = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -450,11 +460,15 @@ object Dedup {
         array_to_vector(Similarity.normalized(col(vecCol)))
           .as("features")))
     val corpusN = v.count()
+    val k =
+      if (numCells > 0) numCells
+      else math.max(16L, (corpusN + targetCellSize - 1) / targetCellSize)
+        .min(Int.MaxValue).toInt
     val train =
       if (corpusN <= maxTrainRows) v
       else v.sample(withReplacement = false,
         maxTrainRows.toDouble / corpusN, seed = 42)
-    val model = new KMeans().setK(numCells).setSeed(42).setMaxIter(10)
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
       .fit(train.select("features"))
     semanticDedup(model.transform(v)
       .select(col("id"), col("v"), col("prediction").as("cell")),
