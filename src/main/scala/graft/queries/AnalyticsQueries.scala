@@ -225,6 +225,73 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Composed corpus-governance pipeline, one Catalyst tree: GDPR
+    * erasure scrub (deterministic 2% request set, scan-side predicate)
+    * → uniform language rebalance with rates derived from the
+    * POST-scrub counts → stable train/val/test split bands →
+    * curriculum quartile bins over the surviving corpus. Every stage
+    * is the registry operator it names; every stage is deterministic,
+    * so the WHOLE composition is hash-gated end-to-end against one
+    * DuckDB CTE chain — compositions are where silent stage-order bugs
+    * (rates from pre-scrub counts, bins from pre-rebalance scores)
+    * actually live, and the oracle pins the order.
+    */
+  private def governancePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Sampling, TextAnalysis}
+    val scrubbed = Tables.documents(s, dir)
+      .filter(!Sampling.keepExpr(col("doc_id"), 0.02, "gdpr"))
+    val balanced = Sampling.rebalanceGroups(
+      scrubbed.select("doc_id", "lang", "text"), "doc_id", "lang")
+    val split = Sampling.splitAssign(balanced, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    Analytics.quantileBins(split, TextAnalysis.qualityScore(col("text")),
+      k = 4, outCols = Seq("doc_id", "lang", "split"))
+  }
+
+  private val governancePipelineSql = {
+    import graft.ops.Sampling
+    val gdprThr = Sampling.hexThreshold(0.02)
+    val cut1 = Sampling.hexThreshold(0.8)
+    val cut2 = Sampling.hexThreshold(0.9)
+    s"""WITH scrub AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE NOT md5('gdpr:' || CAST(doc_id AS VARCHAR)) < '$gdprThr'),
+       |c AS (SELECT lang, count(*) AS n FROM scrub GROUP BY 1),
+       |m AS (SELECT min(n) AS mn FROM c),
+       |bal AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM scrub d JOIN c ON c.lang = d.lang, m
+       |  WHERE CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE) >= 1.0
+       |     OR md5('mix:' || CAST(d.doc_id AS VARCHAR)) <
+       |        lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
+       |                                  * 4294967296.0) AS BIGINT))), 8, '0')),
+       |sp AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < '$cut1' THEN 'train'
+       |         WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < '$cut2' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM bal),
+       |b AS (
+       |  SELECT doc_id, lang, split, trim(text) AS t,
+       |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+       |    CAST(greatest(length(string_split_regex(lower(trim(text)), '\\s+')), 1)
+       |         AS DOUBLE) AS ntoks
+       |  FROM sp),
+       |q AS (SELECT doc_id, lang, split,
+       |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))) / len) * 0.5
+       |    + (CASE WHEN length(regexp_replace(t, '\\s+', '', 'g')) / ntoks
+       |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+       |    + (CASE WHEN length(t) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25,
+       |    6) AS score
+       |  FROM b),
+       |thr AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
+       |                              t -> round(t, 6)) AS ts
+       |        FROM q)
+       |SELECT q.doc_id, q.lang, q.split, q.score,
+       |       CAST(length(list_filter(thr.ts, t -> t < q.score)) AS INT) AS bin
+       |FROM q, thr""".stripMargin
+  }
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
@@ -237,5 +304,7 @@ object AnalyticsQueries {
       Some(gdprForgetCascadeSql)),
     QueryDef("doc_lang_rebalance", docLangRebalance,
       Some(docLangRebalanceSql)),
+    QueryDef("pipeline_governance", governancePipeline,
+      Some(governancePipelineSql)),
   )
 }
