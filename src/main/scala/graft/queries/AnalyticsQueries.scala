@@ -292,6 +292,37 @@ object AnalyticsQueries {
        |FROM q, thr""".stripMargin
   }
 
+  /** CDC upsert over the document corpus: the base snapshot at version
+    * 0 merged with a deterministic update batch (every 37th doc
+    * re-crawled: text re-prefixed, version 1). Last-writer-wins per
+    * doc_id; ties go to the update side — see
+    * [[graft.ops.Merge.upsertMerge]].
+    */
+  private def docUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), lit(0L).as("version"))
+    val updates = base.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"),
+        concat(lit("RECRAWLED: "), col("text")).as("text"),
+        lit(1L).as("version"))
+    graft.ops.Merge.upsertMerge(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"),
+        length(col("text")).as("n_chars_merged"))
+  }
+
+  private val docUpsertMergeSql =
+    """WITH base AS (SELECT doc_id, text, 0 AS version FROM documents),
+      |upd AS (SELECT doc_id, 'RECRAWLED: ' || text AS text, 1 AS version
+      |        FROM base WHERE doc_id % 37 = 0),
+      |u AS (SELECT *, 0 AS src FROM base
+      |      UNION ALL SELECT *, 1 AS src FROM upd)
+      |SELECT doc_id, CAST(version AS BIGINT) AS version,
+      |       CAST(length(text) AS INT) AS n_chars_merged
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+      |      FROM u) t
+      |WHERE rn = 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
@@ -306,5 +337,6 @@ object AnalyticsQueries {
       Some(docLangRebalanceSql)),
     QueryDef("pipeline_governance", governancePipeline,
       Some(governancePipelineSql)),
+    QueryDef("doc_upsert_merge", docUpsertMerge, Some(docUpsertMergeSql)),
   )
 }

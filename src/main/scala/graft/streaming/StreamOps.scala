@@ -272,6 +272,32 @@ object StreamOps extends Serializable {
       .drop("sid")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator —
+    * the built-in path, same output shape as [[sessionizeBatch]], batch
+    * or streaming (append mode emits a session once the watermark
+    * closes it). Boundary semantics differ by a half-open interval: a
+    * session window spans [start, last + gap), so an event arriving
+    * EXACTLY gap after the last starts a new session, where
+    * [[sessionizeBatch]]'s `diff > gap` rule keeps it. Identical on any
+    * feed without exact-gap collisions (microsecond-timestamped
+    * reality); prefer this form unless custom in-session state is
+    * needed, in which case [[sessionizeStream]]'s
+    * `flatMapGroupsWithState` is the extension point.
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int,
+                       withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour")
+              else events
+    src.groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming sessionization: the same sessions over an unbounded feed
     * via `flatMapGroupsWithState` with event-time timeout — per-user
     * state is one open session (constant memory per key), closed and

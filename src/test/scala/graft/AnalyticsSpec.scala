@@ -158,6 +158,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(kept == expect)
   }
 
+  test("upsertMerge: last writer wins, update wins version ties, inserts survive") {
+    import graft.ops.Merge
+    def snap(rows: Seq[(Long, String, Long)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+        StructType(Seq(StructField("k", LongType, nullable = false),
+          StructField("payload", StringType, nullable = false),
+          StructField("v", LongType, nullable = false))))
+    val base = snap(Seq((1L, "b1", 5L), (2L, "b2", 5L), (3L, "b3", 5L)))
+    val updates = snap(Seq(
+      (1L, "u1", 6L), // newer version: wins
+      (2L, "u2", 5L), // SAME version: update side must win
+      (3L, "u3", 4L), // stale update: base survives
+      (4L, "u4", 1L))) // new key: inserted
+    val got = Merge.upsertMerge(base, updates, "k", "v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (("u1", 6L)), 2L -> (("u2", 5L)),
+      3L -> (("b3", 5L)), 4L -> (("u4", 1L))))
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),

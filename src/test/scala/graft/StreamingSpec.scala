@@ -117,6 +117,38 @@ class StreamingSpec extends AnyFunSuite {
       s"only ${got.size} of ${batch.size} sessions closed")
   }
 
+  test("native session_window equals the window-function sessionization, batch and stream") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select("ts", "user_id", "value")
+    val expected = StreamOps.sessionizeBatch(ev, gapMinutes = 30)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    // batch: the native operator computes the same sessions (no
+    // exact-gap boundary events exist in the microsecond-stamped data)
+    val native = StreamOps.sessionizeNative(ev, gapMinutes = 30,
+      withWatermark = false).collect().map(_.toSeq).toSet
+    assert(native == expected)
+
+    // stream: append mode emits each session once the watermark closes
+    // it — a subset of batch, missing at most each user's final session
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = StreamOps.sessionizeNative(stream, gapMinutes = 30,
+      withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess_native")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_sess_native").collect().map(_.toSeq).toSet
+    assert(got.subsetOf(expected))
+    val users = ev.select("user_id").distinct().count()
+    assert(got.size >= expected.size - users,
+      s"missing more than one open session per user: ${expected.size - got.size}")
+  }
+
   test("incremental near-dup candidates match the batch bucket pairs") {
     import spark.implicits._
     // documents arriving over time: two planted near-dup groups (0/100
