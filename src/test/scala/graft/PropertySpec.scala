@@ -172,6 +172,79 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val genSnapshots: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      // tight key range forces collisions; versions collide too, so the
+      // tie-break path is exercised constantly
+      base <- Gen.listOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 3L)))
+      upd <- Gen.listOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 3L)))
+    } yield (
+      base.zipWithIndex.map { case ((k, v), i) => (k, v, 100L + i) }
+        .groupBy(_._1).values.map(_.head).toList, // one row per key per side
+      upd.zipWithIndex.map { case ((k, v), i) => (k, v, 200L + i) }
+        .groupBy(_._1).values.map(_.head).toList)
+
+  private def snapDf(rows: Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.sql.types._
+    SparkSuite.spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("v", LongType, false),
+        StructField("payload", LongType, false))))
+  }
+
+  test("upsertMerge equals the per-key max-(version, side) model; idempotent") {
+    checkSpark(Prop.forAll(genSnapshots) { case (base, upd) =>
+      if (base.isEmpty || upd.isEmpty) true
+      else {
+        val merged = graft.ops.Merge.upsertMerge(
+          snapDf(base).repartition(3), snapDf(upd), "k", "v")
+        val got = merged.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val naive = (base.map(r => (r, 0)) ++ upd.map(r => (r, 1)))
+          .groupBy(_._1._1)
+          .map { case (k, rows) =>
+            val (r, _) = rows.maxBy { case ((_, v, _), side) => (v, side) }
+            k -> (r._2, r._3)
+          }
+        // re-applying the same update batch must be a no-op
+        val again = graft.ops.Merge.upsertMerge(merged
+          .select("k", "v", "payload"), snapDf(upd), "k", "v")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        got == naive && again == got
+      }
+    })
+  }
+
+  private val genScores: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(0, 100).map(_ / 10.0))
+
+  test("quantileBins is monotone in score with bins in range, no row lost") {
+    checkSpark(Prop.forAll(genScores, Gen.oneOf(2, 3, 5)) { (scores, k) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions.col
+      val rows = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = SparkSuite.spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("id", LongType, false),
+          StructField("s", DoubleType, false))))
+      val got = graft.ops.Analytics.quantileBins(df, col("s"), k, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val byId = got.map(r => r._1 -> r).toMap
+      got.length == rows.length &&
+        got.forall { case (_, _, b) => b >= 0 && b < k } &&
+        // equal scores -> equal bins; higher score -> bin at least as high
+        got.forall { case (i, s, b) =>
+          got.forall { case (_, s2, b2) =>
+            (s2 != s || b2 == b) && (s2 <= s || b2 >= b)
+          } && byId(i)._2 == math.rint(rows(i.toInt)._2 * 1e6) / 1e6
+        }
+    })
+  }
+
   test("intervalJoin equals the naive range-predicate model on random data") {
     checkSpark(Prop.forAll(genTemporal, Gen.oneOf(1L, 3L, 7L)) {
       case ((left, right), len) =>
