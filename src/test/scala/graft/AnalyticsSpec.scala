@@ -179,6 +179,44 @@ class AnalyticsSpec extends AnyFunSuite {
       3L -> (("b3", 5L)), 4L -> (("u4", 1L))))
   }
 
+  test("plan shapes: one fused Window for rolling, broadcast z-score, one-scan DQ") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+
+    // rollingByKey: exactly one Window node (both frames fused) and one
+    // shuffle — a second Window would mean the fusion regressed
+    // AQE's toString renders the final AND initial plans — count nodes
+    // in the final section only
+    def finalPlan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val rolling = Analytics.rollingByKey(ev, "user_id", "ts", "value",
+      7L * 24 * 3600 * 1000000, Seq("event_id"))
+    rolling.collect()
+    val rPlan = finalPlan(rolling)
+    assert(rPlan.sliding(7).count(_ == "Window ") == 1, rPlan.take(1500))
+    assert(rPlan.sliding(9).count(_ == "Exchange ") <= 1, rPlan.take(1500))
+
+    // zscoreOutliers: the stats side must come back as a broadcast
+    // join, not a shuffle join or a full-data window
+    val z = Analytics.zscoreOutliers(ev, "event_type", "value", 2.5,
+      Seq("event_id"))
+    z.collect()
+    val zPlan = finalPlan(z)
+    assert(zPlan.contains("BroadcastHashJoin"), zPlan.take(1500))
+    assert(!zPlan.contains("SortMergeJoin"), zPlan.take(1500))
+    assert(!zPlan.contains("Window"), zPlan.take(1500))
+
+    // dqSuite: one scan of the input — a union-of-selects form would
+    // scan once per constraint
+    val dq = Analytics.dqSuite(ev,
+      Seq(min(col("value")).as("v_min"), max(col("value")).as("v_max")),
+      Seq(Analytics.Constraint("bounds", col("v_max"), col("v_min") >= 0.0)))
+    dq.collect()
+    val dqPlan = finalPlan(dq)
+    assert(dqPlan.sliding(16).count(_ == "FileScan parquet") == 1,
+      dqPlan.take(1500))
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
