@@ -29,7 +29,12 @@ object Forget {
 
   /** Per-level `(table, n_deleted, n_kept)` for deleting `seedKeys`
     * (a single-column DataFrame) from the head of the chain and
-    * cascading through each level in order.
+    * cascading through each level in order. Each level's deleted-key
+    * set feeds two consumers (its count row and the next level's semi
+    * join), so it is materialized through [[graft.data.ScopedCaches]] —
+    * key sets are small by the nature of erasure requests, and without
+    * the cache every downstream level would replay the whole upstream
+    * join chain against full tables.
     */
   def cascadeCounts(seedKeys: DataFrame, levels: Seq[Level]): DataFrame = {
     require(levels.nonEmpty, "need at least one cascade level")
@@ -43,8 +48,8 @@ object Forget {
         .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
         .select(lit(lv.name).as("table"), col("n_deleted"),
           (col("n_total") - col("n_deleted")).as("n_kept"))
-      val nextKeys = deleted.select(col(lv.keyCol).cast("long").as("__fk"))
-        .distinct()
+      val nextKeys = graft.data.ScopedCaches.materialize(
+        deleted.select(col(lv.keyCol).cast("long").as("__fk")).distinct())
       (acc :+ counts, nextKeys)
     }
     rows.reduce(_.unionByName(_))
