@@ -217,6 +217,44 @@ class AnalyticsSpec extends AnyFunSuite {
       dqPlan.take(1500))
   }
 
+  test("empty inputs: every analytics operator returns empty or defined rows, never throws") {
+    import graft.ops.{Analytics, Merge, Sampling}
+    val empty = evDf(Seq.empty)
+    assert(Analytics.rollingByKey(empty, "user_id", "ts", "value",
+      1000000L, Seq("event_id")).count() == 0)
+    assert(Analytics.pivotCounts(empty, col("user_id"), "uid",
+      "event_type", Seq("a", "b")).count() == 0)
+    assert(Analytics.zscoreOutliers(empty, "event_type", "value", 2.0,
+      Seq("event_id")).count() == 0)
+    assert(Analytics.quantileBins(empty, col("value"), 4,
+      Seq("event_id")).count() == 0)
+    assert(Sampling.rebalanceGroups(empty.select("event_id", "event_type"),
+      "event_id", "event_type").count() == 0)
+    // dqSuite on empty input: the audit must still emit one row per
+    // constraint (an empty feed is a FINDING, not an error)
+    val dq = Analytics.dqSuite(empty,
+      Seq(count(lit(1)).cast("double").as("n")),
+      Seq(Analytics.Constraint("nonempty", col("n"), col("n") > 0)))
+      .collect()
+    assert(dq.length == 1 && dq.head.getDouble(1) == 0.0 &&
+      !dq.head.getBoolean(2))
+    // merge with an empty update batch is the identity; empty base
+    // yields exactly the updates
+    val one = evDf(Seq((1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0))))
+      .select(col("event_id").as("k"), col("event_type").as("p"),
+        col("user_id").as("v"))
+    val emptySnap = one.filter(lit(false))
+    assert(Merge.upsertMerge(one, emptySnap, "k", "v").count() == 1)
+    assert(Merge.upsertMerge(emptySnap, one, "k", "v").count() == 1)
+    // forget cascade with an empty seed deletes nothing anywhere
+    val cas = graft.ops.Forget.cascadeCounts(
+      one.select(col("k")).filter(lit(false)),
+      Seq(graft.ops.Forget.Level("t", one, "k", "k")))
+      .collect()
+    assert(cas.length == 1 && cas.head.getLong(1) == 0L &&
+      cas.head.getLong(2) == 1L)
+  }
+
   test("dqSuite computes the suite in one scan and flags planted violations") {
     val rows = Seq(
       (1L, 1L, ts(0), "a", java.lang.Double.valueOf(1.0)),
