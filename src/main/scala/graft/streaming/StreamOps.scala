@@ -465,6 +465,44 @@ object StreamOps extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class CdcRecord(k: Long, v: Long, seq: Long, payload: String)
+  final case class CdcWinner(k: Long, v: Long, seq: Long, payload: String)
+
+  /** Streaming CDC upsert — the incremental twin of
+    * [[graft.ops.Merge.upsertMerge]]: per-key state holds the current
+    * winner under the total order (version, seq), where `seq` is the
+    * source's monotone offset (every CDC log has one). Ordering by
+    * (v, seq) — not by arrival — makes the result deterministic under
+    * ANY micro-batch interleaving or within-batch shuffle order, the
+    * property arrival-time tie-breaking cannot give; it also encodes
+    * the batch operator's "re-delivered same-version record
+    * supersedes" semantic, since a re-delivery carries a later offset.
+    * Emits the winner whenever it changes (update mode); state is one
+    * row per live key, the floor for exact upsert semantics.
+    */
+  def upsertStream(records: Dataset[CdcRecord]): Dataset[CdcWinner] = {
+    import records.sparkSession.implicits._
+    def update(k: Long, rows: Iterator[CdcRecord],
+               state: GroupState[CdcWinner]): Iterator[CdcWinner] = {
+      import scala.math.Ordering.Implicits._
+      val incoming = rows.reduceOption((a, b) =>
+        if ((a.v, a.seq) >= ((b.v, b.seq))) a else b)
+      incoming match {
+        case None => Iterator.empty
+        case Some(r) =>
+          val cur = state.getOption
+          if (cur.forall(c => (r.v, r.seq) > ((c.v, c.seq)))) {
+            val w = CdcWinner(k, r.v, r.seq, r.payload)
+            state.update(w)
+            Iterator.single(w)
+          } else Iterator.empty
+      }
+    }
+    records.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming data-quality monitor: [[graft.ops.Analytics.dqSuite]]
     * verbatim over a streaming DataFrame — the definition is SHARED, so
     * batch and stream cannot drift. Run it in complete output mode: the

@@ -149,6 +149,58 @@ class StreamingSpec extends AnyFunSuite {
       s"missing more than one open session per user: ${expected.size - got.size}")
   }
 
+  test("streaming CDC upsert converges to the batch merge under any interleaving") {
+    import StreamOps.CdcRecord
+    import graft.ops.Merge
+    // colliding keys, colliding versions; seq is the CDC offset
+    val rng = new Lcg(41)
+    val records = (0 until 120).map { i =>
+      CdcRecord(k = rng.nextInt(10).toLong, v = rng.nextInt(4).toLong,
+        seq = i.toLong, payload = s"p$i")
+    }
+    // batch model: upsertMerge over (base = seq<60, updates = seq>=60),
+    // but the true invariant is simpler — max (v, seq) per key
+    val expect = records.groupBy(_.k).map { case (k, rs) =>
+      val w = rs.maxBy(r => (r.v, r.seq)); k -> (w.v, w.seq, w.payload)
+    }
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    import spark.implicits._
+    // two files -> at least two micro-batches with arbitrary order inside
+    records.take(60).toDS().write.parquet(s"$tmp/b0")
+    records.drop(60).toDS().write.parquet(s"$tmp/b1")
+    val stream = spark.readStream.schema(records.take(1).toDS().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/b*")
+    val q = StreamOps.upsertStream(stream.as[CdcRecord])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_cdc_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per key is the winner
+    val emissions = spark.table("graft_cdc_out").as[StreamOps.CdcWinner]
+      .collect()
+    val got = emissions.groupBy(_.k).map { case (k, ws) =>
+      val w = ws.maxBy(x => (x.v, x.seq)); k -> (w.v, w.seq, w.payload)
+    }
+    assert(got == expect)
+
+    // and the batch operator agrees on the same records (version ties
+    // resolved by seq on both sides)
+    val df = records.toDS().toDF()
+    val base = df.filter(col("seq") < 60)
+    val upd = df.filter(col("seq") >= 60)
+    // fold seq into the version order the way the batch op's side flag
+    // can't express: merge on (v*1000+seq) as the effective version
+    val eff = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("veff", col("v") * 1000 + col("seq"))
+    val batch = Merge.upsertMerge(eff(base), eff(upd), "k", "veff")
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("v"), r.getAs[Long]("seq"), r.getAs[String]("payload")))
+      .toMap
+    assert(batch == expect)
+  }
+
   test("incremental near-dup candidates match the batch bucket pairs") {
     import spark.implicits._
     // documents arriving over time: two planted near-dup groups (0/100
