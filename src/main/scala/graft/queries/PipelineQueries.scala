@@ -45,6 +45,48 @@ object PipelineQueries {
       |JOIN sizes n2 ON n2.doc_id = id2
       |WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3""".stripMargin
 
+  /** Multi-signal near-dup triage: the union of a cheap lexical signal
+    * (pairs sharing a min-shingle fingerprint — one groupBy + a join on
+    * the sketch value, never a postings×postings stage) and the
+    * semantic signal (embedding cosine pairs on the same ids), each
+    * pair carrying which signals fired — the review queue a production
+    * dedup pipeline hands to its threshold-tuning loop. FULL OUTER on
+    * the pair key: agreement is evidence, disagreement is exactly what
+    * needs triage. Single-sketch equality is the cheapest candidate
+    * generator and inherits its hot buckets (every doc sharing one
+    * boilerplate minimum collides); a production triage feeds this
+    * from the banded operators ([[Dedup.minhashLshPairs]],
+    * `text_winnow_fps`) whose bucket occupancy is controlled.
+    */
+  private def dedupSignalTriage(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.shinglePostings(Tables.documents(s, dir), "doc_id",
+        "text", 8)
+      .groupBy(col("id")).agg(min(md5(col("s"))).as("fp"))
+    val lex = fp.toDF("id1", "fp").join(fp.toDF("id2", "fp"), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp").as("lexical_fp"))
+    val c = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", tau = 0.35)
+      .select(col("id1"), col("id2"), col("cosine"))
+    lex.join(c, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"), col("lexical_fp"), col("cosine"),
+        (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
+  }
+
+  // lazy: composes embCosinePairsSql, declared later in this object
+  private lazy val dedupSignalTriageSql =
+    s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
+       |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |             a.min_shingle_fp AS lexical_fp
+       |      FROM f a JOIN f b ON a.min_shingle_fp = b.min_shingle_fp
+       |                       AND a.doc_id < b.doc_id),
+       |c AS (SELECT * FROM ($embCosinePairsSql) cx)
+       |SELECT coalesce(j.id1, c.id1) AS id1,
+       |       coalesce(j.id2, c.id2) AS id2,
+       |       j.lexical_fp, c.cosine,
+       |       j.lexical_fp IS NOT NULL AND c.cosine IS NOT NULL AS "both"
+       |FROM j FULL OUTER JOIN c ON j.id1 = c.id1 AND j.id2 = c.id2""".stripMargin
+
   /** Near-dup clusters: connected components over the Jaccard pair
     * graph, every doc labeled with its component's minimum doc id. The
     * oracle computes the same components with a recursive CTE (min label
@@ -1252,6 +1294,8 @@ object PipelineQueries {
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("dedup_signal_triage", dedupSignalTriage,
+      Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
