@@ -45,4 +45,29 @@ object Ranking {
       .filter(col("__prank") <= k)
       .drop("__salt", "__prank")
   }
+
+  /** Reciprocal-rank fusion of ranked lists (Cormack et al.'s standard
+    * `1/(c + rank)` with c=60): each input carries (`idCol`, `rankCol`);
+    * an id's fused score sums its reciprocal ranks over every list it
+    * appears in (absence contributes 0 — no outer-join needed, union
+    * does it). Returns the global top-`k` as (`idCol`, `rrf`, `rank`),
+    * `rrf` rounded to 6dp before ranking, ties on the id. This is the
+    * fusion step of hybrid lexical+vector search — it needs only ranks,
+    * never the incomparable raw scores.
+    *
+    * Scale shape: inputs are already top-k lists (k rows each), so the
+    * union, the sum aggregation, and the TakeOrdered all run on
+    * |lists|*k rows — driver-safe at any corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings.map(r => r.select(col(idCol),
+        (lit(1.0) / (lit(c) + col(rankCol))).as("__c")))
+      .reduce(_.unionByName(_))
+    contrib.groupBy(col(idCol)).agg(round(sum(col("__c")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col(idCol).asc)).cast("int"))
+  }
 }

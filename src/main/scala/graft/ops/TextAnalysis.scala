@@ -276,6 +276,52 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** BM25 ranked retrieval (Okapi, Lucene's always-positive IDF):
+    * global top-`k` documents for a fixed bag of `queryTerms`, as
+    * (`idCol`, `bm25`, `rank`). Per-term contribution is
+    * `idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf = ln((N - df + 0.5)/(df + 0.5) + 1)`; the doc score is the
+    * sum over query terms, rounded to 6dp BEFORE ranking so the SQL
+    * oracle orders identically, ties on the doc id.
+    *
+    * Scale shape: a single scan-side projection computes the doc
+    * length AND the query-term sublist (`filter` higher-order fn), so
+    * the length rides the tf rows and no corpus-sized join is needed;
+    * only |queryTerms| tokens per doc ever ride a shuffle; (term, df)
+    * and (N, avgdl) are broadcast (vocabulary- / single-row-sized); the
+    * final global top-k is `orderBy(...).limit` — a TakeOrdered, never
+    * a full sort. The rank window runs over the k surviving rows only.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val qArr = array(queryTerms.map(lit): _*)
+    val perDoc = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        filter(col("__toks"), t => array_contains(qArr, t)).as("__qts"))
+    val stats = perDoc
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = perDoc.filter(size(col("__qts")) > 0)
+      .select(col(idCol), col("__dl"), explode(col("__qts")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("__dl") / col("__avgdl"))))
+    scored.groupBy(col(idCol)).agg(round(sum(col("__s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col(idCol).asc)).cast("int"))
+  }
+
   /** Self-trained bigram language-model score (the CCNet-style
     * perplexity quality signal): train add-one-smoothed bigram
     * probabilities on the corpus itself, then score each document by the

@@ -748,6 +748,86 @@ object PipelineQueries {
       |           FROM scored)
       |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Fixed query-term bag for the retrieval queries — terms from the
+    * synthetic vocabulary with distinct document frequencies.
+    */
+  private val bm25Terms = Seq("merge", "window", "customer")
+
+  /** BM25 ranked retrieval: global top-10 docs for [[bm25Terms]],
+    * k1=1.2 b=0.75, Lucene's always-positive IDF. Scores rounded to
+    * 6dp before ranking on both sides; ties on doc_id.
+    */
+  private def bm25Rank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      bm25Terms, k = 10)
+
+  private val bm25CtesSql =
+    """toks AS (SELECT doc_id,
+      |           string_split_regex(lower(trim(text)), '\s+') AS ts
+      |         FROM documents),
+      |dl AS (SELECT doc_id, length(ts) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(ts) AS t FROM toks) u
+      |       WHERE t IN ('merge', 'window', 'customer')
+      |       GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |bmscored AS (SELECT tf.doc_id,
+      |               ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1) *
+      |               (tf.tf * (1.2 + 1)) /
+      |               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |               AS s
+      |             FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |             CROSS JOIN stats),
+      |bm AS (SELECT doc_id, round(sum(s), 6) AS bm25
+      |       FROM bmscored GROUP BY 1)""".stripMargin
+
+  private val bm25RankSql =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, bm25, CAST(row_number() OVER
+       |         (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+       |FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid search — BM25 top-20 for [[bm25Terms]] fused with the
+    * exact cosine top-20 neighbors of query vector 0 by reciprocal-rank
+    * fusion ([[Ranking.rrfFuse]], c=60). Both input lists are exact and
+    * deterministic, so the fused top-10 has a full DuckDB oracle — the
+    * lexical+vector retrieval stack behind RAG data curation, end to
+    * end. At scale the vector leg swaps to IVF/PQ; fusion is rank-only
+    * so nothing else changes.
+    */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", bm25Terms, k = 20)
+      .select(col("doc_id"), col("rank"))
+    val vec = Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryIds = Seq(0L), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Ranking.rrfFuse(Seq(lex, vec), "doc_id", "rank", k = 10)
+  }
+
+  private val hybridRrfSql =
+    s"""WITH $bm25CtesSql,
+       |lex AS (SELECT doc_id, row_number() OVER
+       |          (ORDER BY bm25 DESC, doc_id) AS rank
+       |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT e.vec_id AS doc_id,
+       |         round(list_cosine_similarity(q.qv::DOUBLE[],
+       |                                      e.embedding::DOUBLE[]), 6)
+       |           AS cosine
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |vec AS (SELECT doc_id, row_number() OVER
+       |          (ORDER BY cosine DESC, doc_id) AS rank
+       |        FROM vs ORDER BY cosine DESC, doc_id LIMIT 20),
+       |u AS (SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM lex
+       |      UNION ALL
+       |      SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM vec),
+       |fused AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY 1)
+       |SELECT doc_id, rrf, CAST(row_number() OVER
+       |         (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** Self-trained bigram-LM quality score (CCNet-style perplexity
     * signal), add-one smoothing, mean ln-prob per doc. The oracle
     * rebuilds the same LM from the same corpus: identical tokenization,
@@ -1325,6 +1405,8 @@ object PipelineQueries {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
+    QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),

@@ -173,6 +173,43 @@ class OpsSpec extends AnyFunSuite {
     assert(score == math.round(3.0 * (math.log(4.0 / 2.0) + 1) * 1e6) / 1e6)
   }
 
+  test("bm25 ranks tf-heavy docs higher and excludes term-free docs") {
+    val fixtures = Seq(
+      1L -> "query query query pad pad pad pad pad",
+      2L -> "query pad pad pad pad pad pad pad",
+      3L -> "pad pad pad pad pad pad pad pad")
+    val rows = TextAnalysis.bm25TopK(docs(fixtures), "doc_id", "text",
+        Seq("query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 3 has no query term: absent, not zero-scored
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows(0)._3 == 1 && rows(1)._3 == 2)
+    // exact values: N=3, df=2, every dl == avgdl == 8 → the length
+    // normalizer collapses to 1 and score = idf * tf*2.2/(tf + 1.2)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf: Int) = idf * tf * 2.2 / (tf + 1.2)
+    assert(rows(0)._2 == math.round(s(3) * 1e6) / 1e6)
+    assert(rows(1)._2 == math.round(s(1) * 1e6) / 1e6)
+  }
+
+  test("rrf fusion rewards ids present on both lists, rank-only") {
+    def ranking(rs: Seq[(Long, Int)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rs.map(r => Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("rank", IntegerType, nullable = false))))
+    val lex = ranking(Seq(10L -> 1, 11L -> 2, 12L -> 3))
+    val vec = ranking(Seq(12L -> 1, 10L -> 2, 13L -> 3))
+    val got = Ranking.rrfFuse(Seq(lex, vec), "id", "rank", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def rr(rs: Int*) = math.round(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(10L -> rr(1, 2), 12L -> rr(3, 1), 11L -> rr(2), 13L -> rr(3)))
+    // both-list ids outrank every single-list id at these depths
+    assert(got.take(2).map(_._1).toSet == Set(10L, 12L))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("contamination scores exact n-gram overlap against the benchmark") {
     val bench = docs(Seq(
       1000L -> "the capital of france is paris everyone knows",
