@@ -322,6 +322,37 @@ object TextAnalysis {
         .over(Window.orderBy(col("bm25").desc, col(idCol).asc)).cast("int"))
   }
 
+  /** Corpus Zipf fit — the classic corpus-health diagnostic: OLS slope
+    * and intercept of `ln(freq)` against `ln(rank)` over the `topV`
+    * most frequent terms (rank ties broken by term). A healthy natural
+    * corpus fits slope ≈ −1 (Zipf's law); strong deviation flags
+    * templated/boilerplate-heavy (shallow slope) or truncated-vocab
+    * (steep slope) data. One row: (`n_terms`, `zipf_slope`,
+    * `zipf_intercept`), 6dp.
+    *
+    * Scale shape: term counting is one map-side-combinable aggregation;
+    * the top-V cut is a TakeOrdered (never a full vocabulary sort); the
+    * rank window and the moment aggregate run over V rows only.
+    */
+  def corpusZipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    topV: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(topV)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("term").asc)))
+    val xy = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("__m"),
+        avg(col("x")).as("__mx"), avg(col("y")).as("__my"))
+      .select(col("n_terms"), round(col("__m"), 6).as("zipf_slope"),
+        round(col("__my") - col("__m") * col("__mx"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Self-trained bigram language-model score (the CCNet-style
     * perplexity quality signal): train add-one-smoothed bigram
     * probabilities on the corpus itself, then score each document by the

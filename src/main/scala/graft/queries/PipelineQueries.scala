@@ -748,6 +748,29 @@ object PipelineQueries {
       |           FROM scored)
       |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Corpus Zipf fit over the top-100 terms: slope/intercept of
+    * ln(freq) vs ln(rank). The oracle's `regr_slope`/`regr_intercept`
+    * are the same population-moment formulas; both sides round to 6dp
+    * (the two engines' one-pass moment sums agree far beyond that).
+    */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusZipfFit(Tables.documents(s, dir), "text", topV = 100)
+
+  private val zipfFitSql =
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),
+      |                            '\s+')) AS t
+      |              FROM documents),
+      |tf AS (SELECT t AS term, count(*) AS freq FROM toks
+      |       WHERE t <> '' GROUP BY 1),
+      |top AS (SELECT term, freq, row_number() OVER
+      |          (ORDER BY freq DESC, term) AS rank
+      |        FROM tf ORDER BY freq DESC, term LIMIT 100),
+      |xy AS (SELECT ln(rank) AS x, ln(freq) AS y FROM top)
+      |SELECT count(*) AS n_terms,
+      |       round(regr_slope(y, x), 6) AS zipf_slope,
+      |       round(regr_intercept(y, x), 6) AS zipf_intercept
+      |FROM xy""".stripMargin
+
   /** Fixed query-term bag for the retrieval queries — terms from the
     * synthetic vocabulary with distinct document frequencies.
     */
@@ -1406,6 +1429,7 @@ object PipelineQueries {
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
+    QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),

@@ -192,6 +192,20 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1)._2 == math.round(s(1) * 1e6) / 1e6)
   }
 
+  test("zipf fit recovers the slope of an exactly power-law corpus") {
+    // freqs 8,4,2,1 at ranks 1..4: ln(freq) = 3ln2 - ln2/ln? no —
+    // freq = 16 / 2^rank → ln(freq) = ln16 - rank*ln2, which is linear
+    // in rank, NOT in ln(rank); instead plant freq = 24/rank so
+    // ln(freq) = ln24 - 1*ln(rank): slope exactly -1.
+    val words = Seq("a" -> 24, "b" -> 12, "c" -> 8, "d" -> 6)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val got = TextAnalysis.corpusZipfFit(docs(Seq(1L -> text)), "text", 10)
+      .head()
+    assert(got.getLong(0) == 4L)
+    assert(got.getDouble(1) == -1.0)
+    assert(got.getDouble(2) == math.round(math.log(24.0) * 1e6) / 1e6)
+  }
+
   test("rrf fusion rewards ids present on both lists, rank-only") {
     def ranking(rs: Seq[(Long, Int)]): DataFrame =
       spark.createDataFrame(
