@@ -120,6 +120,51 @@ object PipelineQueries {
       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
       |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** Quality-aware canonical selection — the production form of "which
+    * copy survives dedup": per near-dup cluster, keep the
+    * highest-quality member (ties: lowest doc_id) instead of the id
+    * accident. Composes the two independently gated operators
+    * ([[Dedup.jaccardClusters]], [[TextAnalysis.qualityScore]]); the
+    * per-cluster argmax is [[Ranking.topKPerKey]] with k=1 — one window
+    * pass on the cluster key, no self-join.
+    */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.jaccardClusters(docs, "doc_id", "text")
+    val scored = clusters.join(
+      docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Seq("doc_id"))
+    Ranking.topKPerKey(scored, Seq("cluster"),
+        Seq(col("quality").desc, col("doc_id").asc), k = 1)
+      .select(col("cluster"), col("doc_id"), col("quality"))
+  }
+
+  // composes the jaccard-clusters recursive CTE verbatim (nested WITH
+  // is legal in a DuckDB derived table) + the pinned quality formula
+  private lazy val dedupKeepBestSql =
+    s"""WITH clu AS (SELECT * FROM ($jaccardClustersSql) c),
+       |qb AS (SELECT doc_id, trim(text) AS t,
+       |         CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+       |         CAST(greatest(length(string_split_regex(lower(trim(text)),
+       |                '\\s+')), 1) AS DOUBLE) AS ntoks
+       |       FROM documents),
+       |q AS (SELECT doc_id,
+       |        round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g')))
+       |               / len) * 0.5
+       |          + (CASE WHEN length(regexp_replace(t, '\\s+', '', 'g'))
+       |                  / ntoks BETWEEN 2.0 AND 12.0
+       |             THEN 1.0 ELSE 0.0 END) * 0.25
+       |          + (CASE WHEN length(t) BETWEEN 50 AND 100000
+       |             THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality
+       |      FROM qb)
+       |SELECT cluster, doc_id, quality
+       |FROM (SELECT clu.cluster, clu.doc_id, q.quality,
+       |        row_number() OVER (PARTITION BY clu.cluster
+       |          ORDER BY q.quality DESC, clu.doc_id) AS rn
+       |      FROM clu JOIN q USING (doc_id)) t
+       |WHERE rn = 1""".stripMargin
+
   /** Bloom pre-filter over the same reference/batch split as
     * `dedup_against_reference`: the reference fingerprint set becomes
     * 65536 bits × 3 hashes, the batch probes them, and the output
@@ -945,6 +990,57 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Cross-split leakage audit: every TRAIN doc sharing a distinct word
+    * 5-gram with the held-out TEST split, scored by the leaked fraction
+    * of its grams — the "is my eval compromised by my own split?" check
+    * that runs after [[docSplitAssign]] and before any training run.
+    * Composes the SAME split bands and the SAME contamination operator
+    * already gated above, so the audit cannot drift from either. The
+    * held-out side is the broadcast side (it is the small fraction by
+    * construction); only leaking docs are emitted.
+    */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.splitAssign(Tables.documents(s, dir), "doc_id",
+      splitFractions)
+    TextAnalysis.contamination(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        "doc_id", "text", n = 5)
+      .filter(col("bench_hits") > 0)
+      .select(col("doc_id"), col("n_grams"),
+        col("bench_hits").as("test_hits"),
+        col("contamination").as("leakage"))
+  }
+
+  private val splitLeakageSql = {
+    val trainCut = Sampling.hexThreshold(0.8)
+    val valCut = Sampling.hexThreshold(0.9)
+    s"""WITH sel AS (SELECT doc_id, lower(trim(text)) AS txt,
+       |              md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+       |             FROM documents),
+       |tt AS (SELECT doc_id, string_split_regex(txt, '\\s+') AS toks
+       |       FROM sel WHERE h >= '$valCut'),
+       |tg AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+       |       FROM (SELECT toks,
+       |               unnest(generate_series(1, length(toks) - 4)) AS i
+       |             FROM tt WHERE length(toks) >= 5) u),
+       |ct AS (SELECT doc_id, string_split_regex(txt, '\\s+') AS toks
+       |       FROM sel WHERE h < '$trainCut'),
+       |cg AS (SELECT DISTINCT doc_id,
+       |         array_to_string(toks[i:i+4], ' ') AS gram
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, length(toks) - 4)) AS i
+       |             FROM ct WHERE length(toks) >= 5) u)
+       |SELECT doc_id, n_grams, test_hits,
+       |       round(test_hits * 1.0 / n_grams, 6) AS leakage
+       |FROM (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |        CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS test_hits
+       |      FROM cg LEFT JOIN tg USING (gram)
+       |      GROUP BY 1) agg
+       |WHERE test_hits > 0""".stripMargin
+  }
+
   /** Per-label embedding centroids, one row per (label, dimension) —
     * corpus analysis / nearest-class-mean building block. The explode
     * never hits the wire: the (label, pos) aggregation is map-side
@@ -1389,6 +1485,7 @@ object PipelineQueries {
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_against_reference", dedupAgainstRef, Some(dedupAgainstRefSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,
       Some(dedupBloomPrefilterSql)),
@@ -1441,6 +1538,7 @@ object PipelineQueries {
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),
     QueryDef("doc_split_assign", docSplitAssign, Some(docSplitAssignSql)),
+    QueryDef("split_leakage_check", splitLeakage, Some(splitLeakageSql)),
     QueryDef("doc_weighted_sample", docWeightedSample,
       Some(docWeightedSampleSql)),
     QueryDef("mm_decode_features", mmDecode, None),
