@@ -353,6 +353,51 @@ object TextAnalysis {
           .as("zipf_intercept"))
   }
 
+  /** Per-slice distribution drift: base-2 Jensen–Shannon divergence
+    * (∈ [0,1]) between each slice's token distribution and the whole
+    * corpus's — the "did this source/crawl shift the mixture?" monitor.
+    *
+    * The union-support sum is folded to each slice's OWN support: for a
+    * token absent from the slice (p=0, m=q/2) the JSD term collapses to
+    * `0.5·q·log2(q/(q/2)) = 0.5·q`, so the whole absent tail contributes
+    * `0.5·(1 − Q_s)` with `Q_s` the corpus mass of the slice's present
+    * tokens — the |vocab|×|slices| expansion never materializes (same
+    * analytic-absent-mass discipline as the sparse-entropy singleton
+    * correction). Per-token pair terms are individually non-negative
+    * (log-sum inequality), so cross-engine 6dp parity is safe against
+    * summation order.
+    *
+    * Scale shape: one explode feeds the (slice, token) aggregation; the
+    * corpus distribution, slice totals, and grand total all derive from
+    * that table (identical subtrees — exchange reuse), the per-token
+    * join shuffles the shared vocab once, and the three scalar/one-row
+    * sides ride in as broadcasts. Returns (`source`, `n_tokens`, `jsd`).
+    */
+  def corpusDriftJsd(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = df.select(col(sliceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = st.groupBy("source").agg(sum("c").as("n"))
+    val corpus = st.groupBy("w").agg(sum("c").as("cc"))
+    val grand = st.agg(sum("c").as("bign"))
+    val terms = st
+      .join(corpus, Seq("w"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("n"),
+        (col("c").cast("double") / col("n")).as("p"),
+        (col("cc").cast("double") / col("bign")).as("q"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    terms.groupBy(col("source"), col("n"))
+      .agg((sum(lit(0.5) * col("p") * log2(col("p") / m)
+              + lit(0.5) * col("q") * log2(col("q") / m))
+            + lit(0.5) * (lit(1.0) - sum(col("q")))).as("__jsd"))
+      .select(col("source"), col("n").as("n_tokens"),
+        round(col("__jsd"), 6).as("jsd"))
+  }
+
   /** Self-trained bigram language-model score (the CCNet-style
     * perplexity quality signal): train add-one-smoothed bigram
     * probabilities on the corpus itself, then score each document by the

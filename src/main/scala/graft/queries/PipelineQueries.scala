@@ -816,6 +816,32 @@ object PipelineQueries {
       |       round(regr_intercept(y, x), 6) AS zipf_intercept
       |FROM xy""".stripMargin
 
+  /** Per-source drift vs the whole corpus (base-2 JSD). The oracle
+    * replays the same slice-support sum + analytic absent-mass tail;
+    * per-token pair terms are non-negative, so 6dp parity is safe.
+    */
+  private def driftJsd(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusDriftJsd(Tables.documents(s, dir), "source", "text")
+
+  private val driftJsdSql =
+    """WITH toks AS (SELECT source, unnest(string_split_regex(
+      |                lower(trim(text)), '\s+')) AS w
+      |              FROM documents),
+      |st AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS c FROM toks
+      |       WHERE w <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+      |corp AS (SELECT w, sum(c) AS cc FROM st GROUP BY 1),
+      |grand AS (SELECT sum(c) AS bign FROM st),
+      |terms AS (SELECT st.source, tot.n,
+      |            st.c / tot.n AS p, corp.cc / grand.bign AS q
+      |          FROM st JOIN tot USING (source) JOIN corp USING (w)
+      |          CROSS JOIN grand)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+      |       round(sum(0.5 * p * log2(p / ((p + q) / 2))
+      |               + 0.5 * q * log2(q / ((p + q) / 2)))
+      |             + 0.5 * (1 - sum(q)), 6) AS jsd
+      |FROM terms GROUP BY source, n""".stripMargin
+
   /** Fixed query-term bag for the retrieval queries — terms from the
     * synthetic vocabulary with distinct document frequencies.
     */
@@ -1527,6 +1553,7 @@ object PipelineQueries {
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
+    QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),

@@ -224,6 +224,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("corpusDriftJsd: zero for identical slices, exact on disjoint support") {
+    def srcDocs(rows: Seq[(String, String)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("source", StringType, nullable = false),
+          StructField("text", StringType, nullable = false))))
+
+    // identical token distributions -> every slice sits AT the corpus
+    // distribution: all pair terms vanish and the absent tail is 0
+    val same = TextAnalysis.corpusDriftJsd(
+        srcDocs(Seq("a" -> "a a b", "b" -> "a a b")), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same == Map("a" -> 0.0, "b" -> 0.0))
+
+    // disjoint supports, equal mass: each slice has p=1,q=0.5 on its own
+    // token (pair term 0.5*log2(4/3)+0.25*log2(2/3)) plus the analytic
+    // absent tail 0.5*(1-0.5) -> 0.311278 at 6dp
+    val disj = TextAnalysis.corpusDriftJsd(
+        srcDocs(Seq("a" -> "x x x x", "b" -> "y y y y")), "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(disj.toSet == Set(("a", 4L, 0.311278), ("b", 4L, 0.311278)))
+  }
+
   test("contamination scores exact n-gram overlap against the benchmark") {
     val bench = docs(Seq(
       1000L -> "the capital of france is paris everyone knows",
