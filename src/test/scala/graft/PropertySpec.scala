@@ -261,4 +261,54 @@ class PropertySpec extends AnyFunSuite {
         got == naive
     })
   }
+
+  // tiny vocab + few sources force shared tokens, source-exclusive
+  // tokens, and single-source corpora (where jsd must be exactly 0)
+  private val genSrcDocs: Gen[List[(String, String)]] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val text = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val row = Gen.zip(Gen.oneOf("s1", "s2", "s3"), text)
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, row))
+  }
+
+  test("corpusDriftJsd equals the union-support model and stays in [0,1]") {
+    checkSpark(Prop.forAll(genSrcDocs) { rows =>
+      import org.apache.spark.sql.types._
+      val df = SparkSuite.spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("source", StringType, false),
+          StructField("text", StringType, false))))
+      val got = graft.ops.TextAnalysis.corpusDriftJsd(
+          df.repartition(3), "source", "text")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // naive model: sum over the FULL union support, 0·log0 = 0 —
+      // the operator must agree despite never materializing the union
+      val toks = rows.flatMap { case (s, t) =>
+        t.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+      val corpusCnt = toks.groupBy(_._2).map { case (w, g) => w -> g.size.toDouble }
+      val bigN = toks.size.toDouble
+      val naive = toks.groupBy(_._1).map { case (s, l) =>
+        val n = l.size.toDouble
+        val cnt = l.groupBy(_._2).map { case (w, g) => w -> g.size.toDouble }
+        // iterator, not .keys.map: a Set of per-token terms would
+        // deduplicate equal contributions before the sum
+        val jsd = corpusCnt.keysIterator.map { w =>
+          val p = cnt.getOrElse(w, 0.0) / n
+          val q = corpusCnt(w) / bigN
+          val m = (p + q) / 2
+          def term(x: Double) =
+            if (x == 0.0) 0.0 else 0.5 * x * (math.log(x / m) / math.log(2))
+          term(p) + term(q)
+        }.sum
+        s -> jsd
+      }
+      got.keySet == naive.keySet &&
+        got.forall { case (s, v) =>
+          v >= 0.0 && v <= 1.0 && math.abs(v - naive(s)) <= 1e-6 } &&
+        // a lone source IS the corpus: drift must be exactly zero
+        (naive.size != 1 || got.values.forall(_ == 0.0))
+    })
+  }
 }
