@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1482,6 +1482,44 @@ object PipelineQueries {
       |ORDER BY pow(u, 1.0 / wt) DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** DSIR importance-weighted selection: English docs are the target
+    * slice, every doc is scored by the hashed-unigram log-likelihood
+    * ratio target-vs-corpus, and the top 200 by (score desc, doc_id)
+    * are flagged. The oracle replays bucket assignment (pinned md5),
+    * both smoothed distributions, the per-doc sum (6dp), and the
+    * selection order.
+    */
+  private def docDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Selection.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 200, buckets = 1024)
+
+  private val docDsirSelectSql =
+    """WITH t AS (SELECT doc_id, (lang = 'en') AS is_target,
+      |             string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |toks0 AS (SELECT doc_id, is_target, unnest(ts) AS tok FROM t),
+      |toks AS (SELECT doc_id, is_target,
+      |           CAST('0x' || substr(md5('dsir:' || tok), 1, 8) AS BIGINT) % 1024 AS b
+      |         FROM toks0 WHERE length(tok) > 0),
+      |cells AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt,
+      |                 count(*) AS r_cnt
+      |          FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cells),
+      |lr AS (SELECT b, ln((t_cnt + 1.0) / (t_tot + 1024)) -
+      |                 ln((r_cnt + 1.0) / (r_tot + 1024)) AS lr
+      |       FROM cells, tot),
+      |sc AS (SELECT tk.doc_id, count(*) AS n_toks,
+      |              round(sum(lr.lr), 6) AS dsir_score
+      |       FROM toks tk JOIN lr USING (b) GROUP BY 1),
+      |fin AS (SELECT d.doc_id, (d.lang = 'en') AS is_target,
+      |                coalesce(sc.n_toks, 0) AS n_toks,
+      |                coalesce(sc.dsir_score, 0.0) AS dsir_score
+      |         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+      |SELECT doc_id, is_target, n_toks, dsir_score,
+      |       row_number() OVER (ORDER BY dsir_score DESC, doc_id) <= 200
+      |         AS selected
+      |FROM fin""".stripMargin
+
   /** Corpus-stopword boilerplate pruning at df > 75%: the C4-style
     * shared-content removal, token-granular for this line-less corpus.
     * Ordering, empty-doc survival, and the corpus-global df criterion
@@ -1568,6 +1606,7 @@ object PipelineQueries {
     QueryDef("split_leakage_check", splitLeakage, Some(splitLeakageSql)),
     QueryDef("doc_weighted_sample", docWeightedSample,
       Some(docWeightedSampleSql)),
+    QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),
     QueryDef("mm_decode_features", mmDecode, None),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),

@@ -1332,4 +1332,64 @@ class OpsSpec extends AnyFunSuite {
       Sketches.heavyHitters(keyedDf(Seq("a" -> 3), 1), "k", phi = 0.01, k = 50)
     }
   }
+
+  test("dsirScores matches a JVM replay of the bucketed log-ratio model") {
+    import graft.ops.Selection
+    // targets speak 'alpha'; the raw-only slice speaks 'zulu'; two
+    // probe docs (one per dialect) plus an empty doc
+    val rows = Seq(
+      (0L, "alpha alpha alpha", true), (1L, "alpha alpha alpha", true),
+      (2L, "alpha alpha alpha", true), (3L, "alpha alpha alpha", true),
+      (4L, "alpha alpha alpha", true),
+      (10L, "zulu zulu zulu", false), (11L, "zulu zulu zulu", false),
+      (12L, "zulu zulu zulu", false), (13L, "zulu zulu zulu", false),
+      (14L, "zulu zulu zulu", false),
+      (20L, "alpha alpha alpha", false), (21L, "zulu zulu zulu", false),
+      (30L, "", false))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("tgt", BooleanType, nullable = false))))
+    val buckets = 1024
+    val got = Selection
+      .dsirScores(df, "doc_id", "text", col("tgt"), buckets)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("dsir_score"))).toMap
+
+    // JVM replay: same md5 bucket, same smoothed distributions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex("dsir:" + tok).take(8), 16) % buckets
+    val toks = rows.flatMap { case (_, t, tgt) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (bucket(w), tgt))
+    }
+    val tTot = toks.count(_._2).toDouble
+    val rTot = toks.size.toDouble
+    def lr(b: Long): Double = {
+      val t = toks.count(x => x._1 == b && x._2).toDouble
+      val r = toks.count(_._1 == b).toDouble
+      math.log((t + 1.0) / (tTot + buckets)) -
+        math.log((r + 1.0) / (rTot + buckets))
+    }
+    rows.foreach { case (id, t, _) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      val exp = BigDecimal(ws.map(w => lr(bucket(w))).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == ws.length, s"n_toks for doc $id")
+      assert(math.abs(got(id)._2 - exp) < 1e-9, s"score for doc $id")
+    }
+    // the target-dialect probe outscores the raw-dialect probe
+    assert(got(20L)._2 > got(21L)._2)
+    assert(got(30L) == ((0L, 0.0)))
+
+    // top-3 selection: the empty doc's 0.0 tops the (smoothing-dampened,
+    // negative) alpha scores; the tied alpha docs then win by lowest id
+    val sel = Selection
+      .dsirSelect(df, "doc_id", "text", col("tgt"), k = 3, buckets = buckets)
+      .filter(col("selected")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sel == Set(30L, 0L, 1L))
+  }
 }
