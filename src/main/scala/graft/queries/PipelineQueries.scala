@@ -387,13 +387,63 @@ object PipelineQueries {
     * (max ~0.5 — the generator plants no near-dup pairs), where 8
     * tables x 4 planes + 1 probe give ~95% recall by the sign-agreement
     * geometry; a real near-dup sweep at tau>=0.8 needs far fewer
-    * tables. Rows-only gate (bucket membership isn't SQL-reproducible);
-    * the recall bound vs the exact baseline lives in OpsSpec.
+    * tables. Rows-only gate: the auto-sizing depends on a runtime
+    * corpus count the static oracle text can't replay — the pinned
+    * twin below hash-gates the identical plan; the recall bound vs the
+    * exact baseline lives in OpsSpec.
     */
   private def embLshCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       tau = 0.45, dim = 64, numPlanes = 0 /* auto-size from corpus count */,
       probes = 1)
+
+  /** SQL literal for hyperplane `planeIdx` of the shared
+    * [[graft.functions.LshKernel]] bit stream, as a DOUBLE[] of ±1:
+    * the planes are a deterministic pinned artifact (splitmix of
+    * (planeIdx, j), no RNG state), so — like the pinned BPE merge
+    * table — an oracle can embed them and replay sign-random-projection
+    * bucketing exactly.
+    */
+  private def planeSqlArray(planeIdx: Int, dim: Int): String =
+    (0 until dim).map(j =>
+      if (graft.functions.LshKernel.planeSign(planeIdx, j) > 0) "1.0"
+      else "-1.0").mkString("[", ",", "]::DOUBLE[]")
+
+  /** Hash-gated twin of [[embLshCosinePairs]] with the OR-construction
+    * pinned at 8 tables x 4 planes + 1 Hamming probe (exactly what the
+    * auto-sizer picks at this corpus size, so the gated plan IS the
+    * production plan). The oracle replays the whole path — plane signs,
+    * per-table bucket ids, probe postings, the bucket self-join, exact
+    * cosine verification — so candidate generation itself is
+    * hash-checked, not just sampled for recall.
+    */
+  private def embLshCosinePairsPinned(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.45, dim = 64, numPlanes = 4, tables = 8, probes = 1)
+
+  private val embLshCosinePairsPinnedSql = {
+    val vals = (for (t <- 0 until 8; p <- 0 until 4)
+      yield s"($t,$p,${planeSqlArray(t * 4 + p, 64)})").mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |pl(t, p, s) AS (VALUES
+       |$vals),
+       |proj AS (SELECT id, t, p, list_dot_product(v, s) AS pr
+       |         FROM v CROSS JOIN pl),
+       |own AS (SELECT id, t,
+       |          sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+       |            AS own
+       |        FROM proj GROUP BY id, t),
+       |posts AS (SELECT id, t, own AS bucket FROM own
+       |          UNION ALL SELECT id, t, xor(own, 1::BIGINT) FROM own),
+       |pairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |          FROM posts a JOIN posts b ON a.t = b.t AND a.bucket = b.bucket
+       |            AND a.id < b.id)
+       |SELECT p.id1, p.id2,
+       |       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+       |FROM pairs p JOIN v va ON va.id = p.id1 JOIN v vb ON vb.id = p.id2
+       |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.45""".stripMargin
+  }
 
   private def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -457,10 +507,44 @@ object PipelineQueries {
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numCells = 16,
       nProbe = 4, m = 8, ksub = 16, rerank = 50)
 
+  /** Multi-probe LSH top-k. Fully hash-gated: planes are the pinned
+    * [[graft.functions.LshKernel]] artifact, so the oracle replays
+    * bucket assignment, the query's own + two Hamming-1 probe buckets,
+    * and the in-bucket exact ranking.
+    */
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numPlanes = 4,
       probes = 2)
+
+  private val annLshSql = {
+    val vals = (0 until 4).map(p => s"($p,${planeSqlArray(p, 64)})")
+      .mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |pl(p, s) AS (VALUES
+       |$vals),
+       |own AS (SELECT id,
+       |          sum(CASE WHEN list_dot_product(v, s) >= 0
+       |              THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS b
+       |        FROM v CROSS JOIN pl GROUP BY id),
+       |qb AS (SELECT id AS query_id, b FROM own WHERE id < 5),
+       |probes AS (SELECT query_id, b AS bucket FROM qb
+       |           UNION ALL SELECT query_id, xor(b, 1::BIGINT) FROM qb
+       |           UNION ALL SELECT query_id, xor(b, 2::BIGINT) FROM qb),
+       |cand AS (SELECT DISTINCT pr.query_id, o.id AS neighbor_id
+       |         FROM probes pr JOIN own o ON o.b = pr.bucket
+       |         WHERE o.id <> pr.query_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             round(list_cosine_similarity(vq.v, vn.v), 6) AS cosine
+       |           FROM cand c JOIN v vq ON vq.id = c.query_id
+       |                       JOIN v vn ON vn.id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
 
   // ---- text analysis ----
 
@@ -1562,10 +1646,12 @@ object PipelineQueries {
       Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
+    QueryDef("sim_lsh_cosine_pairs_pinned", embLshCosinePairsPinned,
+      Some(embLshCosinePairsPinnedSql)),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_same_label", annSameLabel, Some(annSameLabelSql)),
     QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel, None),
-    QueryDef("sim_ann_topk_lsh", annLsh, None),
+    QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_pq", annPq, None),
     QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
