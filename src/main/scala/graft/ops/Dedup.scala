@@ -434,6 +434,90 @@ object Dedup {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** Corpus-wide duplicate-LINE removal (the C4 pipeline's span dedup
+    * at line granularity, as used by RefinedWeb/CCNet boilerplate
+    * passes): any line whose trimmed length is >= `minLen` survives
+    * only at its first occurrence in the corpus — ordered by
+    * (doc id, line position) — and is dropped everywhere else.
+    * Shorter lines (blank separators, headings, markup stubs) are
+    * never deduplicated. Output one row per input document:
+    * (`id`, `text_dedup` — the document rebuilt from its surviving
+    * lines in order, `n_lines`, `n_removed`).
+    *
+    * Scale shape: lines shuffle once on a 128-bit md5 line
+    * fingerprint (never on the raw line text); first-occurrence
+    * ownership is a map-side-combinable `min(struct(id, pos))`
+    * aggregation, not a window over a global order; the rebuild is
+    * one groupBy on the document id. Three shuffles total, all on
+    * keys that partition evenly (line fp, doc id).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minLen: Int = 8): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("elig", length(trim(col("line"))) >= minLen)
+      .withColumn("fp", md5(col("line")))
+    // every occurrence of a given fp has identical text, hence
+    // identical eligibility — owners computed over eligible lines only
+    val owner = lines.filter(col("elig"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("own"))
+    lines.join(owner, Seq("fp"), "left")
+      .withColumn("keep", !col("elig") ||
+        (col("own.id") === col("id") && col("own.pos") === col("pos")))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n"), lit("")).as("text_dedup"),
+        count(lit(1)).as("n_lines"),
+        (count(lit(1)) - count(when(col("keep"), lit(1)))).as("n_removed"))
+  }
+
+  /** Duplicated-span statistics — the corpus-level signal behind
+    * substring-level training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which removes repeated >= 50-token substrings
+    * found via a suffix array). The distributed form: every k-token
+    * span (whitespace tokens, one span per starting position) is
+    * fingerprinted, and a span is DUPLICATED iff its fingerprint
+    * occurs >= 2 times corpus-wide (across documents or repeated
+    * within one). Output one row per document: (`id`, `n_spans`,
+    * `dup_spans` — starting positions whose span is duplicated,
+    * `dup_frac` rounded to 6dp; documents shorter than k tokens have
+    * zero spans and frac 0.0).
+    *
+    * Scale shape: spans explode scan-side (slice + array_join inside
+    * codegen), shuffle once on the 128-bit span fingerprint for the
+    * occurrence count, and once on the doc id for the rollup — the
+    * suffix array's role is played by the fingerprint shuffle, which
+    * is how the check distributes to 100 TB (a suffix array does not).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 12): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val spans = base
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array())).as("i"))
+      .select(col("id"),
+        md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("fp"))
+    val occ = spans.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+    val perDoc = spans.join(occ, Seq("fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("occ") >= 2, lit(1))).as("dup_spans"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans") / col("n_spans"), lit(0.0)), 6)
+          .as("dup_frac"))
+  }
+
   /** The full SemDeDup composition for corpora with no precomputed
     * cluster column: coarse KMeans cells (sample-fit, same discipline
     * as [[Similarity.ivfTopK]]'s quantizer) feed [[semanticDedup]] as

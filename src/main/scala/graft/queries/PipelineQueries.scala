@@ -22,6 +22,80 @@ object PipelineQueries {
       |       min(doc_id) AS keep_id, count(*) AS dup_cnt
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Corpus-wide duplicate-line removal over a deterministically derived
+    * multi-line form of the documents (10-token lines — the synthetic
+    * corpus is single-line, and a fixed re-lining keeps the oracle a
+    * pure SQL replay). Near-dup template docs share aligned 10-token
+    * runs, so the dedup branch is live (~150 removed occurrences at
+    * sf0.01).
+    */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val multi = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), ceil(size(col("toks")) / lit(10.0)).cast("int")),
+          j => array_join(slice(col("toks"), (j - 1) * 10 + 1, lit(10)), " ")),
+          "\n").as("text"))
+    Dedup.lineDedup(multi, "doc_id", "text", minLen = 8)
+  }
+
+  private val dedupLinesSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |ml AS (SELECT doc_id,
+      |         string_agg(array_to_string(
+      |           list_slice(toks, (j-1)*10+1, (j-1)*10+10), ' '),
+      |           chr(10) ORDER BY j) AS text
+      |       FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1,
+      |                 CAST(ceil(length(toks)/10.0) AS INT))) AS j
+      |             FROM b)
+      |       GROUP BY doc_id),
+      |l AS (SELECT doc_id, i, ln[i] AS line
+      |      FROM (SELECT doc_id, ln,
+      |              unnest(generate_series(1, length(ln))) AS i
+      |            FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+      |                  FROM ml))),
+      |e AS (SELECT doc_id, i, line, length(trim(line)) >= 8 AS elig,
+      |        md5(line) AS fp FROM l),
+      |k AS (SELECT doc_id, i, line, (NOT elig) OR
+      |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) = 1
+      |          AS keep
+      |      FROM e)
+      |SELECT doc_id,
+      |  coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE keep),
+      |           '') AS text_dedup,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+      |    AS n_removed
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  /** Duplicated k-token-span fraction per document (k=12) — the
+    * substring-dedup signal of Lee et al. 2022, distributed as a span
+    * fingerprint shuffle instead of a suffix array.
+    */
+  private def dedupSpanStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 12)
+
+  private val dedupSpanStatsSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, md5(array_to_string(toks[i:i+11], ' ')) AS fp
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(generate_series(1, length(toks) - 11)) AS i
+      |            FROM b WHERE length(toks) >= 12)),
+      |o AS (SELECT fp, count(*) AS occ FROM s GROUP BY 1),
+      |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |        CAST(count(*) FILTER (WHERE occ >= 2) AS BIGINT) AS dup_spans
+      |      FROM s JOIN o USING (fp) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+      |  coalesce(dup_spans, 0) AS dup_spans,
+      |  round(coalesce(dup_spans * 1.0 / n_spans, 0.0), 6) AS dup_frac
+      |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 8, dfCap = 20, tau = 0.3)
@@ -1631,6 +1705,8 @@ object PipelineQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
+    QueryDef("dedup_span_stats", dedupSpanStats, Some(dedupSpanStatsSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

@@ -368,6 +368,43 @@ class OpsSpec extends AnyFunSuite {
     assert(deduped.count() == corpus.size - 1)
   }
 
+  test("line dedup keeps first occurrence, spares short lines") {
+    val fixtures = Seq(
+      1L -> "shared boilerplate line\nunique alpha content line\nok",
+      2L -> "shared boilerplate line\nunique bravo content line\nok",
+      3L -> "shared boilerplate line")
+    val got = Dedup.lineDedup(docs(fixtures), "doc_id", "text", minLen = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"))).toMap
+    // doc 1 owns the shared line; "ok" is under minLen so it is kept
+    // everywhere despite being duplicated
+    assert(got(1L) ==
+      (("shared boilerplate line\nunique alpha content line\nok", 3L, 0L)))
+    assert(got(2L) == (("unique bravo content line\nok", 3L, 1L)))
+    // a doc made entirely of duplicated lines survives as an empty text
+    assert(got(3L) == (("", 1L, 1L)))
+  }
+
+  test("duplicated-span stats count corpus-wide and within-doc repeats") {
+    val fixtures = Seq(
+      1L -> "a b c d e",
+      2L -> "x y z a b c d q",
+      3L -> "p q",
+      4L -> "m n o m n o m n o")
+    val got = Dedup.dupSpanStats(docs(fixtures), "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+          r.getAs[Double]("dup_frac"))).toMap
+    // doc 1: spans abc/bcd/cde; abc and bcd recur in doc 2
+    assert(got(1L) == ((3L, 2L, 0.666667)))
+    assert(got(2L) == ((6L, 2L, 0.333333)))
+    // under k tokens -> zero spans, frac 0.0 (row still present)
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    // within-doc repetition alone marks every span duplicated
+    assert(got(4L) == ((7L, 7L, 1.0)))
+  }
+
   test("minhash LSH finds every brute-force high-jaccard pair") {
     val df = docs(corpus)
     val brute = Dedup.jaccardPairs(df, "doc_id", "text",
