@@ -27,7 +27,7 @@ object Bench {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the measured window
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try Materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case NonFatal(_) => () }
 
     val names = SparkEntry.registry.map(_.name)
@@ -43,7 +43,10 @@ object Bench {
       }
       SparkEntry.registry.map { q =>
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).count()
+        // Materialize, not count(): count()'s re-optimized plan prunes
+        // scan-side projections and join-back shapes to a bare row-count
+        // scan, silently under-measuring those queries (see Materialize).
+        try Materialize(q.fn(spark, sfDir))
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }

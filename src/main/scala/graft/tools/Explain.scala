@@ -21,7 +21,7 @@ object Explain {
     fn(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = graft.Materialize(fn(spark, sfDir))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

@@ -31,7 +31,7 @@ object Rehearse {
       val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         val n =
-          try SparkEntry.queries(name)(spark, dir).count()
+          try graft.Materialize(SparkEntry.queries(name)(spark, dir))
           catch { case NonFatal(e) =>
             System.err.println(s"[rehearse] $name failed: ${e.getMessage}")
             -1L

@@ -22,8 +22,7 @@ object RunQuery {
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val df = q(spark, dir)
-      val n = df.count()
+      val n = graft.Materialize(q(spark, dir))
       println(f"[runquery] $name rep $r: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     save.foreach { p =>
