@@ -518,6 +518,62 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Substring-level dedup TRANSFORM — the removal half of Lee et al.
+    * 2022 (arXiv:2107.06499), to [[dupSpanStats]]'s measurement half:
+    * every occurrence of a corpus-duplicated k-token span except its
+    * first (by (doc id, position)) is removed, where removal drops the
+    * tokens covered by at least one non-owner duplicated occurrence.
+    * Documents are rebuilt from their surviving (lowercased) tokens in
+    * order; docs shorter than k tokens pass through untouched (their
+    * rebuilt text is still the lowercased token join, so the transform
+    * is uniform). Output: (`id`, `text_span_dedup`, `n_tokens`,
+    * `n_removed_tokens`).
+    *
+    * Scale shape: the suffix-array stages of the paper become three
+    * linear shuffles — span fingerprints for occurrence counts +
+    * first-occurrence ownership (one map-side-combinable aggregation),
+    * covered-position explode (k rows per duplicated occurrence, and
+    * ONLY for duplicated occurrences — the non-duplicated bulk of the
+    * corpus never expands), doc id for the rebuild. No global order,
+    * no per-doc scan of anything but its own tokens.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 12): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val spans = toks
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array())).as("i"))
+      .select(col("id"), col("i"),
+        md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")).as("fp"))
+    val occ = spans.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("i"))).as("own"))
+      .filter(col("occ") >= 2)
+    val drops = spans.join(occ, Seq("fp"))
+      .filter(!(col("own.id") === col("id") && col("own.i") === col("i")))
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val tokens = toks
+      .select(col("id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokens.join(drops, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as("text_span_dedup"),
+        count(lit(1)).as("n_kept"))
+    val counts = toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+    counts.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_span_dedup"), lit("")).as("text_span_dedup"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed_tokens"))
+  }
+
   /** The full SemDeDup composition for corpora with no precomputed
     * cluster column: coarse KMeans cells (sample-fit, same discipline
     * as [[Similarity.ivfTopK]]'s quantizer) feed [[semanticDedup]] as

@@ -96,6 +96,43 @@ object PipelineQueries {
       |  round(coalesce(dup_spans * 1.0 / n_spans, 0.0), 6) AS dup_frac
       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
 
+  /** Lee et al. span-removal transform at k=12 over the documents table
+    * (lowercased-token rebuild; first occurrence of each duplicated
+    * span survives).
+    */
+  private def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 12)
+
+  private val dedupSpanRemovalSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+11], ' ')) AS fp
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(generate_series(1, length(toks) - 11)) AS i
+      |            FROM b WHERE length(toks) >= 12)),
+      |d AS (SELECT doc_id, i,
+      |        count(*) OVER (PARTITION BY fp) AS occ,
+      |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+      |      FROM s),
+      |dr AS (SELECT DISTINCT doc_id, i + j AS p
+      |       FROM (SELECT doc_id, i, unnest(generate_series(0, 11)) AS j
+      |             FROM d WHERE occ >= 2 AND rn > 1)),
+      |t AS (SELECT doc_id, i AS p, toks[i] AS tok
+      |      FROM (SELECT doc_id, toks,
+      |              unnest(generate_series(1, length(toks))) AS i FROM b)),
+      |kept AS (SELECT t.doc_id, t.p, t.tok
+      |         FROM t LEFT JOIN dr ON t.doc_id = dr.doc_id AND t.p = dr.p
+      |         WHERE dr.p IS NULL),
+      |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+      |        AS text_span_dedup, count(*) AS n_kept
+      |      FROM kept GROUP BY 1)
+      |SELECT b.doc_id, coalesce(text_span_dedup, '') AS text_span_dedup,
+      |  CAST(length(b.toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(b.toks) - coalesce(n_kept, 0) AS BIGINT)
+      |    AS n_removed_tokens
+      |FROM b LEFT JOIN r USING (doc_id)""".stripMargin
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 8, dfCap = 20, tau = 0.3)
@@ -1707,6 +1744,8 @@ object PipelineQueries {
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("dedup_span_stats", dedupSpanStats, Some(dedupSpanStatsSql)),
+    QueryDef("dedup_span_removal", dedupSpanRemoval,
+      Some(dedupSpanRemovalSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

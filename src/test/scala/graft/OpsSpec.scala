@@ -405,6 +405,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((7L, 7L, 1.0)))
   }
 
+  test("span removal drops non-owner duplicated spans, keeps the first") {
+    val fixtures = Seq(
+      1L -> "a b c d e",
+      2L -> "x a b c d y",
+      3L -> "m n o m n o",
+      4L -> "p q")
+    val got = Dedup.spanDedup(docs(fixtures), "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_span_dedup"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed_tokens"))).toMap
+    // doc 1 owns spans "a b c" and "b c d" (lowest (doc, pos)) — intact
+    assert(got(1L) == (("a b c d e", 5L, 0L)))
+    // doc 2's occurrences of both spans are non-owners; their covered
+    // positions 2..5 drop, the uncovered flanks survive
+    assert(got(2L) == (("x y", 6L, 4L)))
+    // within-doc repeat: second "m n o" (positions 4..6) is a non-owner
+    assert(got(3L) == (("m n o", 6L, 3L)))
+    // under k tokens: no spans, doc passes through (lowercased join)
+    assert(got(4L) == (("p q", 2L, 0L)))
+  }
+
   test("minhash LSH finds every brute-force high-jaccard pair") {
     val df = docs(corpus)
     val brute = Dedup.jaccardPairs(df, "doc_id", "text",
