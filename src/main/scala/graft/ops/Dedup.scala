@@ -519,10 +519,13 @@ object Dedup {
   }
 
   /** Substring-level dedup TRANSFORM — the removal half of Lee et al.
-    * 2022 (arXiv:2107.06499), to [[dupSpanStats]]'s measurement half:
-    * every occurrence of a corpus-duplicated k-token span except its
-    * first (by (doc id, position)) is removed, where removal drops the
-    * tokens covered by at least one non-owner duplicated occurrence.
+    * 2022 (arXiv:2107.06499), to [[dupSpanStats]]'s measurement half.
+    * The precise rule: a token is dropped iff it is covered by at least
+    * one NON-OWNER duplicated k-span occurrence, where each duplicated
+    * span's owner is its first occurrence by (doc id, position). Note an
+    * owner occurrence's tokens can still be dropped when a non-owner
+    * occurrence of a DIFFERENT duplicated span overlaps them — first
+    * occurrences are not guaranteed to survive intact.
     * Documents are rebuilt from their surviving (lowercased) tokens in
     * order; docs shorter than k tokens pass through untouched (their
     * rebuilt text is still the lowercased token join, so the transform

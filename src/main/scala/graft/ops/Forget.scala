@@ -45,7 +45,7 @@ object Forget {
       val deleted = lv.df.join(keys, lv.df(lv.fkCol) === keys("__fk"),
         "left_semi")
       val counts = lv.df.agg(count(lit(1)).as("n_total"))
-        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_deleted"))))
         .select(lit(lv.name).as("table"), col("n_deleted"),
           (col("n_total") - col("n_deleted")).as("n_kept"))
       val nextKeys = graft.data.ScopedCaches.materialize(

@@ -34,7 +34,12 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_join(transform(
-          sequence(lit(1), ceil(size(col("toks")) / lit(10.0)).cast("int")),
+          // guarded like dupSpanStats: sequence(1, 0) is DESCENDING [1, 0]
+          // in Spark (DuckDB generate_series(1, 0) is empty), so don't let
+          // the invariant ride on split() never returning an empty array
+          when(size(col("toks")) >= 1,
+            sequence(lit(1), ceil(size(col("toks")) / lit(10.0)).cast("int")))
+            .otherwise(array()),
           j => array_join(slice(col("toks"), (j - 1) * 10 + 1, lit(10)), " ")),
           "\n").as("text"))
     Dedup.lineDedup(multi, "doc_id", "text", minLen = 8)

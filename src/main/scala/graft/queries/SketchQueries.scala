@@ -456,7 +456,7 @@ object SketchQueries {
   private val evJsonExtractSql =
     """SELECT event_type, count(*) AS cnt,
       |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
       |FROM events GROUP BY 1""".stripMargin
 

@@ -13,7 +13,8 @@ import graft.{Sessions, SparkEntry}
   */
 object CountPlan {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.builder(32).getOrCreate()
+    val spark = Sessions.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark, args(1))
     println("=== count() optimized plan ===")
