@@ -17,9 +17,24 @@ import scala.util.control.NonFatal
   * same JSON line so the noise itself stays observable.
   */
 object Bench {
+  /** Splits the per-rep timings into (failed names, min-across-reps for
+    * the rest). A query is failed if it threw (recorded as NaN) in ANY
+    * rep: a flaky pass must not launder the failure out of the artifact
+    * via min(), and a failed query must not get a time at all — the
+    * ~0.05 s cost of throwing is indistinguishable from a real speedup
+    * in the published JSON (this masked a 22-query regression in
+    * round 6).
+    */
+  private[graft] def summarize(names: Seq[String],
+      perRep: Seq[Map[String, Double]]): (Seq[String], Seq[(String, Double)]) = {
+    val failed = names.filter(n => perRep.exists(m => m(n).isNaN))
+    val okNames = names.filterNot(failed.contains)
+    (failed, okNames.map(n => n -> perRep.map(_(n)).min))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = Env.cpus(default = 32)
     val reps = args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.trim.toInt))
       .getOrElse(3)
@@ -46,17 +61,25 @@ object Bench {
         // Materialize, not count(): count()'s re-optimized plan prunes
         // scan-side projections and join-back shapes to a bare row-count
         // scan, silently under-measuring those queries (see Materialize).
-        try Materialize(q.fn(spark, sfDir))
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        q.name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { Materialize(q.fn(spark, sfDir)); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        // A failed query must NOT get a time: the cost of throwing an
+        // AnalysisException (~0.05 s) is indistinguishable from a real
+        // speedup in the published JSON (this masked a 22-query
+        // regression in round 6). NaN here → excluded from minima below.
+        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }.toMap
     }
-    val mins = names.map(n => n -> perRep.map(_(n)).min)
+    val (failed, mins) = summarize(names, perRep)
     val qs = mins.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    val repTotals = perRep.map(_.values.sum).mkString("[", ",", "]")
+    val repTotals = perRep
+      .map(_.values.filterNot(_.isNaN).sum).mkString("[", ",", "]")
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     // entropy-engine job counts per mining query (reference telemetry,
     // MinimalJDGenerator.java:970-979): a batching regression shows up
     // here long before it shows up in sf0.1 seconds
@@ -64,7 +87,7 @@ object Bench {
       .map { case (k, (jobs, hits)) =>
         s""""$k":{"entropy_jobs":$jobs,"memo_hits":$hits}"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotals,"queries":$qs,"telemetry":$tel,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotals,"failed":$failedJson,"queries":$qs,"telemetry":$tel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,20 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Fail-loud contract (post round-6 regression): every registry name
+  * either produces an output directory or appears in `_failed.json` —
+  * a broken query can no longer just vanish from the artifact. CliSpec
+  * exercises `dump` with a deliberately-broken query to pin this.
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = Sessions.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Runs every query in `queries`, writing each result under `outDir`
+    * and a `_failed.json` manifest of the ones that threw.
+    * @return names that failed, in registry order
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           queries: Seq[(String, (SparkSession, String) => DataFrame)],
+           oracleSql: Map[String, String]): Seq[String] = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
       // each query's operator-scoped caches die with its terminal action
       graft.data.ScopedCaches.releaseAll()
@@ -31,9 +42,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (n, msg) => s"${q(n)}: ${q(msg)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: " +
+        failed.map(_._1).mkString(", "))
+    failed.map(_._1).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = Env.cpus(default = 4)
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, SparkEntry.queries.toSeq, SparkEntry.oracleSql)
     spark.stop()
   }
 }

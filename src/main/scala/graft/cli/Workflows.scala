@@ -33,7 +33,7 @@ object Workflows {
     */
   private[cli] def session(): (SparkSession, Boolean) = {
     val existed = SparkSession.getDefaultSession.nonEmpty
-    val s = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val s = Sessions.builder(graft.Env.cpus(default = 8))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     (s, !existed)

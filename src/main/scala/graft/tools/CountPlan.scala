@@ -14,7 +14,7 @@ import graft.{Sessions, SparkEntry}
 object CountPlan {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
+      graft.Env.cpus(default = 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark, args(1))
     println("=== count() optimized plan ===")

@@ -11,7 +11,7 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = graft.Env.cpus(default = 32)
     var b = Sessions.builder(cpus)
     if (args.contains("--no-aqe")) b = b.config("spark.sql.adaptive.enabled", "false")
     val spark = b.getOrCreate()

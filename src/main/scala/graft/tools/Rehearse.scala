@@ -25,7 +25,7 @@ object Rehearse {
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Sessions.builder(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
+      graft.Env.cpus(default = 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       val times = (1 to reps).map { r =>

@@ -18,7 +18,7 @@ object RunQuery {
     val q = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = Sessions.builder(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
+      graft.Env.cpus(default = 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()

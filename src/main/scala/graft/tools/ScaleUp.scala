@@ -116,7 +116,7 @@ object ScaleUp {
     val only = arg(args, "--tables", "").split(",").map(_.trim).filter(_.nonEmpty).toSet
     def wanted(t: String): Boolean = only.isEmpty || only(t)
     val spark = Sessions.builder(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
+      graft.Env.cpus(default = 16)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def write(df: DataFrame, table: String): Unit =

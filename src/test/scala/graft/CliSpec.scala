@@ -113,4 +113,53 @@ class CliSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- fail-loud harness guards (post round-6 silent 22-query loss) ----
+
+  test("every registry query analyzes against the real fixtures") {
+    // Catches schema-drift regressions (e.g. the events ts type change)
+    // at analysis time, without executing the plans: a query that cannot
+    // even resolve must turn this red, not silently shrink the round's
+    // artifacts. Queries whose *construction* runs Spark jobs (sampled
+    // fits, collected query vectors) do run those here — acceptable at
+    // sf0.001.
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.registry.flatMap { q =>
+      try { q.fn(spark, dir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"${q.name}: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).linesIterator.take(1).mkString}")
+      } finally graft.data.ScopedCaches.releaseAll()
+    }
+    assert(bad.isEmpty, s"\n${bad.size} unanalyzable: \n  " + bad.mkString("\n  "))
+  }
+
+  test("Verify.dump records a broken query in _failed.json, keeps the rest") {
+    val out = Files.createTempDirectory("graft-verify").toString
+    val good = (s: org.apache.spark.sql.SparkSession, _: String) =>
+      relation(Seq(Seq(1, 2), Seq(3, 4)))
+    val broken = (s: org.apache.spark.sql.SparkSession, _: String) =>
+      relation(Seq(Seq(1))).select("no_such_column")
+    val failed = Verify.dump(spark, "unused", out,
+      Seq("good_q" -> good, "broken_q" -> broken),
+      Map("good_q" -> "SELECT 1"))
+    assert(failed == Seq("broken_q"))
+    assert(new java.io.File(s"$out/good_q").exists())
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$out/_failed.json"))
+    assert(manifest.contains("broken_q"))
+    assert(!manifest.contains("good_q"))
+    // every registry name produced output or is explicitly failed
+    for (name <- Seq("good_q", "broken_q"))
+      assert(new java.io.File(s"$out/$name").exists() || manifest.contains(name),
+        s"$name vanished from both artifacts")
+  }
+
+  test("Bench.summarize drops failed queries from timings, any-rep policy") {
+    val perRep = Seq(
+      Map("a" -> 1.0, "b" -> Double.NaN, "c" -> 3.0),
+      Map("a" -> 0.5, "b" -> 0.05, "c" -> Double.NaN))
+    val (failed, mins) = Bench.summarize(Seq("a", "b", "c"), perRep)
+    // b failed once then "passed" fast — still failed (no 0.05s laundering)
+    assert(failed == Seq("b", "c"))
+    assert(mins == Seq("a" -> 0.5))
+  }
 }
