@@ -162,6 +162,185 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Deterministic-replay IVF: the coarse centroids are PINNED to the
+    * embedding rows named by `centroidIds` — no KMeans, no RNG — so the
+    * whole index path (cell assignment, probe ranking, probed-cell scan,
+    * exact in-cell re-rank) replays in the DuckDB oracle as plain SQL
+    * and is hash-gated end-to-end. [[ivfTopK]] stays the adaptive-
+    * quality production path; this twin proves the plumbing exactly.
+    *
+    * Scale shape: assignment is scan-side — a greatest() fold over
+    * numCells native cosine calls per row inside whole-stage codegen,
+    * no train pass, no shuffle. Probes and query vectors are broadcast;
+    * the only shuffle is the row_number over probed-cell candidates.
+    * Scores are rounded to 6dp BEFORE the argmax with centroid-id
+    * tie-break, so assignment is engine-stable, not last-ulp-sensitive.
+    */
+  def ivfTopKPinned(df: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], k: Int, centroidIds: Seq[Long],
+                    nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // tiny (numCells × dim doubles) — same bounded-collect pattern as
+    // the query vectors in ivfTopK
+    val centroids: Seq[(Long, Array[Double])] =
+      v.filter(col("id").isin(centroidIds: _*)).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1).toSeq
+    require(centroids.size == centroidIds.size,
+      s"pinned centroid ids missing from corpus: got ${centroids.size}" +
+        s" of ${centroidIds.size}")
+    // argmax (rounded score, then smallest centroid id): greatest() on
+    // struct is lexicographic, so negate the id for the tie-break
+    val best = greatest(centroids.map { case (cid, c) =>
+      struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    val assigned = v.withColumn("cell", -best.getField("nc"))
+    val qRows = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val cellScores = array(centroids.map { case (cid, c) =>
+      struct(round(cosine(col("qv"), typedLit(c)), 6).as("s"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("cid"))
+    val probes = qRows.select(col("query_id"), explode(cellScores).as("cs"))
+      .select(col("query_id"), col("cs.s").as("s"), col("cs.cid").as("cid"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    // each corpus row lives in exactly one cell and probes are distinct
+    // cells, so candidates are already duplicate-free
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic-replay IVF×PQ: [[ivfPqTopK]]'s index shape with both
+    * quantizers PINNED to corpus rows — coarse centroids are the rows
+    * named by `centroidIds` (as in [[ivfTopKPinned]]), and subspace `i`'s
+    * codebook is the i-th slice of the unit-normalized rows named by
+    * `codebookIds` (codeword id = rank of the row id). No KMeans, no RNG:
+    * cell assignment, PQ encoding, the ADC scan (the production `pq_adc`
+    * codegen kernel), the rerank cutoff and the exact re-rank all replay
+    * in DuckDB SQL, hash-gating the full IVFADC plumbing.
+    *
+    * Engine-stability: every ranked score is rounded to 6dp before its
+    * argmin/argmax (code pick, probe pick, ADC cutoff, final rank), each
+    * with an id tie-break; float accumulation order is sequential on
+    * both sides (vec_dot/pq_adc here, list_dot_product + left-assoc
+    * per-subspace addition in the oracle), so the doubles agree bitwise
+    * before rounding. Encoding is scan-side (m·ksub 8-dim distance
+    * folds per row, no shuffle); probes/tables broadcast as in the
+    * production path.
+    */
+  def ivfPqTopKPinned(df: DataFrame, idCol: String, vecCol: String,
+                      queryIds: Seq[Long], k: Int, dim: Int,
+                      centroidIds: Seq[Long], nProbe: Int,
+                      m: Int, codebookIds: Seq[Long],
+                      rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    val ksub = codebookIds.size
+    val v = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normalized(col(vecCol)).as("nv")))
+    val centroids: Seq[(Long, Array[Double])] =
+      v.filter(col("id").isin(centroidIds: _*))
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1).toSeq
+    require(centroids.size == centroidIds.size, "missing centroid rows")
+    // codeword id = rank of the pinned row id (replayed as row_number
+    // over id in the oracle); codebook i = the rows' i-th nv slice
+    val cbRows: Seq[Array[Double]] =
+      v.filter(col("id").isin(codebookIds: _*))
+        .select("id", "nv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2).toSeq
+    require(cbRows.size == codebookIds.size, "missing codebook rows")
+    val codewords: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(i => (0 until ksub).map(c =>
+        cbRows(c).slice(i * sub, (i + 1) * sub)))
+    // coarse assignment: argmax (6dp cosine, then smallest centroid id),
+    // scan-side greatest() fold as in ivfTopKPinned
+    val bestCell = greatest(centroids.map { case (cid, c) =>
+      struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    // PQ encode: per subspace, argmin (6dp squared L2, then smallest
+    // codeword id) via a least() fold — IntegerType codes for pq_adc
+    val codeCols = (0 until m).map { i =>
+      val sv = slice(col("nv"), i * sub + 1, sub)
+      least((0 until ksub).map { c =>
+        val diff = zip_with(sv, typedLit(codewords(i)(c)),
+          (x, y) => x - y)
+        struct(round(call_function("vec_dot", diff, diff), 6).as("s"),
+          lit(c).as("c"))
+      }: _*).getField("c")
+    }
+    val coded = v.withColumn("cell", -bestCell.getField("nc"))
+      .withColumn("codes", array(codeCols: _*))
+    // probes: top-nProbe cells per query by the same pinned score
+    val qRows = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val cellScores = array(centroids.map { case (cid, c) =>
+      struct(round(cosine(col("qv"), typedLit(c)), 6).as("s"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = qRows.select(col("query_id"), explode(cellScores).as("cs"))
+      .select(col("query_id"), col("cs.s").as("s"), col("cs.cid").as("cid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    // per-query ADC tables from the collected normalized query vectors
+    val qnv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("nv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val tblRows = qnv.toSeq.map { case (qid, q) =>
+      val tbl = Array.tabulate(m, ksub) { (i, c) =>
+        var s = 0.0; var j = 0
+        while (j < sub) { s += q(i * sub + j) * codewords(i)(c)(j); j += 1 }
+        s
+      }.flatten.toSeq
+      (qid, tbl)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbls = tblRows.toDF("query_id", "tbl")
+    val cand = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(tbls), Seq("query_id"))
+      .withColumn("approx", round(
+        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)), 6))
+      .withColumn("arank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("approx").desc, col("id"))))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val exact = cand
+      .join(v.select(col("id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Product-quantization approximate top-k with asymmetric distance
     * computation: the unit-normalized vector is split into `m`
     * subspaces, each k-means'd into `ksub` centroids (fit on a capped

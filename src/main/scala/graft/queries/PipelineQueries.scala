@@ -613,6 +613,130 @@ object PipelineQueries {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCells = 16, nProbe = 4)
 
+  /** Hash-gated twin of [[annIvf]]: same cell count and probe width,
+    * but the coarse centroids are pinned to 16 evenly-strided corpus
+    * rows instead of KMeans fits, so the oracle replays assignment,
+    * probing and re-rank exactly (see [[Similarity.ivfTopKPinned]]).
+    */
+  private def annIvfPinned(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKPinned(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+      centroidIds = ivfPinnedCentroids, nProbe = 4)
+
+  /** 16 centroid row ids strided across the 500-row embeddings table;
+    * valid at every SF (the table is fixed-size auxiliary data). */
+  private val ivfPinnedCentroids: Seq[Long] = (0 until 16).map(_ * 31L)
+
+  private val annIvfPinnedSql = {
+    val cids = ivfPinnedCentroids.mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |c AS (SELECT id AS cid, v AS cv FROM v WHERE id IN ($cids)),
+       |cs AS (SELECT v.id, c.cid,
+       |         round(list_cosine_similarity(v.v, c.cv), 6) AS s
+       |       FROM v CROSS JOIN c),
+       |assign AS (SELECT id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn FROM cs) t
+       |  WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn
+       |    FROM cs WHERE id < 5) t
+       |  WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, a.id AS neighbor_id
+       |         FROM probes p JOIN assign a ON a.cell = p.cell
+       |         WHERE a.id <> p.query_id),
+       |scored AS (SELECT ca.query_id, ca.neighbor_id,
+       |             round(list_cosine_similarity(vq.v, vn.v), 6) AS cosine
+       |           FROM cand ca JOIN v vq ON vq.id = ca.query_id
+       |                        JOIN v vn ON vn.id = ca.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** Hash-gated twin of [[annIvfPq]] (IVFADC plumbing: coarse cells +
+    * PQ codes + `pq_adc` scan + rerank cutoff + exact re-rank) with both
+    * quantizers pinned to corpus rows — see [[Similarity.ivfPqTopKPinned]].
+    */
+  private def annIvfPqPinned(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKPinned(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64,
+      centroidIds = ivfPinnedCentroids, nProbe = 4, m = 8,
+      codebookIds = pqPinnedCodebook, rerank = 50)
+
+  /** 16 codebook row ids, a different stride so the codebook is not the
+    * centroid set. */
+  private val pqPinnedCodebook: Seq[Long] = (0 until 16).map(_ * 29L + 7)
+
+  private val annIvfPqPinnedSql = {
+    val cids = ivfPinnedCentroids.mkString(", ")
+    val cbids = pqPinnedCodebook.mkString(", ")
+    val adcSum = (0 until 8)
+      .map(i => s"max(CASE WHEN i=$i THEN t END)").mkString("\n        + ")
+    s"""WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |             FROM embeddings),
+       |v AS (SELECT id, v,
+       |        [x / sqrt(list_dot_product(v, v)) for x in v] AS nv
+       |      FROM raw),
+       |c AS (SELECT id AS cid, v AS cv FROM v WHERE id IN ($cids)),
+       |cs AS (SELECT v.id, c.cid,
+       |         round(list_cosine_similarity(v.v, c.cv), 6) AS s
+       |       FROM v CROSS JOIN c),
+       |assign AS (SELECT id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn FROM cs) t
+       |  WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn
+       |    FROM cs WHERE id < 5) t
+       |  WHERE rn <= 4),
+       |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cwid, nv
+       |       FROM v WHERE id IN ($cbids)),
+       |sub AS (SELECT CAST(i AS INT) AS i FROM range(8) t(i)),
+       |cw AS (SELECT s.i, cb.cwid, (cb.nv)[s.i*8+1 : s.i*8+8] AS cw
+       |       FROM cb CROSS JOIN sub s),
+       |rowsub AS (SELECT v.id, s.i, (v.nv)[s.i*8+1 : s.i*8+8] AS sv
+       |           FROM v CROSS JOIN sub s),
+       |codescored AS (SELECT id, i, cwid,
+       |    round(list_dot_product(d, d), 6) AS s FROM (
+       |    SELECT r.id, r.i, w.cwid,
+       |      [z[1] - z[2] for z in list_zip(r.sv, w.cw)] AS d
+       |    FROM rowsub r JOIN cw w ON w.i = r.i) t),
+       |codepick AS (SELECT id, i, cwid FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id, i ORDER BY s, cwid) AS rn
+       |    FROM codescored) t WHERE rn = 1),
+       |cand AS (SELECT p.query_id, a.id
+       |         FROM probes p JOIN assign a ON a.cell = p.cell
+       |         WHERE a.id <> p.query_id),
+       |terms AS (SELECT ca.query_id, ca.id, cp.i,
+       |            list_dot_product((qn.nv)[cp.i*8+1 : cp.i*8+8], w.cw) AS t
+       |          FROM cand ca JOIN codepick cp ON cp.id = ca.id
+       |               JOIN cw w ON w.i = cp.i AND w.cwid = cp.cwid
+       |               JOIN v qn ON qn.id = ca.query_id),
+       |approx AS (SELECT query_id, id,
+       |    round($adcSum, 6) AS a
+       |  FROM terms GROUP BY query_id, id),
+       |shortlist AS (SELECT query_id, id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY a DESC, id) AS arank
+       |    FROM approx) t WHERE arank <= 50),
+       |scored AS (SELECT sl.query_id, sl.neighbor_id,
+       |             round(list_cosine_similarity(vq.v, vn.v), 6) AS cosine
+       |           FROM shortlist sl JOIN v vq ON vq.id = sl.query_id
+       |                            JOIN v vn ON vn.id = sl.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private def annPq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, m = 8,
@@ -1773,8 +1897,11 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel, None),
     QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
+    QueryDef("sim_ann_topk_ivf_pinned", annIvfPinned, Some(annIvfPinnedSql)),
     QueryDef("sim_ann_topk_pq", annPq, None),
     QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
+    QueryDef("sim_ann_topk_ivfpq_pinned", annIvfPqPinned,
+      Some(annIvfPqPinnedSql)),
     QueryDef("emb_label_centroids", embLabelCentroids,
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),

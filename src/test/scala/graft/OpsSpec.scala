@@ -669,6 +669,39 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("pinned IVF / IVF-PQ recall the colinear top neighbor deterministically") {
+    val rng = new Lcg(11)
+    val vecs = (0L until 100L).map { i =>
+      i -> Array.tabulate(8)(_ => rng.nextInt(200) / 100.0f - 1.0f)
+    } :+ (500L -> Array.tabulate(8)(j => 1.0f + j)) :+
+      (501L -> Array.tabulate(8)(j => 3.0f * (1.0f + j)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v._1, v._2.toSeq)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    // pinned centroids include 501 itself: 500 assigns to its cell
+    // (cosine 1.0), every probe list leads there, exact re-rank wins
+    val centroidIds = Seq(0L, 10L, 20L, 30L, 501L)
+    val ivf = Similarity.ivfTopKPinned(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, centroidIds, nProbe = 2).collect()
+    val top = ivf.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 501L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+    val ivfpq = Similarity.ivfPqTopKPinned(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, dim = 8, centroidIds, nProbe = 2,
+      m = 4, codebookIds = Seq(1L, 11L, 21L, 31L, 41L, 501L),
+      rerank = 20).collect()
+    val topPq = ivfpq.minBy(_.getAs[Int]("rank"))
+    assert(topPq.getAs[Long]("neighbor_id") == 501L)
+    assert(topPq.getAs[Double]("cosine") == 1.0)
+    // deterministic: a second run returns the identical result set
+    val again = Similarity.ivfPqTopKPinned(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, dim = 8, centroidIds, nProbe = 2,
+      m = 4, codebookIds = Seq(1L, 11L, 21L, 31L, 41L, 501L),
+      rerank = 20).collect()
+    assert(ivfpq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("PQ top-k recalls the exact top neighbor after re-rank") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
