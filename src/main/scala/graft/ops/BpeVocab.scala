@@ -3,26 +3,29 @@ package graft.ops
 /** Pinned BPE merge table — the production tokenizer shape: a FIXED
   * vocabulary artifact shipped with the pipeline (like a published
   * `vocab.bpe`), not a per-run training product, so token counts are
-  * stable across corpus snapshots. Regenerate with
-  * `runMain graft.tools.DumpBpe <sfDir> <sampleDocs> <numMerges>`.
+  * stable across corpus snapshots.
   *
-  * Deliberately TRUNCATED (40 merges, trained on the sf0.001 low-id
-  * sample): corpus words encode to genuine multi-symbol subword
-  * sequences, so the encode merge loop — not just pre-tokenization —
-  * is what any gate over these counts exercises. The per-corpus
-  * exhaustively-trained variant lives in `text_token_count_bpe_real`.
+  * The artifact (`graft/bpe_merges.tsv` on the classpath, 2500 merges)
+  * was trained with [[graft.tools.DumpBpe]] `--files` on the
+  * Apache-licensed text bundled with the Spark distribution (LICENSE,
+  * NOTICE, README.md and the licenses dir) — public English/legal prose
+  * with a real vocabulary. The synthetic documents corpus itself has
+  * only ~31 distinct words and saturates BPE below 100 merges, so a
+  * corpus-trained table cannot reach realistic size; using a
+  * foreign-trained public vocabulary is exactly how production
+  * pipelines tokenize (GPT-2's vocab.bpe is trained once on public
+  * text, then applied to every corpus). Corpus words mostly do NOT
+  * appear verbatim in the training text, so encoding genuinely
+  * exercises the multi-symbol merge loop, not just pre-tokenization.
   */
 object BpeVocab {
-  val merges: Vector[(String, String)] = Vector(
-    ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"),
-    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
-    ("m", "er"), ("t", "a"), ("or", "t"), ("s", "ort"),
-    ("par", "t"), ("d", "ow"), ("in", "dow"), ("w", "indow"),
-    ("u", "p"), ("c", "o"), ("co", "lu"), ("colu", "m"),
-    ("colum", "n"), ("j", "o"), ("jo", "in"), ("d", "er"),
-    ("or", "der"), ("a", "g"), ("ag", "g"), ("a", "n"),
-    ("c", "an"), ("s", "can"), ("g", "r"), ("gr", "o"),
-    ("gro", "up"), ("l", "ow"), ("s", "low"), ("a", "lu"),
-    ("alu", "e"), ("in", "e"), ("l", "ine"), ("v", "alue"),
-  )
+  val merges: Vector[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.tsv")
+    require(in != null, "graft/bpe_merges.tsv missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+      val t = l.indexOf('\t')
+      (l.substring(0, t), l.substring(t + 1))
+    }.toVector
+    finally in.close()
+  }
 }

@@ -896,8 +896,12 @@ object PipelineQueries {
       graft.ops.BpeVocab.merges)
 
   private val tokenCountBpePinnedSql = {
+    // single quotes doubled for SQL; symbols never contain whitespace
+    // or control chars (pre-token pattern), so no other escaping needed
+    def esc(s: String) = s.replace("'", "''")
     val vals = graft.ops.BpeVocab.merges.zipWithIndex
-      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+      .map { case ((a, b), r) => s"($r, '${esc(a)}', '${esc(b)}')" }
+      .mkString(", ")
     val n = graft.ops.BpeVocab.merges.size
     s"""WITH RECURSIVE m(r, p1, p2) AS (VALUES $vals),
        |docw AS (SELECT doc_id,
