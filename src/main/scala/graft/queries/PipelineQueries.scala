@@ -1747,10 +1747,73 @@ object PipelineQueries {
     * SQL-reproducible) — the decoded image dims are oracle-checked
     * separately by `mm_decode_image_dims`.
     */
+  /** The real-decode FEATURE gate: pooled 2x2 RGBA means of the planted
+    * PNGs. The pixel generator is splitmix64 over (media_id, position),
+    * so the oracle replays the pixels themselves — 64-bit wrapping
+    * arithmetic emulated in HUGEINT via 32-bit-split multiplies — pools
+    * them per cell, and casts to REAL exactly like the Scala `.toFloat`
+    * (integer sums are exact on both sides, so the doubles and their
+    * float32 roundings agree bitwise). A stub that doesn't actually
+    * decode the PNG bytes back to the planted pixels cannot pass.
+    * The FakeCodec fallback path (this container's audio/video stand-in)
+    * stays rows-only, covered by mm_feature_ann_pipeline and OpsSpec
+    * parity.
+    */
   private def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaWithImages(s, Tables.documents(s, dir))
     Multimodal.extractFeatures(media).toDF()
-      .select("media_id", "content_type", "byte_len", "width", "height", "channels")
+      .filter(col("content_type") === "image/png")
+      .select(col("media_id"),
+        posexplode(col("features")).as(Seq("idx", "feature")))
+  }
+
+  /** `(a * c) mod 2^64` over non-negative HUGEINTs: split the constant
+    * into 32-bit halves so every intermediate product fits HUGEINT. */
+  private def wrapMul64(a: String, c: BigInt): String = {
+    val lo = c & 0xFFFFFFFFL
+    val hi = c >> 32
+    s"((($a) % 4294967296) * $lo + (((($a) % 4294967296) * $hi + " +
+      s"(($a) // 4294967296) * $lo) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616"
+  }
+
+  private val mmDecodeSql = {
+    val K = BigInt("9E3779B97F4A7C15", 16)
+    val C1 = BigInt("BF58476D1CE4E5B9", 16)
+    val C2 = BigInt("94D049BB133111EB", 16)
+    s"""WITH imgs AS (SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+       |                4 + doc_id % 11 AS h
+       |              FROM documents WHERE doc_id % 2 = 0),
+       |px0 AS (SELECT media_id, w, h, unnest(range(w * h)) AS p FROM imgs),
+       |px AS (SELECT media_id, w, h, p // w AS y, p % w AS x FROM px0),
+       |s1 AS (SELECT media_id, w, h, y, x,
+       |         (CAST(media_id AS HUGEINT) +
+       |          ${wrapMul64("CAST(y AS HUGEINT) * w + x + 1", K)})
+       |           % 18446744073709551616 AS v
+       |       FROM px),
+       |s2 AS (SELECT *, ${wrapMul64("xor(v, v // 1073741824)", C1)} AS z1
+       |       FROM s1),
+       |s3 AS (SELECT *, ${wrapMul64("xor(z1, z1 // 134217728)", C2)} AS z2
+       |       FROM s2),
+       |s4 AS (SELECT media_id, w, h, y, x,
+       |         xor(z2, z2 // 2147483648) % 16777216 AS rgb
+       |       FROM s3),
+       |pooled AS (SELECT media_id,
+       |    least(y*2//h, 1)*2 + least(x*2//w, 1) AS cell,
+       |    rgb // 65536 AS r, (rgb // 256) % 256 AS g, rgb % 256 AS b
+       |  FROM s4),
+       |agg AS (SELECT media_id, cell, count(*) AS cnt, sum(r) AS sr,
+       |          sum(g) AS sg, sum(b) AS sb
+       |        FROM pooled GROUP BY 1, 2),
+       |feats AS (
+       |  SELECT media_id, cell*4 AS idx,
+       |         CAST(sr/(cnt*255.0) AS REAL) AS feature FROM agg
+       |  UNION ALL SELECT media_id, cell*4+1,
+       |         CAST(sg/(cnt*255.0) AS REAL) FROM agg
+       |  UNION ALL SELECT media_id, cell*4+2,
+       |         CAST(sb/(cnt*255.0) AS REAL) FROM agg
+       |  UNION ALL SELECT media_id, cell*4+3, CAST(1.0 AS REAL) FROM agg)
+       |SELECT media_id, CAST(idx AS INT) AS idx, feature FROM feats""".stripMargin
   }
 
   /** The REAL-decode gate: planted PNGs have dimensions that are a pure
@@ -1944,7 +2007,7 @@ object PipelineQueries {
     QueryDef("doc_weighted_sample", docWeightedSample,
       Some(docWeightedSampleSql)),
     QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),
-    QueryDef("mm_decode_features", mmDecode, None),
+    QueryDef("mm_decode_features", mmDecode, Some(mmDecodeSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
   )
