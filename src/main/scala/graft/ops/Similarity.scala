@@ -178,14 +178,16 @@ object Similarity {
     */
   def ivfTopKPinned(df: DataFrame, idCol: String, vecCol: String,
                     queryIds: Seq[Long], k: Int, centroidIds: Seq[Long],
-                    nProbe: Int): DataFrame = {
+                    nProbe: Int, labelCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = graft.data.ScopedCaches.track(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        labelCol.map(c => col(c).as("lbl")).toSeq: _*))
     // tiny (numCells × dim doubles) — same bounded-collect pattern as
     // the query vectors in ivfTopK
     val centroids: Seq[(Long, Array[Double])] =
-      v.filter(col("id").isin(centroidIds: _*)).collect()
+      v.filter(col("id").isin(centroidIds: _*))
+        .select("id", "v").collect()
         .map(r => r.getLong(0) ->
           r.getSeq[Float](1).map(_.toDouble).toArray)
         .sortBy(_._1).toSeq
@@ -200,7 +202,8 @@ object Similarity {
     }: _*)
     val assigned = v.withColumn("cell", -best.getField("nc"))
     val qRows = v.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"))
+      .select(col("id").as("query_id") +: col("v").as("qv") +:
+        labelCol.map(_ => col("lbl").as("qlbl")).toSeq: _*)
     val cellScores = array(centroids.map { case (cid, c) =>
       struct(round(cosine(col("qv"), typedLit(c)), 6).as("s"),
         lit(cid).as("cid"))
@@ -216,7 +219,10 @@ object Similarity {
     // cells, so candidates are already duplicate-free
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .join(broadcast(qRows), Seq("query_id"))
-      .filter(col("id") =!= col("query_id"))
+      .filter(col("id") =!= col("query_id") &&
+        // hybrid search: the metadata constraint prunes candidates
+        // BEFORE any dot product, inside the probed-cell scan
+        labelCol.map(_ => col("lbl") === col("qlbl")).getOrElse(lit(true)))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

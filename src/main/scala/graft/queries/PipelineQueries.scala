@@ -658,6 +658,50 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Hash-gated twin of [[annIvfSameLabel]]: the metadata-filtered IVF
+    * search with pinned centroids, so the label-constrained probed-cell
+    * scan replays exactly (constraint enforced INSIDE the scan, before
+    * any dot product — same shape as the production path).
+    */
+  private def annIvfFilteredPinned(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKPinned(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3,
+      centroidIds = ivfPinnedCentroids, nProbe = 4,
+      labelCol = Some("label"))
+
+  private val annIvfFilteredPinnedSql = {
+    val cids = ivfPinnedCentroids.mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+       |           FROM embeddings),
+       |c AS (SELECT id AS cid, v AS cv FROM v WHERE id IN ($cids)),
+       |cs AS (SELECT v.id, c.cid,
+       |         round(list_cosine_similarity(v.v, c.cv), 6) AS s
+       |       FROM v CROSS JOIN c),
+       |assign AS (SELECT id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn FROM cs) t
+       |  WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY id ORDER BY s DESC, cid) AS rn
+       |    FROM cs WHERE id < 5) t
+       |  WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, a.id AS neighbor_id
+       |         FROM probes p JOIN assign a ON a.cell = p.cell
+       |         JOIN v vn ON vn.id = a.id
+       |         JOIN v vq ON vq.id = p.query_id
+       |         WHERE a.id <> p.query_id AND vn.label = vq.label),
+       |scored AS (SELECT ca.query_id, ca.neighbor_id,
+       |             round(list_cosine_similarity(vq.v, vn.v), 6) AS cosine
+       |           FROM cand ca JOIN v vq ON vq.id = ca.query_id
+       |                        JOIN v vn ON vn.id = ca.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   /** Hash-gated twin of [[annIvfPq]] (IVFADC plumbing: coarse cells +
     * PQ codes + `pq_adc` scan + rerank cutoff + exact re-rank) with both
     * quantizers pinned to corpus rows — see [[Similarity.ivfPqTopKPinned]].
@@ -1965,6 +2009,8 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_ivf_pinned", annIvfPinned, Some(annIvfPinnedSql)),
+    QueryDef("sim_ann_topk_ivf_filtered_pinned", annIvfFilteredPinned,
+      Some(annIvfFilteredPinnedSql)),
     QueryDef("sim_ann_topk_pq", annPq, None),
     QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
     QueryDef("sim_ann_topk_ivfpq_pinned", annIvfPqPinned,

@@ -144,9 +144,10 @@ object ScaleUp {
       }
     }
 
-    // events: keep the raw TIMESTAMP(NANOS)-as-long layout the loaders
-    // expect (graft.Tables.events converts); shift user ids so state
-    // size per key is unchanged — scale adds users, not session length
+    // events: preserve whatever ts layout the source fixture has —
+    // graft.Tables.events loads schema-adaptively (nanos-as-long under
+    // the legacy flag, or native micros); shift user ids so state size
+    // per key is unchanged — scale adds users, not session length
     if (wanted("events")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       write(replicate(spark.read.parquet(s"$src/events.parquet"),

@@ -694,6 +694,16 @@ class OpsSpec extends AnyFunSuite {
     val topPq = ivfpq.minBy(_.getAs[Int]("rank"))
     assert(topPq.getAs[Long]("neighbor_id") == 501L)
     assert(topPq.getAs[Double]("cosine") == 1.0)
+    // label-filtered pinned IVF: only same-label candidates survive
+    val labeled = df.withColumn("label",
+      (org.apache.spark.sql.functions.col("vec_id") % 2).cast("int"))
+    val filt = Similarity.ivfTopKPinned(labeled, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, centroidIds, nProbe = 2,
+      labelCol = Some("label")).collect()
+    // 500 and 501 share label 500%2==0? 501%2==1 — differ, so the
+    // colinear neighbor is EXCLUDED and everything returned is even
+    assert(filt.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+    assert(!filt.exists(_.getAs[Long]("neighbor_id") == 501L))
     // deterministic: a second run returns the identical result set
     val again = Similarity.ivfPqTopKPinned(df, "vec_id", "embedding",
       queryIds = Seq(500L), k = 3, dim = 8, centroidIds, nProbe = 2,
