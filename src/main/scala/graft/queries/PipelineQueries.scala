@@ -1821,11 +1821,16 @@ object PipelineQueries {
       "% 18446744073709551616"
   }
 
-  private val mmDecodeSql = {
+  /** CTE chain producing `feats(media_id, idx, feature)` for the
+    * planted PNGs (shared by the mm_decode_features and
+    * mm_feature_ann_pipeline oracles). Starts at `imgs`, ends at
+    * `feats`; splice after `WITH`.
+    */
+  private lazy val pngFeatureCtes: String = {
     val K = BigInt("9E3779B97F4A7C15", 16)
     val C1 = BigInt("BF58476D1CE4E5B9", 16)
     val C2 = BigInt("94D049BB133111EB", 16)
-    s"""WITH imgs AS (SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+    s"""imgs AS (SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
        |                4 + doc_id % 11 AS h
        |              FROM documents WHERE doc_id % 2 = 0),
        |px0 AS (SELECT media_id, w, h, unnest(range(w * h)) AS p FROM imgs),
@@ -1856,8 +1861,67 @@ object PipelineQueries {
        |         CAST(sg/(cnt*255.0) AS REAL) FROM agg
        |  UNION ALL SELECT media_id, cell*4+2,
        |         CAST(sb/(cnt*255.0) AS REAL) FROM agg
-       |  UNION ALL SELECT media_id, cell*4+3, CAST(1.0 AS REAL) FROM agg)
+       |  UNION ALL SELECT media_id, cell*4+3, CAST(1.0 AS REAL) FROM agg)""".stripMargin
+  }
+
+  private val mmDecodeSql =
+    s"""WITH $pngFeatureCtes
        |SELECT media_id, CAST(idx AS INT) AS idx, feature FROM feats""".stripMargin
+
+  /** Oracle for the COMPOSED multimodal pipeline: both feature paths
+    * replay in SQL — planted-PNG pooled means (pixel replay, above) AND
+    * the FakeCodec pseudo-features for text payloads (FNV-1a-style fold
+    * over the utf8 bytes + splitmix finalizer, all in HUGEINT wrap
+    * arithmetic; the synthetic corpus is pure ASCII so `ord` per char
+    * equals the byte) — then the brute-force cosine top-3 re-ranks the
+    * assembled vectors exactly as the Spark side does.
+    */
+  private val mmPipelineSql = {
+    val FNV = BigInt("100000001B3", 16)
+    val CB = BigInt("BF58476D1CE4E5B9", 16)
+    val C2 = BigInt("94D049BB133111EB", 16)
+    s"""WITH RECURSIVE $pngFeatureCtes,
+       |fa0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |        WHERE doc_id % 2 = 1),
+       |fnv AS (
+       |  SELECT doc_id, text, n, 0 AS pos,
+       |         CAST(11400714819323198485 AS HUGEINT) AS h
+       |  FROM fa0
+       |  UNION ALL
+       |  SELECT doc_id, text, n, pos + 1,
+       |         ${wrapMul64("xor(h, ord(substr(text, pos + 1, 1)))", FNV)}
+       |  FROM fnv WHERE pos < n),
+       |fh AS (SELECT doc_id, h FROM fnv WHERE pos = n),
+       |sub16 AS (SELECT CAST(j AS HUGEINT) AS j FROM range(16) t(j)),
+       |fz0 AS (SELECT doc_id, j,
+       |          (h + ${wrapMul64("j", CB)}) % 18446744073709551616 AS z0
+       |        FROM fh CROSS JOIN sub16),
+       |fz1 AS (SELECT doc_id, j,
+       |          ${wrapMul64("xor(z0, z0 // 1073741824)", CB)} AS z1
+       |        FROM fz0),
+       |fz2 AS (SELECT doc_id, j,
+       |          ${wrapMul64("xor(z1, z1 // 134217728)", C2)} AS z2
+       |        FROM fz1),
+       |fakefeats AS (SELECT doc_id AS media_id, CAST(j AS INT) AS idx,
+       |          CAST((z2 // 2048) / 9007199254740992.0 AS REAL) AS feature
+       |        FROM fz2),
+       |allfeats AS (SELECT media_id, idx, feature FROM feats
+       |             UNION ALL
+       |             SELECT media_id, idx, feature FROM fakefeats),
+       |vecs AS (SELECT media_id,
+       |           list(CAST(feature AS DOUBLE) ORDER BY idx) AS v
+       |         FROM allfeats GROUP BY media_id),
+       |mq AS (SELECT media_id AS query_id, v AS qv FROM vecs
+       |       WHERE media_id < 3),
+       |mscored AS (SELECT mq.query_id, e.media_id AS neighbor_id,
+       |             round(list_cosine_similarity(mq.qv, e.v), 6) AS cosine
+       |           FROM mq CROSS JOIN vecs e
+       |           WHERE e.media_id <> mq.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM mscored) t
+       |WHERE rank <= 3""".stripMargin
   }
 
   /** The REAL-decode gate: planted PNGs have dimensions that are a pure
@@ -1882,8 +1946,8 @@ object PipelineQueries {
     * (real imageio for PNG rows, fallback for text rows) -> feature
     * vectors -> brute-force cosine top-3 over the decoded features.
     * Exercises the full media-to-similarity dataflow the engine is
-    * meant for; rows-only (pooled-pixel floats are not SQL-
-    * reproducible).
+    * meant for — and since round 7, fully hash-gated: both decode
+    * paths replay in the oracle (see [[mmPipelineSql]]).
     */
   private def mmPipeline(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaWithImages(s, Tables.documents(s, dir))
@@ -2055,6 +2119,6 @@ object PipelineQueries {
     QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),
     QueryDef("mm_decode_features", mmDecode, Some(mmDecodeSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
-    QueryDef("mm_feature_ann_pipeline", mmPipeline, None),
+    QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
   )
 }
