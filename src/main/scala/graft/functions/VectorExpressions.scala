@@ -73,6 +73,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `vec_l2sq(a, b)`: sum_i (a_i - b_i)^2 over the common prefix length
+  * — the PQ-encode argmin metric. Numerically identical to the
+  * `zip_with` diff + `vec_dot(diff, diff)` form it replaces (same
+  * subtraction, same sequential accumulation), so oracles replaying
+  * `list_dot_product(d, d)` over a comprehension diff are unaffected;
+  * unlike that form it stays inside whole-stage codegen instead of
+  * paying an interpreted lambda frame per element per codeword.
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = get(x, i, fx) - get(y, i, fy)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(a, i, elemIsFloat(left))} - ${getter(b, i, elemIsFloat(right))};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Shared sign-random-projection kernel: deterministic +-1 hyperplane
   * components from a splitmix-style hash of (planeIdx, dim index) — the
   * same bit stream for the interpreted path, the codegen path, and

@@ -286,13 +286,15 @@ object Similarity {
         lit(-cid).as("nc"))
     }: _*)
     // PQ encode: per subspace, argmin (6dp squared L2, then smallest
-    // codeword id) via a least() fold — IntegerType codes for pq_adc
+    // codeword id) via a least() fold — IntegerType codes for pq_adc.
+    // vec_l2sq is the native codegen kernel (identical arithmetic to a
+    // zip_with diff + vec_dot fold, but no interpreted lambda frames —
+    // this fold runs m*ksub times per corpus row and IS the hot path).
     val codeCols = (0 until m).map { i =>
       val sv = slice(col("nv"), i * sub + 1, sub)
       least((0 until ksub).map { c =>
-        val diff = zip_with(sv, typedLit(codewords(i)(c)),
-          (x, y) => x - y)
-        struct(round(call_function("vec_dot", diff, diff), 6).as("s"),
+        struct(round(call_function("vec_l2sq", sv,
+          typedLit(codewords(i)(c))), 6).as("s"),
           lit(c).as("c"))
       }: _*).getField("c")
     }

@@ -761,6 +761,25 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"row $r"))
   }
 
+  test("vec_l2sq equals the zip_with diff + vec_dot form it replaced") {
+    val rng = new Lcg(13)
+    val rows = (0 until 30).map { i =>
+      Row(i.toLong, Seq.tabulate(8)(_ => rng.nextInt(2000) / 100.0 - 10.0),
+        Seq.tabulate(8)(_ => rng.nextInt(2000) / 100.0 - 10.0))
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("a", ArrayType(DoubleType, containsNull = false)),
+        StructField("b", ArrayType(DoubleType, containsNull = false)))))
+    val got = df.select(col("id"),
+        call_function("vec_l2sq", col("a"), col("b")).as("native"),
+        call_function("vec_dot",
+          zip_with(col("a"), col("b"), (x, y) => x - y),
+          zip_with(col("a"), col("b"), (x, y) => x - y)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"row $r"))
+  }
+
   test("IVF-PQ prunes the ADC scan to probed cells with recall >= plain PQ") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
