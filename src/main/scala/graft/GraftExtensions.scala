@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LshBuckets, PqAdc}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared, LshBuckets, PqAdc, PqEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -37,6 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             LshBuckets(exprs(0), t, p)
           case other => throw new IllegalArgumentException(
             s"lsh_buckets(vec, tables, planes) needs integer literals, got $other")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        (exprs(2), exprs(3)) match {
+          case (Literal(m: Int, _), Literal(k: Int, _)) =>
+            PqEncode(exprs(0), exprs(1), m, k)
+          case other => throw new IllegalArgumentException(
+            s"pq_encode(vec, codebook, m, ksub) needs integer m/ksub literals, got $other")
         }
       }))
     e.injectFunction((

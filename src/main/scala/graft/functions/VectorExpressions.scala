@@ -115,6 +115,97 @@ case class L2Squared(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Kernel for [[PqEncode]] (object indirection keeps the generated code
+  * a one-line call, like [[LshKernel]]). */
+object PqEncodeKernel {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def encode(v: ArrayData, isFloat: Boolean, cb: Array[Double],
+             m: Int, ksub: Int): ArrayData = {
+    val sub = cb.length / (m * ksub)
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestS = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (i * ksub + c) * sub
+        var s = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = if (isFloat) v.getFloat(i * sub + j).toDouble
+                  else v.getDouble(i * sub + j)
+          val d = x - cb(base + j)
+          s += d * d
+          j += 1
+        }
+        // strict <: the FIRST minimum wins, i.e. smallest codeword index
+        // on exact ties — the order an oracle's (s ASC, index ASC)
+        // replays
+        if (s < bestS) { bestS = s; best = c }
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pq_encode(vec, codebook, m, ksub)`: product-quantization encode —
+  * per subspace `i` of the input vector, the index of the codeword
+  * minimizing squared L2 distance. `codebook` is a flattened
+  * array<double> literal laid out `(i * ksub + c) * sub + j` with
+  * `sub = dim / m`. One primitive loop inside whole-stage codegen per
+  * row; the struct least()-fold + per-codeword round() form it
+  * replaces paid m·ksub struct allocations and BigDecimal roundings
+  * per corpus row — the pinned IVF-PQ encode hot path. Unrounded
+  * argmin is engine-stable: both engines accumulate the same doubles
+  * sequentially, so scores are bit-identical and exact ties break by
+  * index on both sides.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val codebook: Array[Double] = right match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        arr: ArrayData, ArrayType(DoubleType, _)) => arr.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"pq_encode codebook must be an array<double> literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _))
+          if m >= 1 && ksub >= 1 && codebook.length % (m * ksub) == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double> vec, array<double> " +
+          s"codebook literal with length divisible by m*ksub), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}, " +
+          s"m=$m, ksub=$ksub")
+    }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, cbIgnored: Any): Any =
+    PqEncodeKernel.encode(v.asInstanceOf[ArrayData], isFloat, codebook, m, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.PqEncodeKernel$$.MODULE$$" +
+        s".encode($v, $isFloat, $cbRef, $m, $ksub);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Shared sign-random-projection kernel: deterministic +-1 hyperplane
   * components from a splitmix-style hash of (planeIdx, dim index) — the
   * same bit stream for the interpreted path, the codegen path, and

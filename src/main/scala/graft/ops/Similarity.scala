@@ -241,14 +241,15 @@ object Similarity {
     * codegen kernel), the rerank cutoff and the exact re-rank all replay
     * in DuckDB SQL, hash-gating the full IVFADC plumbing.
     *
-    * Engine-stability: every ranked score is rounded to 6dp before its
-    * argmin/argmax (code pick, probe pick, ADC cutoff, final rank), each
-    * with an id tie-break; float accumulation order is sequential on
-    * both sides (vec_dot/pq_adc here, list_dot_product + left-assoc
-    * per-subspace addition in the oracle), so the doubles agree bitwise
-    * before rounding. Encoding is scan-side (m·ksub 8-dim distance
-    * folds per row, no shuffle); probes/tables broadcast as in the
-    * production path.
+    * Engine-stability: float accumulation order is sequential on both
+    * sides (pq_encode/vec_dot/pq_adc here, list_dot_product +
+    * left-assoc per-subspace addition in the oracle), so scores agree
+    * bitwise; the probe pick, ADC cutoff and final rank round to 6dp
+    * with id tie-breaks, and the code pick argmins the raw
+    * (bit-identical) distances with a smallest-index tie-break.
+    * Encoding is scan-side — one native `pq_encode` kernel call per
+    * row inside whole-stage codegen, no shuffle; probes/tables
+    * broadcast as in the production path.
     */
   def ivfPqTopKPinned(df: DataFrame, idCol: String, vecCol: String,
                       queryIds: Seq[Long], k: Int, dim: Int,
@@ -285,21 +286,18 @@ object Similarity {
       struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
         lit(-cid).as("nc"))
     }: _*)
-    // PQ encode: per subspace, argmin (6dp squared L2, then smallest
-    // codeword id) via a least() fold — IntegerType codes for pq_adc.
-    // vec_l2sq is the native codegen kernel (identical arithmetic to a
-    // zip_with diff + vec_dot fold, but no interpreted lambda frames —
-    // this fold runs m*ksub times per corpus row and IS the hot path).
-    val codeCols = (0 until m).map { i =>
-      val sv = slice(col("nv"), i * sub + 1, sub)
-      least((0 until ksub).map { c =>
-        struct(round(call_function("vec_l2sq", sv,
-          typedLit(codewords(i)(c))), 6).as("s"),
-          lit(c).as("c"))
-      }: _*).getField("c")
-    }
+    // PQ encode: per subspace, argmin squared-L2 codeword via the
+    // native pq_encode kernel — one primitive loop per row inside
+    // whole-stage codegen (a least()-fold over structs paid m*ksub
+    // struct allocations + BigDecimal round()s per corpus row; this is
+    // the per-row hot path). Unrounded argmin is engine-stable: both
+    // engines accumulate identical doubles sequentially, and exact
+    // ties take the smallest codeword index on both sides.
+    val cbFlat: Array[Double] =
+      codewords.flatten.flatten.toArray // (i*ksub + c)*sub + j layout
     val coded = v.withColumn("cell", -bestCell.getField("nc"))
-      .withColumn("codes", array(codeCols: _*))
+      .withColumn("codes", call_function("pq_encode", col("nv"),
+        typedLit(cbFlat), lit(m), lit(ksub)))
     // probes: top-nProbe cells per query by the same pinned score
     val qRows = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))

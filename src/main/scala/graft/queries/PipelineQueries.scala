@@ -747,7 +747,7 @@ object PipelineQueries {
        |rowsub AS (SELECT v.id, s.i, (v.nv)[s.i*8+1 : s.i*8+8] AS sv
        |           FROM v CROSS JOIN sub s),
        |codescored AS (SELECT id, i, cwid,
-       |    round(list_dot_product(d, d), 6) AS s FROM (
+       |    list_dot_product(d, d) AS s FROM (
        |    SELECT r.id, r.i, w.cwid,
        |      [z[1] - z[2] for z in list_zip(r.sv, w.cw)] AS d
        |    FROM rowsub r JOIN cw w ON w.i = r.i) t),
