@@ -92,6 +92,12 @@ object Similarity {
     transform(vec, x => x.cast("double") / norm)
   }
 
+  /** `greatest` over one-or-more columns (Spark's builtin rejects a
+    * single argument — the degenerate one-centroid case of the pinned
+    * quantizers, where plain PQ falls out of IVF×PQ). */
+  private def greatest1(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else greatest(cols: _*)
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * over the unit-normalized vectors partitions the corpus into
     * `numCells` cells; each query scores only the `nProbe` cells nearest
@@ -196,10 +202,10 @@ object Similarity {
         s" of ${centroidIds.size}")
     // argmax (rounded score, then smallest centroid id): greatest() on
     // struct is lexicographic, so negate the id for the tie-break
-    val best = greatest(centroids.map { case (cid, c) =>
+    val best = greatest1(centroids.map { case (cid, c) =>
       struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
         lit(-cid).as("nc"))
-    }: _*)
+    })
     val assigned = v.withColumn("cell", -best.getField("nc"))
     val qRows = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id") +: col("v").as("qv") +:
@@ -282,10 +288,10 @@ object Similarity {
         cbRows(c).slice(i * sub, (i + 1) * sub)))
     // coarse assignment: argmax (6dp cosine, then smallest centroid id),
     // scan-side greatest() fold as in ivfTopKPinned
-    val bestCell = greatest(centroids.map { case (cid, c) =>
+    val bestCell = greatest1(centroids.map { case (cid, c) =>
       struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
         lit(-cid).as("nc"))
-    }: _*)
+    })
     // PQ encode: per subspace, argmin squared-L2 codeword via the
     // native pq_encode kernel — one primitive loop per row inside
     // whole-stage codegen (a least()-fold over structs paid m*ksub

@@ -623,8 +623,9 @@ object PipelineQueries {
       "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
       centroidIds = ivfPinnedCentroids, nProbe = 4)
 
-  /** 16 centroid row ids strided across the 500-row embeddings table;
-    * valid at every SF (the table is fixed-size auxiliary data). */
+  /** 16 centroid row ids strided across [0, 466); the embeddings table
+    * has ≥500 rows at every SF (500 at sf0.001/sf0.01, 2000 at sf0.1),
+    * so every id always resolves. */
   private val ivfPinnedCentroids: Seq[Long] = (0 until 16).map(_ * 31L)
 
   private val annIvfPinnedSql = {
@@ -716,8 +717,27 @@ object PipelineQueries {
     * centroid set. */
   private val pqPinnedCodebook: Seq[Long] = (0 until 16).map(_ * 29L + 7)
 
-  private val annIvfPqPinnedSql = {
-    val cids = ivfPinnedCentroids.mkString(", ")
+  /** Plain-PQ hash gate: with ONE coarse centroid every row shares the
+    * single cell and the query's one probe covers the entire corpus, so
+    * [[Similarity.ivfPqTopKPinned]] degenerates to exactly [[annPq]]'s
+    * shape — a full-corpus ADC scan + rerank cutoff + exact re-rank —
+    * with zero IVF pruning. Same operator, same kernel, same oracle
+    * template at nProbe=1/numCells=1.
+    */
+  private def annPqPinned(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKPinned(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64,
+      centroidIds = Seq(0L), nProbe = 1, m = 8,
+      codebookIds = pqPinnedCodebook, rerank = 50)
+
+  private val annPqPinnedSql = ivfPqPinnedSqlFor(Seq(0L), nProbe = 1)
+
+  private val annIvfPqPinnedSql =
+    ivfPqPinnedSqlFor(ivfPinnedCentroids, nProbe = 4)
+
+  private def ivfPqPinnedSqlFor(centroidIds: Seq[Long],
+                                nProbe: Int): String = {
+    val cids = centroidIds.mkString(", ")
     val cbids = pqPinnedCodebook.mkString(", ")
     val adcSum = (0 until 8)
       .map(i => s"max(CASE WHEN i=$i THEN t END)").mkString("\n        + ")
@@ -738,7 +758,7 @@ object PipelineQueries {
        |    SELECT *, row_number() OVER
        |      (PARTITION BY id ORDER BY s DESC, cid) AS rn
        |    FROM cs WHERE id < 5) t
-       |  WHERE rn <= 4),
+       |  WHERE rn <= $nProbe),
        |cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cwid, nv
        |       FROM v WHERE id IN ($cbids)),
        |sub AS (SELECT CAST(i AS INT) AS i FROM range(8) t(i)),
@@ -2079,6 +2099,7 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
     QueryDef("sim_ann_topk_ivfpq_pinned", annIvfPqPinned,
       Some(annIvfPqPinnedSql)),
+    QueryDef("sim_ann_topk_pq_pinned", annPqPinned, Some(annPqPinnedSql)),
     QueryDef("emb_label_centroids", embLabelCentroids,
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
