@@ -940,6 +940,98 @@ object PipelineQueries {
     graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
   }
 
+  /** Oracle for the corpus-TRAINED BPE variant: the training loop
+    * itself replays in SQL. A recursive CTE carries the whole trainer
+    * state in ONE row per iteration — the list of (delimited-symbol
+    * word, freq) structs plus the merges so far — and each step
+    * recounts adjacent pairs with list comprehensions (no aggregates,
+    * which recursive terms forbid), picks argmax count with the
+    * trainer's exact (count desc, pair asc) tie-break via a struct
+    * sort (symbols carry a chr(2) end-sentinel, which compares below
+    * all content chars, so sentineled order == clean tuple order),
+    * applies the merge with the bracketed-replace trick (disjoint
+    * occurrences -> one greedy pass == mergeAll), and stops when no
+    * pair repeats — the trainer's saturation rule. The learned table
+    * then drives the same rank-fold encode as the pinned oracle.
+    * Tie-breaks and counts replay the NAIVE recount model, which
+    * BpeSpec pins the incremental trainer to.
+    */
+  private val tokenCountBpeRealSql = {
+    val pat = TextAnalysis.BpeishPattern
+    s"""WITH RECURSIVE
+       |samp AS (SELECT text FROM documents ORDER BY doc_id LIMIT 4096),
+       |sdocw AS (SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS w
+       |          FROM samp),
+       |wf AS (SELECT w, count(*)::BIGINT AS f FROM sdocw GROUP BY w),
+       |seed AS (SELECT list({'s': chr(1) ||
+       |            array_to_string(string_split(w, ''), chr(2) || chr(1)) ||
+       |            chr(2), 'f': f}) AS words,
+       |                CAST([] AS VARCHAR[]) AS merges, 0 AS iter
+       |         FROM wf),
+       |train AS (
+       |  SELECT words, merges, iter FROM seed
+       |  UNION ALL
+       |  SELECT
+       |    [{'s': replace(w.s, chr(1) || best.a || chr(1) || best.b,
+       |                   chr(1) || substr(best.a, 1, length(best.a)-1) ||
+       |                   best.b),
+       |      'f': w.f} for w in words] AS words,
+       |    list_append(merges, substr(best.a, 1, length(best.a)-1) ||
+       |                chr(3) || substr(best.b, 1, length(best.b)-1)) AS merges,
+       |    iter + 1
+       |  FROM (
+       |    SELECT words, merges, iter,
+       |      CASE WHEN len(elig) = 0 THEN NULL ELSE list_sort(elig)[1] END AS best
+       |    FROM (
+       |      SELECT words, merges, iter,
+       |        [{'nc': -CAST(list_sum([y.f for y in ap if y.k = c]) AS BIGINT),
+       |           'a': string_split(c, chr(2))[1] || chr(2),
+       |           'b': string_split(c, chr(2))[2] || chr(2)}
+       |         for c in list_distinct([x.k for x in ap])
+       |         if CAST(list_sum([y.f for y in ap if y.k = c]) AS BIGINT) >= 2]
+       |          AS elig
+       |      FROM (
+       |        SELECT words, merges, iter,
+       |          flatten([[{'k': z[1] || z[2], 'f': w.f}
+       |                    for z in list_zip(string_split(w.s, chr(1))[2:],
+       |                                      (string_split(w.s, chr(1))[2:])[2:])
+       |                    if z[2] IS NOT NULL] for w in words]) AS ap
+       |        FROM train WHERE iter < 4000
+       |      ) t1
+       |    ) t2
+       |  ) t3
+       |  WHERE best IS NOT NULL
+       |),
+       |fin AS (SELECT merges FROM train ORDER BY iter DESC LIMIT 1),
+       |m AS (SELECT i - 1 AS r, split_part(p, chr(3), 1) AS p1,
+       |             split_part(p, chr(3), 2) AS p2
+       |      FROM (SELECT unnest(merges) AS p,
+       |                   generate_subscripts(merges, 1) AS i FROM fin) u),
+       |docw AS (SELECT doc_id,
+       |           unnest(regexp_extract_all(lower(text), '$pat')) AS w
+       |         FROM documents),
+       |words2 AS (SELECT DISTINCT w FROM docw),
+       |enc AS (
+       |  SELECT w,
+       |         chr(1) || array_to_string(string_split(w, ''),
+       |           chr(2) || chr(1)) || chr(2) AS state,
+       |         0 AS r
+       |  FROM words2
+       |  UNION ALL
+       |  SELECT enc.w,
+       |         replace(enc.state,
+       |           chr(1) || m.p1 || chr(2) || chr(1) || m.p2 || chr(2),
+       |           chr(1) || m.p1 || m.p2 || chr(2)),
+       |         enc.r + 1
+       |  FROM enc JOIN m ON m.r = enc.r),
+       |fin2 AS (SELECT w, length(string_split(state, chr(1))) - 1 AS n
+       |         FROM enc WHERE r = (SELECT len(merges) FROM fin)),
+       |cnt AS (SELECT doc_id, sum(n) AS n FROM docw JOIN fin2 USING (w)
+       |        GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS INT) AS n_tokens
+       |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin
+  }
+
   /** BPE token counts under the PINNED vocabulary ([[graft.ops.BpeVocab]]
     * — the fixed-artifact tokenizer shape production pipelines use), and
     * the hash-gated twin of the rows-only trained variant above: with a
@@ -2106,7 +2198,8 @@ object PipelineQueries {
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
-    QueryDef("text_token_count_bpe_real", tokenCountBpeReal, None),
+    QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
+      Some(tokenCountBpeRealSql)),
     QueryDef("text_token_count_bpe_pinned", tokenCountBpePinned,
       Some(tokenCountBpePinnedSql)),
     QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
