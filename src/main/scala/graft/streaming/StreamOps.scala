@@ -503,6 +503,95 @@ object StreamOps extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** One tagged row of the streaming as-of input: `side` 0 = anchor
+    * (payload-bearing right row), 1 = event (left row to enrich).
+    * Anchors carry `payload`; events carry `eventId`. */
+  final case class AsofRow(key: Long, ts: java.sql.Timestamp, side: Int,
+                           eventId: Long, payload: String)
+
+  final case class AsofEnriched(eventId: Long, key: Long,
+                                ts: java.sql.Timestamp,
+                                asofPayload: Option[String])
+
+  final case class AsofBuf(
+      anchors: Seq[(Long, String)], // pending (tsMs, payload), ts > wm
+      events: Seq[(Long, Long)],    // pending (tsMs, eventId), ts > wm
+      latestMs: Long,               // finalized forward-fill frontier
+      latest: String,               // valid only when hasLatest
+      hasLatest: Boolean)           // (Option in state breaks codegen)
+
+  /** Streaming twin of [[graft.ops.AsofJoin.asofJoin]] (latest anchor
+    * at-or-before each event, per key, left-outer, equal-ts anchors
+    * reduced by MAX payload — the batch op's exact tie-break).
+    *
+    * Unbounded lookback is the part a windowed stream-stream join
+    * cannot express (an anchor may precede its events by years); the
+    * state that makes it streamable is the observation that everything
+    * AT OR BELOW the watermark is final: per key we carry ONE finalized
+    * (ts, payload) forward-fill frontier plus the not-yet-final rows
+    * above the watermark. An event is emitted exactly when the
+    * watermark passes its timestamp (no earlier anchor can arrive
+    * after that — later rows are beyond-watermark and dropped). State
+    * is O(rate × watermark delay) buffered rows + O(1) frontier per
+    * key — bounded on an unbounded feed, with the full unbounded-
+    * lookback semantics of the batch operator.
+    */
+  def asofStream(rows: Dataset[AsofRow], watermark: String): Dataset[AsofEnriched] = {
+    import rows.sparkSession.implicits._
+
+    def update(key: Long, it: Iterator[AsofRow],
+               state: GroupState[AsofBuf]): Iterator[AsofEnriched] = {
+      val wm = state.getCurrentWatermarkMs()
+      val buf = state.getOption
+        .getOrElse(AsofBuf(Nil, Nil, Long.MinValue, "", hasLatest = false))
+      val fresh = it.toSeq
+      val pa = buf.anchors ++ fresh.filter(_.side == 0)
+        .map(a => (a.ts.getTime, a.payload))
+      val pe = buf.events ++ fresh.filter(_.side == 1)
+        .map(e => (e.ts.getTime, e.eventId))
+      val (aReady, aLater) = pa.partition(_._1 <= wm)
+      val (eReady, eLater) = pe.partition(_._1 <= wm)
+      // equal-ts anchors reduce by max payload BEFORE the fill, exactly
+      // like the batch groupBy(key, ts).agg(max(payload))
+      val aSorted = aReady.groupBy(_._1).toSeq
+        .map { case (t, ps) => (t, ps.map(_._2).max) }.sortBy(_._1)
+      var latestMs = buf.latestMs
+      var latest = if (buf.hasLatest) Some(buf.latest) else None
+      var ai = 0
+      val out = eReady.sortBy(identity).map { case (t, id) =>
+        while (ai < aSorted.length && aSorted(ai)._1 <= t) {
+          if (aSorted(ai)._1 >= latestMs) {
+            latestMs = aSorted(ai)._1; latest = Some(aSorted(ai)._2)
+          }
+          ai += 1
+        }
+        AsofEnriched(id, key, new java.sql.Timestamp(t), latest)
+      }
+      // finalized anchors past the last ready event still advance the
+      // frontier — the next watermark window's events start from here
+      while (ai < aSorted.length) {
+        if (aSorted(ai)._1 >= latestMs) {
+          latestMs = aSorted(ai)._1; latest = Some(aSorted(ai)._2)
+        }
+        ai += 1
+      }
+      val next = AsofBuf(aLater, eLater, latestMs,
+        latest.getOrElse(""), latest.isDefined)
+      state.update(next)
+      val pendingTs = (aLater.map(_._1) ++ eLater.map(_._1))
+      // wake when the watermark passes the earliest pending row (all
+      // pending ts are > wm, as EventTimeTimeout requires); a key with
+      // nothing pending keeps its frontier without a timer
+      if (pendingTs.nonEmpty) state.setTimeoutTimestamp(pendingTs.min)
+      out.iterator
+    }
+
+    rows.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming data-quality monitor: [[graft.ops.Analytics.dqSuite]]
     * verbatim over a streaming DataFrame — the definition is SHARED, so
     * batch and stream cannot drift. Run it in complete output mode: the

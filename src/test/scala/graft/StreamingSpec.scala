@@ -481,6 +481,63 @@ class StreamingSpec extends AnyFunSuite {
       s"missing: ${(batch -- got).take(3)} extra: ${(got -- batch).take(3)}")
   }
 
+  test("streaming as-of join equals the batch forward-fill exactly") {
+    import spark.implicits._
+    val rng = new Lcg(71)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(minOff: Int) = new java.sql.Timestamp(t0 + minOff * 60000L)
+    // anchors sparse, events dense, deliberate ts collisions (both
+    // anchor-anchor for the max-payload tie-break and anchor-event for
+    // the at-or-before inclusivity); some keys have events before any
+    // anchor (left-outer NULL case)
+    val anchors = (0 until 30).map { i =>
+      (rng.nextInt(5).toLong, ts(rng.nextInt(200) * 2), s"p$i")
+    }
+    val events = (0 until 150).map { i =>
+      (1000L + i, rng.nextInt(6).toLong, ts(rng.nextInt(220) * 2))
+    }
+    val aDf = spark.createDataset(anchors).toDF("k", "ts", "payload")
+    val eDf = spark.createDataset(events).toDF("eid", "k", "ts")
+    val batch = graft.ops.AsofJoin
+      .asofJoin(eDf, aDf, "k", "ts", Seq("payload"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(batch.values.exists(_.isDefined) && batch.values.exists(_.isEmpty))
+
+    // Harness: the watermark delay (10 days) exceeds the real data span
+    // (~7.3 hours), so no real row can ever be dropped as late no
+    // matter how files batch; per-key anchors 100 days out (matching no
+    // event — nothing is at-or-after them) then push the watermark past
+    // every real timestamp, and the flush write's SECOND file gives the
+    // post-advance batch in which the event-time timers fire and drain
+    // the buffers completely — exact parity, not subset.
+    val real =
+      anchors.map { case (k, t, p) => StreamOps.AsofRow(k, t, 0, -1L, p) } ++
+      events.map { case (id, k, t) => StreamOps.AsofRow(k, t, 1, id, "") }
+    val flush = (0L until 6L).map(k =>
+      StreamOps.AsofRow(k, ts(144000), 0, -1L, "zzz_flush"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    spark.createDataset(real).write.parquet(s"$tmp/f1")
+    spark.createDataset(flush).repartition(2).write.parquet(s"$tmp/f2")
+    val src = spark.readStream
+      .schema(spark.createDataset(real).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val q = StreamOps.asofStream(src.as[StreamOps.AsofRow], "240 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_asof_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_asof_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got.keySet == batch.keySet,
+      s"missing events: ${(batch.keySet -- got.keySet).take(5)}")
+    val diff = batch.keys.filter(k => batch(k) != got(k))
+    assert(diff.isEmpty,
+      diff.take(5).map(k => s"$k: batch=${batch(k)} stream=${got(k)}").mkString("; "))
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
