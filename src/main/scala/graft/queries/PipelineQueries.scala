@@ -189,6 +189,44 @@ object PipelineQueries {
         (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
   }
 
+  /** Scale-shaped twin of [[dedupSignalTriage]]: the semantic leg is
+    * the BANDED-LSH cosine pairs (pinned 8×4+1-probe construction, τ
+    * raised to its 0.45 operating point) instead of the exact all-pairs
+    * baseline, so every stage of the triage is bucketed — fingerprint
+    * equijoin + band-bucket self-join — and the whole signal union
+    * replays in the oracle. This is the form that survives 100×; the
+    * exact variant above stays the adjudication baseline.
+    */
+  private def dedupSignalTriageScale(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.shinglePostings(Tables.documents(s, dir), "doc_id",
+        "text", 8)
+      .groupBy(col("id")).agg(min(md5(col("s"))).as("fp"))
+    val lex = fp.toDF("id1", "fp").join(fp.toDF("id2", "fp"), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp").as("lexical_fp"))
+    val c = Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", tau = 0.45, dim = 64, numPlanes = 4, tables = 8,
+        probes = 1)
+      .select(col("id1"), col("id2"), col("cosine"))
+    lex.join(c, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"), col("lexical_fp"), col("cosine"),
+        (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
+  }
+
+  // lazy: composes embLshCosinePairsPinnedSql, declared later
+  private lazy val dedupSignalTriageScaleSql =
+    s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
+       |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |             a.min_shingle_fp AS lexical_fp
+       |      FROM f a JOIN f b ON a.min_shingle_fp = b.min_shingle_fp
+       |                       AND a.doc_id < b.doc_id),
+       |c AS (SELECT * FROM ($embLshCosinePairsPinnedSql) cx)
+       |SELECT coalesce(j.id1, c.id1) AS id1,
+       |       coalesce(j.id2, c.id2) AS id2,
+       |       j.lexical_fp, c.cosine,
+       |       j.lexical_fp IS NOT NULL AND c.cosine IS NOT NULL AS "both"
+       |FROM j FULL OUTER JOIN c ON j.id1 = c.id1 AND j.id2 = c.id2""".stripMargin
+
   // lazy: composes embCosinePairsSql, declared later in this object
   private lazy val dedupSignalTriageSql =
     s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
@@ -2173,6 +2211,8 @@ object PipelineQueries {
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("dedup_signal_triage_scale", dedupSignalTriageScale,
+      Some(dedupSignalTriageScaleSql)),
     QueryDef("dedup_signal_triage", dedupSignalTriage,
       Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
