@@ -189,13 +189,17 @@ object PipelineQueries {
         (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
   }
 
-  /** Scale-shaped twin of [[dedupSignalTriage]]: the semantic leg is
-    * the BANDED-LSH cosine pairs (pinned 8×4+1-probe construction, τ
-    * raised to its 0.45 operating point) instead of the exact all-pairs
+  /** Scale-SHAPED twin of [[dedupSignalTriage]]: the semantic leg is
+    * the BANDED-LSH cosine pairs instead of the exact all-pairs
     * baseline, so every stage of the triage is bucketed — fingerprint
     * equijoin + band-bucket self-join — and the whole signal union
-    * replays in the oracle. This is the form that survives 100×; the
-    * exact variant above stays the adjudication baseline.
+    * replays in the oracle. The registered LSH params are PINNED at
+    * the sf0.1 operating point (8 tables × 4 planes + 1 probe, τ=0.45)
+    * because that is what makes the leg oracle-replayable; a production
+    * deployment re-derives them per corpus via `lshAutoParams` (same
+    * caveat as `sim_lsh_cosine_pairs_pinned` — pinned params keep
+    * occupancy only at their design corpus size). The exact variant
+    * above stays the adjudication baseline.
     */
   private def dedupSignalTriageScale(s: SparkSession, dir: String): DataFrame = {
     val fp = Dedup.shinglePostings(Tables.documents(s, dir), "doc_id",
