@@ -179,6 +179,31 @@ class AnalyticsSpec extends AnyFunSuite {
       3L -> (("b3", 5L)), 4L -> (("u4", 1L))))
   }
 
+  test("Tables.events adapts to both ts fixture encodings") {
+    // The fixture's ts column has shipped as TIMESTAMP(NANOS) (loads as
+    // LongType under the legacy flag) and as TIMESTAMP(MICROS) across
+    // driver generations; the round-6 regression was an unconditional
+    // nanos rewrite throwing on micros fixtures. The micros path is
+    // covered by every events query against the real fixture; this
+    // pins the nanos-as-long branch with a synthetic fixture.
+    val dir = java.nio.file.Files.createTempDirectory("graft-evts").toString
+    val nanos = 1767225600123456000L // 2026-01-01 00:00:00.123456 UTC in ns
+    spark.range(1).select(
+        lit(nanos).as("ts"), lit(7L).as("user_id"),
+        lit("click").as("event_type"), lit(1.5d).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = df.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got == nanos / 1000, s"micros $got") // exact truncation to us
+    // and the real (micros) fixture loads through the other branch
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(real.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(real.select(count(lit(1))).head().getLong(0) > 0)
+  }
+
   test("plan shapes: one fused Window for rolling, broadcast z-score, one-scan DQ") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
