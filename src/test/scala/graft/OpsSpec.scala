@@ -710,6 +710,17 @@ class OpsSpec extends AnyFunSuite {
       m = 4, codebookIds = Seq(1L, 11L, 21L, 31L, 41L, 501L),
       rerank = 20).collect()
     assert(ivfpq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // plan shape: probes/queries broadcast onto the corpus scan (never
+    // a cartesian or sort-merge join against the tiny sides), and the
+    // final rank is a WindowGroupLimit top-k pushdown, so candidate
+    // rows are cut to k per partition BEFORE the per-query shuffle
+    val plan = Similarity.ivfTopKPinned(df, "vec_id", "embedding",
+      queryIds = Seq(500L), k = 3, centroidIds, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "top-k pushdown regressed")
+    assert(!plan.contains("CartesianProduct"), "cartesian crept in")
+    assert(!plan.contains("SortMergeJoin"),
+      "tiny probe/query sides must broadcast, not sort-merge")
   }
 
   test("PQ top-k recalls the exact top neighbor after re-rank") {
