@@ -1127,6 +1127,43 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin
   }
 
+  /** Per-language tokenizer FERTILITY under the pinned vocabulary —
+    * subword tokens per whitespace word, the standard tokenizer-
+    * efficiency metric (a vocabulary trained on English prose pays a
+    * fertility premium on other languages; this is the number that
+    * quantifies it corpus-wide). One encode scan + one groupBy(lang);
+    * the oracle composes the pinned encode replay with the whitespace
+    * counts and the same 6dp ratio.
+    */
+  private def bpeFertilityByLang(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bpe = graft.ops.Bpe.tokenCounts(docs, "doc_id", "text",
+      graft.ops.BpeVocab.merges)
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"))
+      .join(bpe, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("subword_tokens"),
+        sum(col("n_words")).as("words"),
+        round(sum(col("n_tokens")).cast("double") /
+          sum(col("n_words")).cast("double"), 6).as("fertility"))
+  }
+
+  private lazy val bpeFertilityByLangSql =
+    s"""WITH bpe AS ($tokenCountBpePinnedSql),
+       |ws AS (SELECT doc_id, lang,
+       |         CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS INT)
+       |           AS n_words
+       |       FROM documents)
+       |SELECT ws.lang, count(*) AS n_docs,
+       |       sum(bpe.n_tokens) AS subword_tokens,
+       |       sum(ws.n_words) AS words,
+       |       round(CAST(sum(bpe.n_tokens) AS DOUBLE) /
+       |             CAST(sum(ws.n_words) AS DOUBLE), 6) AS fertility
+       |FROM ws JOIN bpe USING (doc_id)
+       |GROUP BY ws.lang""".stripMargin
+
   // DuckDB single-quoted strings don't process backslash escapes, so the
   // Java pattern string drops in verbatim
   private val tokenCountBpeSql =
@@ -2244,6 +2281,8 @@ object PipelineQueries {
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),
+    QueryDef("text_bpe_fertility_by_lang", bpeFertilityByLang,
+      Some(bpeFertilityByLangSql)),
     QueryDef("text_token_count_bpe_pinned", tokenCountBpePinned,
       Some(tokenCountBpePinnedSql)),
     QueryDef("text_min_shingle_fp", minShingleFp, Some(minShingleFpSql)),
