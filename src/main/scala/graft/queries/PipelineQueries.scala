@@ -22,6 +22,39 @@ object PipelineQueries {
       |       min(doc_id) AS keep_id, count(*) AS dup_cnt
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Per-source exact-dup rate — the crawl-health report every corpus
+    * pipeline tracks (a source whose dup rate jumps is re-crawling
+    * itself or mirroring another). A doc is a duplicate iff it is not
+    * its fingerprint group's canonical (min doc_id, corpus-WIDE — a
+    * source holding only mirror copies of another source's canonical
+    * counts as fully duplicated). Two aggregations, both map-side
+    * combinable; no joins beyond the broadcast-sized group table.
+    */
+  private def dedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(1).as("is_keep"))
+    docs.select(col("doc_id"), col("source"))
+      .join(keep, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keep").isNull, 1).otherwise(0)).as("n_dups"),
+        round(sum(when(col("is_keep").isNull, 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("dup_rate"))
+  }
+
+  private val dedupRateBySourceSql =
+    """WITH g AS (
+      |  SELECT min(doc_id) AS keep_id
+      |  FROM documents
+      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+      |SELECT d.source, count(*) AS n_docs,
+      |       sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END) AS n_dups,
+      |       round(CAST(sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END)
+      |               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+      |FROM documents d LEFT JOIN g ON g.keep_id = d.doc_id
+      |GROUP BY d.source""".stripMargin
+
   /** Corpus-wide duplicate-line removal over a deterministically derived
     * multi-line form of the documents (10-token lines — the synthetic
     * corpus is single-line, and a fixed re-lining keeps the oracle a
@@ -2237,6 +2270,8 @@ object PipelineQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_rate_by_source", dedupRateBySource,
+      Some(dedupRateBySourceSql)),
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("dedup_span_stats", dedupSpanStats, Some(dedupSpanStatsSql)),
     QueryDef("dedup_span_removal", dedupSpanRemoval,
