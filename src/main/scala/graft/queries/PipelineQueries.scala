@@ -234,7 +234,7 @@ object PipelineQueries {
     * occupancy only at their design corpus size). The exact variant
     * above stays the adjudication baseline.
     */
-  private def dedupSignalTriageScale(s: SparkSession, dir: String): DataFrame = {
+  private def dedupSignalTriageLsh(s: SparkSession, dir: String): DataFrame = {
     val fp = Dedup.shinglePostings(Tables.documents(s, dir), "doc_id",
         "text", 8)
       .groupBy(col("id")).agg(min(md5(col("s"))).as("fp"))
@@ -251,7 +251,7 @@ object PipelineQueries {
   }
 
   // lazy: composes embLshCosinePairsPinnedSql, declared later
-  private lazy val dedupSignalTriageScaleSql =
+  private lazy val dedupSignalTriageLshSql =
     s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
        |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
        |             a.min_shingle_fp AS lexical_fp
@@ -2287,8 +2287,8 @@ object PipelineQueries {
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
-    QueryDef("dedup_signal_triage_scale", dedupSignalTriageScale,
-      Some(dedupSignalTriageScaleSql)),
+    QueryDef("dedup_signal_triage_lsh", dedupSignalTriageLsh,
+      Some(dedupSignalTriageLshSql)),
     QueryDef("dedup_signal_triage", dedupSignalTriage,
       Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
