@@ -361,6 +361,88 @@ object Sketches {
           .as("dv_est"),
         col("kth_hash"))
 
+  /** HyperLogLog register table (Flajolet et al. 2007) over the same
+    * pinned 32-bit md5 hash family as [[kmvMinHashes]]: bucket = top
+    * `b` bits, rank = position of the leftmost 1-bit of the remaining
+    * 32−b bits (1-based; an all-zero remainder ranks 32−b+1). The
+    * register value is the MAX rank seen in the bucket, so the sketch
+    * is idempotent, arrival-order/layout-invariant, mergeable by plain
+    * per-bucket max (union of corpora = elementwise max of register
+    * tables), and streams as an ordinary complete-mode aggregation —
+    * no custom state op. Versus [[kmvMinHashes]]: m registers of
+    * ≤6 bits beat k 64-bit hashes at equal error (~1.04/√m), the
+    * trade every production engine makes for distinct counts.
+    *
+    * Everything is codegen scan-side arithmetic: the rank uses
+    * `length(bin(w))` (minimal binary string, identical semantics in
+    * DuckDB), not floating log2, so the cells — and with the dyadic
+    * estimator below, the estimate — replay exactly in SQL. Shuffle
+    * is capped at groups×2^b cells per partition by map-side max.
+    * NULL keys carry no distinct signal and are dropped (same policy
+    * as [[cmsCells]]).
+    */
+  def hllCellsByGroup(df: DataFrame, grpCol: String, keyCol: String,
+                      b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val rem = 32 - b
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(grpCol).as("grp"), h.as("h"))
+      .select(col("grp"),
+        expr(s"shiftright(h, $rem)").as("bucket"),
+        col("h").bitwiseAND(lit((1L << rem) - 1L)).as("w"))
+      .select(col("grp"), col("bucket"),
+        when(col("w") === 0L, lit(rem + 1))
+          .otherwise(lit(rem + 1) - length(bin(col("w")))).cast("int")
+          .as("rank"))
+      .groupBy("grp", "bucket").agg(max("rank").as("reg"))
+  }
+
+  /** Ungrouped [[hllCellsByGroup]]: (bucket, reg) for one key column. */
+  def hllCells(df: DataFrame, keyCol: String, b: Int): DataFrame =
+    hllCellsByGroup(df.withColumn("__g", lit("all")), "__g", keyCol, b)
+      .drop("grp")
+
+  /** The HLL estimate from a register table, per group: raw estimate
+    * αm·m²/Σ2^−reg (empty registers contribute 2^0), with the standard
+    * small-range linear-counting correction m·ln(m/V) when the raw
+    * estimate ≤ 2.5m and V = #empty registers > 0. The 2^−reg terms
+    * are computed as 1.0/(1<<reg) — exact dyadic doubles whose sum is
+    * order-independent — so the estimate is bit-deterministic and any
+    * engine replays it from the same cells. (The 32-bit large-range
+    * correction only matters beyond ~2^32/30 ≈ 143M distinct; omitted,
+    * and the oracle omits it identically.)
+    */
+  def hllEstimateByGroup(cells: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = m match { // the published αm constants (Flajolet §4)
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    cells.groupBy("grp").agg(
+        sum(expr("1.0D / cast(shiftleft(1L, reg) as double)")).as("__sp"),
+        count(lit(1)).as("__cnt"))
+      .select(col("grp"),
+        (lit(m.toLong) - col("__cnt")).as("__v"),
+        (lit(alpha * m * m) / (col("__sp") + (lit(m.toLong) - col("__cnt"))))
+          .as("__raw"))
+      .select(col("grp"),
+        round(when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(col("__raw")), 6).as("hll_est"))
+  }
+
+  /** Distinct-count estimate for one key column: estimator over
+    * [[hllCells]], as a single-row frame.
+    */
+  def hllDistinctEstimate(df: DataFrame, keyCol: String, b: Int): DataFrame =
+    hllEstimateByGroup(
+      hllCellsByGroup(df.withColumn("__g", lit("all")), "__g", keyCol, b), b)
+      .drop("grp")
+
   /** Per-group histogram quantile: the [[histQuantiles]] walk with
     * every window partitioned by the group column — cells stay
     * additive at ≤ groups×bins rows, one shuffle.

@@ -139,6 +139,95 @@ object SketchQueries {
       |       kth_hash, dv_exact
       |FROM agg CROSS JOIN tot""".stripMargin
 
+  /** αm·m² for the b=7 (m=128) HLL used by both HLL gates, computed
+    * with the exact operation sequence [[Sketches.hllEstimateByGroup]]
+    * uses, then interpolated into the oracle SQL as a round-tripping
+    * double literal — so both engines divide by bit-identical
+    * constants.
+    */
+  private val hllAlphaM2: Double = {
+    val m = 128
+    (0.7213 / (1.0 + 1.079 / m)) * m * m
+  }
+
+  /** HyperLogLog distinct-count estimate for the high-cardinality
+    * event_id column (b=7 ⇒ 128 six-bit registers — the state/error
+    * trade KMV loses at equal memory), beside the exact count. Every
+    * register and the dyadic-sum estimator are pinned integer/exact-
+    * double arithmetic, so the oracle replays the sketch to the digit;
+    * at sf0.01 the raw-estimate branch is the one exercised (all
+    * registers occupied).
+    */
+  private def evDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Sketches.hllDistinctEstimate(ev, "event_id", b = 7)
+      .crossJoin(ev.agg(count_distinct(col("event_id")).as("dv_exact")))
+  }
+
+  private val evDistinctHllSql =
+    s"""WITH h AS (
+       |  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM events WHERE event_id IS NOT NULL),
+       |r AS (SELECT h // 33554432 AS bucket,
+       |             CASE WHEN h % 33554432 = 0 THEN 26
+       |                  ELSE 26 - length(bin(h % 33554432)) END AS rank
+       |      FROM h),
+       |cells AS (SELECT bucket, max(rank) AS reg FROM r GROUP BY 1),
+       |agg AS (SELECT sum(1.0::DOUBLE / (1::BIGINT << reg)) AS sp,
+       |               count(*) AS cnt FROM cells),
+       |est AS (SELECT 128 - cnt AS v,
+       |               $hllAlphaM2::DOUBLE / (sp + (128 - cnt)) AS raw
+       |        FROM agg)
+       |SELECT round(CASE WHEN raw <= 320.0::DOUBLE AND v > 0
+       |                  THEN 128.0::DOUBLE * ln(128.0::DOUBLE / v)
+       |                  ELSE raw END, 6) AS hll_est,
+       |       (SELECT count(DISTINCT event_id) FROM events) AS dv_exact
+       |FROM est""".stripMargin
+
+  /** Per-type HLL distinct users: one register table per group
+    * (≤ groups×128 cells after map-side max — the per-group
+    * countDistinct that never shuffles raw keys), beside exact counts.
+    * At 150 users per type the small-range linear-counting branch
+    * m·ln(m/V) is the one exercised, pinning the correction path the
+    * global gate doesn't reach.
+    */
+  private def evDistinctHllByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = Sketches.hllEstimateByGroup(
+      Sketches.hllCellsByGroup(ev, "event_type", "user_id", b = 7), b = 7)
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("dv_exact"))
+    est.select(col("grp").as("event_type"), col("hll_est"))
+      .join(exact, "event_type")
+  }
+
+  private val evDistinctHllByTypeSql =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h // 33554432 AS bucket,
+       |             CASE WHEN h % 33554432 = 0 THEN 26
+       |                  ELSE 26 - length(bin(h % 33554432)) END AS rank
+       |      FROM h),
+       |cells AS (SELECT event_type, bucket, max(rank) AS reg
+       |          FROM r GROUP BY 1, 2),
+       |agg AS (SELECT event_type,
+       |               sum(1.0::DOUBLE / (1::BIGINT << reg)) AS sp,
+       |               count(*) AS cnt FROM cells GROUP BY 1),
+       |est AS (SELECT event_type, 128 - cnt AS v,
+       |               $hllAlphaM2::DOUBLE / (sp + (128 - cnt)) AS raw
+       |        FROM agg),
+       |hll AS (SELECT event_type,
+       |          round(CASE WHEN raw <= 320.0::DOUBLE AND v > 0
+       |                     THEN 128.0::DOUBLE * ln(128.0::DOUBLE / v)
+       |                     ELSE raw END, 6) AS hll_est
+       |        FROM est),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS dv_exact
+       |       FROM events GROUP BY 1)
+       |SELECT hll.event_type, hll.hll_est, ex.dv_exact
+       |FROM hll JOIN ex USING (event_type)""".stripMargin
+
   /** Histogram-sketch quantiles of events.value (p50/p90/p99) next to
     * the exact interpolated percentiles. 256 bins over [0, 640) bound
     * the estimate error at one bin width (2.5) independent of N; both
@@ -491,6 +580,9 @@ object SketchQueries {
     QueryDef("ev_recency_score", evRecencyScore, Some(evRecencyScoreSql)),
     QueryDef("ev_freq_cms", evFreqCms, Some(evFreqCmsSql)),
     QueryDef("ev_distinct_kmv", evDistinctKmv, Some(evDistinctKmvSql)),
+    QueryDef("ev_distinct_hll", evDistinctHll, Some(evDistinctHllSql)),
+    QueryDef("ev_distinct_hll_by_type", evDistinctHllByType,
+      Some(evDistinctHllByTypeSql)),
     QueryDef("ev_value_quantiles", evValueQuantiles,
       Some(evValueQuantilesSql)),
     QueryDef("profile_events", profileEvents, Some(profileEventsSql)),

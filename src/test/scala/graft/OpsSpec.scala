@@ -1134,6 +1134,32 @@ class OpsSpec extends AnyFunSuite {
     assert(small == 50.0)
   }
 
+  test("HLL registers are layout-invariant and mergeable; estimate tracks exact") {
+    import graft.ops.Sketches
+    val mults = (0 until 5000).map(i => s"v$i" -> (1 + i % 3))
+    val b = 7
+    val cellSets = Seq(1, 7).map { parts =>
+      Sketches.hllCells(keyedDf(mults, parts), "k", b)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(cellSets(0) == cellSets(1))
+    // union of corpora == elementwise max-merge of their register tables
+    val ca = Sketches.hllCells(keyedDf(mults.take(2500), 3), "k", b)
+    val cb = Sketches.hllCells(keyedDf(mults.drop(2500), 3), "k", b)
+    val merged = ca.union(cb).groupBy("bucket").agg(max("reg").as("reg"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(merged == cellSets(0))
+    val est = Sketches.hllDistinctEstimate(keyedDf(mults, 7), "k", b)
+      .head.getDouble(0)
+    // 1.04/sqrt(128) ~ 9.2% expected relative error; 0.3 is ~3 sigma
+    assert(math.abs(est - 5000) / 5000.0 < 0.3, s"estimate $est too far")
+    // small-range branch: linear counting is near-exact at 40 << m
+    val small = Sketches.hllDistinctEstimate(
+      keyedDf((0 until 40).map(i => s"s$i" -> 2), 3), "k", b)
+      .head.getDouble(0)
+    assert(math.abs(small - 40.0) < 8.0, s"small-range estimate $small")
+  }
+
   test("asofJoin matches a naive latest-at-or-before oracle incl. edge cases") {
     import graft.ops.AsofJoin
     // left rows: (id, key, t); right rows: (rid, key, t)

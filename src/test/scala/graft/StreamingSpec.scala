@@ -315,6 +315,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchCells)
   }
 
+  test("streaming HLL registers equal the batch sketch exactly") {
+    import spark.implicits._
+    // max-mergeable registers make HLL a PLAIN streaming aggregation,
+    // like CMS: complete-mode output must equal the batch register table
+    val rng = new Lcg(31)
+    val keys = (0 until 3000).map(_ => s"h${rng.nextInt(900)}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    spark.createDataset(keys).toDF("key").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val b = 6
+    val batch = graft.ops.Sketches.hllCells(spark.read.parquet(tmp), "key", b)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stream = spark.readStream.schema("key STRING")
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = graft.ops.Sketches.hllCells(stream, "key", b)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_hll_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_hll_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == batch)
+  }
+
   test("merged streaming KMV shards equal the batch summary exactly") {
     import spark.implicits._
     val rng = new Lcg(37)
