@@ -116,4 +116,21 @@ object Analytics {
       .select(explode(rows).as("r"))
       .select("r.*")
   }
+
+  /** k-anonymity audit (Sweeney 2002): every combination of the
+    * quasi-identifier columns held by fewer than k rows is a
+    * re-identification risk — the census a privacy review runs before
+    * releasing a corpus keyed by (language, source, length band, ...).
+    * Returns the risky groups with their exact sizes; groups at or
+    * above k are suppressed (cnt == k is anonymous by definition).
+    * One map-side-combinable groupBy; the output is bounded by the
+    * quasi-identifier domain, never the corpus, so the audit's cost
+    * floor at 100 TB is the single scan.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2 (k=1 flags nothing), got $k")
+    df.groupBy(quasiCols: _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < k)
+  }
 }

@@ -22,6 +22,23 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("kAnonymity flags only below-k groups; exactly-k groups are anonymous") {
+    import spark.implicits._
+    // group a: 3 rows (< k=3? no — use k=3: flagged at 2, safe at 3)
+    val rows = Seq.fill(3)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++
+      Seq.fill(1)(("fr", "web"))
+    val got = Analytics.kAnonymity(rows.toDF("lang", "source"),
+      Seq(col("lang"), col("source")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // (en, web) has exactly k members -> anonymous, not flagged
+    assert(got == Set(("en", "books", 2L), ("fr", "web", 1L)))
+    assertThrows[IllegalArgumentException] {
+      Analytics.kAnonymity(rows.toDF("lang", "source"),
+        Seq(col("lang")), k = 1)
+    }
+  }
+
   test("rollingByKey includes the window boundary and splits by key") {
     val day = 24L * 3600 * 1000000
     val rows = Seq(
@@ -156,6 +173,37 @@ class AnalyticsSpec extends AnyFunSuite {
       rate >= 1.0 || md5hex(s"mix:$id") < thr(rate)
     }.map(_._1).toSet
     assert(kept == expect)
+  }
+
+  test("temperatureResample: α=1 keeps all, α=0 equals uniform rebalance, α=0.5 between") {
+    import graft.ops.Sampling
+    val rows = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (1000 until 1050).map(i => (i.toLong, "b")) ++
+      (2000 until 2010).map(i => (i.toLong, "c")))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("grp", StringType, nullable = false))))
+    def kept(alpha: Double): Map[String, Set[Long]] =
+      Sampling.temperatureResample(df, "doc_id", "grp", alpha, salt = "mix")
+        .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("doc_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // α=1: natural mixture — every row survives (rate_g = 1 for all g)
+    assert(kept(1.0).values.map(_.size).sum == rows.size)
+    // α=0: the uniform special case — identical SET to rebalanceGroups
+    // (same salt ⇒ same draws)
+    val uniform = Sampling.rebalanceGroups(df, "doc_id", "grp")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept(0.0).values.flatten.toSet == uniform)
+    // α=0.5: smallest group whole; large groups thinned to between
+    // their α=0 and α=1 sizes, and mixture ordering is preserved
+    val half = kept(0.5)
+    assert(half("c") == (2000L until 2010L).toSet)
+    val aSize = half("a").size
+    assert(aSize > uniform.count(_ < 400L) && aSize < 400,
+      s"α=0.5 kept $aSize of group a")
+    // expected rate sqrt(10/400) = 0.158 → ~63 of 400; allow wide band
+    assert(aSize > 30 && aSize < 110, s"α=0.5 kept $aSize of group a")
   }
 
   test("upsertMerge: last writer wins, update wins version ties, inserts survive") {
