@@ -243,6 +243,30 @@ object TextAnalysis {
       .dropDuplicates(idCol, "gram")
   }
 
+  /** Corpus-wide top-k word n-grams by DOCUMENT frequency — the
+    * boilerplate detector: an n-gram appearing in a large fraction of
+    * documents is template text (headers, cookie banners, license
+    * stubs) that per-document signals can't see. Counting each n-gram
+    * once per document (via [[wordNgrams]]'s per-doc distinct) rather
+    * than once per occurrence keeps one spammy document from promoting
+    * its own repetition into the corpus list.
+    *
+    * Scale shape: gram counts are one map-side-combinable aggregation;
+    * the top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject's
+    * per-partition heaps, never a global sort. Ties at the boundary
+    * break on the gram string, so the selected SET is well-defined and
+    * replayable. k drives driver memory, not the vocabulary.
+    */
+  def topNgramsCorpus(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int,
+                      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    wordNgrams(df, idCol, textCol, n)
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Per-document TF-IDF top terms: (`idCol`, `term`, `tf`, `score`,
     * `rank`) for each document's `k` highest-scoring terms.
     * `score = tf * (ln((N+1)/(df+1)) + 1)` (smoothed IDF, the

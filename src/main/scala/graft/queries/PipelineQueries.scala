@@ -1364,6 +1364,29 @@ object PipelineQueries {
       |       coalesce(a.n_bigrams, 0) AS n_bigrams
       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Corpus-wide top-25 word trigrams by document frequency — the
+    * boilerplate/template-text detector. Each trigram counts once per
+    * document; boundary ties break on the gram string so the selected
+    * set replays exactly. See
+    * [[graft.ops.TextAnalysis.topNgramsCorpus]].
+    */
+  private def topNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramsCorpus(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, k = 25)
+
+  private val topNgramsSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS l
+      |           FROM documents),
+      |tg AS (SELECT doc_id,
+      |         unnest(list_transform(
+      |           generate_series(1, greatest(length(l) - 2, 0)),
+      |           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS gram
+      |       FROM b),
+      |d AS (SELECT DISTINCT doc_id, gram FROM tg)
+      |SELECT gram, count(*) AS doc_freq FROM d GROUP BY 1
+      |ORDER BY doc_freq DESC, gram LIMIT 25""".stripMargin
+
   /** Per-document TF-IDF top terms (k=3), smoothed scikit-learn IDF.
     * Scores are rounded to 6dp BEFORE the window ranking on both sides
     * so Spark and DuckDB order identically; ties break on the term.
@@ -2331,6 +2354,7 @@ object PipelineQueries {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("text_top_ngrams", topNgrams, Some(topNgramsSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),

@@ -1134,6 +1134,22 @@ class OpsSpec extends AnyFunSuite {
     assert(small == 50.0)
   }
 
+  test("topNgramsCorpus counts a gram once per doc; ties break on the gram") {
+    val df = docs(Seq(
+      // doc 0 repeats "x y z" three times — must count once
+      0L -> "x y z x y z x y z",
+      1L -> "x y z tail words here",
+      2L -> "a b c tail words here",
+      3L -> "too short"))
+    val got = TextAnalysis.topNgramsCorpus(df, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // doc_freq 2: "x y z" (docs 0,1), "tail words here" (docs 1,2);
+    // the k=3 boundary among the freq-1 grams resolves to the
+    // lexicographically first one
+    assert(got.take(2).toSet == Set(("tail words here", 2L), ("x y z", 2L)))
+    assert(got(2)._2 == 1L && got(2)._1 == "a b c")
+  }
+
   test("HLL registers are layout-invariant and mergeable; estimate tracks exact") {
     import graft.ops.Sketches
     val mults = (0 until 5000).map(i => s"v$i" -> (1 + i % 3))
