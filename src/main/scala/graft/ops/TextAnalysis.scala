@@ -251,17 +251,26 @@ object TextAnalysis {
     * than once per occurrence keeps one spammy document from promoting
     * its own repetition into the corpus list.
     *
-    * Scale shape: gram counts are one map-side-combinable aggregation;
-    * the top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject's
-    * per-partition heaps, never a global sort. Ties at the boundary
-    * break on the gram string, so the selected SET is well-defined and
-    * replayable. k drives driver memory, not the vocabulary.
+    * Scale shape: the per-document distinct happens SCAN-SIDE
+    * (`array_distinct` over the row's gram array) — unlike
+    * [[wordNgrams]]'s (id, gram) dropDuplicates, no shuffle of the
+    * gram stream is needed before counting, so the only exchange is
+    * the map-side-combined groupBy(gram). The top-k is
+    * `orderBy(...).limit(k)` — TakeOrderedAndProject's per-partition
+    * heaps, never a global sort. Ties at the boundary break on the
+    * gram string, so the selected SET is well-defined and replayable.
+    * k drives driver memory, not the vocabulary.
     */
   def topNgramsCorpus(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, n: Int,
                       k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    wordNgrams(df, idCol, textCol, n)
+    df.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(array_distinct(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => array_join(slice(col("__toks"), i, lit(n)), " ")))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(k)
