@@ -239,6 +239,47 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Edit-distance-verified near-duplicate pairs: the
+    * [[minhashLshPairs]] candidates (LSH banding + exact shingle
+    * Jaccard at a permissive `tau`) confirmed by character-level
+    * Levenshtein distance ≤ `maxDistFrac` × max(len) — the "exact
+    * verification" stage of production fuzzy dedup, which catches the
+    * shingle-level false positives Jaccard alone admits (heavy shared
+    * vocabulary but different ordering/structure).
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per pair, so it must never
+    * see the corpus — it runs only on the already-banded,
+    * Jaccard-passed pair list, with the two text lookups joined by id
+    * (the pair side is small by construction and broadcasts). For
+    * hostile length distributions, Spark's thresholded
+    * `levenshtein(l, r, limit)` bounds the DP at O(limit·len) per
+    * pair; the plain form is used here because the oracle replays it
+    * verbatim. Both engines implement the standard DP over characters
+    * of the same lower(trim(text)) normalization, so distances match
+    * exactly.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, bands: Int = 8, k: Int = 8,
+                        tau: Double = 0.3,
+                        maxDistFrac: Double = 0.3): DataFrame = {
+    require(maxDistFrac > 0.0 && maxDistFrac < 1.0,
+      s"maxDistFrac must be in (0,1), got $maxDistFrac")
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, k, tau)
+    val t = df.select(col(idCol).as("__eid"),
+      lower(trim(col(textCol))).as("__etxt"))
+    pairs
+      .join(t.select(col("__eid").as("id1"), col("__etxt").as("t1")),
+        Seq("id1"))
+      .join(t.select(col("__eid").as("id2"), col("__etxt").as("t2")),
+        Seq("id2"))
+      .withColumn("edit_dist", levenshtein(col("t1"), col("t2")))
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))))
+      .filter(col("edit_dist") <= lit(maxDistFrac) * col("max_len"))
+      .select(col("id1"), col("id2"), col("jaccard"), col("edit_dist"),
+        col("max_len"))
+  }
+
   /** Connected components over an undirected pair graph — the step after
     * candidate-pair generation in a dedup pipeline: near-dup PAIRS become
     * duplicate CLUSTERS, each labeled by its minimum member id (the

@@ -496,6 +496,59 @@ object PipelineQueries {
        |WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5""".stripMargin
   }
 
+  private def dedupEditVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, tau = 0.3, maxDistFrac = 0.3)
+
+  /** Oracle for the edit-distance-verified pairs: the full MinHash
+    * re-derivation (same interpolated constants as `dedup_minhash_lsh`,
+    * permissive tau=0.3) plus DuckDB's `levenshtein` over the same
+    * lower(trim(text)) normalization — both engines run the standard
+    * character DP, so the distances, and therefore the verified pair
+    * SET, match exactly.
+    */
+  private val dedupEditVerifiedSql = {
+    val vals = Dedup.minhashConstants(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH cs(j, a, b) AS (VALUES $vals),
+       |t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |       FROM (SELECT doc_id, txt,
+       |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |             FROM t) u),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 2147483647 AS x
+       |       FROM sh),
+       |sigs AS (SELECT doc_id, j,
+       |           min((a * x + b) % ${Dedup.MinhashP}) AS sig
+       |         FROM hs CROSS JOIN cs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band, list(sig ORDER BY j) AS key
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id1, c.id2, count(*) AS cnt
+       |           FROM cand c
+       |           JOIN sh p1 ON p1.doc_id = c.id1
+       |           JOIN sh p2 ON p2.doc_id = c.id2 AND p2.s = p1.s
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2,
+       |            round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) AS jaccard
+       |          FROM common
+       |          JOIN sizes n1 ON n1.doc_id = id1
+       |          JOIN sizes n2 ON n2.doc_id = id2
+       |          WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.3)
+       |SELECT p.id1, p.id2, p.jaccard,
+       |       CAST(levenshtein(t1.txt, t2.txt) AS INT) AS edit_dist,
+       |       CAST(greatest(length(t1.txt), length(t2.txt)) AS INT) AS max_len
+       |FROM pairs p
+       |JOIN t t1 ON t1.doc_id = p.id1
+       |JOIN t t2 ON t2.doc_id = p.id2
+       |WHERE levenshtein(t1.txt, t2.txt) <=
+       |      0.3::DOUBLE * greatest(length(t1.txt), length(t2.txt))""".stripMargin
+  }
+
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
 
@@ -2307,6 +2360,8 @@ object PipelineQueries {
       Some(dedupBloomPrefilterSql)),
     QueryDef("doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_edit_verified", dedupEditVerified,
+      Some(dedupEditVerifiedSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),

@@ -1134,6 +1134,21 @@ class OpsSpec extends AnyFunSuite {
     assert(small == 50.0)
   }
 
+  test("editVerifiedPairs confirms the planted near-dup and enforces the edit bound") {
+    import graft.ops.Dedup
+    val got = Dedup.editVerifiedPairs(docs(corpus), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, tau = 0.3, maxDistFrac = 0.3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(3), r.getInt(4))))
+      .toMap
+    // doc 100 differs from doc 0 by one word — must survive verification
+    assert(got.contains((0L, 100L)), s"planted near-dup missing from $got")
+    val (d, ml) = got((0L, 100L))
+    assert(d > 0 && d <= 0.3 * ml, s"edit_dist $d vs max_len $ml")
+    // the bound is a real invariant of the output
+    assert(got.values.forall { case (dd, mm) => dd <= 0.3 * mm })
+  }
+
   test("topNgramsCorpus counts a gram once per doc; ties break on the gram") {
     val df = docs(Seq(
       // doc 0 repeats "x y z" three times — must count once
