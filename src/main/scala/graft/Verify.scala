@@ -54,12 +54,18 @@ object Verify {
     failed.map(_._1).toSeq
   }
 
+  /** args: sfDir outDir [comma-separated name filter — dev use only;
+    * the driver always runs the full registry]. */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = Env.cpus(default = 4)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dump(spark, sfDir, outDir, SparkEntry.queries.toSeq, SparkEntry.oracleSql)
+    val qs = SparkEntry.queries.toSeq
+      .filter(q => only.forall(_.contains(q._1)))
+    dump(spark, sfDir, outDir, qs,
+      SparkEntry.oracleSql.filter(o => only.forall(_.contains(o._1))))
     spark.stop()
   }
 }

@@ -133,4 +133,40 @@ object Analytics {
     df.groupBy(quasiCols: _*).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") < k)
   }
+
+  /** Winsorization: clip `valueCol` to its exact [pLow, pHigh] quantile
+    * band and flag which rows were clipped — the robust outlier
+    * treatment for numeric feature prep (heavy-tailed amounts,
+    * latencies, lengths) where z-score trimming is distorted by the
+    * very outliers it hunts. Emits `outCols` + the 6dp-rounded input
+    * `value`, the clipped `value_w`, and `clip` ∈ {low, in, high}.
+    *
+    * Values and the two thresholds round to 6dp (Spark `percentile` ==
+    * DuckDB `quantile_cont` linear interpolation on identical inputs)
+    * so the band — and therefore every row's verdict — replays exactly
+    * in any engine.
+    *
+    * Scale shape: the thresholds are ONE single-row exact-percentile
+    * aggregate broadcast back onto the stream; clipping is a scan-side
+    * `least/greatest` fold, so the whole operator costs one pass plus a
+    * 1-row broadcast — never a global sort. (Exact percentile sorts
+    * per-group inside one reduce; at extreme N swap in
+    * `approx_percentile` — the clip plumbing is unchanged.)
+    */
+  def winsorize(df: DataFrame, valueCol: Column, pLow: Double,
+                pHigh: Double, outCols: Seq[String]): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val v = df.withColumn("value", round(valueCol, 6))
+    val thr = v.agg(
+      round(percentile(col("value"), lit(pLow)), 6).as("__lo"),
+      round(percentile(col("value"), lit(pHigh)), 6).as("__hi"))
+    v.crossJoin(broadcast(thr))
+      .select(outCols.map(col) :+ col("value") :+
+        least(greatest(col("value"), col("__lo")), col("__hi"))
+          .as("value_w") :+
+        when(col("value") < col("__lo"), "low")
+          .when(col("value") > col("__hi"), "high")
+          .otherwise("in").as("clip"): _*)
+  }
 }

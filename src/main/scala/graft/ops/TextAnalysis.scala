@@ -539,4 +539,54 @@ object TextAnalysis {
     df.select(col(idCol)).join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Corpus collocation mining by pointwise mutual information: the `k`
+    * adjacent token bigrams with the highest
+    * `PMI = log2(p(w1 w2) / (p(w1) p(w2)))`, restricted to bigrams with
+    * at least `minCount` occurrences (the standard Church–Hanks support
+    * floor — without it, hapax pairs of hapax words trivially maximize
+    * PMI). `p(w) = c(w)/N_tok`, `p(w1 w2) = c(w1 w2)/N_bi`, so
+    * `PMI = log2(c_12 * N_tok^2 / (N_bi * c_1 * c_2))`. Surfaces
+    * multi-word entities and template phrases ("et al", "click here")
+    * for tokenizer vocab decisions and boilerplate review — the
+    * frequency-independent complement of [[topNgramsCorpus]].
+    *
+    * Scale shape: bigram formation is scan-side (`zip_with` over two
+    * array slices, zero shuffle before aggregation); bigram and unigram
+    * counts are map-side-combinable groupBys of the same scan; the
+    * support filter prunes to frequent bigrams BEFORE the two
+    * vocab-sized unigram joins; corpus totals ride one broadcast
+    * single-row aggregate. Top-k is `orderBy(...).limit(k)` —
+    * TakeOrderedAndProject per-partition heaps, never a global sort.
+    * PMI is rounded to 6dp before ranking and ties break on the words,
+    * so the selected set is well-defined and engine-replayable.
+    */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = tokens(col(textCol))
+    val toks = df.select(explode(t).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val nTok = toks.agg(count(lit(1)).as("__ntok"))
+    val bi = df
+      .filter(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    // N_bi from the already-aggregated vocab-sized table, not a rescan
+    val nBi = bg.agg(sum(col("bc")).as("__nbi"))
+    bg.filter(col("bc") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("uc").as("__c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("uc").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("bc"),
+        round(log2(col("bc") * col("__ntok") / col("__nbi") *
+          col("__ntok") / col("__c1") / col("__c2")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

@@ -362,11 +362,33 @@ object AnalyticsQueries {
     """SELECT lang, source, n_chars // 256 AS len_band, count(*) AS cnt
       |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
 
+  /** Winsorize event values at the exact [p01, p99] band; every row's
+    * clipped value and verdict replay (values and thresholds rounded to
+    * 6dp; `percentile` == `quantile_cont` linear interpolation). See
+    * [[graft.ops.Analytics.winsorize]].
+    */
+  private def evWinsorize(s: SparkSession, dir: String): DataFrame =
+    Analytics.winsorize(Tables.events(s, dir), col("value"),
+      pLow = 0.01, pHigh = 0.99, outCols = Seq("event_id"))
+
+  private val evWinsorizeSql =
+    """WITH v AS (SELECT event_id, round(value, 6) AS value FROM events),
+      |thr AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+      |               round(quantile_cont(value, 0.99), 6) AS hi
+      |        FROM v)
+      |SELECT event_id, value,
+      |       least(greatest(value, thr.lo), thr.hi) AS value_w,
+      |       CASE WHEN value < thr.lo THEN 'low'
+      |            WHEN value > thr.hi THEN 'high'
+      |            ELSE 'in' END AS clip
+      |FROM v, thr""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("gov_k_anonymity", govKAnonymity, Some(govKAnonymitySql)),
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
+    QueryDef("ev_winsorize", evWinsorize, Some(evWinsorizeSql)),
     QueryDef("dq_constraints_events", dqConstraintsEvents,
       Some(dqConstraintsEventsSql)),
     QueryDef("doc_curriculum_bins", docCurriculumBins,

@@ -1440,6 +1440,38 @@ object PipelineQueries {
       |SELECT gram, count(*) AS doc_freq FROM d GROUP BY 1
       |ORDER BY doc_freq DESC, gram LIMIT 25""".stripMargin
 
+  /** Top-40 collocations by PMI with a support floor of 5 occurrences —
+    * the frequency-independent complement of `text_top_ngrams`. The PMI
+    * ratio is evaluated in the same left-to-right order on both sides
+    * (BIGINT product first, all later steps IEEE-double), and the oracle
+    * pins `sum(bc)` back to BIGINT so the division promotes identically;
+    * 6dp rounding absorbs libm log2 ulp differences. See
+    * [[graft.ops.TextAnalysis.pmiCollocations]].
+    */
+  private def pmiColloc(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+      minCount = 5, k = 40)
+
+  private val pmiCollocSql =
+    """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |toks AS (SELECT unnest(ts) AS tok FROM t),
+      |uni AS (SELECT tok, count(*) AS uc FROM toks GROUP BY 1),
+      |ntok AS (SELECT count(*) AS n FROM toks),
+      |bi AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+      |       FROM (SELECT ts, unnest(generate_series(1, length(ts) - 1)) AS i
+      |             FROM t WHERE length(ts) >= 2) u),
+      |bg AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+      |nbi AS (SELECT CAST(sum(bc) AS BIGINT) AS nb FROM bg)
+      |SELECT w1, w2, bc,
+      |       round(log2(bc * ntok.n / nbi.nb * ntok.n / c1.uc / c2.uc), 6)
+      |         AS pmi
+      |FROM bg JOIN uni c1 ON c1.tok = bg.w1
+      |JOIN uni c2 ON c2.tok = bg.w2
+      |CROSS JOIN ntok CROSS JOIN nbi
+      |WHERE bc >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin
+
   /** Per-document TF-IDF top terms (k=3), smoothed scikit-learn IDF.
     * Scores are rounded to 6dp BEFORE the window ranking on both sides
     * so Spark and DuckDB order identically; ties break on the term.
@@ -2410,6 +2442,7 @@ object PipelineQueries {
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_top_ngrams", topNgrams, Some(topNgramsSql)),
+    QueryDef("text_pmi_collocations", pmiColloc, Some(pmiCollocSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),

@@ -353,4 +353,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("bounds") == ((-5.0, false)))
     assert(got("domain") == ((1.0, false)))
   }
+
+  test("winsorize clips to the exact quantile band and flags verdicts") {
+    // values 1..20: p10 interpolates to 2.9, p90 to 18.1
+    val rows = (1 to 20).map(i =>
+      (i.toLong, 1L, ts(i * 1000000L), "a", java.lang.Double.valueOf(i.toDouble)))
+    val got = Analytics.winsorize(evDf(rows), col("value"),
+      pLow = 0.10, pHigh = 0.90, outCols = Seq("event_id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((1.0, 2.9, "low")) && got(2L) == ((2.0, 2.9, "low")))
+    assert(got(3L) == ((3.0, 3.0, "in")) && got(18L) == ((18.0, 18.0, "in")))
+    assert(got(19L) == ((19.0, 18.1, "high")) &&
+      got(20L) == ((20.0, 18.1, "high")))
+  }
 }

@@ -1580,4 +1580,26 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("selected")).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(sel == Set(30L, 0L, 1L))
   }
+
+  test("pmiCollocations: support floor, hand-computed PMI, glued pair wins") {
+    // "aa bb" always co-occur (PMI high); "cc" pairs with varying right
+    // neighbors (PMI low); "rare zz" occurs twice — below minCount=3.
+    val df = docs(Seq(
+      0L -> "aa bb cc dd",
+      1L -> "aa bb cc ee",
+      2L -> "aa bb cc ff",
+      3L -> "rare zz",
+      4L -> "rare zz"))
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // surviving bigrams: (aa,bb) x3, (bb,cc) x3; "rare zz" filtered at 2<3
+    assert(got.map(t => (t._1, t._2)).toSet == Set(("aa", "bb"), ("bb", "cc")))
+    // N_tok=16, N_bi=11: PMI(aa,bb) = log2(3*16/11*16/3/3)
+    val exp = (x: Double) => BigDecimal(math.log(x) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = got.map(t => ((t._1, t._2), t._4)).toMap
+    assert(m(("aa", "bb")) == exp(3.0 * 16 / 11 * 16 / 3 / 3))
+    assert(m(("bb", "cc")) == exp(3.0 * 16 / 11 * 16 / 3 / 3))
+  }
 }
