@@ -174,4 +174,47 @@ object Sampling {
         md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < thr)
       .drop("__n", "__mn")
   }
+
+  /** Token-budget mixture allocation: downsample each group so the kept
+    * corpus hits `budgetTokens` total tokens split by the target
+    * `weights` — the production form of dataset mixing, where a training
+    * mix is specified in TOKENS per source ("30% en, 17.5% each of the
+    * rest, 1T total"), not in documents. Per group,
+    * `rate_g = min(1, budgetTokens·w_g / availTokens_g)` — a group with
+    * fewer tokens than its allocation is kept wholesale (the shortfall
+    * is reported, not silently reassigned); groups absent from `weights`
+    * get rate 0 and are dropped. Selection is at document granularity
+    * via the pinned md5 draw, so the budget is hit in expectation; the
+    * kept SET is exact and replayable. Emits kept rows as
+    * (`keyCol`, `groupCol`, `n_toks`, `rate` 6dp).
+    *
+    * Scale shape: one map-side-combinable per-group token-sum aggregate
+    * (groups-sized, broadcast back), weights as a scan-side CASE chain
+    * (pinned config — no join), keep decision a pure per-row predicate.
+    * One pass over the corpus plus a broadcast; no shuffle of the data.
+    */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, groupCol: String,
+                     textCol: String, weights: Seq[(String, Double)],
+                     budgetTokens: Long,
+                     salt: String = "budget"): DataFrame = {
+    require(weights.nonEmpty, "need at least one (group, weight)")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val nToks = TextAnalysis.tokenCount(col(textCol))
+    val avail = df.select(col(groupCol), nToks.as("__t"))
+      .groupBy(groupCol).agg(sum(col("__t")).as("__avail"))
+    val w = weights.tail.foldLeft(
+      when(col(groupCol) === weights.head._1, lit(weights.head._2))) {
+        case (acc, (g, wt)) => acc.when(col(groupCol) === g, lit(wt))
+      }.otherwise(lit(0.0))
+    val rate = least(lit(1.0),
+      lit(budgetTokens.toDouble) * w / col("__avail"))
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    df.join(broadcast(avail), Seq(groupCol))
+      .filter(rate >= 1.0 ||
+        md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < thr)
+      .select(col(keyCol), col(groupCol), nToks.as("n_toks"),
+        round(rate, 6).as("rate"))
+  }
 }

@@ -225,6 +225,43 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Token-budget mixture allocation: 15k-token target corpus at a
+    * pinned (30% en / 17.5% each de,es,fr,zh) TOKEN mixture — the
+    * production dataset-mixing contract (budgets are specified in
+    * tokens, not documents). Per-group rates derive in-plan from one
+    * token-sum aggregate; both engines evaluate the identical
+    * `least(1.0, budget·w / avail)` → floor-threshold arithmetic, so
+    * the kept set replays exactly. See
+    * [[graft.ops.Sampling.tokenBudgetMix]].
+    */
+  private def docTokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetMix(Tables.documents(s, dir),
+      "doc_id", "lang", "text",
+      weights = Seq("en" -> 0.30, "de" -> 0.175, "es" -> 0.175,
+        "fr" -> 0.175, "zh" -> 0.175),
+      budgetTokens = 15000)
+
+  private val docTokenBudgetMixSql =
+    """WITH d AS (SELECT doc_id, lang,
+      |             length(string_split_regex(lower(trim(text)), '\s+'))
+      |               AS n_toks
+      |           FROM documents),
+      |a AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS avail
+      |      FROM d GROUP BY 1),
+      |r AS (SELECT lang,
+      |        least(1.0, 15000.0 *
+      |          (CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.175
+      |                     WHEN 'es' THEN 0.175 WHEN 'fr' THEN 0.175
+      |                     WHEN 'zh' THEN 0.175 ELSE 0.0 END) / avail)
+      |          AS rate
+      |      FROM a)
+      |SELECT d.doc_id, d.lang, d.n_toks, round(r.rate, 6) AS rate
+      |FROM d JOIN r USING (lang)
+      |WHERE r.rate >= 1.0
+      |   OR md5('budget:' || CAST(d.doc_id AS VARCHAR)) <
+      |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+      |           8, '0')""".stripMargin
+
   /** Temperature-based mixture resampling at α=0.5 over language (the
     * published low-resource-boost recipe): kept mixture ∝ n_lang^0.5,
     * smallest language kept whole. α=0.5 rides `sqrt` — correctly
@@ -399,6 +436,8 @@ object AnalyticsQueries {
       Some(docLangRebalanceSql)),
     QueryDef("doc_temperature_resample", docTemperatureResample,
       Some(docTemperatureResampleSql)),
+    QueryDef("doc_token_budget_mix", docTokenBudgetMix,
+      Some(docTokenBudgetMixSql)),
     QueryDef("pipeline_governance", governancePipeline,
       Some(governancePipelineSql)),
     QueryDef("doc_upsert_merge", docUpsertMerge, Some(docUpsertMergeSql)),

@@ -311,6 +311,27 @@ object PipelineQueries {
       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
       |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** Near-dup cluster size distribution — the duplication profile of
+    * the corpus (how many singletons, pairs, k-clusters), the
+    * crawl-health companion to `dedup_rate_by_source`: a fat tail here
+    * means template farms or mirror sites upstream. Two aggregations on
+    * top of the gated [[Dedup.jaccardClusters]] output — both
+    * map-side-combinable, the first bounded by cluster count, the
+    * second by the largest cluster size, so the report costs nothing
+    * beyond the clustering itself.
+    */
+  private def dedupClusterSizeDist(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClusters(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, dfCap = 20, tau = 0.3)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  private val dedupClusterSizeDistSql =
+    s"""WITH cl AS ($jaccardClustersSql),
+       |cs AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM cs GROUP BY 1""".stripMargin
+
   /** Quality-aware canonical selection — the production form of "which
     * copy survives dedup": per near-dup cluster, keep the
     * highest-quality member (ties: lowest doc_id) instead of the id
@@ -2386,6 +2407,8 @@ object PipelineQueries {
       Some(dedupSpanRemovalSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
+    QueryDef("dedup_cluster_size_dist", dedupClusterSizeDist,
+      Some(dedupClusterSizeDistSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_against_reference", dedupAgainstRef, Some(dedupAgainstRefSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,

@@ -354,6 +354,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("domain") == ((1.0, false)))
   }
 
+  test("tokenBudgetMix: rates from token sums, wholesale cap, unknown-group drop") {
+    import graft.ops.Sampling
+    // grp a: 10 docs x 8 tokens = 80; grp b: 4 docs x 5 = 20; grp c: 2 docs
+    val rows = (0 until 10).map(i => (i.toLong, "a", Seq.fill(8)("w").mkString(" "))) ++
+      (100 until 104).map(i => (i.toLong, "b", Seq.fill(5)("w").mkString(" "))) ++
+      (200 until 202).map(i => (i.toLong, "c", "x y"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("grp", StringType, nullable = false),
+        StructField("text", StringType, nullable = false))))
+    // budget 60, weights a=0.5, b=0.5: a gets 30/80 = 0.375; b wants 30
+    // but has 20 -> rate 1, kept wholesale; c unweighted -> dropped
+    val got = Sampling.tokenBudgetMix(df, "doc_id", "grp", "text",
+      weights = Seq("a" -> 0.5, "b" -> 0.5), budgetTokens = 60)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp"),
+        r.getAs[Int]("n_toks"), r.getAs[Double]("rate")))
+    val byGrp = got.groupBy(_._2)
+    assert(!byGrp.contains("c"), "unweighted group must be dropped")
+    assert(byGrp("b").map(_._1).toSet == (100L until 104L).toSet,
+      "under-supplied group kept wholesale")
+    assert(byGrp("b").forall(_._4 == 1.0) && byGrp("a").forall(_._4 == 0.375))
+    // JVM replay of the md5 floor-threshold draw for group a
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val thr = ("0" * 8 + java.lang.Long.toHexString(
+      math.floor(0.375 * 4294967296.0).toLong)).takeRight(8)
+    val expA = (0L until 10L).filter(id => md5hex(s"budget:$id") < thr).toSet
+    assert(byGrp.get("a").map(_.map(_._1).toSet).getOrElse(Set.empty) == expA)
+    // n_toks reports the whitespace token count of each kept doc
+    assert(got.forall(t => t._3 == (if (t._2 == "a") 8 else 5)))
+  }
+
   test("winsorize clips to the exact quantile band and flags verdicts") {
     // values 1..20: p10 interpolates to 2.9, p90 to 18.1
     val rows = (1 to 20).map(i =>
