@@ -134,6 +134,38 @@ object Analytics {
       .filter(col("cnt") < k)
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for each key's events ordered by (`tsCol`, `tieCol`), count each
+    * adjacent (`from_type` → `to_type`) step and emit the
+    * row-normalized probability — the behavioral fingerprint behind
+    * next-event prediction, funnel-drop diagnosis, and bot detection
+    * (bots have near-deterministic rows). The tie column makes the
+    * sequence — and therefore every count — well-defined when
+    * timestamps collide.
+    *
+    * Scale shape: ONE shuffle (the per-key window's hash partitioning);
+    * `lead` needs no frame buffering beyond the sort Spark already does
+    * per partition. The (from, to) stream then map-side-combines into a
+    * type-domain² table, and row totals are a domain-sized groupBy
+    * joined back — nothing driver-side, nothing quadratic in events.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val steps = df
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("__tot"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt") / col("__tot"), 6).as("prob"))
+  }
+
   /** Winsorization: clip `valueCol` to its exact [pLow, pHigh] quantile
     * band and flag which rows were clipped — the robust outlier
     * treatment for numeric feature prep (heavy-tailed amounts,

@@ -112,6 +112,44 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Asymmetric containment near-dup pairs: `(id1, id2)` where
+    * `|S1 ∩ S2| / min(|S1|, |S2|)` ≥ `tau` over the same df-capped rare
+    * shingle sets as [[jaccardPairs]]. Containment catches the
+    * quote-inclusion failure mode symmetric Jaccard is blind to: a
+    * document pasted whole into a much larger one scores
+    * `J ≈ |small|/|large|` (arbitrarily low) but containment ≈ 1.
+    * Emits both directional scores (`cont1` = fraction of id1 covered,
+    * `cont2` likewise) plus the symmetric `containment` = max of the
+    * two; the standard CCNet/BigQuery-dedup "substring dup" triage
+    * signal at shingle resolution.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — candidate generation
+    * is the bucketed rare-shingle postings self-join (df-capped, never
+    * all-pairs); only the final score arithmetic differs, so the
+    * containment pass can share one postings materialization with the
+    * Jaccard pass in a combined triage.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, dfCap: Long = 20,
+                       tau: Double = 0.5): DataFrame = {
+    val post = graft.data.ScopedCaches.materialize(
+      rareShinglePostings(df, idCol, textCol, k, dfCap)
+        .select(col("s"), col("id")))
+    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = post.select(col("s"), col("id").as("id1"))
+    val b = post.select(col("s"), col("id").as("id2"))
+    val common = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("id1", "n1"), Seq("id1"))
+      .join(sizes.toDF("id2", "n2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("c") / col("n1"), 6).as("cont1"),
+        round(col("c") / col("n2"), 6).as("cont2"))
+      .withColumn("containment", greatest(col("cont1"), col("cont2")))
+      .filter(col("containment") >= tau)
+  }
+
   /** Mersenne prime 2^31-1 — the permutation modulus. 31-bit minwise
     * hashing is the published standard (Broder et al.); the estimator
     * error it adds is negligible for documents far below 2^31 shingles,

@@ -225,6 +225,29 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Per-user next-event transition matrix (first-order Markov):
+    * adjacent event-type steps ordered by (ts, event_id) — the tie
+    * column pins simultaneous events so both engines see the same
+    * sequences — with row-normalized probabilities. See
+    * [[graft.ops.Analytics.transitionMatrix]].
+    */
+  private def evTransitionMatrix(s: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type")
+
+  private val evTransitionMatrixSql =
+    """WITH o AS (SELECT event_type AS from_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS to_type
+      |           FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS cnt
+      |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n
+      |        FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.cnt,
+      |       round(c.cnt * 1.0 / tot.n, 6) AS prob
+      |FROM c JOIN tot USING (from_type)""".stripMargin
+
   /** Token-budget mixture allocation: 15k-token target corpus at a
     * pinned (30% en / 17.5% each de,es,fr,zh) TOKEN mixture — the
     * production dataset-mixing contract (budgets are specified in
@@ -426,6 +449,8 @@ object AnalyticsQueries {
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
     QueryDef("ev_winsorize", evWinsorize, Some(evWinsorizeSql)),
+    QueryDef("ev_transition_matrix", evTransitionMatrix,
+      Some(evTransitionMatrixSql)),
     QueryDef("dq_constraints_events", dqConstraintsEvents,
       Some(dqConstraintsEventsSql)),
     QueryDef("doc_curriculum_bins", docCurriculumBins,

@@ -194,6 +194,39 @@ object PipelineQueries {
       |JOIN sizes n2 ON n2.doc_id = id2
       |WHERE round(c * 1.0 / (n1.n + n2.n - c), 6) >= 0.3""".stripMargin
 
+  /** Asymmetric containment pairs at τ=0.5 over the same rare-shingle
+    * postings as the Jaccard pass — catches a document pasted whole
+    * into a larger one, where symmetric Jaccard ≈ |small|/|large| stays
+    * under any usable threshold. See
+    * [[graft.ops.Dedup.containmentPairs]].
+    */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, dfCap = 20, tau = 0.5)
+
+  private val containmentPairsSql =
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |dfr AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |post AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfr USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |       round(c * 1.0 / n1.n, 6) AS cont1,
+      |       round(c * 1.0 / n2.n, 6) AS cont2,
+      |       greatest(round(c * 1.0 / n1.n, 6), round(c * 1.0 / n2.n, 6))
+      |         AS containment
+      |FROM common
+      |JOIN sizes n1 ON n1.doc_id = id1
+      |JOIN sizes n2 ON n2.doc_id = id2
+      |WHERE greatest(round(c * 1.0 / n1.n, 6), round(c * 1.0 / n2.n, 6))
+      |      >= 0.5""".stripMargin
+
   /** Multi-signal near-dup triage: the union of a cheap lexical signal
     * (pairs sharing a min-shingle fingerprint — one groupBy + a join on
     * the sketch value, never a postings×postings stage) and the
@@ -2406,6 +2439,8 @@ object PipelineQueries {
     QueryDef("dedup_span_removal", dedupSpanRemoval,
       Some(dedupSpanRemovalSql)),
     QueryDef("dedup_ngram_jaccard", jaccardPairs, Some(jaccardPairsSql)),
+    QueryDef("dedup_containment_pairs", containmentPairs,
+      Some(containmentPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
     QueryDef("dedup_cluster_size_dist", dedupClusterSizeDist,
       Some(dedupClusterSizeDistSql)),

@@ -354,6 +354,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("domain") == ((1.0, false)))
   }
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("transitionMatrix: hand-computed steps, ts ties pinned by event_id") {
+    // user 1: a->b->b->c ; user 2: a->b then a tie at t=5 resolved by
+    // event_id (10 before 11): ...->a->c
+    val rows = Seq(
+      (1L, 1L, ts(1000000L), "a", java.lang.Double.valueOf(0)),
+      (2L, 1L, ts(2000000L), "b", java.lang.Double.valueOf(0)),
+      (3L, 1L, ts(3000000L), "b", java.lang.Double.valueOf(0)),
+      (4L, 1L, ts(4000000L), "c", java.lang.Double.valueOf(0)),
+      (9L, 2L, ts(4000000L), "a", java.lang.Double.valueOf(0)),
+      (10L, 2L, ts(5000000L), "a", java.lang.Double.valueOf(0)),
+      (11L, 2L, ts(5000000L), "c", java.lang.Double.valueOf(0)))
+    val got = Analytics.transitionMatrix(evDf(rows), "user_id", "ts",
+      "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // from a: a->b (u1), a->a (u2 tie order), a->c (u2) — 3 steps
+    assert(got(("a", "b")) == ((1L, round6(1.0 / 3))))
+    assert(got(("a", "a")) == ((1L, round6(1.0 / 3))))
+    assert(got(("a", "c")) == ((1L, round6(1.0 / 3))))
+    // from b: b->b, b->c
+    assert(got(("b", "b")) == ((1L, 0.5)) && got(("b", "c")) == ((1L, 0.5)))
+    assert(got.size == 5, "terminal events emit no step")
+  }
+
   test("tokenBudgetMix: rates from token sums, wholesale cap, unknown-group drop") {
     import graft.ops.Sampling
     // grp a: 10 docs x 8 tokens = 80; grp b: 4 docs x 5 = 20; grp c: 2 docs

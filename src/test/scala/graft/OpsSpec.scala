@@ -1581,6 +1581,25 @@ class OpsSpec extends AnyFunSuite {
     assert(sel == Set(30L, 0L, 1L))
   }
 
+  test("containmentPairs flags a fully-embedded doc that Jaccard misses") {
+    val small = "abcdefghijklmnop" // 9 distinct 8-shingles
+    val big = small + " qrstuvwxyz0123456789 qqqqqqqqqqwwwwwwwwww"
+    val other = "zzzzyyyyxxxxwwwwvvvvuuuu"
+    val df = docs(Seq(0L -> small, 1L -> big, 2L -> other))
+    val got = Dedup.containmentPairs(df, "doc_id", "text", k = 8,
+      dfCap = 20, tau = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((0L, 1L)), s"only the embedded pair: $got")
+    val (c1, c2, cont) = got((0L, 1L))
+    assert(c1 == 1.0, "every shingle of the small doc appears in the big one")
+    assert(c2 < 0.5 && cont == 1.0)
+    // symmetric Jaccard on the same postings stays below its own tau
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", k = 8, dfCap = 20,
+      tau = 0.3).collect()
+    assert(jac.isEmpty, "Jaccard is blind to the containment pair here")
+  }
+
   test("pmiCollocations: support floor, hand-computed PMI, glued pair wins") {
     // "aa bb" always co-occur (PMI high); "cc" pairs with varying right
     // neighbors (PMI low); "rare zz" occurs twice — below minCount=3.
