@@ -134,6 +134,36 @@ object Analytics {
       .filter(col("cnt") < k)
   }
 
+  /** Referential-integrity audit over a set of FK edges: per edge, the
+    * number of child rows whose (non-null) FK matches no parent key
+    * (`orphan_fk_rows` — actual violations) and the number of parent
+    * keys no child references (`unreferenced_parents` — not a
+    * violation, but the dead-dimension signal that catches truncated
+    * loads). NULL FKs are not orphans, per SQL FK semantics.
+    *
+    * Scale shape: each edge is two anti-joins on key projections —
+    * column-pruned at the scan, keys deduplicated before joining, AQE
+    * free to broadcast the small side — each collapsing to a 1-row
+    * count; the edges union into one plan so the audit is a single
+    * job, not a driver loop of actions.
+    */
+  def refIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    edges.map { case (name, child, fk, parent, pk) =>
+      val orphans = child.select(col(fk).as("k"))
+        .filter(col("k").isNotNull)
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_fk_rows"))
+      val unref = parent.select(col(pk).as("k")).distinct()
+        .join(child.select(col(fk).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("unreferenced_parents"))
+      orphans.crossJoin(unref)
+        .select(lit(name).as("edge"), col("orphan_fk_rows"),
+          col("unreferenced_parents"))
+    }.reduce(_ unionByName _)
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for each key's events ordered by (`tsCol`, `tieCol`), count each
     * adjacent (`from_type` → `to_type`) step and emit the

@@ -225,6 +225,43 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Referential-integrity audit over the TPC-H star schema's six FK
+    * edges: orphaned child rows (violations — 0 on healthy fixtures)
+    * and unreferenced parent keys (the dead-dimension / truncated-load
+    * signal — live numbers here: customers without orders exist by
+    * construction). See [[graft.ops.Analytics.refIntegrity]].
+    */
+  private def dqFkIntegrity(s: SparkSession, dir: String): DataFrame =
+    Analytics.refIntegrity(Seq(
+      ("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      ("lineitem.l_partkey->part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      ("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      ("customer.c_nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      ("nation.n_regionkey->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey")))
+
+  private val dqFkIntegritySql = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    .map { case (name, c, fk, p, pk) =>
+      s"""SELECT '$name' AS edge,
+         |  (SELECT count(*) FROM $c WHERE $fk IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $p WHERE $pk = $c.$fk)) AS orphan_fk_rows,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $pk AS k FROM $p) pp
+         |   WHERE NOT EXISTS (SELECT 1 FROM $c WHERE $fk = pp.k))
+         |    AS unreferenced_parents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Per-user next-event transition matrix (first-order Markov):
     * adjacent event-type steps ordered by (ts, event_id) — the tie
     * column pins simultaneous events so both engines see the same
@@ -451,6 +488,7 @@ object AnalyticsQueries {
     QueryDef("ev_winsorize", evWinsorize, Some(evWinsorizeSql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
+    QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),
     QueryDef("dq_constraints_events", dqConstraintsEvents,
       Some(dqConstraintsEventsSql)),
     QueryDef("doc_curriculum_bins", docCurriculumBins,

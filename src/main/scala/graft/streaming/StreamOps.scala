@@ -592,6 +592,58 @@ object StreamOps extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, event_type: String)
+  final case class StepState(pending: Seq[(Long, Long, String)],
+    lastTs: Long, lastId: Long, lastType: String, hasLast: Boolean)
+  final case class TransitionStep(user_id: Long, from_type: String,
+    to_type: String)
+
+  /** Streaming twin of the step extraction under
+    * [[graft.ops.Analytics.transitionMatrix]]: per key, emit each
+    * adjacent (from → to) event-type step in (ts, event_id) order as
+    * soon as it is FINAL — i.e. when the watermark passes the later
+    * event, at which point nothing can arrive between the two. Same
+    * frontier construction as [[asofStream]]: per-key state is one
+    * last-finalized event plus only the rows still above the watermark
+    * (O(rate×delay) + O(1), bounded forever); events below the
+    * watermark are sorted, stepped, and dropped. The matrix itself is
+    * the downstream `groupBy(from, to).count()` over the emitted steps
+    * — plain mergeable aggregation, no extra stateful operator.
+    */
+  def transitionStepsStream(events: Dataset[TypedEvent],
+                            watermark: String): Dataset[TransitionStep] = {
+    import events.sparkSession.implicits._
+
+    def update(key: Long, it: Iterator[TypedEvent],
+               state: GroupState[StepState]): Iterator[TransitionStep] = {
+      val wm = state.getCurrentWatermarkMs()
+      val buf = state.getOption.getOrElse(
+        StepState(Nil, Long.MinValue, Long.MinValue, "", hasLast = false))
+      val all = buf.pending ++
+        it.map(e => (e.ts.getTime, e.event_id, e.event_type))
+      val (ready, later) = all.partition(_._1 <= wm)
+      var lastType = buf.lastType
+      var hasLast = buf.hasLast
+      var lastTs = buf.lastTs
+      var lastId = buf.lastId
+      val out = scala.collection.mutable.ListBuffer.empty[TransitionStep]
+      for ((t, id, tp) <- ready.sortBy(r => (r._1, r._2))) {
+        if (hasLast) out += TransitionStep(key, lastType, tp)
+        lastTs = t; lastId = id; lastType = tp; hasLast = true
+      }
+      state.update(StepState(later, lastTs, lastId, lastType, hasLast))
+      // all pending ts are > wm, as EventTimeTimeout requires
+      if (later.nonEmpty) state.setTimeoutTimestamp(later.map(_._1).min)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming data-quality monitor: [[graft.ops.Analytics.dqSuite]]
     * verbatim over a streaming DataFrame — the definition is SHARED, so
     * batch and stream cannot drift. Run it in complete output mode: the

@@ -354,6 +354,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("domain") == ((1.0, false)))
   }
 
+  test("refIntegrity counts orphans (not null FKs) and unreferenced parents") {
+    val child = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, java.lang.Long.valueOf(10L)), // ok
+        Row(2L, java.lang.Long.valueOf(99L)), // orphan
+        Row(3L, null.asInstanceOf[java.lang.Long]), // null FK: not an orphan
+        Row(4L, java.lang.Long.valueOf(10L))), // ok (dup FK)
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("fk", LongType, nullable = true))))
+    val parent = spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L), Row(20L), Row(30L)),
+      StructType(Seq(StructField("pk", LongType, nullable = false))))
+    val got = Analytics.refIntegrity(
+      Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("c->p", 1L, 2L)),
+      s"1 orphan (id=2), 2 unreferenced parents (20, 30): $got")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -563,6 +563,50 @@ class StreamingSpec extends AnyFunSuite {
       diff.take(5).map(k => s"$k: batch=${batch(k)} stream=${got(k)}").mkString("; "))
   }
 
+  test("streaming transition steps aggregate to the batch matrix exactly") {
+    import spark.implicits._
+    val rng = new Lcg(97)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(minOff: Int) = new java.sql.Timestamp(t0 + minOff * 60000L)
+    // 5 users, 3 types, dense ts range -> guaranteed collisions (the
+    // event_id tie-break is live) and cross-file out-of-order arrival
+    val types = Array("a", "b", "c")
+    val evs = (0 until 200).map { i =>
+      StreamOps.TypedEvent(rng.nextInt(5).toLong, 1000L + i,
+        ts(rng.nextInt(300)), types(rng.nextInt(3)))
+    }
+    val batch = graft.ops.Analytics
+      .transitionMatrix(spark.createDataset(evs).toDF(), "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // flush events 100 days out push the watermark past every real row;
+    // they stay above the watermark themselves, so they emit no step
+    val flush = (0L until 5L).map(k =>
+      StreamOps.TypedEvent(k, 9000L + k, ts(144000), "zz"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-steps").toString
+    spark.createDataset(evs).write.parquet(s"$tmp/f1")
+    spark.createDataset(flush).repartition(2).write.parquet(s"$tmp/f2")
+    val src = spark.readStream
+      .schema(spark.createDataset(evs).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val q = StreamOps
+      .transitionStepsStream(src.as[StreamOps.TypedEvent], "240 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_steps_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_steps_out")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == batch,
+      s"stream/batch matrix diverged: only-batch=${batch.toSet -- got.toSet} " +
+        s"only-stream=${got.toSet -- batch.toSet}")
+  }
+
   test("composed streaming prep pipeline matches its batch twin") {
     import spark.implicits._
     // NATO-alphabet docs: pass the quality gate (long, alphabetic, sane
