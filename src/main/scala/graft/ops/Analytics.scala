@@ -134,6 +134,36 @@ object Analytics {
       .filter(col("cnt") < k)
   }
 
+  /** Daily time series with gap-filling and a running total: aggregate
+    * `df` to per-day counts, left-join onto a generated date spine from
+    * the observed min to max day (absent days are explicit zeros — the
+    * difference between "no errors" and "no data" that a bare groupBy
+    * erases, and exactly where a naive monitoring query silently lies),
+    * then a cumulative sum ordered by day.
+    *
+    * Scale shape: this is the aggregate-THEN-window pattern. The only
+    * corpus-sized stage is the first map-side-combinable daily count;
+    * the spine (`sequence` exploded from a 1-row min/max aggregate),
+    * the join, and the running-total window all operate on |days| rows.
+    * The window's single global partition — normally a scale smell —
+    * is therefore bounded by the calendar, not the data; windowing the
+    * raw events by a global ts order instead would sort the corpus on
+    * one partition.
+    */
+  def dailySpineCumulative(df: DataFrame, tsCol: Column): DataFrame = {
+    val daily = df.select(to_date(tsCol).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("__d0"),
+      max(col("day")).as("__d1"))
+    val spine = bounds.select(explode(
+      sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Referential-integrity audit over a set of FK edges: per edge, the
     * number of child rows whose (non-null) FK matches no parent key
     * (`orphan_fk_rows` — actual violations) and the number of parent

@@ -37,4 +37,35 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** SCD Type-2 dimension build from a change log: per key, collapse
+    * consecutive duplicate attribute values (a re-stated unchanged
+    * value is not a new version) and emit one validity interval per
+    * surviving change — `valid_from` = its timestamp, `valid_to` = the
+    * next change's timestamp (null = current row). The (`tsCol`,
+    * `tieCol`) order pins simultaneous changes so the version chain is
+    * deterministic. This is the read-side of every warehouse's
+    * `dim_*_history` table and the point-in-time lookup's data model
+    * ([[graft.ops.AsofJoin]] queries it).
+    *
+    * Scale shape: both window passes (the change-collapse `lag` and the
+    * interval `lead`) share the same partitioning and sort order, so
+    * Catalyst plans ONE shuffle + ONE sort; everything else is
+    * scan-side. No self-join, no global order.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // first row per key: __prev is null but is a real version;
+      // null-safe inequality keeps it and drops only true repeats
+      .filter(!(col(attrCol) <=> col("__prev")))
+      .drop("__prev")
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

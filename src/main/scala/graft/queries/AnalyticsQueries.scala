@@ -225,6 +225,56 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(CAST(m.mn AS DOUBLE) / CAST(c.n AS DOUBLE)
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Gap-filled daily error counts with a running total — absent days
+    * are explicit zeros from a generated date spine, so "no errors"
+    * and "no data" stop aliasing. See
+    * [[graft.ops.Analytics.dailySpineCumulative]].
+    */
+  private def evDailyErrorCumulative(s: SparkSession, dir: String): DataFrame =
+    Analytics.dailySpineCumulative(
+      Tables.events(s, dir).filter(col("event_type") === "error"), col("ts"))
+
+  private val evDailyErrorCumulativeSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |           FROM events WHERE event_type = 'error' GROUP BY 1),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+      |s AS (SELECT CAST(unnest(generate_series(b.d0, b.d1,
+      |               INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |f AS (SELECT s.day, coalesce(d.n, 0) AS n
+      |      FROM s LEFT JOIN d USING (day))
+      |SELECT day, n,
+      |       CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |            AS BIGINT) AS cum_n
+      |FROM f""".stripMargin
+
+  /** SCD Type-2 history build over the event stream: per user,
+    * consecutive duplicate event types collapse (a re-stated value is
+    * not a new version) and each surviving change carries its
+    * [valid_from, valid_to) interval, null-terminated for the current
+    * row. See [[graft.ops.Merge.scd2]].
+    */
+  private def evScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Merge.scd2(
+        Tables.events(s, dir)
+          .select("user_id", "event_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+
+  private val evScd2Sql =
+    """WITH c AS (SELECT user_id, event_id, event_type, ts,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |ch AS (SELECT user_id, event_id, event_type, ts FROM c
+      |       WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_id, event_type, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         IS NULL AS is_current
+      |FROM ch""".stripMargin
+
   /** Referential-integrity audit over the TPC-H star schema's six FK
     * edges: orphaned child rows (violations — 0 on healthy fixtures)
     * and unreferenced parent keys (the dead-dimension / truncated-load
@@ -489,6 +539,9 @@ object AnalyticsQueries {
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
     QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),
+    QueryDef("ev_scd2_intervals", evScd2, Some(evScd2Sql)),
+    QueryDef("ev_daily_error_cumulative", evDailyErrorCumulative,
+      Some(evDailyErrorCumulativeSql)),
     QueryDef("dq_constraints_events", dqConstraintsEvents,
       Some(dqConstraintsEventsSql)),
     QueryDef("doc_curriculum_bins", docCurriculumBins,

@@ -354,6 +354,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("domain") == ((1.0, false)))
   }
 
+  test("scd2 collapses repeats and emits null-terminated validity chains") {
+    import graft.ops.Merge
+    // user 1: a a b a  -> versions a[1,3) b[3,4) a[4,null)
+    // user 2: single event -> one current row; tie at t=5 pinned by id
+    val rows = Seq(
+      (1L, 1L, ts(1000000L), "a", java.lang.Double.valueOf(0)),
+      (2L, 1L, ts(2000000L), "a", java.lang.Double.valueOf(0)),
+      (3L, 1L, ts(3000000L), "b", java.lang.Double.valueOf(0)),
+      (4L, 1L, ts(4000000L), "a", java.lang.Double.valueOf(0)),
+      (9L, 2L, ts(5000000L), "x", java.lang.Double.valueOf(0)))
+    val got = Merge.scd2(evDf(rows).select("user_id", "event_id", "ts",
+        "event_type"), "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("event_type"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.getTime),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L, 9L), s"repeat (id=2) collapsed: $got")
+    assert(got(1L) == (("a", Some(ts(3000000L).getTime), false)))
+    assert(got(3L) == (("b", Some(ts(4000000L).getTime), false)))
+    assert(got(4L) == (("a", None, true)))
+    assert(got(9L) == (("x", None, true)))
+  }
+
+  test("dailySpineCumulative zero-fills gap days and accumulates") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    // events on Jan 1 (x2), Jan 2, Jan 5 — Jan 3 and 4 are gaps
+    val rows = Seq((1L, 1L, day(1), "e", java.lang.Double.valueOf(0)),
+      (2L, 1L, day(1), "e", java.lang.Double.valueOf(0)),
+      (3L, 1L, day(2), "e", java.lang.Double.valueOf(0)),
+      (4L, 1L, day(5), "e", java.lang.Double.valueOf(0)))
+    val got = Analytics.dailySpineCumulative(evDf(rows), col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2026-01-01", 2L, 2L), ("2026-01-02", 1L, 3L),
+      ("2026-01-03", 0L, 3L), ("2026-01-04", 0L, 3L),
+      ("2026-01-05", 1L, 4L)))
+  }
+
   test("refIntegrity counts orphans (not null FKs) and unreferenced parents") {
     val child = spark.createDataFrame(
       java.util.Arrays.asList(
