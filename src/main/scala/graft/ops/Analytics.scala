@@ -226,6 +226,138 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Association rules over baskets (Agrawal–Srikant support/confidence
+    * plus lift): for every ordered pair of distinct items co-occurring
+    * in at least `minPairCount` baskets, emit the pair count, support,
+    * confidence(antecedent → consequent), and lift — the market-basket
+    * view of an event stream (basket = user or session, item = event
+    * type) that powers "users who X also Y" and feature co-occurrence
+    * audits. Both directions of a pair are emitted, since confidence is
+    * asymmetric. All ratios round to 6dp against exact integer counts,
+    * so any engine replays them.
+    *
+    * Scale shape: the corpus-sized stages are the (basket, item)
+    * distinct (one shuffle, map-side combinable) and the self-join on
+    * `basket` — and per-basket work is bounded by the ITEM DOMAIN, not
+    * the basket's raw event count, because distinct items per basket
+    * ≤ |domain|. Pair counts then map-side-combine into a ≤ |domain|²
+    * table; item supports and the basket total are domain-sized /
+    * 1-row broadcasts. Nothing is ever quadratic in baskets or events.
+    */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+                 minPairCount: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val nBaskets = bi.agg(count_distinct(col("b")).as("__n"))
+    val itemCnt = bi.groupBy(col("i")).agg(count(lit(1)).as("__ic"))
+    val pairs = bi.as("l")
+      .join(bi.as("r"), col("l.b") === col("r.b") &&
+        col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("a"), col("r.i").as("c"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    val both = pairs.select(col("a"), col("c"), col("pair_cnt"))
+      .unionByName(pairs.select(col("c").as("a"), col("a").as("c"),
+        col("pair_cnt")))
+    both
+      .join(broadcast(itemCnt.select(col("i").as("a"),
+        col("__ic").as("__ca"))), Seq("a"))
+      .join(broadcast(itemCnt.select(col("i").as("c"),
+        col("__ic").as("__cc"))), Seq("c"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("pair_cnt"),
+        round(col("pair_cnt") / col("__n"), 6).as("support"),
+        round(col("pair_cnt") / col("__ca"), 6).as("confidence"),
+        round(col("pair_cnt") * col("__n") / (col("__ca") * col("__cc")), 6)
+          .as("lift"))
+  }
+
+  /** Conversion latency: for every key with at least one `fromVal`
+    * event, the first `fromVal` timestamp, the first `toVal` timestamp
+    * AT OR AFTER it (null if the key never converts), and the latency
+    * in exact integer microseconds — the funnel-edge timing behind
+    * activation dashboards and time-to-convert SLAs. Latencies are
+    * integer epoch-micro differences, so every engine agrees bit-for-bit.
+    *
+    * Scale shape: two filtered key-hash aggregations (both map-side
+    * combinable) and one join on the key — all on the same hash
+    * partitioning, so AQE reuses the exchange; nothing windows the raw
+    * stream and per-key state is two timestamps.
+    */
+  def timeToConversion(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, fromVal: String,
+                       toVal: String): DataFrame = {
+    val starts = df.filter(col(typeCol) === fromVal)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("from_ts"))
+    val convs = df.filter(col(typeCol) === toVal)
+      .select(col(keyCol), col(tsCol))
+      .join(starts, Seq(keyCol))
+      .filter(col(tsCol) >= col("from_ts"))
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("to_ts"))
+    starts.join(convs, Seq(keyCol), "left")
+      .select(col(keyCol), col("from_ts"), col("to_ts"),
+        (unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+          .as("latency_us"))
+  }
+
+  /** Distinct keys per sliding time window (`windowDur` long, advancing
+    * every `slideDur`): the rolling-active-users metric. Uses Spark's
+    * built-in `window()` generator — epoch-aligned starts, each event
+    * fanning out to exactly windowDur/slideDur windows — with an EXACT
+    * distinct count per window. Emits the window start both as a
+    * timestamp and as integer epoch micros (`ws_us`), so the alignment
+    * arithmetic replays in any engine.
+    *
+    * Scale shape: the fan-out factor is the constant windowDur/slideDur
+    * (4 at 24h/6h), applied scan-side by the TimeWindow expression; the
+    * exact distinct then costs the standard two-phase (window, key)
+    * dedup + count. At extreme cardinality swap the distinct for the
+    * streamed KMV/HLL sketches in [[Sketches]] — the windowing plumbing
+    * is unchanged.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                      windowDur: String, slideDur: String): DataFrame =
+    df.groupBy(window(col(tsCol), windowDur, slideDur).as("w"))
+      .agg(count_distinct(col(keyCol)).as("n_distinct"))
+      .select(col("w.start").as("window_start"),
+        unix_micros(col("w.start")).as("ws_us"),
+        col("n_distinct"))
+
+  /** Robust outlier flagging via the modified z-score (Iglewicz–Hoaglin):
+    * score = 0.6745 · (x − median) / MAD, flagging |score| ≥ `minScore`
+    * (3.5 is the published default). The robust complement of
+    * [[zscoreOutliers]]: median/MAD are immune to the very outliers a
+    * mean/sd flagger is distorted by, which is what you want on
+    * heavy-tailed value streams. Groups with MAD 0 (over half the
+    * values identical) flag nothing — score is null there, and the
+    * degenerate group needs a domain rule, not a statistic. Values and
+    * both statistics round to 6dp so every verdict replays exactly.
+    *
+    * Scale shape: two exact-percentile aggregations over the group
+    * domain (median, then median of |x − median| after a broadcast
+    * join of the medians back), each reducing to one domain-sized
+    * table; flagging is scan-side against the broadcast stats. No
+    * window over the data, no global sort. At extreme N swap in
+    * `approx_percentile`; the flagging plumbing is unchanged.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  minScore: Double, outCols: Seq[String]): DataFrame = {
+    val v = df.withColumn("value", round(col(valCol), 6))
+    val med = v.groupBy(col(groupCol))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("__med"))
+    val mad = v.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(percentile(abs(col("value") - col("__med")), lit(0.5)), 6)
+        .as("__mad"))
+    v.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn("score", round(lit(0.6745) * (col("value") - col("__med")) /
+        when(col("__mad") === 0d, lit(null)).otherwise(col("__mad")), 6))
+      .filter(abs(col("score")) >= minScore)
+      .select(outCols.map(col) :+ col("value") :+ col("score"): _*)
+  }
+
   /** Winsorization: clip `valueCol` to its exact [pLow, pHigh] quantile
     * band and flag which rows were clipped — the robust outlier
     * treatment for numeric feature prep (heavy-tailed amounts,

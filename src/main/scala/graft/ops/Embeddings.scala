@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column pipeline operators beyond similarity search:
@@ -28,6 +28,62 @@ object Embeddings {
       .groupBy(col(labelCol), col("pos"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("x").cast("double")), 6).as("c"))
+
+  /** One pinned Lloyd (k-means) iteration over the embedding corpus:
+    * assign every vector to its nearest centroid by squared Euclidean
+    * distance (6dp-rounded, ties to the lower centroid id), then emit
+    * the UPDATED per-(cell, dimension) means together with each cell's
+    * size and inertia (sum of member distances — the convergence
+    * signal). Centroids are pinned to the corpus rows named by
+    * `centroidIds` — the same deterministic-replay discipline as
+    * [[Similarity.ivfTopKPinned]], so any engine reproduces the
+    * assignment, the means, and the inertia exactly; a full k-means
+    * fit is this operator iterated with each round's means fed back as
+    * literals.
+    *
+    * Scale shape: the centroid table is a bounded driver collect
+    * (cells × dim doubles, same pattern as the pinned IVF index); the
+    * argmin is a SCAN-SIDE fold over centroid literals (`greatest` on
+    * (−dist, −cid) structs — no crossJoin row explosion, no window over
+    * the corpus). The `posexplode` for the means never hits the wire:
+    * the (cell, pos) aggregate is map-side combinable, so each task
+    * ships cells × dim partial sums, and cell stats ride a second
+    * domain-sized aggregate joined back by broadcast.
+    */
+  def kmeansUpdatePinned(df: DataFrame, idCol: String, vecCol: String,
+                         centroidIds: Seq[Long]): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val centroids: Seq[(Long, Array[Double])] =
+      v.filter(col("id").isin(centroidIds: _*))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+    require(centroids.size == centroidIds.size,
+      s"pinned centroid ids missing from corpus: got ${centroids.size}" +
+        s" of ${centroidIds.size}")
+    def sqdist(c: Array[Double]): Column =
+      round(aggregate(
+        zip_with(col("v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0d), _ + _), 6)
+    // argmin by (rounded distance, then smallest centroid id):
+    // greatest() on (−dist, −cid) structs is lexicographic
+    val best = greatest(centroids.map { case (cid, c) =>
+      struct((-sqdist(c)).as("nd"), lit(-cid).as("nc"))
+    }: _*)
+    val assigned = v.select(
+      (-best.getField("nc")).as("cell"),
+      (-best.getField("nd")).as("sd"), col("v"))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(sum(col("sd")), 6).as("inertia"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c_new"))
+      .join(broadcast(cellStats), Seq("cell"))
+      .select(col("cell"), col("pos"), col("n"), col("c_new"),
+        col("inertia"))
+  }
 
   /** Per-vector symmetric int8 quantization: scale = max |x_i| (so
     * codes span the full [-127, 127] range), code_i = round(x_i / scale

@@ -225,6 +225,34 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2's
+    * deterministic rules): per document, keep only lines that read like
+    * prose — at least 3 whitespace words, terminated by sentence
+    * punctuation (`.` `!` `?` or a closing quote), and free of the
+    * published junk markers (`{`, "lorem ipsum", "javascript",
+    * case-insensitive). Emits (`idCol`, `n_lines`, `n_kept`,
+    * `clean_text`) with the surviving trimmed lines rejoined — the
+    * standard first-pass web-crawl scrub before any model-based
+    * filtering.
+    *
+    * Scale shape: zero-shuffle — split/trim/filter/rejoin are all
+    * scan-side higher-order array functions inside one whole-stage
+    * codegen span; every rule is a pure string predicate, so the whole
+    * cleanse replays bit-exactly in any engine.
+    */
+  def c4LineClean(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val kept = filter(lines, t =>
+      size(split(t, "\\s+")) >= 3 &&
+        t.rlike("[.!?\"]$") &&
+        !t.contains("{") &&
+        !lower(t).contains("lorem ipsum") &&
+        !lower(t).contains("javascript"))
+    df.select(col(idCol), size(lines).as("n_lines"),
+      size(kept).as("n_kept"), array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Distinct word n-grams per document: (`idCol`, `gram`). Documents
     * shorter than `n` tokens produce no rows (the published
     * decontamination convention — a doc with no full n-gram cannot be

@@ -530,7 +530,113 @@ object AnalyticsQueries {
       |            ELSE 'in' END AS clip
       |FROM v, thr""".stripMargin
 
+  /** Market-basket association rules over user-day baskets (a user's
+    * distinct event types within one calendar day): pair counts,
+    * support, confidence, and lift for every co-occurring type pair
+    * seen in ≥100 baskets. Per-user-lifetime baskets are degenerate on
+    * this stream (every user eventually does everything — all
+    * confidences 1.0); the day grain is where "users who X also Y"
+    * actually discriminates. See [[graft.ops.Analytics.assocRules]].
+    */
+  private def evAssocRules(s: SparkSession, dir: String): DataFrame =
+    Analytics.assocRules(
+      Tables.events(s, dir).select(
+        concat_ws(":", col("user_id"),
+          to_date(col("ts")).cast("string")).as("basket"),
+        col("event_type")),
+      "basket", "event_type", minPairCount = 100)
+
+  private val evAssocRulesSql =
+    """WITH bi AS (SELECT DISTINCT
+      |    CAST(user_id AS VARCHAR) || ':' ||
+      |      CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+      |    event_type AS i
+      |  FROM events),
+      |n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+      |ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+      |p AS (SELECT l.i AS a, r.i AS c2, count(*) AS pair_cnt
+      |      FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 100),
+      |b2 AS (SELECT a, c2, pair_cnt FROM p
+      |       UNION ALL SELECT c2, a, pair_cnt FROM p)
+      |SELECT b2.a AS antecedent, b2.c2 AS consequent, b2.pair_cnt,
+      |  round(b2.pair_cnt * 1.0 / n.nb, 6) AS support,
+      |  round(b2.pair_cnt * 1.0 / ca.c, 6) AS confidence,
+      |  round((b2.pair_cnt * n.nb) * 1.0 / (ca.c * cc.c), 6) AS lift
+      |FROM b2 CROSS JOIN n
+      |JOIN ic ca ON ca.i = b2.a
+      |JOIN ic cc ON cc.i = b2.c2""".stripMargin
+
+  /** Signup→purchase conversion latency per user: first signup, first
+    * purchase at or after it (null = signed up, never converted), and
+    * the exact integer-microsecond latency. See
+    * [[graft.ops.Analytics.timeToConversion]].
+    */
+  private def evTimeToConversion(s: SparkSession, dir: String): DataFrame =
+    Analytics.timeToConversion(Tables.events(s, dir), "user_id", "ts",
+      "event_type", fromVal = "signup", toVal = "purchase")
+
+  private val evTimeToConversionSql =
+    """WITH s AS (SELECT user_id, min(ts) AS from_ts FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS to_ts
+      |      FROM events e JOIN s ON s.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= s.from_ts
+      |      GROUP BY 1)
+      |SELECT s.user_id, s.from_ts, c.to_ts,
+      |       epoch_us(c.to_ts) - epoch_us(s.from_ts) AS latency_us
+      |FROM s LEFT JOIN c USING (user_id)""".stripMargin
+
+  /** Rolling active users: exact distinct user count per 24-hour window
+    * sliding every 6 hours (epoch-aligned starts, every event in
+    * exactly 4 windows). The window start is emitted both as a
+    * timestamp and as integer epoch micros so the alignment arithmetic
+    * replays. See [[graft.ops.Analytics.slidingDistinct]].
+    */
+  private def evSlidingActiveUsers(s: SparkSession, dir: String): DataFrame =
+    Analytics.slidingDistinct(Tables.events(s, dir), "ts", "user_id",
+      windowDur = "24 hours", slideDur = "6 hours")
+
+  private val evSlidingActiveUsersSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |w AS (SELECT user_id,
+      |        (t // 21600000000) * 21600000000 - k.k * 21600000000 AS ws
+      |      FROM e, unnest([0, 1, 2, 3]) AS k(k))
+      |SELECT make_timestamp(ws) AS window_start, ws AS ws_us,
+      |       count(DISTINCT user_id) AS n_distinct
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  /** Robust (median/MAD modified z-score) outliers per event type at
+    * the published 3.5 cutoff — the heavy-tail-immune complement of
+    * `ev_anomaly_zscore`. See [[graft.ops.Analytics.madOutliers]].
+    */
+  private def evMadOutliers(s: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(Tables.events(s, dir), "event_type", "value",
+      minScore = 3.5, outCols = Seq("event_id", "event_type"))
+
+  private val evMadOutliersSql =
+    """WITH v AS (SELECT event_id, event_type, round(value, 6) AS value
+      |           FROM events),
+      |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |        FROM v GROUP BY 1),
+      |mad AS (SELECT v.event_type,
+      |          round(quantile_cont(abs(v.value - med.med), 0.5), 6) AS mad
+      |        FROM v JOIN med USING (event_type) GROUP BY 1),
+      |sc AS (SELECT v.event_id, v.event_type, v.value,
+      |         round(0.6745 * (v.value - med.med) /
+      |               CASE WHEN mad.mad = 0 THEN NULL ELSE mad.mad END, 6)
+      |           AS score
+      |       FROM v JOIN med USING (event_type) JOIN mad USING (event_type))
+      |SELECT event_id, event_type, value, score
+      |FROM sc WHERE abs(score) >= 3.5""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
+    QueryDef("ev_time_to_conversion", evTimeToConversion,
+      Some(evTimeToConversionSql)),
+    QueryDef("ev_sliding_active_users", evSlidingActiveUsers,
+      Some(evSlidingActiveUsersSql)),
+    QueryDef("ev_mad_outliers", evMadOutliers, Some(evMadOutliersSql)),
     QueryDef("gov_k_anonymity", govKAnonymity, Some(govKAnonymitySql)),
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),

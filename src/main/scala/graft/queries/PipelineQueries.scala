@@ -1494,6 +1494,108 @@ object PipelineQueries {
       |SELECT gram, count(*) AS doc_freq FROM d GROUP BY 1
       |ORDER BY doc_freq DESC, gram LIMIT 25""".stripMargin
 
+  /** C4 line-level cleaning over a deterministically derived multi-line
+    * form of the documents (the synthetic corpus is single-line and
+    * punctuation-free, so — like `dedup_lines` — the query re-lines
+    * each doc into 10-token lines and plants the crawl artifacts the
+    * rules exist for: every 3rd line gets a terminal period, every 5th
+    * a `{ad}` markup fragment, every 7th a "javascript" boilerplate
+    * tail). All three C4 rules are therefore live: short/no-punct lines
+    * drop, markup lines drop even when punctuated, boilerplate lines
+    * drop on the marker. The planting is index arithmetic, so the whole
+    * fixture and the cleanse replay in SQL. See
+    * [[graft.ops.TextAnalysis.c4LineClean]].
+    */
+  private def textC4LineClean(s: SparkSession, dir: String): DataFrame = {
+    val multi = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(transform(
+          when(size(col("toks")) >= 1,
+            sequence(lit(1), ceil(size(col("toks")) / lit(10.0)).cast("int")))
+            .otherwise(array()),
+          j => concat(
+            array_join(slice(col("toks"), (j - 1) * 10 + 1, lit(10)), " "),
+            when(j % 3 === 0, lit(".")).otherwise(lit("")),
+            when(j % 5 === 0, lit(" {ad}")).otherwise(lit("")),
+            when(j % 7 === 0, lit(" javascript required")).otherwise(lit("")))),
+          "\n").as("text"))
+    TextAnalysis.c4LineClean(multi, "doc_id", "text")
+  }
+
+  private val textC4LineCleanSql =
+    """WITH b AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |ml AS (SELECT doc_id,
+      |         string_agg(
+      |           array_to_string(
+      |             list_slice(toks, (j-1)*10+1, (j-1)*10+10), ' ')
+      |           || CASE WHEN j % 3 = 0 THEN '.' ELSE '' END
+      |           || CASE WHEN j % 5 = 0 THEN ' {ad}' ELSE '' END
+      |           || CASE WHEN j % 7 = 0 THEN ' javascript required'
+      |              ELSE '' END,
+      |           chr(10) ORDER BY j) AS text
+      |       FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1,
+      |                 CAST(ceil(length(toks)/10.0) AS INT))) AS j
+      |             FROM b)
+      |       GROUP BY doc_id),
+      |c AS (SELECT doc_id,
+      |        list_transform(string_split(text, chr(10)), x -> trim(x))
+      |          AS lines
+      |      FROM ml),
+      |k AS (SELECT doc_id, lines,
+      |        list_filter(lines, t ->
+      |          length(string_split_regex(t, '\s+')) >= 3
+      |          AND regexp_matches(t, '[.!?"]$')
+      |          AND NOT contains(t, '{')
+      |          AND NOT contains(lower(t), 'lorem ipsum')
+      |          AND NOT contains(lower(t), 'javascript')) AS kept
+      |      FROM c)
+      |SELECT doc_id, CAST(length(lines) AS INT) AS n_lines,
+      |       CAST(length(kept) AS INT) AS n_kept,
+      |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      |FROM k""".stripMargin
+
+  /** One pinned Lloyd iteration over the embeddings (the k-means
+    * training step a clustering fit runs to convergence): nearest
+    * pinned centroid by squared Euclidean distance, then per-cell
+    * updated means, sizes, and inertia. Centroids are the same 16
+    * evenly-strided corpus rows as the pinned IVF family, so the full
+    * assignment → update step replays in SQL. See
+    * [[graft.ops.Embeddings.kmeansUpdatePinned]].
+    */
+  private def embKmeansUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.kmeansUpdatePinned(Tables.embeddings(s, dir),
+      "vec_id", "embedding", centroidIds = ivfPinnedCentroids)
+
+  private val embKmeansUpdateSql = {
+    val cids = (0 until 16).map(_ * 31L).mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |c AS (SELECT id AS cid, v AS cv FROM v WHERE id IN ($cids)),
+       |d AS (SELECT v.id, c.cid, v.v,
+       |        round(list_sum(list_transform(
+       |          generate_series(1, length(v.v)),
+       |          i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))), 6) AS sd
+       |      FROM v CROSS JOIN c),
+       |a AS (SELECT id, cid AS cell, sd, v FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY id ORDER BY sd, cid) AS rn FROM d) t
+       |      WHERE rn = 1),
+       |cs AS (SELECT cell, count(*) AS n, round(sum(sd), 6) AS inertia
+       |       FROM a GROUP BY 1),
+       |m AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+       |        round(avg(v[CAST(i AS INT)]), 6) AS c_new
+       |      FROM (SELECT cell, v,
+       |              unnest(generate_series(1, length(v))) AS i
+       |            FROM a) u
+       |      GROUP BY 1, 2)
+       |SELECT m.cell, m.pos, cs.n, m.c_new, cs.inertia
+       |FROM m JOIN cs USING (cell)""".stripMargin
+  }
+
   /** Top-40 collocations by PMI with a support floor of 5 occurrences —
     * the frequency-independent complement of `text_top_ngrams`. The PMI
     * ratio is evaluated in the same left-to-right order on both sides
@@ -2479,6 +2581,7 @@ object PipelineQueries {
     QueryDef("emb_label_centroids", embLabelCentroids,
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
+    QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
@@ -2500,6 +2603,7 @@ object PipelineQueries {
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("text_top_ngrams", topNgrams, Some(topNgramsSql)),
+    QueryDef("text_c4_line_clean", textC4LineClean, Some(textC4LineCleanSql)),
     QueryDef("text_pmi_collocations", pmiColloc, Some(pmiCollocSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),

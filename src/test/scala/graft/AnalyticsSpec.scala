@@ -487,4 +487,82 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(19L) == ((19.0, 18.1, "high")) &&
       got(20L) == ((20.0, 18.1, "high")))
   }
+
+  test("assocRules computes support/confidence/lift on hand-built baskets") {
+    import spark.implicits._
+    // baskets: b1{x,y} b2{x,y} b3{x} b4{y,z} b5{z}; duplicate rows in a
+    // basket must not inflate counts
+    val rows = Seq("b1" -> "x", "b1" -> "y", "b1" -> "x", "b2" -> "x",
+      "b2" -> "y", "b3" -> "x", "b4" -> "y", "b4" -> "z", "b5" -> "z")
+    val got = Analytics.assocRules(rows.toDF("b", "i"), "b", "i",
+        minPairCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // n=5 baskets; items x:3 y:3 z:2; pairs (x,y):2 (y,z):1
+    assert(got(("x", "y")) == ((2L, 0.4, 0.666667, 1.111111)))
+    assert(got(("y", "x")) == ((2L, 0.4, 0.666667, 1.111111)))
+    assert(got(("y", "z")) == ((1L, 0.2, 0.333333, 0.833333)))
+    assert(got(("z", "y")) == ((1L, 0.2, 0.5, 0.833333)))
+    assert(got.size == 4)
+    // the support floor prunes the (y,z) pair, both directions
+    val floored = Analytics.assocRules(rows.toDF("b", "i"), "b", "i",
+      minPairCount = 2).collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y"), ("y", "x")))
+  }
+
+  test("timeToConversion: pre-signup purchases ignored, ties convert at 0") {
+    val rows = Seq(
+      // user 1: purchase BEFORE signup ignored; next purchase counts
+      (1L, 1L, ts(5000000L), "purchase", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(10000000L), "signup", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(20000000L), "purchase", java.lang.Double.valueOf(1.0)),
+      // user 2: signed up, never converted
+      (4L, 2L, ts(10000000L), "signup", java.lang.Double.valueOf(1.0)),
+      // user 3: purchase only — no signup, absent from output
+      (5L, 3L, ts(10000000L), "purchase", java.lang.Double.valueOf(1.0)),
+      // user 4: purchase at the exact signup instant converts at 0
+      (6L, 4L, ts(30000000L), "signup", java.lang.Double.valueOf(1.0)),
+      (7L, 4L, ts(50000000L), "signup", java.lang.Double.valueOf(1.0)),
+      (8L, 4L, ts(30000000L), "purchase", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.timeToConversion(evDf(rows), "user_id", "ts",
+        "event_type", "signup", "purchase")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(1L -> Some(10000000L), 2L -> None, 4L -> Some(0L)))
+  }
+
+  test("slidingDistinct fans each event into win/slide windows, counts distinct") {
+    val rows = Seq(
+      (1L, 1L, ts(10000000L), "a", java.lang.Double.valueOf(1.0)),
+      (2L, 2L, ts(12500000L), "a", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(13200000L), "a", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.slidingDistinct(evDf(rows), "ts", "user_id",
+        windowDur = "4 seconds", slideDur = "1 second")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // u1@10s -> starts 7..10; u2@12.5s -> 9..12; u1@13.2s -> 10..13
+    assert(got == Map(
+      7000000L -> 1L, 8000000L -> 1L, 9000000L -> 2L, 10000000L -> 2L,
+      11000000L -> 2L, 12000000L -> 2L, 13000000L -> 1L))
+  }
+
+  test("madOutliers flags the planted spike, never constant/singleton groups") {
+    val spiky = Seq(9.0, 9.5, 9.8, 10.0, 10.0, 10.2, 10.5, 11.0, 100.0)
+    val rows =
+      spiky.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 1L, ts(i * 1000000L), "n", java.lang.Double.valueOf(v)) } ++
+      // constant group: MAD 0 -> must flag nothing
+      Seq.fill(5)(5.0).zipWithIndex.map { case (v, i) =>
+        (100L + i, 1L, ts(i * 1000000L), "c", java.lang.Double.valueOf(v)) } :+
+      // singleton group: MAD 0 -> must flag nothing
+      ((200L, 1L, ts(0), "s", java.lang.Double.valueOf(42.0)))
+    val got = Analytics.madOutliers(evDf(rows), "event_type", "value",
+        minScore = 3.5, outCols = Seq("event_id", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // median 10, MAD 0.5: only the 100.0 scores 0.6745*90/0.5 = 121.41
+    assert(got.toSeq == Seq((8L, "n", 121.41)))
+  }
 }

@@ -1621,4 +1621,47 @@ class OpsSpec extends AnyFunSuite {
     assert(m(("aa", "bb")) == exp(3.0 * 16 / 11 * 16 / 3 / 3))
     assert(m(("bb", "cc")) == exp(3.0 * 16 / 11 * 16 / 3 / 3))
   }
+
+  test("c4LineClean keeps prose lines, drops each published junk class") {
+    val text = Seq(
+      "This is a proper sentence.", //   kept
+      "too short.", //                   < 3 words
+      "no terminal punctuation here", // no sentence end
+      "Braces are bad { always.", //     markup fragment
+      "Lorem Ipsum filler text here.", // boilerplate (case-insensitive)
+      "Enable JavaScript to continue.", // js-wall boilerplate
+      "Ends with a quote fine.\"" //     kept (closing quote terminates)
+    ).mkString("\n")
+    val got = TextAnalysis.c4LineClean(docs(Seq(1L -> text)), "doc_id", "text")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).head
+    assert(got == ((7, 2,
+      "This is a proper sentence.\nEnds with a quote fine.\"")))
+  }
+
+  test("kmeansUpdatePinned: argmin assignment, tie to lower cid, exact update") {
+    import graft.ops.Embeddings
+    val rows = Seq(
+      Row(1L, Seq(0.0f, 0.0f)), Row(2L, Seq(10.0f, 10.0f)), // = centroids
+      Row(3L, Seq(1.0f, 0.0f)), //  cell 1, sd 1
+      Row(4L, Seq(9.0f, 10.0f)), // cell 2, sd 1
+      Row(5L, Seq(5.0f, 5.0f))) //  equidistant (sd 50) -> lower cid wins
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val got = Embeddings.kmeansUpdatePinned(df, "vec_id", "embedding",
+        centroidIds = Seq(1L, 2L))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // cell 1 = {v1, v3, v5}: means (2, 1.666667), inertia 0+1+50
+    assert(got((1L, 0)) == ((3L, 2.0, 51.0)))
+    assert(got((1L, 1)) == ((3L, 1.666667, 51.0)))
+    // cell 2 = {v2, v4}: means (9.5, 10), inertia 1
+    assert(got((2L, 0)) == ((2L, 9.5, 1.0)))
+    assert(got((2L, 1)) == ((2L, 10.0, 1.0)))
+    assertThrows[IllegalArgumentException] {
+      Embeddings.kmeansUpdatePinned(df, "vec_id", "embedding",
+        centroidIds = Seq(1L, 999L)).collect()
+    }
+  }
 }
