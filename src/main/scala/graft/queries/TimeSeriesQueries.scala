@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TimeSeries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Time-series diagnostics over the events stream: EWMA smoothing,
+  * CUSUM changepoint detection, autocorrelation. The sequential
+  * recurrences run over the DOMAIN-sized daily series (one count per
+  * calendar day), so the only full-data pass is a map-side-combinable
+  * count — the shape that survives 100 TB. The oracles replay the
+  * recurrences with recursive CTEs and match bit-for-bit before the
+  * final 6dp rounding (see [[graft.ops.TimeSeries]] for why the EWMA
+  * update form uses a single alpha literal and CUSUM pins mu/k/h to 6dp
+  * before the fold).
+  */
+object TimeSeriesQueries {
+
+  /** EWMA (alpha = 0.3) of daily event counts. */
+  private def evEwmaDaily(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaDaily(Tables.events(s, dir), "ts", alpha = 0.3)
+
+  private val evEwmaDailySql =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |e AS (
+      |  SELECT rn, day, x, x AS ewma FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.day, r.x, e.ewma + 0.3 * (r.x - e.ewma)
+      |  FROM e JOIN r ON r.rn = e.rn + 1)
+      |SELECT day, x, round(ewma, 6) AS ewma FROM e""".stripMargin
+
+  /** Two-sided CUSUM on daily counts: slack k = 0.5 sigma, threshold
+    * h = 4 sigma (the standard fast-detection parameterization).
+    */
+  private def evCusum(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumChangepoint(Tables.events(s, dir), "ts",
+      kSigmas = 0.5, hSigmas = 4.0)
+
+  private val evCusumSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT round(avg(x), 6) AS mu,
+      |              round(round(stddev_samp(x), 6) * 0.5, 6) AS k,
+      |              round(round(stddev_samp(x), 6) * 4.0, 6) AS h
+      |       FROM d),
+      |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |c AS (
+      |  SELECT r.rn, r.day, r.x,
+      |         greatest(0.0, r.x - st.mu - st.k) AS sp,
+      |         least(0.0, r.x - st.mu + st.k) AS sn
+      |  FROM r CROSS JOIN st WHERE r.rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.day, r.x,
+      |         greatest(0.0, c.sp + (r.x - st.mu - st.k)),
+      |         least(0.0, c.sn + (r.x - st.mu + st.k))
+      |  FROM c JOIN r ON r.rn = c.rn + 1 CROSS JOIN st)
+      |SELECT c.day, c.x, round(c.sp, 6) AS sp, round(c.sn, 6) AS sn,
+      |       (round(c.sp, 6) > st.h OR round(c.sn, 6) < -st.h) AS flag
+      |FROM c CROSS JOIN st""".stripMargin
+
+  /** ACF of daily counts at lags 1..7. */
+  private def evAutocorr(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.autocorrDaily(Tables.events(s, dir), "ts", maxLag = 7)
+
+  private val evAutocorrSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+      |           FROM events GROUP BY 1),
+      |m AS (SELECT avg(x) AS mu FROM d),
+      |r AS (SELECT row_number() OVER (ORDER BY day) AS rn, x - m.mu AS dev
+      |      FROM d CROSS JOIN m),
+      |den AS (SELECT sum(dev * dev) AS den FROM r)
+      |SELECT b.rn - a.rn AS lag,
+      |       round(sum(a.dev * b.dev) / den.den, 6) AS acf
+      |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 7
+      |CROSS JOIN den
+      |GROUP BY 1, den.den""".stripMargin
+
+  def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_ewma_daily", evEwmaDaily, Some(evEwmaDailySql)),
+    QueryDef("ev_cusum_changepoint", evCusum, Some(evCusumSql)),
+    QueryDef("ev_autocorr_daily", evAutocorr, Some(evAutocorrSql)),
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.TimeSeries
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  /** One event per (day, repeat) — lets a test spell a daily-count
+    * series directly: counts(i) events on day 2024-01-(i+1).
+    */
+  private def seriesDf(counts: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    }.toDF("ts")
+  }
+
+  test("ewmaDaily matches the hand-rolled recurrence") {
+    val counts = Seq(10, 20, 10, 40)
+    val got = TimeSeries.ewmaDaily(seriesDf(counts), "ts", alpha = 0.5)
+      .orderBy("day").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // s1=10; s2=10+0.5*(20-10)=15; s3=15+0.5*(10-15)=12.5; s4=12.5+0.5*27.5=26.25
+    assert(got.toSeq == Seq((10d, 10d), (20d, 15d), (10d, 12.5), (40d, 26.25)))
+  }
+
+  test("cusumChangepoint flags a planted level shift and resets at zero") {
+    // 8 calm days at 10, then 4 days at 30: mu ~ 16.67, a clear upward
+    // drift the positive CUSUM accumulates; the calm prefix stays clamped
+    // at 0 (sp never goes negative, sn bounded above by 0).
+    val counts = Seq(10, 10, 10, 10, 10, 10, 10, 10, 30, 30, 30, 30)
+    val rows = TimeSeries.cusumChangepoint(seriesDf(counts), "ts",
+      kSigmas = 0.5, hSigmas = 2.0).orderBy("day").collect()
+    val sp = rows.map(_.getDouble(2))
+    val sn = rows.map(_.getDouble(3))
+    val flags = rows.map(_.getBoolean(4))
+    assert(sp.forall(_ >= 0) && sn.forall(_ <= 0))
+    assert(sp.take(8).forall(_ == 0d), "calm prefix must stay clamped")
+    assert(sp.drop(8).zip(sp.drop(9)).forall { case (a, b) => b > a },
+      "shifted suffix must accumulate")
+    assert(!flags.take(8).exists(identity) && flags.last,
+      "flag only after the shift accumulates past h")
+  }
+
+  test("autocorrDaily: alternating series has acf(1) < 0 < acf(2)") {
+    val counts = Seq(10, 30, 10, 30, 10, 30, 10, 30)
+    val got = TimeSeries.autocorrDaily(seriesDf(counts), "ts", maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // exact: mean 20, dev = ±10; lag1 pairs all opposite-sign (7 of
+    // them), lag2 all same-sign (6): r1 = -700/800, r2 = 600/800
+    assert(got(1) == -0.875 && got(2) == 0.75)
+  }
+
+  test("autocorrDaily of a constant series yields NaN/null acf (zero denom)") {
+    val got = TimeSeries.autocorrDaily(seriesDf(Seq(5, 5, 5)), "ts", 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(1) || got.head.getDouble(1).isNaN)
+  }
+}
