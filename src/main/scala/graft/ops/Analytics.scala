@@ -226,6 +226,35 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Top event-type trigram paths: for every key's time-ordered event
+    * sequence, count consecutive (t1, t2, t3) triples corpus-wide and
+    * return the `topK` most frequent — the second-order sequence-mining
+    * complement of [[transitionMatrix]] (first-order edges can't tell
+    * "view→click→purchase" from "view→click→error"; the funnel designer
+    * needs the triple). The top-k order is TOTAL (count desc, then the
+    * path lexicographically), so the limit boundary is deterministic and
+    * any engine replays it.
+    *
+    * Scale shape: the window is partitioned by `keyCol` — per-key
+    * history is bounded by human activity, so no single partition grows
+    * with corpus size — and the trigram aggregate is map-side
+    * combinable over a domain of at most |types|^3 keys; the final
+    * top-k is a TakeOrdered, never a global sort.
+    */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               typeCol: String, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topK)
+  }
+
   /** Association rules over baskets (Agrawal–Srikant support/confidence
     * plus lift): for every ordered pair of distinct items co-occurring
     * in at least `minPairCount` baskets, emit the pair count, support,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Analytics
+import graft.ops.{Analytics, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -630,7 +630,74 @@ object AnalyticsQueries {
       |SELECT event_id, event_type, value, score
       |FROM sc WHERE abs(score) >= 3.5""".stripMargin
 
+  /** Top 25 event-type trigram paths corpus-wide — second-order
+    * sequence mining on top of the first-order `ev_transition_matrix`.
+    * See [[graft.ops.Analytics.topPaths]].
+    */
+  private def evTopPaths(s: SparkSession, dir: String): DataFrame =
+    Analytics.topPaths(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type", topK = 25)
+
+  private val evTopPathsSql =
+    """WITH s AS (SELECT event_type AS t1,
+      |             lead(event_type, 1) OVER w AS t2,
+      |             lead(event_type, 2) OVER w AS t3
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, count(*) AS cnt FROM s WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY cnt DESC, t1, t2, t3 LIMIT 25""".stripMargin
+
+  /** Three pinned PageRank iterations (damping 0.85) over the weighted
+    * event-type transition digraph — which states the stream
+    * gravitates to, computed with the join-per-iteration shape that
+    * scales to a 100 TB edge table. Edges are the first-order
+    * transition counts; see [[graft.ops.Graph.pagerank]].
+    */
+  private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pagerank(
+      Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")
+        .select(col("from_type"), col("to_type"), col("cnt")),
+      "from_type", "to_type", "cnt",
+      damping = 0.85, teleport = 0.15, iters = 3)
+
+  private val evTypePagerankSql =
+    """WITH s AS (SELECT event_type AS src,
+      |             lead(event_type, 1) OVER
+      |               (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |           FROM events),
+      |e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM s
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+      |p AS (SELECT e.src, e.dst, e.w / ow.outw AS p
+      |      FROM e JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+      |r1 AS (SELECT nodes.node,
+      |         0.15 / nn.n + 0.85 * coalesce(sum(p.p * r0.pr), 0.0) AS pr
+      |       FROM nodes CROSS JOIN nn
+      |       LEFT JOIN p ON p.dst = nodes.node
+      |       LEFT JOIN r0 ON r0.node = p.src
+      |       GROUP BY nodes.node, nn.n),
+      |r2 AS (SELECT nodes.node,
+      |         0.15 / nn.n + 0.85 * coalesce(sum(p.p * r1.pr), 0.0) AS pr
+      |       FROM nodes CROSS JOIN nn
+      |       LEFT JOIN p ON p.dst = nodes.node
+      |       LEFT JOIN r1 ON r1.node = p.src
+      |       GROUP BY nodes.node, nn.n),
+      |r3 AS (SELECT nodes.node,
+      |         0.15 / nn.n + 0.85 * coalesce(sum(p.p * r2.pr), 0.0) AS pr
+      |       FROM nodes CROSS JOIN nn
+      |       LEFT JOIN p ON p.dst = nodes.node
+      |       LEFT JOIN r2 ON r2.node = p.src
+      |       GROUP BY nodes.node, nn.n)
+      |SELECT node, round(pr, 6) AS pr FROM r3""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
+    QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

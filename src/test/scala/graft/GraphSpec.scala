@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Analytics, Graph}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  /** Independent reference: dense PageRank loop over a tiny graph. */
+  private def refPagerank(edges: Seq[(String, String, Double)], d: Double,
+                          tele: Double, iters: Int): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      pr = nodes.map { v =>
+        val in = edges.filter(_._2 == v)
+          .map { case (u, _, w) => pr(u) * (w / outW(u)) }.sum
+        v -> (tele / n + d * in)
+      }.toMap
+    }
+    pr.map { case (k, v) => k -> BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("pagerank matches the dense reference on an asymmetric graph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0),
+      ("c", "a", 1.0))
+    val got = Graph.pagerank(edges.toDF("s", "d", "w"), "s", "d", "w",
+        damping = 0.85, teleport = 0.15, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == refPagerank(edges, 0.85, 0.15, 3))
+    // rank mass is conserved when every node has out-edges
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+  }
+
+  test("pagerank: sink node leaks mass, source node settles at teleport/N") {
+    import spark.implicits._
+    // a -> b -> c, c is a sink (no out-edges), a has no in-edges
+    val edges = Seq(("a", "b", 2.0), ("b", "c", 1.0))
+    val got = Graph.pagerank(edges.toDF("s", "d", "w"), "s", "d", "w",
+        damping = 0.85, teleport = 0.15, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == refPagerank(edges, 0.85, 0.15, 3))
+    assert(got("a") == 0.05) // teleport/N = 0.15/3 from iteration 1 on
+    assert(got.values.sum < 1.0) // sink leak, by design
+  }
+
+  test("topPaths counts trigrams in time order and ranks deterministically") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: v c p v c p  -> vcp x2, cpv, pvc; user 2: v c p -> vcp
+    val rows = Seq(
+      (1L, 1L, ts(1), "v"), (2L, 1L, ts(2), "c"), (3L, 1L, ts(3), "p"),
+      (4L, 1L, ts(4), "v"), (5L, 1L, ts(5), "c"), (6L, 1L, ts(6), "p"),
+      (7L, 2L, ts(1), "v"), (8L, 2L, ts(2), "c"), (9L, 2L, ts(3), "p"))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Analytics.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // vcp appears 3x; cpv and pvc once each -> lexicographic tie-break
+    assert(got.toSeq == Seq(("v", "c", "p", 3L), ("c", "p", "v", 1L)))
+  }
+}
