@@ -102,4 +102,67 @@ object Embeddings {
           .otherwise(round(x.cast("double") / scale * 127, 0).cast("int")))
         .as("codes"))
   }
+
+  /** Top principal component of the embedding corpus by `iters` pinned
+    * power iterations — the dimensionality-reduction primitive (PCA
+    * whitening, spectral dedup diagnostics) kept FULLY declarative: no
+    * driver-side vector collects; every iteration is two joins + two
+    * map-side-combinable aggregates over the centered (row, dim, value)
+    * table, with the current direction broadcast (d rows).
+    *
+    *   mu    = per-dimension mean (one aggregate)
+    *   c     = centered values, materialized once (reused 2x per iter)
+    *   v_0   = 1/sqrt(d) * (1,...,1)       — pinned deterministic init
+    *   s_i   = (x_i - mu) . v              — scan-side after a pos-join
+    *   y     = sum_i s_i (x_i - mu)        — combinable (pos) aggregate
+    *   v'    = y / ||y||
+    *
+    * Output: one row per dimension (`pos`, `loading` of the final unit
+    * direction, `eigval` = Rayleigh quotient v_prev . y / N — the
+    * biased per-row variance along the component). 6dp rounding only at
+    * the end: the iteration's cross-engine drift is summation-order
+    * noise (~1e-12), far below the rounding grain; the sign is pinned
+    * by the all-positive v_0.
+    *
+    * Scale shape: the posexplode never hits the wire (partial aggregates
+    * reduce each task to d rows); per iteration one shuffle on `vid` and
+    * one on `pos`, both AQE-coalesced; the centered table is the only
+    * cache and is row x dim sized. Deep iteration counts should
+    * checkpoint the direction instead of unrolling the plan.
+    */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val x = df.select(col(idCol).as("vid"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+    val mu = x.groupBy(col("pos")).agg(avg(col("v")).as("mu"))
+    val c = graft.data.ScopedCaches.materialize(
+      x.join(broadcast(mu), "pos")
+        .select(col("vid"), col("pos"), (col("v") - col("mu")).as("v")))
+    val dCnt = mu.agg(count(lit(1)).cast("double").as("__d"))
+    var v = mu.crossJoin(broadcast(dCnt))
+      .select(col("pos"), (lit(1.0) / sqrt(col("__d"))).as("w"))
+    var vPrev = v
+    var y: DataFrame = null
+    for (_ <- 1 to iters) {
+      vPrev = v
+      val s = c.join(broadcast(v), "pos")
+        .groupBy(col("vid")).agg(sum(col("v") * col("w")).as("s"))
+      y = c.join(s, "vid")
+        .groupBy(col("pos")).agg(sum(col("v") * col("s")).as("y"))
+      val nrm = y.agg(sqrt(sum(col("y") * col("y"))).as("__nrm"))
+      // zero-variance corpus (all vectors identical): direction is
+      // undefined — emit nulls rather than an ANSI divide-by-zero
+      v = y.crossJoin(broadcast(nrm))
+        .select(col("pos"), when(col("__nrm") === 0d, lit(null))
+          .otherwise(col("y") / col("__nrm")).as("w"))
+    }
+    val nr = df.agg(count(lit(1)).cast("double").as("__nr"))
+    val lam = vPrev.withColumnRenamed("w", "wp").join(y, "pos")
+      .agg(sum(col("wp") * col("y")).as("__lam"))
+      .crossJoin(nr).select((col("__lam") / col("__nr")).as("__ev"))
+    v.crossJoin(broadcast(lam))
+      .select(col("pos"), round(col("w"), 6).as("loading"),
+        round(col("__ev"), 6).as("eigval"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-data-layout operators: computing multi-dimensional
+  * clustering keys so a 100 TB table can be written in an order that
+  * lets min/max zone maps prune on EVERY clustered column, not just the
+  * first sort key. Z-order (bit-interleaved) keys are the standard
+  * technique (Delta/Iceberg `OPTIMIZE ZORDER BY`); here the key is a
+  * plain Catalyst integer expression, so the write path is just
+  * `repartitionByRange($"z") .sortWithinPartitions($"z") .write`.
+  */
+object Layout {
+
+  /** Bit-interleaved z-value of two per-row codes already scaled to
+    * `bits`-bit unsigned range: x occupies the odd bit positions, y the
+    * even. Pure unrolled shift/mask/or arithmetic — scan-side, codegen,
+    * replayable in any engine with integer ops.
+    */
+  def interleaveBits(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order layout audit for a two-column clustering key: scales each
+    * dimension to a `bits`-bit code by min/max integer arithmetic
+    * (exact — no doubles anywhere), interleaves to a z-value, and
+    * reports per z-bucket (top `bucketBits` bits) the row count and the
+    * min/max of both raw dimensions — the zone-map ranges a writer
+    * clustered on this key would give every file. Degenerate dimensions
+    * (min == max) code to 0.
+    *
+    * Scale shape: min/max is one combinable aggregate broadcast back;
+    * coding + interleaving is scan-side integer codegen; the bucket
+    * report is one combinable aggregate over at most 2^bucketBits
+    * groups. The actual rewrite at scale is
+    * `repartitionByRange(col("z"))` + sortWithinPartitions — range
+    * partitioning on z IS the cluster order, no global sort.
+    */
+  def zorderBuckets(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+                    bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"need 1 <= bucketBits <= ${2 * bits}, got $bucketBits")
+    val b = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val mm = b.agg(min(col("x")).as("__xlo"), max(col("x")).as("__xhi"),
+      min(col("y")).as("__ylo"), max(col("y")).as("__yhi"))
+    val maxCode = (1L << bits) - 1
+    // `div` (exact BIGINT division) — Column./ is double division and
+    // a rounded code would disagree with an integer-arithmetic oracle.
+    val coded = b.crossJoin(broadcast(mm))
+      .withColumn("xs", when(col("__xhi") === col("__xlo"), lit(0L))
+        .otherwise(expr(s"((x - __xlo) * ${maxCode}L) div (__xhi - __xlo)")))
+      .withColumn("ys", when(col("__yhi") === col("__ylo"), lit(0L))
+        .otherwise(expr(s"((y - __ylo) * ${maxCode}L) div (__yhi - __ylo)")))
+      .select(col("x"), col("y"),
+        interleaveBits(col("xs"), col("ys"), bits).as("z"))
+    coded.groupBy(shiftrightunsigned(col("z"), 2 * bits - bucketBits)
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+}

@@ -407,6 +407,44 @@ object CoreQueries {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Z-order layout audit of orders clustered on (o_custkey, order
+    * day): 16-bit codes interleaved to a 32-bit z-value, reported per
+    * 256-bucket — the zone-map ranges a `OPTIMIZE ZORDER`-style rewrite
+    * would give each file. See [[graft.ops.Layout.zorderBuckets]].
+    */
+  private def layoutZorderOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderBuckets(Tables.orders(s, dir),
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
+      bits = 16, bucketBits = 8)
+
+  private val layoutZorderOrdersSql = {
+    // the same unrolled interleave arithmetic the Column expression
+    // compiles to, emitted as SQL (xs odd bits, ys even)
+    val interleave = (0 until 16).map { i =>
+      s"(((xs >> $i) & 1) << ${2 * i + 1}) | (((ys >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+    s"""WITH b AS (SELECT o_custkey AS x,
+       |             datediff('day', DATE '1970-01-01',
+       |                      CAST(o_orderdate AS DATE)) AS y
+       |           FROM orders),
+       |mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
+       |              min(y) AS ylo, max(y) AS yhi FROM b),
+       |coded AS (SELECT x, y,
+       |            CASE WHEN mm.xhi = mm.xlo THEN 0
+       |                 ELSE ((x - mm.xlo) * 65535) // (mm.xhi - mm.xlo)
+       |            END AS xs,
+       |            CASE WHEN mm.yhi = mm.ylo THEN 0
+       |                 ELSE ((y - mm.ylo) * 65535) // (mm.yhi - mm.ylo)
+       |            END AS ys
+       |          FROM b CROSS JOIN mm),
+       |z AS (SELECT x, y, $interleave AS zv FROM coded)
+       |SELECT zv >> 24 AS bucket, count(*) AS cnt,
+       |       min(x) AS x_min, max(x) AS x_max,
+       |       min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   private[queries] def scalarDouble(s: SparkSession, name: String, v: Double): DataFrame =
     s.createDataFrame(
       java.util.Arrays.asList(Row(math.rint(v * 1e6) / 1e6)),
@@ -437,5 +475,7 @@ object CoreQueries {
     QueryDef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     QueryDef("ev_asof_last_signup", evAsofSignup, Some(evAsofSignupSql)),
     QueryDef("ev_signup_followup_24h", evFollowup, Some(evFollowupSql)),
+    QueryDef("layout_zorder_orders", layoutZorderOrders,
+      Some(layoutZorderOrdersSql)),
   )
 }

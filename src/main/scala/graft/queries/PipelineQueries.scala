@@ -1570,6 +1570,42 @@ object PipelineQueries {
     graft.ops.Embeddings.kmeansUpdatePinned(Tables.embeddings(s, dir),
       "vec_id", "embedding", centroidIds = ivfPinnedCentroids)
 
+  /** Top principal component of the embedding corpus: 3 pinned power
+    * iterations from the deterministic all-ones/sqrt(d) start — PCA as
+    * pure joins + combinable aggregates, no driver-side vectors. See
+    * [[graft.ops.Embeddings.pcaTopComponent]].
+    */
+  private def embPcaTop(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.pcaTopComponent(Tables.embeddings(s, dir),
+      "vec_id", "embedding", iters = 3)
+
+  private val embPcaTopSql =
+    """WITH x AS (SELECT vec_id,
+      |             generate_subscripts(embedding, 1) - 1 AS pos,
+      |             unnest(embedding)::DOUBLE AS v
+      |           FROM embeddings),
+      |mu AS (SELECT pos, avg(v) AS mu FROM x GROUP BY 1),
+      |c AS (SELECT x.vec_id, x.pos, x.v - mu.mu AS v FROM x JOIN mu USING (pos)),
+      |dd AS (SELECT count(*)::DOUBLE AS d FROM mu),
+      |nr AS (SELECT count(*)::DOUBLE AS nr FROM embeddings),
+      |v0 AS (SELECT pos, 1.0 / sqrt(dd.d) AS w FROM mu CROSS JOIN dd),
+      |s1 AS (SELECT c.vec_id, sum(c.v * v0.w) AS s FROM c JOIN v0 USING (pos) GROUP BY 1),
+      |y1 AS (SELECT c.pos, sum(c.v * s1.s) AS y FROM c JOIN s1 USING (vec_id) GROUP BY 1),
+      |n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1),
+      |v1 AS (SELECT pos, y / n1.nrm AS w FROM y1 CROSS JOIN n1),
+      |s2 AS (SELECT c.vec_id, sum(c.v * v1.w) AS s FROM c JOIN v1 USING (pos) GROUP BY 1),
+      |y2 AS (SELECT c.pos, sum(c.v * s2.s) AS y FROM c JOIN s2 USING (vec_id) GROUP BY 1),
+      |n2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y2),
+      |v2 AS (SELECT pos, y / n2.nrm AS w FROM y2 CROSS JOIN n2),
+      |s3 AS (SELECT c.vec_id, sum(c.v * v2.w) AS s FROM c JOIN v2 USING (pos) GROUP BY 1),
+      |y3 AS (SELECT c.pos, sum(c.v * s3.s) AS y FROM c JOIN s3 USING (vec_id) GROUP BY 1),
+      |n3 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y3),
+      |v3 AS (SELECT pos, y / n3.nrm AS w FROM y3 CROSS JOIN n3),
+      |lam AS (SELECT sum(v2.w * y3.y) AS lam FROM v2 JOIN y3 USING (pos))
+      |SELECT v3.pos, round(v3.w, 6) AS loading,
+      |       round(lam.lam / nr.nr, 6) AS eigval
+      |FROM v3 CROSS JOIN lam CROSS JOIN nr""".stripMargin
+
   private val embKmeansUpdateSql = {
     val cids = (0 until 16).map(_ * 31L).mkString(", ")
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -2582,6 +2618,7 @@ object PipelineQueries {
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
+    QueryDef("emb_pca_top_component", embPcaTop, Some(embPcaTopSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),

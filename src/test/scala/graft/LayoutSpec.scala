@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Embeddings, Layout}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("interleaveBits matches hand-interleaved values") {
+    import spark.implicits._
+    // x=0b101 (odd positions), y=0b011 (even): z = 1_0_1 interleaved
+    // with 0_1_1 -> bits (x2<<5)(y2<<4)(x1<<3)(y1<<2)(x0<<1)(y0) =
+    // 1 0 0 1 1 1 = 0b100111 = 39
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.interleaveBits(col("x"), col("y"), 3).as("z"))
+      .head().getLong(0)
+    assert(got == 39L)
+    // full-width sanity: interleave(max, 0) sets exactly the odd bits
+    val odd = Seq(((1L << 16) - 1, 0L)).toDF("x", "y")
+      .select(Layout.interleaveBits(col("x"), col("y"), 16).as("z"))
+      .head().getLong(0)
+    assert(odd == 0xAAAAAAAAL)
+  }
+
+  test("zorderBuckets: buckets partition rows, ranges nest, degenerate dim codes 0") {
+    import spark.implicits._
+    val df = (0 until 256).map(i => (i.toLong, (i * 7 % 64).toLong))
+      .toDF("a", "b")
+    val got = Layout.zorderBuckets(df, col("a"), col("b"),
+      bits = 16, bucketBits = 4).collect()
+    assert(got.map(_.getLong(1)).sum == 256L)
+    // z-locality: each bucket's x-range spans at most half the domain
+    // (top bucket bits pin the two leading x bits and two leading y bits)
+    got.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 128,
+        s"bucket ${r.getLong(0)} x-range too wide")
+    }
+    // constant y: codes to 0, so z = interleave(xs, 0) still buckets by x
+    val const = Layout.zorderBuckets(df.withColumn("b", lit(9L)),
+      col("a"), col("b"), bits = 16, bucketBits = 4).collect()
+    assert(const.map(_.getLong(1)).sum == 256L)
+    assert(const.forall(r => r.getLong(4) == 9L && r.getLong(5) == 9L))
+  }
+
+  test("pcaTopComponent recovers an axis-aligned component exactly") {
+    import spark.implicits._
+    // variance only along dim 0: top component (1, 0), eigval 10/4
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)),
+      (3L, Seq(2f, 0f)), (4L, Seq(-2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.pcaTopComponent(df, "vec_id", "embedding", iters = 3)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0, 1.0, 2.5), (1, 0.0, 2.5)))
+  }
+
+  test("pcaTopComponent on a zero-variance corpus yields null loadings") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.pcaTopComponent(df, "vec_id", "embedding", iters = 2)
+      .collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(1)))
+  }
+}
