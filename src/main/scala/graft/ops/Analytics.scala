@@ -330,6 +330,51 @@ object Analytics {
           .as("latency_us"))
   }
 
+  /** Conversion-window funnel (Amplitude/Mixpanel semantics): the user
+    * enters at their FIRST `steps(0)` event; each later step binds to
+    * the EARLIEST qualifying event strictly after the previous bound
+    * step and within `windowMicros` of it — greedy chaining, so "did
+    * the user convert" has one deterministic answer. This is a
+    * different operator from the first-occurrence funnel
+    * (`ev_funnel`): there, a purchase three weeks after the click still
+    * counts; here the conversion window is the product question.
+    * Returns one row of per-stage user counts plus 6dp conversion
+    * rates against stage 1.
+    *
+    * Scale shape: stage i is a filtered key-hash aggregate joined to
+    * stage i-1 on the key — every join and groupBy shares the same
+    * hash partitioning, so AQE reuses one exchange chain; per-key state
+    * is one timestamp per stage, never an event list. Latencies are
+    * integer epoch-micros, exact in any engine.
+    */
+  def windowedFunnel(df: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    val us = unix_micros(col(tsCol))
+    def stageEvents(t: String) =
+      df.filter(col(typeCol) === t).select(col(keyCol), us.as("__t"))
+    // greedy chain: each stage keeps only (key, bound time) — per-key
+    // state is one timestamp, and each stage's survivor count rides a
+    // one-row aggregate cross-joined into the report
+    val stage1 = stageEvents(steps.head)
+      .groupBy(col(keyCol)).agg(min(col("__t")).as("t_1"))
+    var counts = stage1.agg(count(lit(1)).as("n_1"))
+    var chain = stage1
+    for (i <- 1 until steps.size) {
+      val prev = s"t_$i"
+      chain = stageEvents(steps(i))
+        .join(chain, Seq(keyCol))
+        .filter(col("__t") > col(prev) &&
+          col("__t") <= col(prev) + windowMicros)
+        .groupBy(col(keyCol)).agg(min(col("__t")).as(s"t_${i + 1}"))
+      counts = counts.crossJoin(chain.agg(count(lit(1)).as(s"n_${i + 1}")))
+    }
+    val rates = (2 to steps.size).map(i =>
+      round(col(s"n_$i").cast("double") / col("n_1"), 6).as(s"rate_$i"))
+    counts.select((1 to steps.size).map(i => col(s"n_$i")) ++ rates: _*)
+  }
+
   /** Distinct keys per sliding time window (`windowDur` long, advancing
     * every `slideDur`): the rolling-active-users metric. Uses Spark's
     * built-in `window()` generator — epoch-aligned starts, each event

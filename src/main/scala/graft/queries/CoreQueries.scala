@@ -407,6 +407,48 @@ object CoreQueries {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Top revenue customer per nation — the per-group argmax WITHOUT a
+    * window sort: revenue reduces per customer first (combinable), then
+    * `max(struct(rev, custkey))` picks each nation's winner in one more
+    * combinable aggregate. A `row_number() OVER (PARTITION BY nation
+    * ORDER BY rev)` would sort every nation's full customer list; the
+    * struct-max ships one candidate per partition per nation. The
+    * struct compares (4dp revenue, custkey), a TOTAL order, so ties are
+    * deterministic and any engine replays the winner.
+    */
+  private def qTopCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev")).as("rev"))
+    rev
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(max(struct(round(col("rev"), 4).as("rev"),
+        col("c_custkey").as("cust"))).as("top"))
+      .select(col("n_name"), col("top.cust").as("c_custkey"),
+        col("top.rev").as("revenue"))
+  }
+
+  private val qTopCustomerPerNationSql =
+    """WITH r AS (SELECT o_custkey,
+      |             sum(l_extendedprice * (1 - l_discount)) AS rev
+      |           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |           GROUP BY 1),
+      |t AS (SELECT n_name, c_custkey, round(rev, 4) AS revenue,
+      |        row_number() OVER (PARTITION BY n_name
+      |          ORDER BY round(rev, 4) DESC, c_custkey DESC) AS rn
+      |      FROM r JOIN customer ON c_custkey = o_custkey
+      |             JOIN nation ON n_nationkey = c_nationkey)
+      |SELECT n_name, c_custkey, revenue FROM t WHERE rn = 1""".stripMargin
+
   /** Z-order layout audit of orders clustered on (o_custkey, order
     * day): 16-bit codes interleaved to a 32-bit z-value, reported per
     * 256-bucket — the zone-map ranges a `OPTIMIZE ZORDER`-style rewrite
@@ -477,5 +519,7 @@ object CoreQueries {
     QueryDef("ev_signup_followup_24h", evFollowup, Some(evFollowupSql)),
     QueryDef("layout_zorder_orders", layoutZorderOrders,
       Some(layoutZorderOrdersSql)),
+    QueryDef("q_top_customer_per_nation", qTopCustomerPerNation,
+      Some(qTopCustomerPerNationSql)),
   )
 }

@@ -502,6 +502,37 @@ object SketchQueries {
       |    AS n_full_funnel
       |FROM f""".stripMargin
 
+  /** Conversion-window funnel signup → click (≤7d) → purchase (≤7d
+    * after the bound click): greedy earliest-qualifying chaining, the
+    * product-analytics semantics where a conversion must happen inside
+    * the window — a different operator from `ev_funnel`'s
+    * first-occurrence ordering. See
+    * [[graft.ops.Analytics.windowedFunnel]].
+    */
+  private def evFunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.windowedFunnel(Tables.events(s, dir), "user_id",
+      "ts", "event_type", Seq("signup", "click", "purchase"),
+      windowMicros = 7L * 24 * 3600 * 1000000)
+
+  private val evFunnelWindowedSql =
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |         AND epoch_us(e.ts) <= s1.t1 + 604800000000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |         AND epoch_us(e.ts) <= s2.t2 + 604800000000 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1) AS n_1,
+      |       (SELECT count(*) FROM s2) AS n_2,
+      |       (SELECT count(*) FROM s3) AS n_3,
+      |       round((SELECT count(*) FROM s2) * 1.0 /
+      |             (SELECT count(*) FROM s1), 6) AS rate_2,
+      |       round((SELECT count(*) FROM s3) * 1.0 /
+      |             (SELECT count(*) FROM s1), 6) AS rate_3""".stripMargin
+
   /** Weekly retention cohorts: users bucketed by first-seen week,
     * counted per (cohort_week, active_week) — the training-data-ops
     * equivalent of "is my event feed complete per cohort". Two
@@ -573,6 +604,8 @@ object SketchQueries {
     QueryDef("ev_type_stats", evTypeStats, Some(evTypeStatsSql)),
     QueryDef("ev_json_extract", evJsonExtract, Some(evJsonExtractSql)),
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
+    QueryDef("ev_funnel_windowed", evFunnelWindowed,
+      Some(evFunnelWindowedSql)),
     QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
     QueryDef("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     QueryDef("ev_heavy_hitters_by_type", evHeavyHittersByType,

@@ -22,6 +22,34 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("windowedFunnel binds greedily and respects the conversion window") {
+    import spark.implicits._
+    def t(us: Long) = ts(us)
+    val W = 100L // microseconds window for the fixture
+    val rows = Seq(
+      // user 1: signup@0, click@50 (in window), purchase@120 (<=50+100: in)
+      (1L, 1L, t(0L), "signup", null), (2L, 1L, t(50000L), "click", null),
+      (3L, 1L, t(120000L), "purchase", null),
+      // user 2: signup@0, click@150ms — OUTSIDE the 100ms window
+      (4L, 2L, t(0L), "signup", null), (5L, 2L, t(150000L), "click", null),
+      // user 3: click BEFORE signup only — never enters stage 2;
+      // also a purchase with no bound click
+      (6L, 3L, t(50000L), "click", null), (7L, 3L, t(60000L), "signup", null),
+      (8L, 3L, t(70000L), "purchase", null),
+      // user 4: signup, two clicks — greedy binds the FIRST (@30ms), so
+      // the purchase must be within 100ms of 30ms (it is, @90ms)
+      (9L, 4L, t(0L), "signup", null), (10L, 4L, t(30000L), "click", null),
+      (11L, 4L, t(95000L), "click", null), (12L, 4L, t(90000L), "purchase", null))
+      .map(r => (r._1, r._2, r._3, r._4, null: java.lang.Double))
+    val got = Analytics.windowedFunnel(evDf(rows), "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"),
+      windowMicros = 100000L).head()
+    // stage1: users 1,2,3,4; stage2: 1,4 (user 3's click precedes signup);
+    // stage3: 1,4
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 2L, 2L)))
+    assert(got.getDouble(3) == 0.5 && got.getDouble(4) == 0.5)
+  }
+
   test("kAnonymity flags only below-k groups; exactly-k groups are anonymous") {
     import spark.implicits._
     // group a: 3 rows (< k=3? no — use k=3: flagged at 2, safe at 3)
