@@ -47,4 +47,27 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as("cnt"))
   }
+
+  /** One-row skew audit of a prospective join/group key: key count,
+    * max/avg/p99 per-key row counts, and the max/avg skew ratio — the
+    * measurement that decides whether [[saltedJoin]]/[[saltedCount]] (or
+    * AQE's skew split) is worth invoking, made BEFORE shipping a
+    * shuffle that one hot key would serialize. Ratios round to 6dp
+    * against exact integer counts; avg is exact (integer sum / count).
+    *
+    * Scale shape: one map-side-combinable count per key, then one
+    * key-domain-sized aggregate — the same two-phase shape as
+    * [[saltedCount]] itself, so the audit is never more expensive than
+    * the aggregation it derisks. (Exact percentile sorts the per-key
+    * counts inside one reduce; at extreme key cardinality swap in
+    * `approx_percentile`.)
+    */
+  def keySkewAudit(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("__cnt")).as("max_cnt"),
+        round(avg(col("__cnt")), 6).as("avg_cnt"),
+        round(percentile(col("__cnt"), lit(0.99)), 6).as("p99_cnt"),
+        round(max(col("__cnt")) / avg(col("__cnt")), 6).as("skew_ratio"))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Analytics, Graph}
+import graft.ops.{Analytics, Graph, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -695,7 +695,24 @@ object AnalyticsQueries {
       |       GROUP BY nodes.node, nn.n)
       |SELECT node, round(pr, 6) AS pr FROM r3""".stripMargin
 
+  /** Join/group-key skew audit of orders.o_custkey: max/avg/p99 per-key
+    * counts and the skew ratio — the measurement that decides whether a
+    * salted join/aggregate (or AQE skew split) is warranted BEFORE
+    * shipping the shuffle. See [[graft.ops.Skew.keySkewAudit]].
+    */
+  private def dqKeySkewOrders(s: SparkSession, dir: String): DataFrame =
+    Skew.keySkewAudit(Tables.orders(s, dir), Seq("o_custkey"))
+
+  private val dqKeySkewOrdersSql =
+    """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+      |SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+      |       round(avg(cnt), 6) AS avg_cnt,
+      |       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+      |       round(max(cnt) / avg(cnt), 6) AS skew_ratio
+      |FROM c""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),

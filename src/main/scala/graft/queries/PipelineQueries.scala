@@ -1098,6 +1098,38 @@ object PipelineQueries {
        |FROM sc""".stripMargin
   }
 
+  /** Declared-vs-detected language confusion matrix: the corpus-health
+    * audit behind "trust the metadata or re-run langid?". Same
+    * stopword-profile classifier as `text_langid`, grouped against the
+    * declared `lang` column — one scan, one domain²-sized combinable
+    * aggregate.
+    */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val langidConfusionSql = {
+    val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+       |  FROM documents),
+       |sc AS (SELECT lang, $scores FROM b),
+       |p AS (SELECT lang, CASE $cases ELSE '${langs.last}' END AS lang_pred
+       |      FROM sc)
+       |SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY 1, 2""".stripMargin
+  }
+
   private def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens"))
@@ -2632,6 +2664,8 @@ object PipelineQueries {
     QueryDef("text_winnow_fps", winnowFps, Some(winnowFpsSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_langid_confusion", langidConfusion,
+      Some(langidConfusionSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_topk_quality_by_lang", topkQualityByLang,
       Some(topkQualityByLangSql)),
