@@ -134,34 +134,52 @@ object Embeddings {
                       iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val x = df.select(col(idCol).as("vid"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
-    val mu = x.groupBy(col("pos")).agg(avg(col("v")).as("mu"))
+      col(vecCol).cast("array<double>").as("vec"))
+    // per-dimension mean as ONE one-row array (pos-sorted), broadcast
+    val muArr = x.select(posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("mu"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), e => e.getField("mu")).as("mu"))
+    // centered corpus, STILL IN ARRAY FORM — the iteration never joins
+    // a row-sized table: the projection s_i is a scan-side fold against
+    // the broadcast direction, so each iteration costs one scan plus a
+    // d-sized combinable aggregate (the posexplode below never hits the
+    // wire — partial aggregation reduces each task to d cells).
     val c = graft.data.ScopedCaches.materialize(
-      x.join(broadcast(mu), "pos")
-        .select(col("vid"), col("pos"), (col("v") - col("mu")).as("v")))
-    val dCnt = mu.agg(count(lit(1)).cast("double").as("__d"))
-    var v = mu.crossJoin(broadcast(dCnt))
-      .select(col("pos"), (lit(1.0) / sqrt(col("__d"))).as("w"))
+      x.crossJoin(broadcast(muArr))
+        .select(col("vid"),
+          zip_with(col("vec"), col("mu"), (a, b) => a - b).as("cv")))
+    val dim = size(col("cv"))
+    var v = c.limit(1).select(
+      transform(col("cv"), _ => lit(1.0) / sqrt(dim.cast("double")))
+        .as("w"))
     var vPrev = v
     var y: DataFrame = null
     for (_ <- 1 to iters) {
       vPrev = v
-      val s = c.join(broadcast(v), "pos")
-        .groupBy(col("vid")).agg(sum(col("v") * col("w")).as("s"))
-      y = c.join(s, "vid")
-        .groupBy(col("pos")).agg(sum(col("v") * col("s")).as("y"))
+      val s = c.crossJoin(broadcast(v)).select(col("cv"),
+        aggregate(zip_with(col("cv"), col("w"), (a, b) => a * b),
+          lit(0d), (acc, e) => acc + e).as("s"))
+      y = s.select(posexplode(transform(col("cv"), e => e * col("s")))
+          .as(Seq("pos", "sv")))
+        .groupBy(col("pos")).agg(sum(col("sv")).as("y"))
       val nrm = y.agg(sqrt(sum(col("y") * col("y"))).as("__nrm"))
       // zero-variance corpus (all vectors identical): direction is
       // undefined — emit nulls rather than an ANSI divide-by-zero
-      v = y.crossJoin(broadcast(nrm))
-        .select(col("pos"), when(col("__nrm") === 0d, lit(null))
-          .otherwise(col("y") / col("__nrm")).as("w"))
+      val yArr = y.agg(sort_array(collect_list(struct(col("pos"), col("y"))))
+        .as("ys"))
+      v = yArr.crossJoin(broadcast(nrm))
+        .select(transform(col("ys"), e =>
+          when(col("__nrm") === 0d, lit(null))
+            .otherwise(e.getField("y") / col("__nrm"))).as("w"))
     }
     val nr = df.agg(count(lit(1)).cast("double").as("__nr"))
-    val lam = vPrev.withColumnRenamed("w", "wp").join(y, "pos")
+    val lam = vPrev.select(posexplode(col("w")).as(Seq("pos", "wp")))
+      .join(y, "pos")
       .agg(sum(col("wp") * col("y")).as("__lam"))
       .crossJoin(nr).select((col("__lam") / col("__nr")).as("__ev"))
-    v.crossJoin(broadcast(lam))
+    v.select(posexplode(col("w")).as(Seq("pos", "w")))
+      .crossJoin(broadcast(lam))
       .select(col("pos"), round(col("w"), 6).as("loading"),
         round(col("__ev"), 6).as("eigval"))
   }

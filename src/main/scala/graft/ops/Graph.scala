@@ -41,8 +41,12 @@ object Graph {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(damping > 0 && damping < 1 && teleport > 0 && teleport < 1,
       s"need damping, teleport in (0,1), got ($damping, $teleport)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("double").as("w"))
+    // materialized: the edge table is read by every iteration (plus the
+    // node/out-weight derivations) — without this, an expensive upstream
+    // (e.g. a windowed transition extraction) re-runs once per use
+    val e = graft.data.ScopedCaches.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nCnt = nodes.agg(count(lit(1)).cast("double").as("__n"))

@@ -417,9 +417,13 @@ object CoreQueries {
     * deterministic and any engine replays the winner.
     */
   private def qTopCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate revenue per orderkey BEFORE the orders join: the
+    // partial sum is combinable and shrinks the join's big side by the
+    // lines-per-order factor — the shuffle then moves orders, not lines
     val rev = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_orderkey")).agg(sum(col("rev")).as("rev"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey")).agg(sum(col("rev")).as("rev"))
