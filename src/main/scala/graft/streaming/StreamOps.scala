@@ -25,6 +25,37 @@ object StreamOps extends Serializable {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Sliding-window exact distinct count (the rolling-active-users
+    * metric) over a stream: streaming forbids `count_distinct`, so the
+    * exact form is the dedup-then-count idiom — dropDuplicates on
+    * (window, key), then a windowed count — two chained stateful
+    * operators (append mode, supported since Spark 3.4). The window
+    * struct carries event-time metadata, so BOTH state stores are
+    * watermark-bounded: dedup state drops once the watermark passes a
+    * window, and the count state emits-and-drops the same way. Batch
+    * twin of `ev_sliding_active_users`: on a batch frame the identical
+    * plan degenerates to distinct + count.
+    *
+    * Scale shape: the per-event fan-out is the constant
+    * windowDur/slideDur; dedup state is (open windows) x (keys active
+    * in them) — the metric's intrinsic working set — and the count
+    * state is one long per open window.
+    */
+  def slidingDistinctStream(events: DataFrame, tsCol: String,
+                            keyCol: String, windowDur: String,
+                            slideDur: String,
+                            withWatermark: Boolean): DataFrame = {
+    val src =
+      if (withWatermark) events.withWatermark(tsCol, "1 hour") else events
+    src
+      .select(col(tsCol),
+        window(col(tsCol), windowDur, slideDur).as("w"), col(keyCol))
+      .dropDuplicates("w", keyCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_distinct"))
+      .select(col("w.start").as("window_start"),
+        unix_micros(col("w.start")).as("ws_us"), col("n_distinct"))
+  }
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon (state for a key is droppable once the watermark
     * passes it — bounded state on an unbounded feed). Works on batch

@@ -37,6 +37,35 @@ class StreamingSpec extends AnyFunSuite {
 
   private def TextishSlack(n: Int): Int = math.max(2, n / 10)
 
+  test("streaming sliding distinct equals the batch sliding distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir).select("ts", "user_id")
+    // the batch oracle is the REGISTRY operator, not the twin's own
+    // batch degenerate — parity is to the production query
+    val expected = graft.ops.Analytics
+      .slidingDistinct(batchEvents, "ts", "user_id", "24 hours", "6 hours")
+      .collect().map(_.toSeq).toSet
+    // the twin's batch form must match it exactly
+    val twinBatch = StreamOps.slidingDistinctStream(batchEvents, "ts",
+      "user_id", "24 hours", "6 hours", withWatermark = false)
+      .collect().map(_.toSeq).toSet
+    assert(twinBatch == expected)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdist").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(tmp)
+    val q = StreamOps.slidingDistinctStream(stream, "ts", "user_id",
+        "24 hours", "6 hours", withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sdist_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_sdist_out").collect().map(_.toSeq).toSet
+    assert(got.subsetOf(expected))
+    assert(got.size >= expected.size - TextishSlack(expected.size))
+  }
+
   test("streaming DQ monitor equals the batch suite on the drained stream") {
     import graft.ops.Analytics
     import Analytics.Constraint
