@@ -197,4 +197,125 @@ object Multimodal {
         else MediaRow(id, "text/plain", text.getBytes("UTF-8"))
     }
   }
+
+  // ---- audio: real javax.sound.sampled decode ----
+
+  /** Per-frame audio features: frame index, RMS energy, zero-crossing
+    * count — the classic first-pass descriptors for audio quality
+    * gating and silence trimming.
+    */
+  final case class AudioFrame(media_id: Long, frame: Int, rms: Double,
+                              zcr: Int)
+
+  /** REAL audio decoder over `javax.sound.sampled` (JDK built-in, like
+    * the imageio path): parses the RIFF/WAVE container, honors the
+    * declared AudioFormat (endianness, bits, channels), and streams the
+    * PCM frames back out — this is an actual codec pass, not a header
+    * sniff; a payload whose sample bytes don't round-trip won't
+    * reproduce the planted oracle features. MP3/AAC remain outside the
+    * JDK (documented FakeCodec fallback); PCM WAV is the honest subset
+    * this container can host for real.
+    */
+  object AudioCodec {
+
+    private[ops] def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E'
+
+    /** None when the payload is not decodable PCM audio. */
+    def tryDecodeSamples(payload: Array[Byte]): Option[Array[Int]] = {
+      if (!looksLikeWav(payload)) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = ais.readAllBytes()
+          val out = new Array[Int](raw.length / 2)
+          var j = 0
+          while (j < out.length) {
+            val (b0, b1) = (raw(2 * j) & 0xFF, raw(2 * j + 1) & 0xFF)
+            out(j) =
+              if (fmt.isBigEndian) (b0 << 8 | b1).toShort.toInt
+              else (b1 << 8 | b0).toShort.toInt
+            j += 1
+          }
+          Some(out)
+        }
+      } catch { case NonFatal(_) => None }
+    }
+
+    /** Frame the decoded samples and emit RMS + zero-crossing count per
+      * complete frame (a trailing partial frame is dropped — standard
+      * hop-synchronous framing). Crossings compare consecutive samples'
+      * signs within the frame (negative vs non-negative).
+      */
+    def frameFeatures(mediaId: Long, samples: Array[Int],
+                      frameSize: Int): Seq[AudioFrame] = {
+      (0 until samples.length / frameSize).map { f =>
+        var sumSq = 0L; var zc = 0; var k = 0
+        while (k < frameSize) {
+          val s = samples(f * frameSize + k)
+          sumSq += s.toLong * s
+          if (k > 0 && ((samples(f * frameSize + k - 1) < 0) != (s < 0)))
+            zc += 1
+          k += 1
+        }
+        AudioFrame(mediaId, f, math.sqrt(sumSq.toDouble / frameSize), zc)
+      }
+    }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i of clip `seed` is
+    * ((seed*31 + i*7919) mod 2^16) − 2^15 — pure integer arithmetic, so
+    * an oracle can replay the exact samples the codec must recover from
+    * the bytes. 8 kHz, canonical 44-byte RIFF header.
+    */
+  def syntheticWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val sr = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + nSamples * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sr); bb.putInt(sr * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((seed * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array
+  }
+
+  /** Media table planting a REAL WAV payload per document (clip length
+    * varies with the id so framing is exercised at several counts).
+    */
+  def mediaWithAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map(id =>
+      MediaRow(id, "audio/wav",
+        syntheticWav(id, 800 + (id % 5).toInt * 400)))
+  }
+
+  /** Decode + frame every audio payload: batched per-partition decode
+    * (the same `mapPartitions` shape as [[extractFeatures]]), one
+    * output row per (clip, frame). Undecodable payloads yield no rows.
+    *
+    * Scale shape: decode is scan-side CPU over the binary column —
+    * embarrassingly parallel, no shuffle at all; the output is
+    * frames-per-clip × clips, partitioned like the input.
+    */
+  def audioFrameFeatures(media: Dataset[MediaRow],
+                         frameSize: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      AudioCodec.tryDecodeSamples(r.payload)
+        .map(AudioCodec.frameFeatures(r.media_id, _, frameSize))
+        .getOrElse(Seq.empty)
+    })
+  }
 }

@@ -2424,6 +2424,39 @@ object PipelineQueries {
     s"""WITH $pngFeatureCtes
        |SELECT media_id, CAST(idx AS INT) AS idx, feature FROM feats""".stripMargin
 
+  /** The real-decode AUDIO gate: per-frame RMS + zero-crossing counts
+    * of planted PCM WAVs, decoded by `javax.sound.sampled` (JDK
+    * built-in — an actual RIFF/PCM codec pass, not a header sniff; see
+    * [[graft.ops.Multimodal.AudioCodec]]). The sample generator is pure
+    * integer arithmetic, so the oracle replays the exact samples the
+    * codec must recover from the bytes: sums of squares are exact
+    * BIGINTs on both sides, making the rounded RMS bit-stable. MP3/AAC
+    * remain FakeCodec fallbacks (no JDK codec) — PCM WAV is the honest
+    * real subset.
+    */
+  private def mmAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaWithAudio(s, Tables.documents(s, dir))
+    Multimodal.audioFrameFeatures(media, frameSize = 400).toDF()
+      .select(col("media_id"), col("frame"),
+        round(col("rms"), 6).as("rms"), col("zcr"))
+  }
+
+  private val mmAudioFramesSql =
+    """WITH a AS (SELECT doc_id AS media_id, 800 + (doc_id % 5) * 400 AS n
+      |           FROM documents),
+      |s AS (SELECT media_id, unnest(range(n)) AS i FROM a),
+      |v AS (SELECT media_id, i,
+      |        ((media_id * 31 + i * 7919) % 65536) - 32768 AS smp,
+      |        i // 400 AS frame FROM s),
+      |z AS (SELECT media_id, frame, smp, i % 400 AS k,
+      |        lag(smp) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      |      FROM v)
+      |SELECT media_id, CAST(frame AS INT) AS frame,
+      |       round(sqrt(sum(smp * smp) / 400.0), 6) AS rms,
+      |       CAST(count(CASE WHEN k > 0 AND ((prev < 0) != (smp < 0))
+      |                       THEN 1 END) AS INT) AS zcr
+      |FROM z GROUP BY 1, 2""".stripMargin
+
   /** Oracle for the COMPOSED multimodal pipeline: both feature paths
     * replay in SQL — planted-PNG pooled means (pixel replay, above) AND
     * the FakeCodec pseudo-features for text payloads (FNV-1a-style fold
@@ -2696,6 +2729,7 @@ object PipelineQueries {
     QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),
     QueryDef("mm_decode_features", mmDecode, Some(mmDecodeSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
+    QueryDef("mm_decode_audio_frames", mmAudioFrames, Some(mmAudioFramesSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
   )
 }

@@ -994,6 +994,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio codec round-trips planted WAV samples through javax.sound") {
+    import graft.ops.Multimodal.AudioCodec
+    val n = 800
+    val wav = Multimodal.syntheticWav(seed = 42L, nSamples = n)
+    val got = AudioCodec.tryDecodeSamples(wav)
+    assert(got.isDefined && got.get.length == n)
+    // the codec must recover EXACTLY the generator's samples
+    val expected = (0 until n)
+      .map(i => (((42L * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+    assert(got.get.toSeq == expected)
+    // non-audio payloads are rejected, not mis-parsed
+    assert(AudioCodec.tryDecodeSamples("not a wav".getBytes).isEmpty)
+    assert(AudioCodec.tryDecodeSamples(wav.take(20)).isEmpty)
+  }
+
+  test("audio frame features: hand-computed RMS and zero crossings") {
+    import graft.ops.Multimodal.AudioCodec
+    // frame 1: [3, -4, 3, -4] -> rms = sqrt((9+16+9+16)/4), zcr = 3
+    // frame 2: [5, 5, 5, 5]   -> rms = 5, zcr = 0; trailing [1] dropped
+    val samples = Array(3, -4, 3, -4, 5, 5, 5, 5, 1)
+    val f = AudioCodec.frameFeatures(9L, samples, frameSize = 4)
+    assert(f.map(_.frame) == Seq(0, 1))
+    assert(f(0).rms == math.sqrt(50.0 / 4) && f(0).zcr == 3)
+    assert(f(1).rms == 5.0 && f(1).zcr == 0)
+  }
+
   test("imageio codec decodes a planted PNG with exact dims and pooled means") {
     import graft.ops.Multimodal.{ImageCodec, MediaRow}
     // 8x6 solid-color PNG: every pooled cell must equal the fill color
