@@ -64,4 +64,36 @@ object Layout {
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
+
+  /** A rectangular probe predicate: scan bucket iff its x zone map
+    * intersects [xLo, xHi] AND its y zone map intersects [yLo, yHi].
+    */
+  final case class Probe(name: String, xLo: Long, xHi: Long,
+                         yLo: Long, yHi: Long)
+
+  /** Zone-map pruning audit: for each probe, how many z-order buckets
+    * (files, after a clustered rewrite) and rows a min/max-pruning
+    * reader would actually touch — the measurement that justifies (or
+    * refutes) a layout rewrite BEFORE burning the 100 TB write. Input
+    * is [[zorderBuckets]] output; the audit itself is a broadcast
+    * cross-join of the bucket-domain table with a literal probe list —
+    * nothing rescans the data.
+    */
+  def pruneAudit(buckets: DataFrame, probes: Seq[Probe]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val hit = col("x_min") <= col("xHi") && col("x_max") >= col("xLo") &&
+      col("y_min") <= col("yHi") && col("y_max") >= col("yLo")
+    buckets.crossJoin(broadcast(probes.toDF()))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("cnt")).as("rows_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("scanned_buckets"),
+        sum(when(hit, col("cnt")).otherwise(0L)).as("scanned_rows"))
+      .select(col("name"), col("n_buckets"), col("scanned_buckets"),
+        col("rows_total"), col("scanned_rows"),
+        round(col("scanned_rows").cast("double") / col("rows_total"), 6)
+          .as("scan_frac"))
+  }
 }

@@ -464,13 +464,16 @@ object CoreQueries {
       datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
       bits = 16, bucketBits = 8)
 
-  private val layoutZorderOrdersSql = {
-    // the same unrolled interleave arithmetic the Column expression
-    // compiles to, emitted as SQL (xs odd bits, ys even)
+  /** Shared oracle CTE chain ending at `bkt` = the z-order bucket
+    * zone-map table of orders clustered on (o_custkey, order day) —
+    * the same unrolled interleave arithmetic the Column expression
+    * compiles to, emitted as SQL (xs odd bits, ys even).
+    */
+  private lazy val zorderCtes: String = {
     val interleave = (0 until 16).map { i =>
       s"(((xs >> $i) & 1) << ${2 * i + 1}) | (((ys >> $i) & 1) << ${2 * i})"
     }.mkString(" | ")
-    s"""WITH b AS (SELECT o_custkey AS x,
+    s"""b AS (SELECT o_custkey AS x,
        |             datediff('day', DATE '1970-01-01',
        |                      CAST(o_orderdate AS DATE)) AS y
        |           FROM orders),
@@ -484,11 +487,57 @@ object CoreQueries {
        |                 ELSE ((y - mm.ylo) * 65535) // (mm.yhi - mm.ylo)
        |            END AS ys
        |          FROM b CROSS JOIN mm),
-       |z AS (SELECT x, y, $interleave AS zv FROM coded)
-       |SELECT zv >> 24 AS bucket, count(*) AS cnt,
-       |       min(x) AS x_min, max(x) AS x_max,
-       |       min(y) AS y_min, max(y) AS y_max
-       |FROM z GROUP BY 1""".stripMargin
+       |z AS (SELECT x, y, $interleave AS zv FROM coded),
+       |bkt AS (SELECT zv >> 24 AS bucket, count(*) AS cnt,
+       |          min(x) AS x_min, max(x) AS x_max,
+       |          min(y) AS y_min, max(y) AS y_max
+       |        FROM z GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val layoutZorderOrdersSql =
+    s"""WITH $zorderCtes
+       |SELECT bucket, cnt, x_min, x_max, y_min, y_max FROM bkt""".stripMargin
+
+  /** The probes both the Spark query and the oracle evaluate: a
+    * customer band, one 1997 quarter, and a tight point-range on both
+    * dimensions. Day numbers are epoch days (1997-01-01 = 9862).
+    */
+  private val prunedProbes = Seq(
+    graft.ops.Layout.Probe("cust_band", 100L, 249L, 0L, 99999L),
+    graft.ops.Layout.Probe("quarter_97", 0L, 999999999L, 9862L, 9951L),
+    graft.ops.Layout.Probe("point_range", 700L, 799L, 9862L, 9890L))
+
+  /** Zone-map pruning audit over the z-order buckets: per probe, the
+    * buckets/rows a min/max-pruning reader touches — the measurement
+    * that justifies a clustered rewrite before paying for it. See
+    * [[graft.ops.Layout.pruneAudit]].
+    */
+  private def layoutPruneAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.pruneAudit(
+      graft.ops.Layout.zorderBuckets(Tables.orders(s, dir),
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
+        bits = 16, bucketBits = 8),
+      prunedProbes)
+
+  private lazy val layoutPruneAuditSql = {
+    val values = prunedProbes.map(p =>
+      s"('${p.name}', ${p.xLo}, ${p.xHi}, ${p.yLo}, ${p.yHi})")
+      .mkString(", ")
+    s"""WITH $zorderCtes,
+       |probes(name, xlo2, xhi2, ylo2, yhi2) AS (VALUES $values),
+       |audit AS (
+       |  SELECT p.name, count(*) AS n_buckets, sum(b2.cnt) AS rows_total,
+       |    sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
+       |              AND b2.y_min <= p.yhi2 AND b2.y_max >= p.ylo2
+       |             THEN 1 ELSE 0 END) AS scanned_buckets,
+       |    sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
+       |              AND b2.y_min <= p.yhi2 AND b2.y_max >= p.ylo2
+       |             THEN b2.cnt ELSE 0 END) AS scanned_rows
+       |  FROM bkt b2 CROSS JOIN probes p GROUP BY 1)
+       |SELECT name, n_buckets, scanned_buckets, rows_total, scanned_rows,
+       |       round(scanned_rows * 1.0 / rows_total, 6) AS scan_frac
+       |FROM audit""".stripMargin
   }
 
   private[queries] def scalarDouble(s: SparkSession, name: String, v: Double): DataFrame =
@@ -525,5 +574,7 @@ object CoreQueries {
       Some(layoutZorderOrdersSql)),
     QueryDef("q_top_customer_per_nation", qTopCustomerPerNation,
       Some(qTopCustomerPerNationSql)),
+    QueryDef("layout_prune_audit", layoutPruneAudit,
+      Some(layoutPruneAuditSql)),
   )
 }

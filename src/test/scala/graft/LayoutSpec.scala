@@ -43,6 +43,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(const.forall(r => r.getLong(4) == 9L && r.getLong(5) == 9L))
   }
 
+  test("pruneAudit: intersect semantics, full-domain probe scans everything") {
+    import spark.implicits._
+    val buckets = Seq(
+      (0L, 10L, 0L, 4L, 0L, 4L),   // x 0-4,  y 0-4
+      (1L, 20L, 5L, 9L, 0L, 4L),   // x 5-9,  y 0-4
+      (2L, 30L, 0L, 4L, 5L, 9L),   // x 0-4,  y 5-9
+      (3L, 40L, 5L, 9L, 5L, 9L))   // x 5-9,  y 5-9
+      .toDF("bucket", "cnt", "x_min", "x_max", "y_min", "y_max")
+    val got = Layout.pruneAudit(buckets, Seq(
+        Layout.Probe("all", 0, 9, 0, 9),
+        Layout.Probe("x_low", 0, 4, 0, 9),
+        Layout.Probe("corner", 6, 7, 6, 7),
+        Layout.Probe("miss", 50, 60, 50, 60)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(got("all") == ((4L, 100L, 1.0)))
+    assert(got("x_low") == ((2L, 40L, 0.4)))     // buckets 0 and 2
+    assert(got("corner") == ((1L, 40L, 0.4)))    // only bucket 3
+    assert(got("miss") == ((0L, 0L, 0.0)))
+  }
+
   test("pcaTopComponent recovers an axis-aligned component exactly") {
     import spark.implicits._
     // variance only along dim 0: top component (1, 0), eigval 10/4
