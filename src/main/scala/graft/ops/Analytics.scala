@@ -226,6 +226,31 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Inter-arrival gap quantiles: per key, the integer-microsecond gap
+    * between consecutive events (time order, `tieCol` breaking equal
+    * timestamps), then exact p50/p90/p99 of all gaps — the feed-health
+    * metric behind watermark sizing and ingestion SLAs (how long can a
+    * key go quiet before state should be dropped?).
+    *
+    * Scale shape: one key-partitioned window (per-key history bounded
+    * by human activity) and one single-row exact-percentile aggregate
+    * over integer gaps — exact percentile sorts inside one reduce; the
+    * documented swap at extreme N is `approx_percentile`, plumbing
+    * unchanged.
+    */
+  def interarrivalQuantiles(df: DataFrame, keyCol: String, tsCol: String,
+                            tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select((unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_us"), lit(0.5)), 6).as("p50_us"),
+        round(percentile(col("gap_us"), lit(0.9)), 6).as("p90_us"),
+        round(percentile(col("gap_us"), lit(0.99)), 6).as("p99_us"))
+  }
+
   /** Top event-type trigram paths: for every key's time-ordered event
     * sequence, count consecutive (t1, t2, t3) triples corpus-wide and
     * return the `topK` most frequent — the second-order sequence-mining

@@ -16,6 +16,44 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Power-of-two length-bucket report with padding waste: documents
+    * bucketed by token count (bucket b holds counts in [2^b, 2^{b+1})),
+    * with per-bucket doc/token totals and the padding waste a trainer
+    * batching bucket-mates to the bucket ceiling (2^{b+1} − 1) would
+    * pay — the measurement behind length-sorted batching. The bucket is
+    * computed by an UNROLLED integer-compare chain, not floor(log2):
+    * float log of an exact power of two can land a hair below the
+    * integer on one engine and not the other, and a bucket boundary
+    * must never depend on an ulp. Empty docs (0 tokens) are excluded.
+    *
+    * Scale shape: token count + bucket are scan-side; the report is one
+    * combinable aggregate over ≤ `maxBucket`+1 groups.
+    */
+  def lengthBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    require(maxBucket >= 1 && maxBucket <= 30, s"bad maxBucket $maxBucket")
+    val t = tokenCount(col(textCol)).cast("long")
+    // counts >= 2^maxBucket all land in the top bucket
+    val bucket = (maxBucket - 1 to 0 by -1).foldLeft(lit(maxBucket)) {
+      case (rest, b) => when(t < (1L << (b + 1)), lit(b)).otherwise(rest)
+    }
+    // pad target = bucket ceiling, except the open-ended top bucket pads
+    // to its actual max
+    val cap = greatest(
+      expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1"),
+      col("max_tokens"))
+    df.filter(t >= 1)
+      .select(col(idCol), t.as("tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        max(col("tokens")).as("max_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        cap.as("pad_to"),
+        (col("n_docs") * cap - col("sum_tokens")).as("pad_waste"),
+        round((col("n_docs") * cap - col("sum_tokens")).cast("double") /
+          (col("n_docs") * cap), 6).as("waste_frac"))
+  }
+
   /** Distinct character k-grams (shingles) of the raw text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(trim(text))

@@ -100,6 +100,35 @@ object TimeSeries {
           round(col("e.sn"), 6) < -col("__h")).as("flag"))
   }
 
+  /** Day-of-week seasonality with a chi-square uniformity statistic:
+    * events bucketed by `epoch_day mod 7` (0 = Thursday — integer
+    * arithmetic on epoch days, deliberately NOT the engine-specific
+    * `dayofweek()` whose origin differs between engines), one row per
+    * weekday with its count, expected count under uniformity (N/7), the
+    * chi-square contribution (o−e)²/e, and the total statistic repeated
+    * per row. Large chi2 = real weekly cycle (or a partial final week —
+    * the doc-level caveat of the plain uniformity test).
+    *
+    * Scale shape: one map-side-combinable count into 7 cells; the
+    * statistic is arithmetic over the 7-row domain.
+    */
+  def dowSeasonality(df: DataFrame, tsCol: String): DataFrame = {
+    val dow = pmod(datediff(to_date(col(tsCol)), lit("1970-01-01")), lit(7))
+    val counts = df.groupBy(dow.as("dow"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tot = counts.agg((sum(col("cnt")) / 7d).as("__e"))
+    val contrib = counts.crossJoin(broadcast(tot))
+      .select(col("dow"), col("cnt"),
+        round(col("__e"), 6).as("expected"),
+        ((col("cnt") - col("__e")) * (col("cnt") - col("__e")) / col("__e"))
+          .as("__c"))
+    val chi2 = contrib.agg(sum(col("__c")).as("__chi2"))
+    contrib.crossJoin(broadcast(chi2))
+      .select(col("dow"), col("cnt"), col("expected"),
+        round(col("__c"), 6).as("contrib"),
+        round(col("__chi2"), 6).as("chi2"))
+  }
+
   /** Autocorrelation of the daily count series at lags 1..maxLag:
     * r_k = sum_t (x_t - mu)(x_{t+k} - mu) / sum_t (x_t - mu)^2, the
     * standard biased ACF estimator. The mean of integer counts is exact

@@ -695,6 +695,26 @@ object AnalyticsQueries {
       |       GROUP BY nodes.node, nn.n)
       |SELECT node, round(pr, 6) AS pr FROM r3""".stripMargin
 
+  /** Per-user inter-arrival gap quantiles in exact integer micros —
+    * the feed-health metric behind watermark sizing. See
+    * [[graft.ops.Analytics.interarrivalQuantiles]].
+    */
+  private def evInterarrival(s: SparkSession, dir: String): DataFrame =
+    Analytics.interarrivalQuantiles(Tables.events(s, dir), "user_id", "ts",
+      "event_id")
+
+  private val evInterarrivalSql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) -
+      |         lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT count(*) AS n_gaps,
+      |       round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+      |       round(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+      |       round(quantile_cont(gap_us, 0.99), 6) AS p99_us
+      |FROM g WHERE gap_us IS NOT NULL""".stripMargin
+
   /** Join/group-key skew audit of orders.o_custkey: max/avg/p99 per-key
     * counts and the skew ratio — the measurement that decides whether a
     * salted join/aggregate (or AQE skew split) is warranted BEFORE
@@ -713,6 +733,8 @@ object AnalyticsQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
+    QueryDef("ev_interarrival_quantiles", evInterarrival,
+      Some(evInterarrivalSql)),
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),

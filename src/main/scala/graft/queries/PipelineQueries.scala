@@ -1043,6 +1043,40 @@ object PipelineQueries {
       |  CAST(length(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Power-of-two length buckets with the padding waste a
+    * length-sorted batcher would pay — batch-shape planning for
+    * training. See [[graft.ops.TextAnalysis.lengthBuckets]] (unrolled
+    * integer bucket compares — never floor(log2) across engines).
+    */
+  private def docLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthBuckets(Tables.documents(s, dir), "doc_id", "text",
+      maxBucket = 12)
+
+  private val docLengthBucketsSql = {
+    val maxBucket = 12
+    val cases = (0 until maxBucket)
+      .map(b => s"WHEN t < ${1L << (b + 1)} THEN $b")
+      .mkString("\n    ")
+    s"""WITH tc AS (
+       |  SELECT doc_id,
+       |    CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+       |  FROM documents),
+       |bk AS (SELECT doc_id, t,
+       |         CASE $cases ELSE $maxBucket END AS bucket
+       |       FROM tc WHERE t >= 1),
+       |agg AS (SELECT bucket, count(*) AS n_docs, sum(t) AS sum_tokens,
+       |          max(t) AS max_tokens
+       |        FROM bk GROUP BY 1),
+       |pt AS (SELECT bucket, n_docs, sum_tokens,
+       |         greatest((1::BIGINT << (bucket + 1)) - 1, max_tokens) AS pad_to
+       |       FROM agg)
+       |SELECT bucket, n_docs, sum_tokens, pad_to,
+       |       n_docs * pad_to - sum_tokens AS pad_waste,
+       |       round((n_docs * pad_to - sum_tokens) * 1.0 /
+       |             (n_docs * pad_to), 6) AS waste_frac
+       |FROM pt""".stripMargin
+  }
+
   private def quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id") +: (TextAnalysis.qualityColumns(col("text")) :+
@@ -2686,6 +2720,8 @@ object PipelineQueries {
     QueryDef("emb_pca_top_component", embPcaTop, Some(embPcaTopSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("doc_length_buckets", docLengthBuckets,
+      Some(docLengthBucketsSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),

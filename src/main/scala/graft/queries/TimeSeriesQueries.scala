@@ -79,7 +79,32 @@ object TimeSeriesQueries {
       |CROSS JOIN den
       |GROUP BY 1, den.den""".stripMargin
 
+  /** Day-of-week seasonality + chi-square uniformity. The weekday is
+    * `epoch_day mod 7` on BOTH sides — engine `dayofweek()` origins
+    * differ (Spark 1=Sunday, DuckDB 0=Sunday); integer arithmetic
+    * can't. See [[graft.ops.TimeSeries.dowSeasonality]].
+    */
+  private def evDowSeasonality(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.dowSeasonality(Tables.events(s, dir), "ts")
+
+  private val evDowSeasonalitySql =
+    """WITH c AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |           AS dow,
+      |         count(*)::DOUBLE AS cnt
+      |  FROM events GROUP BY 1),
+      |e AS (SELECT sum(cnt) / 7 AS e FROM c),
+      |x AS (SELECT dow, cnt, e.e,
+      |        (cnt - e.e) * (cnt - e.e) / e.e AS c2
+      |      FROM c CROSS JOIN e),
+      |t AS (SELECT sum(c2) AS chi2 FROM x)
+      |SELECT dow, cnt, round(x.e, 6) AS expected, round(c2, 6) AS contrib,
+      |       round(t.chi2, 6) AS chi2
+      |FROM x CROSS JOIN t""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_dow_seasonality", evDowSeasonality,
+      Some(evDowSeasonalitySql)),
     QueryDef("ev_ewma_daily", evEwmaDaily, Some(evEwmaDailySql)),
     QueryDef("ev_cusum_changepoint", evCusum, Some(evCusumSql)),
     QueryDef("ev_autocorr_daily", evAutocorr, Some(evAutocorrSql)),

@@ -22,6 +22,40 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("interarrivalQuantiles: exact gaps, cross-user gaps excluded") {
+    val rows = Seq(
+      (1L, 1L, ts(0L), "v", null), (2L, 1L, ts(100000L), "v", null),
+      (3L, 1L, ts(300000L), "v", null), // user 1 gaps: 100ms, 200ms
+      (4L, 2L, ts(1000000L), "v", null), (5L, 2L, ts(1400000L), "v", null))
+      .map(r => (r._1, r._2, r._3, r._4, null: java.lang.Double))
+    val got = Analytics.interarrivalQuantiles(evDf(rows), "user_id", "ts",
+      "event_id").head()
+    // gaps (us): user1 {100000, 200000}, user2 {400000}; cross-user
+    // boundaries contribute nothing
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == 200000.0) // p50 of the three gaps
+  }
+
+  test("lengthBuckets: hand-computed buckets, waste, open top bucket") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c"),                        // 3 tokens  -> bucket 1 (2-3)
+      (2L, "a b"),                          // 2 tokens  -> bucket 1
+      (3L, "a"),                            // 1 token   -> bucket 0
+      (4L, (1 to 9000).map(_ => "x").mkString(" "))) // > 2^12 -> top
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs, "doc_id", "text", maxBucket = 12)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // bucket 1: 2 docs, 5 tokens, pad_to 3, waste 2*3-5 = 1
+    assert(got(1) == ((2L, 5L, 3L, 1L)))
+    // bucket 0: 1 doc of 1 token, pad_to 1, zero waste
+    assert(got(0) == ((1L, 1L, 1L, 0L)))
+    // top bucket pads to its actual max (9000 > 2^13-1)
+    assert(got(12) == ((1L, 9000L, 9000L, 0L)))
+  }
+
   test("windowedFunnel binds greedily and respects the conversion window") {
     import spark.implicits._
     def t(us: Long) = ts(us)

@@ -52,6 +52,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(1) == -0.875 && got(2) == 0.75)
   }
 
+  test("dowSeasonality: planted weekly cycle, exact chi-square") {
+    // 14 days starting 2024-01-01 (epoch day 19723, dow 19723%7 = 4):
+    // two of each weekday; the spiked weekday gets 2x12=24, others 2x5=10
+    val counts = (0 until 14).map(i => if ((19723 + i) % 7 == 4) 12 else 5)
+    val rows = TimeSeries.dowSeasonality(seriesDf(counts), "ts")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 7))
+    // total = 6*10 + 24 = 84, e = 12; contrib: spiked -> 144/12 = 12,
+    // others -> 4/12 = 0.333333; chi2 = 12 + 6*(1/3) = 14
+    val byDow = rows.map(r => r._1 -> r._2).toMap
+    assert(byDow(4) == 24.0 &&
+      byDow.filter(_._1 != 4).values.forall(_ == 10.0))
+    assert(rows.forall(_._4 == 14.0))
+    assert(rows.find(_._1 == 4).get._3 == 12.0)
+  }
+
   test("autocorrDaily of a constant series yields NaN/null acf (zero denom)") {
     val got = TimeSeries.autocorrDaily(seriesDf(Seq(5, 5, 5)), "ts", 1)
       .collect()
