@@ -103,6 +103,35 @@ object Embeddings {
         .as("codes"))
   }
 
+  /** Per-vector int8 quantization distortion as SNR in dB:
+    * 10·log10(Σx² / Σ(x − dequant(quant(x)))²) with the same symmetric
+    * scale/rounding as [[int8Quantize]] — the audit that decides
+    * whether 4x storage compression is free for a given corpus (SNR
+    * ≳ 40 dB: downstream cosines are unaffected). dB, not raw MSE, on
+    * purpose: per-dim MSE at int8 step sizes is ~1e-7, beneath a
+    * 6dp-rounded gate's resolution; the log-ratio is O(40) and
+    * hash-stable. Zero-noise vectors (exactly representable, incl.
+    * all-zero) emit null.
+    *
+    * Scale shape: entirely scan-side higher-order functions — one pass,
+    * no shuffle, no explode; per-row output partitioned like the input.
+    */
+  def int8Snr(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    val s = array_max(transform(x, e => abs(e)))
+    // dequantized error term; arithmetic order (e/s*127, c*s/127) is
+    // left-associative on BOTH engines so every element is bit-identical
+    val err = transform(x, e =>
+      when(s === 0d, e).otherwise(e - round(e / s * 127, 0) * s / 127))
+    val sig = aggregate(transform(x, e => e * e), lit(0d), (a, e) => a + e)
+    val noise = aggregate(transform(err, e => e * e), lit(0d), (a, e) => a + e)
+    df.select(col(idCol), sig.as("__sig"), noise.as("__noise"))
+      .select(col(idCol),
+        round(when(col("__noise") === 0d, lit(null))
+          .otherwise(lit(10d) * log10(col("__sig") / col("__noise"))), 6)
+          .as("snr_db"))
+  }
+
   /** Top principal component of the embedding corpus by `iters` pinned
     * power iterations — the dimensionality-reduction primitive (PCA
     * whitening, spectral dedup diagnostics) kept FULLY declarative: no

@@ -100,6 +100,37 @@ object TimeSeries {
           round(col("e.sn"), 6) < -col("__h")).as("flag"))
   }
 
+  /** Before/after impact report (Welch's unequal-variance t): per
+    * group, the mean/variance of `valCol` strictly before vs at/after
+    * `pivot`, and t = (m_a − m_b) / sqrt(s_b²/n_b + s_a²/n_a) — the
+    * quantify step after [[cusumChangepoint]] detects WHERE something
+    * changed. Groups missing a side, or with a singleton side (no
+    * sample variance), emit null t. |t| ≳ 2 is the usual "real shift"
+    * reading at these n.
+    *
+    * Scale shape: one conditional-aggregation pass (two sides per
+    * group in the same combinable aggregate — no second scan, no join);
+    * output is group-domain-sized.
+    */
+  def impactWelch(df: DataFrame, groupCol: String, tsCol: String,
+                  valCol: String, pivot: String): DataFrame = {
+    val before = col(tsCol) < lit(pivot).cast("timestamp")
+    def side(cond: Column, suffix: String): Seq[Column] = Seq(
+      count(when(cond, 1)).as(s"n_$suffix"),
+      avg(when(cond, col(valCol))).as(s"mean_$suffix"),
+      var_samp(when(cond, col(valCol))).as(s"var_$suffix"))
+    val aggs = side(before, "before") ++ side(!before, "after")
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("n_before"), col("n_after"),
+        round(col("mean_before"), 6).as("mean_before"),
+        round(col("mean_after"), 6).as("mean_after"),
+        round(when(col("n_before") >= 2 && col("n_after") >= 2,
+          (col("mean_after") - col("mean_before")) /
+            sqrt(col("var_before") / col("n_before") +
+              col("var_after") / col("n_after"))), 6).as("t_welch"))
+  }
+
   /** Day-of-week seasonality with a chi-square uniformity statistic:
     * events bucketed by `epoch_day mod 7` (0 = Thursday — integer
     * arithmetic on epoch days, deliberately NOT the engine-specific

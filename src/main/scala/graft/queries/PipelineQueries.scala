@@ -2070,6 +2070,35 @@ object PipelineQueries {
       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
       |      FROM embeddings) t""".stripMargin
 
+  /** Int8 quantization distortion audit in dB — see
+    * [[graft.ops.Embeddings.int8Snr]] for why SNR, not raw MSE, is the
+    * hash-gateable form.
+    */
+  private def embInt8Snr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.int8Snr(Tables.embeddings(s, dir), "vec_id",
+      "embedding")
+
+  private val embInt8SnrSql =
+    """WITH t AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |                            x -> abs(CAST(x AS DOUBLE)))) AS s
+      |  FROM embeddings),
+      |q AS (SELECT vec_id,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sig,
+      |    list_sum(list_transform(embedding, x ->
+      |      CASE WHEN s = 0 THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |           ELSE (CAST(x AS DOUBLE) -
+      |                 round(CAST(x AS DOUBLE) / s * 127) * s / 127) *
+      |                (CAST(x AS DOUBLE) -
+      |                 round(CAST(x AS DOUBLE) / s * 127) * s / 127)
+      |      END)) AS noise
+      |  FROM t)
+      |SELECT vec_id,
+      |       CASE WHEN noise = 0 THEN NULL
+      |            ELSE round(10 * log10(sig / noise), 6) END AS snr_db
+      |FROM q""".stripMargin
+
   /** Composed embedding-prep pipeline: int8 quantization → exact
     * near-dup collapse at code resolution (identical codes = duplicate
     * vector at int8 precision; canonical = min vec_id) → per-label
@@ -2716,6 +2745,7 @@ object PipelineQueries {
     QueryDef("emb_label_centroids", embLabelCentroids,
       Some(embLabelCentroidsSql)),
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
+    QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
     QueryDef("emb_pca_top_component", embPcaTop, Some(embPcaTopSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),

@@ -102,7 +102,36 @@ object TimeSeriesQueries {
       |       round(t.chi2, 6) AS chi2
       |FROM x CROSS JOIN t""".stripMargin
 
+  /** Before/after Welch-t impact per event type around 2024-01-15 —
+    * the quantify step after CUSUM's detect. See
+    * [[graft.ops.TimeSeries.impactWelch]].
+    */
+  private def evImpactWelch(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.impactWelch(Tables.events(s, dir), "event_type", "ts",
+      "value", pivot = "2024-01-15")
+
+  private val evImpactWelchSql =
+    """SELECT event_type,
+      |  count(*) FILTER (ts < TIMESTAMP '2024-01-15') AS n_before,
+      |  count(*) FILTER (ts >= TIMESTAMP '2024-01-15') AS n_after,
+      |  round(avg(value) FILTER (ts < TIMESTAMP '2024-01-15'), 6)
+      |    AS mean_before,
+      |  round(avg(value) FILTER (ts >= TIMESTAMP '2024-01-15'), 6)
+      |    AS mean_after,
+      |  CASE WHEN count(*) FILTER (ts < TIMESTAMP '2024-01-15') >= 2
+      |        AND count(*) FILTER (ts >= TIMESTAMP '2024-01-15') >= 2
+      |       THEN round(
+      |         (avg(value) FILTER (ts >= TIMESTAMP '2024-01-15') -
+      |          avg(value) FILTER (ts < TIMESTAMP '2024-01-15')) /
+      |         sqrt(var_samp(value) FILTER (ts < TIMESTAMP '2024-01-15') /
+      |                count(*) FILTER (ts < TIMESTAMP '2024-01-15') +
+      |              var_samp(value) FILTER (ts >= TIMESTAMP '2024-01-15') /
+      |                count(*) FILTER (ts >= TIMESTAMP '2024-01-15')), 6)
+      |  END AS t_welch
+      |FROM events GROUP BY 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_impact_welch", evImpactWelch, Some(evImpactWelchSql)),
     QueryDef("ev_dow_seasonality", evDowSeasonality,
       Some(evDowSeasonalitySql)),
     QueryDef("ev_ewma_daily", evEwmaDaily, Some(evEwmaDailySql)),

@@ -77,6 +77,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 1.0, 2.5), (1, 0.0, 2.5)))
   }
 
+  test("int8Snr: reference-loop equality, exact vectors and zeros null") {
+    import spark.implicits._
+    def refSnr(xs: Seq[Double]): Option[Double] = {
+      val s = xs.map(math.abs).max
+      if (s == 0) return None
+      val errs = xs.map { e =>
+        val c = BigDecimal(e / s * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        e - c * s / 127
+      }
+      val noise = errs.map(e => e * e).sum
+      if (noise == 0) None
+      else Some(BigDecimal(10 * math.log10(xs.map(e => e * e).sum / noise))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f)),
+      (2L, Seq(1.0f, -1.0f)),   // codes ±127 dequantize exactly -> null
+      (3L, Seq(0.0f, 0.0f)))    // zero vector -> null
+    val got = Embeddings.int8Snr(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1) == refSnr(vecs.head._2.map(_.toDouble)))
+    assert(got(1).exists(v => v > 30 && v < 80)) // sane dB range
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
   test("pcaTopComponent on a zero-variance corpus yields null loadings") {
     import spark.implicits._
     val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(3f, 4f)))

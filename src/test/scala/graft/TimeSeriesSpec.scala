@@ -69,6 +69,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 4).get._3 == 12.0)
   }
 
+  test("impactWelch: hand-computed t, singleton sides yield null") {
+    import spark.implicits._
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      // type a: before {1,3} (mean 2, var 2); after {5,7,9} (mean 7, var 4)
+      ("a", t(10, 1), 1.0), ("a", t(11, 1), 3.0),
+      ("a", t(15, 0), 5.0), ("a", t(16, 1), 7.0), ("a", t(17, 1), 9.0),
+      // type b: singleton after side -> null t
+      ("b", t(10, 1), 2.0), ("b", t(11, 1), 4.0), ("b", t(20, 1), 9.0))
+      .toDF("event_type", "ts", "value")
+    val got = TimeSeries.impactWelch(rows, "event_type", "ts", "value",
+        pivot = "2024-01-15")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 3L)
+    assert(a.getDouble(3) == 2.0 && a.getDouble(4) == 7.0)
+    // t = 5 / sqrt(2/2 + 4/3)
+    val expected = BigDecimal(5.0 / math.sqrt(2.0 / 2 + 4.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getDouble(5) == expected)
+    assert(got("b").isNullAt(5))
+  }
+
   test("autocorrDaily of a constant series yields NaN/null acf (zero denom)") {
     val got = TimeSeries.autocorrDaily(seriesDf(Seq(5, 5, 5)), "ts", 1)
       .collect()
