@@ -2402,6 +2402,50 @@ object PipelineQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** ORC sink + source round-trip (Spark's ORC datasource is built-in,
+    * like parquet): write a column subset as zlib ORC, read it back
+    * with an explicit schema, aggregate — must match the parquet-side
+    * truth. Completes the format surface next to CSV (`s1`), JD/.sep,
+    * JSONL, and parquet.
+    */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_orc_${math.abs(dir.hashCode)}"
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("compression", "zlib").orc(tmp)
+    s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .orc(tmp)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT lang, source, count(*) AS cnt,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Hive-style partitioned write + partition-PRUNED read: documents
+    * land as `lang=<v>/` directories, and the filtered read-back must
+    * touch only the matching partitions — at 100 TB, partition pruning
+    * is the first and cheapest scan eliminator (the plan-level
+    * `PartitionFilters` evidence is pinned by BucketingSpec). The
+    * aggregate over the pruned subset must match the parquet-side
+    * truth.
+    */
+  private def partitionedPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_part_${math.abs(dir.hashCode)}"
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val partitionedPrunedReadSql =
+    """SELECT lang, source, count(*) AS cnt,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1, 2""".stripMargin
+
   // ---- multimodal: real javax.imageio decode + FakeCodec fallback ----
 
   /** Mixed media table: even ids are REAL PNG payloads (decoded by
@@ -2785,6 +2829,9 @@ object PipelineQueries {
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
+    QueryDef("s_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("s_partitioned_pruned_read", partitionedPrunedRead,
+      Some(partitionedPrunedReadSql)),
     QueryDef("text_quality_gate", qualityGate, Some(qualityGateSql)),
     QueryDef("ev_stratified_sample", stratifiedSample,
       Some(stratifiedSampleSql)),

@@ -31,6 +31,24 @@ class BucketingSpec extends AnyFunSuite {
       li.join(o, li("l_orderkey") === o("o_orderkey")).count())
   }
 
+  test("partitioned write prunes partitions at the source, not post-scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val read = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory-level
+    // pruning), NOT as a row-level data filter after a full scan
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), plan.take(2000))
+    // and the pruned read agrees with the unpartitioned truth
+    val truth = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    assert(read.agg(sum(col("n_chars"))).head.getLong(0) == truth)
+  }
+
   test("shard writer produces disjoint, internally-sorted range shards") {
     import graft.data.ShardWriter
     val dir = "/root/testdata/sf0.001"
