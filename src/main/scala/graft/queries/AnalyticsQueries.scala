@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Analytics, Graph, Skew}
+import graft.ops.{Analytics, Graph, Incremental, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -715,6 +715,32 @@ object AnalyticsQueries {
       |       round(quantile_cont(gap_us, 0.99), 6) AS p99_us
       |FROM g WHERE gap_us IS NOT NULL""".stripMargin
 
+  /** Incremental aggregation via mergeable moment states: the stream is
+    * split into two "daily batches" (before/after Jan 15), each reduced
+    * to a per-type state, states MERGED, then finalized to
+    * n/avg/stddev/min/max — proving the merge path gives the same
+    * answer as a full rescan (which is what the oracle computes). See
+    * [[graft.ops.Incremental]].
+    */
+  private def evIncrementalMoments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pivot = lit("2024-01-15").cast("timestamp")
+    val batch1 = Incremental.momentState(
+      ev.filter(col("ts") < pivot), Seq("event_type"), "value")
+    val batch2 = Incremental.momentState(
+      ev.filter(col("ts") >= pivot), Seq("event_type"), "value")
+    Incremental.finalizeMoments(
+      Incremental.mergeStates(Seq(batch1, batch2), Seq("event_type")),
+      Seq("event_type"))
+  }
+
+  private val evIncrementalMomentsSql =
+    """SELECT event_type, count(value) AS n,
+      |       round(avg(value), 6) AS avg,
+      |       round(stddev_samp(value), 6) AS stddev,
+      |       min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Join/group-key skew audit of orders.o_custkey: max/avg/p99 per-key
     * counts and the skew ratio — the measurement that decides whether a
     * salted join/aggregate (or AQE skew split) is warranted BEFORE
@@ -735,6 +761,8 @@ object AnalyticsQueries {
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
     QueryDef("ev_interarrival_quantiles", evInterarrival,
       Some(evInterarrivalSql)),
+    QueryDef("ev_incremental_moments", evIncrementalMoments,
+      Some(evIncrementalMomentsSql)),
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),

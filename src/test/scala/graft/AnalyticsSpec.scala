@@ -22,6 +22,31 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("moment states merge associatively and finalize to the rescan answer") {
+    import spark.implicits._
+    import graft.ops.Incremental
+    val all = Seq((0, "a", 1.0), (1, "a", 3.0), (2, "a", 5.0), (3, "b", 2.0))
+      .toDF("i", "k", "v")
+    // three different batch splits must all finalize identically
+    def split(parts: Seq[Seq[Int]]) = Incremental.finalizeMoments(
+      Incremental.mergeStates(parts.map(idx =>
+        Incremental.momentState(
+          all.filter(col("i").isin(idx: _*)).drop("i"),
+          Seq("k"), "v")), Seq("k")), Seq("k"))
+    val direct = Incremental.finalizeMoments(
+      Incremental.momentState(all.drop("i"), Seq("k"), "v"), Seq("k"))
+      .collect().map(_.toSeq).toSet
+    assert(split(Seq(Seq(0), Seq(1, 2), Seq(3))).collect()
+      .map(_.toSeq).toSet == direct)
+    assert(split(Seq(Seq(0, 3), Seq(1), Seq(2))).collect()
+      .map(_.toSeq).toSet == direct)
+    // and the finalized numbers are the textbook ones
+    val a = direct.find(_.head == "a").get
+    assert(a(1) == 3L && a(2) == 3.0 && a(3) == 2.0 && a(4) == 1.0 && a(5) == 5.0)
+    val b = direct.find(_.head == "b").get
+    assert(b(1) == 1L && b(3) == null) // singleton: no sample stddev
+  }
+
   test("interarrivalQuantiles: exact gaps, cross-user gaps excluded") {
     val rows = Seq(
       (1L, 1L, ts(0L), "v", null), (2L, 1L, ts(100000L), "v", null),
