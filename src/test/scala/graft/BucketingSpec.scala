@@ -31,6 +31,22 @@ class BucketingSpec extends AnyFunSuite {
       li.join(o, li("l_orderkey") === o("o_orderkey")).count())
   }
 
+  test("AQE re-plans a shuffle join to broadcast once runtime stats arrive") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    // a filter that leaves a handful of orders: static planning can't
+    // know that (stats are per-file), runtime stats can
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .agg(sum(col("l_quantity")))
+    joined.collect() // finalize the adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan.take(500))
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected runtime broadcast, got:\n" + plan.take(2000))
+  }
+
   test("partitioned write prunes partitions at the source, not post-scan") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
