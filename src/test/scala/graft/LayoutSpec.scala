@@ -105,6 +105,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(got(2).isEmpty && got(3).isEmpty)
   }
 
+  test("pcaTopComponent plan: no row-table join in the iteration") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, Seq(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Embeddings.pcaTopComponent(df, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    // the 115s->10s lesson pinned: projections fold scan-side against a
+    // broadcast direction; nothing may shuffle-join the corpus on vid
+    assert(!plan.contains("SortMergeJoin"),
+      "iteration re-joined the row table:\n" + plan.take(2000))
+  }
+
   test("pcaTopComponent on a zero-variance corpus yields null loadings") {
     import spark.implicits._
     val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(3f, 4f)))
