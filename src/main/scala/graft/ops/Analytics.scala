@@ -226,6 +226,51 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary): per key,
+    * recency = days since last event vs the corpus max timestamp,
+    * frequency = event count, monetary = value sum; each dimension
+    * tercile-binned by the [[quantileBins]] rule (bin = number of
+    * thresholds strictly below the 6dp-rounded score, ties to the
+    * LOWER bin), then the 27 possible `r-f-m` segments reported with
+    * member counts — the classic lifecycle segmentation, composed from
+    * the same exact-percentile machinery as the other binning ops.
+    * Note recency bins ascend with STALENESS (bin 2 = longest quiet).
+    *
+    * Scale shape: one key-hash aggregate builds the per-key metric
+    * table (key-domain-sized); the nine thresholds are one single-row
+    * aggregate broadcast back; the segment report is a ≤27-group
+    * combinable count.
+    */
+  def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String): DataFrame = {
+    val maxTs = df.agg(max(unix_micros(col(tsCol))).as("__maxus"))
+    val perKey = df.groupBy(col(keyCol))
+      .agg(max(unix_micros(col(tsCol))).as("__lastus"),
+        count(lit(1)).cast("double").as("f"),
+        round(sum(col(valCol)), 6).as("m"))
+      .crossJoin(broadcast(maxTs))
+      .select(col(keyCol),
+        ((col("__maxus") - col("__lastus")) / lit(86400000000L).cast("double"))
+          .as("r"), col("f"), col("m"))
+    def bins(c: String) = {
+      val scored = round(col(c), 6)
+      val thr = perKey.agg(transform(
+        percentile(scored, array(lit(1.0 / 3), lit(2.0 / 3))),
+        t => round(t, 6)).as(s"__thr_$c"))
+      (scored, thr)
+    }
+    val (rS, rT) = bins("r"); val (fS, fT) = bins("f"); val (mS, mT) = bins("m")
+    def bin(s: Column, thrCol: Column) =
+      aggregate(thrCol, lit(0), (acc, t) => acc + when(s > t, 1).otherwise(0))
+    perKey.crossJoin(broadcast(rT)).crossJoin(broadcast(fT))
+      .crossJoin(broadcast(mT))
+      .select(bin(rS, col("__thr_r")).as("r_bin"),
+        bin(fS, col("__thr_f")).as("f_bin"),
+        bin(mS, col("__thr_m")).as("m_bin"))
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Inter-arrival gap quantiles: per key, the integer-microsecond gap
     * between consecutive events (time order, `tieCol` breaking equal
     * timestamps), then exact p50/p90/p99 of all gaps — the feed-health

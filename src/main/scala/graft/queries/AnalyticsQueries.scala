@@ -757,7 +757,40 @@ object AnalyticsQueries {
       |       round(max(cnt) / avg(cnt), 6) AS skew_ratio
       |FROM c""".stripMargin
 
+  /** RFM lifecycle segments over users: tercile bins on
+    * recency/frequency/monetary, 27-cell report. See
+    * [[graft.ops.Analytics.rfmSegments]].
+    */
+  private def evRfmSegments(s: SparkSession, dir: String): DataFrame =
+    Analytics.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
+
+  private val evRfmSegmentsSql =
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS maxus FROM events),
+      |pk AS (SELECT user_id,
+      |         (mx.maxus - max(epoch_us(ts))) / 86400000000.0 AS r,
+      |         count(*)::DOUBLE AS f,
+      |         round(sum(value), 6) AS m
+      |       FROM events CROSS JOIN mx GROUP BY user_id, mx.maxus),
+      |thr AS (SELECT
+      |    round(quantile_cont(round(r, 6), 1.0/3), 6) AS r1,
+      |    round(quantile_cont(round(r, 6), 2.0/3), 6) AS r2,
+      |    round(quantile_cont(round(f, 6), 1.0/3), 6) AS f1,
+      |    round(quantile_cont(round(f, 6), 2.0/3), 6) AS f2,
+      |    round(quantile_cont(round(m, 6), 1.0/3), 6) AS m1,
+      |    round(quantile_cont(round(m, 6), 2.0/3), 6) AS m2
+      |  FROM pk)
+      |SELECT
+      |  (CASE WHEN round(r, 6) > r1 THEN 1 ELSE 0 END +
+      |   CASE WHEN round(r, 6) > r2 THEN 1 ELSE 0 END) AS r_bin,
+      |  (CASE WHEN round(f, 6) > f1 THEN 1 ELSE 0 END +
+      |   CASE WHEN round(f, 6) > f2 THEN 1 ELSE 0 END) AS f_bin,
+      |  (CASE WHEN round(m, 6) > m1 THEN 1 ELSE 0 END +
+      |   CASE WHEN round(m, 6) > m2 THEN 1 ELSE 0 END) AS m_bin,
+      |  count(*) AS n_keys
+      |FROM pk CROSS JOIN thr GROUP BY 1, 2, 3""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_rfm_segments", evRfmSegments, Some(evRfmSegmentsSql)),
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
     QueryDef("ev_interarrival_quantiles", evInterarrival,
       Some(evInterarrivalSql)),

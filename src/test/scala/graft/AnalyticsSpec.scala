@@ -22,6 +22,22 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("rfmSegments: hand-built terciles land users in the right cells") {
+    // 3 users, clean separation on every dimension. maxTs = day 30.
+    // u1: last day 30 (r=0),  9 events, value 90  -> r0, f2, m2
+    // u2: last day 20 (r=10), 6 events, value 60  -> r1, f1, m1
+    // u3: last day 10 (r=20), 3 events, value 30  -> r2, f0, m0
+    def t(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d ${10 + i}%02d:00:00")
+    val rows = (1 to 9).map(i => (i.toLong, 1L, t(if (i == 9) 30 else 5, i % 9), "v", java.lang.Double.valueOf(10.0))) ++
+      (1 to 6).map(i => (20L + i, 2L, t(if (i == 6) 20 else 5, i % 9), "v", java.lang.Double.valueOf(10.0))) ++
+      (1 to 3).map(i => (40L + i, 3L, t(if (i == 3) 10 else 5, i % 9), "v", java.lang.Double.valueOf(10.0)))
+    val got = Analytics.rfmSegments(evDf(rows), "user_id", "ts", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((0, 2, 2, 1L), (1, 1, 1, 1L), (2, 0, 0, 1L)))
+  }
+
   test("moment states merge associatively and finalize to the rescan answer") {
     import spark.implicits._
     import graft.ops.Incremental
