@@ -226,6 +226,69 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Daily peak concurrency: sessionize (same `gapMinutes` idle rule as
+    * `ev_sessionize`), then sweep-line over session intervals — +1 at
+    * session start, −1 just after session end (end-inclusive presence),
+    * running-summed within each day with ties ordered (−1 before +1, so
+    * adjacent sessions never double-count) — reporting each day's
+    * maximum simultaneous open sessions. Sessions spanning midnight are
+    * handled by a CARRYOVER term (sessions open at the day's first
+    * instant), counted by a broadcast day-spine join, so per-day sweeps
+    * stay independent.
+    *
+    * Scale shape: sessionization is the standard key-partitioned
+    * window; the sweep is partitioned by DAY — at extreme events/day,
+    * sub-partition the sweep by hour with the same carryover
+    * construction (the correction term is the whole trick, and it
+    * nests). The spine join is day-domain × midnight-crossing sessions
+    * only.
+    */
+  def maxConcurrencyDaily(df: DataFrame, keyCol: String, tsCol: String,
+                          gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newS = when(lag(col(tsCol), 1).over(w).isNull ||
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapUs,
+      1).otherwise(0)
+    // session-domain-sized and read three times (two delta legs + the
+    // carryover join) — materialize so the event window runs once
+    val sessions = graft.data.ScopedCaches.materialize(df
+      .select(col(keyCol), col(tsCol),
+        sum(newS).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("sid"))
+      .groupBy(col(keyCol), col("sid"))
+      .agg(min(unix_micros(col(tsCol))).as("s_us"),
+        max(unix_micros(col(tsCol))).as("e_us"))
+      .select(col("s_us"), (col("e_us") + 1).as("e_excl_us")))
+    val deltas = sessions.select(col("s_us").as("us"), lit(1).as("delta"))
+      .unionByName(sessions.select(col("e_excl_us").as("us"),
+        lit(-1).as("delta")))
+      // integer div, not float floor: an exact-midnight end must land
+      // on the same side in every engine
+      .withColumn("day", expr("us div 86400000000"))
+    val sweepW = Window.partitionBy(col("day"))
+      .orderBy(col("us").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sweep = deltas
+      .withColumn("run", sum(col("delta")).over(sweepW))
+      .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+    // carryover as an EXPLODE-days aggregate, not a non-equi spine join
+    // (a 30-row x millions-of-sessions nested loop was the first cut's
+    // cost): each session fans out to the days it is open AT the first
+    // instant of — one per crossed midnight, zero for same-day sessions
+    // — and a combinable count per day does the rest.
+    val carry = sessions
+      .select(expr("s_us div 86400000000").as("s_day"),
+        expr("(e_excl_us - 1) div 86400000000").as("e_day"))
+      .where(col("e_day") >= col("s_day") + 1)
+      .select(explode(sequence(col("s_day") + 1, col("e_day"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("carry"))
+    sweep.join(carry, Seq("day"), "left")
+      .withColumn("carry", coalesce(col("carry"), lit(0L)))
+      .select(to_date(timestamp_micros(col("day") * 86400000000L)).as("day"),
+        greatest(col("carry"), col("carry") + col("max_run"))
+          .as("max_concurrency"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary): per key,
     * recency = days since last event vs the corpus max timestamp,
     * frequency = event count, monetary = value sum; each dimension

@@ -789,7 +789,49 @@ object AnalyticsQueries {
       |  count(*) AS n_keys
       |FROM pk CROSS JOIN thr GROUP BY 1, 2, 3""".stripMargin
 
+  /** Daily peak concurrent sessions (30-min idle rule, same as
+    * `ev_sessionize`): sweep-line with midnight carryover. See
+    * [[graft.ops.Analytics.maxConcurrencyDaily]].
+    */
+  private def evMaxConcurrency(s: SparkSession, dir: String): DataFrame =
+    Analytics.maxConcurrencyDaily(Tables.events(s, dir), "user_id", "ts",
+      gapMinutes = 30)
+
+  private val evMaxConcurrencySql =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |           THEN 1
+      |         ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, sum(new_s) OVER
+      |        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |        AS sid FROM e),
+      |sess AS (SELECT min(epoch_us(ts)) AS s_us,
+      |                max(epoch_us(ts)) + 1 AS e_excl_us
+      |         FROM s GROUP BY user_id, sid),
+      |d2 AS (SELECT us, delta, us // 86400000000 AS day FROM (
+      |         SELECT s_us AS us, 1 AS delta FROM sess
+      |         UNION ALL SELECT e_excl_us, -1 FROM sess) d),
+      |sw AS (SELECT day, max(run) AS max_run FROM (
+      |         SELECT day, sum(delta) OVER
+      |           (PARTITION BY day ORDER BY us, delta
+      |            ROWS UNBOUNDED PRECEDING) AS run
+      |         FROM d2) t GROUP BY 1),
+      |cyd AS (SELECT unnest(range(s_us // 86400000000 + 1,
+      |                            (e_excl_us - 1) // 86400000000 + 1))
+      |          AS day
+      |        FROM sess),
+      |cy AS (SELECT day, count(*) AS carry FROM cyd GROUP BY 1)
+      |SELECT make_timestamp(sw.day * 86400000000)::DATE AS day,
+      |       greatest(coalesce(cy.carry, 0),
+      |                coalesce(cy.carry, 0) + sw.max_run) AS max_concurrency
+      |FROM sw LEFT JOIN cy USING (day)""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_max_concurrency_daily", evMaxConcurrency,
+      Some(evMaxConcurrencySql)),
     QueryDef("ev_rfm_segments", evRfmSegments, Some(evRfmSegmentsSql)),
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
     QueryDef("ev_interarrival_quantiles", evInterarrival,

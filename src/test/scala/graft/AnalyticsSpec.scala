@@ -22,6 +22,28 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("maxConcurrencyDaily: overlap peaks, adjacency, midnight carryover") {
+    def t(day: Int, h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // day 1: u1 10:00-10:20, u2 10:10-10:15, u3 single event at 10:20.
+    //        Peak 2 twice: u1+u2 at 10:10, and u1+u3 at 10:20 — the
+    //        latter ONLY because presence is end-inclusive (u1's -1
+    //        fires just after 10:20); end-exclusive would read 1 there.
+    // day 2->3: u4 session 23:50-00:10 spans midnight: day 3 carryover 1
+    val rows = Seq(
+      (1L, 1L, t(1, 10, 0), "v"), (2L, 1L, t(1, 10, 20), "v"),
+      (3L, 2L, t(1, 10, 10), "v"), (4L, 2L, t(1, 10, 15), "v"),
+      (5L, 3L, t(1, 10, 20), "v"),
+      (6L, 4L, t(2, 23, 50), "v"), (7L, 4L, t(3, 0, 10), "v"))
+      .map(r => (r._1, r._2, r._3, r._4, null: java.lang.Double))
+    val got = Analytics.maxConcurrencyDaily(evDf(rows), "user_id", "ts",
+        gapMinutes = 30)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 2L)
+    assert(got("2024-01-02") == 1L)
+    assert(got("2024-01-03") == 1L) // carryover only: u4 still open
+  }
+
   test("rfmSegments: hand-built terciles land users in the right cells") {
     // 3 users, clean separation on every dimension. maxTs = day 30.
     // u1: last day 30 (r=0),  9 events, value 90  -> r0, f2, m2
