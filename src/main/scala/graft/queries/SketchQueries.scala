@@ -323,6 +323,52 @@ object SketchQueries {
     basics.unionByName(kmv).unionByName(p50).unionByName(top3)
   }
 
+  /** One-scan profiler for the documents table (the corpus-side sibling
+    * of `profile_events`): row count, null counts, id uniqueness,
+    * domain cardinalities, and length statistics — all riding a single
+    * global aggregate, unpivoted with `stack` to the long
+    * (col, metric, val_num) audit format.
+    */
+  private def profileDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).cast("double")
+          .as("id_dups"),
+        (count(lit(1)) - count(col("text"))).cast("double").as("text_nulls"),
+        count_distinct(col("lang")).cast("double").as("lang_distinct"),
+        count_distinct(col("source")).cast("double").as("source_distinct"),
+        round(avg(length(col("text"))), 6).as("text_len_avg"),
+        min(col("n_chars")).cast("double").as("nchars_min"),
+        max(col("n_chars")).cast("double").as("nchars_max"))
+      .selectExpr("""stack(8,
+          '_table', 'row_cnt', n_rows,
+          'doc_id', 'dup_cnt', id_dups,
+          'text', 'null_cnt', text_nulls,
+          'lang', 'distinct_exact', lang_distinct,
+          'source', 'distinct_exact', source_distinct,
+          'text', 'len_avg', text_len_avg,
+          'n_chars', 'min', nchars_min,
+          'n_chars', 'max', nchars_max) AS (col, metric, val_num)""")
+
+  private val profileDocumentsSql =
+    """WITH a AS (SELECT count(*)::DOUBLE AS n_rows,
+      |    (count(*) - count(DISTINCT doc_id))::DOUBLE AS id_dups,
+      |    (count(*) - count(text))::DOUBLE AS text_nulls,
+      |    count(DISTINCT lang)::DOUBLE AS lang_distinct,
+      |    count(DISTINCT source)::DOUBLE AS source_distinct,
+      |    round(avg(length(text)), 6) AS text_len_avg,
+      |    min(n_chars)::DOUBLE AS nchars_min,
+      |    max(n_chars)::DOUBLE AS nchars_max
+      |  FROM documents)
+      |SELECT '_table' AS col, 'row_cnt' AS metric, n_rows AS val_num FROM a
+      |UNION ALL SELECT 'doc_id', 'dup_cnt', id_dups FROM a
+      |UNION ALL SELECT 'text', 'null_cnt', text_nulls FROM a
+      |UNION ALL SELECT 'lang', 'distinct_exact', lang_distinct FROM a
+      |UNION ALL SELECT 'source', 'distinct_exact', source_distinct FROM a
+      |UNION ALL SELECT 'text', 'len_avg', text_len_avg FROM a
+      |UNION ALL SELECT 'n_chars', 'min', nchars_min FROM a
+      |UNION ALL SELECT 'n_chars', 'max', nchars_max FROM a""".stripMargin
+
   private val profileEventsSql =
     """WITH hs AS (
       |  SELECT DISTINCT
@@ -619,6 +665,8 @@ object SketchQueries {
     QueryDef("ev_value_quantiles", evValueQuantiles,
       Some(evValueQuantilesSql)),
     QueryDef("profile_events", profileEvents, Some(profileEventsSql)),
+    QueryDef("profile_documents", profileDocuments,
+      Some(profileDocumentsSql)),
     QueryDef("ev_p50_by_type", evP50ByType, Some(evP50ByTypeSql)),
     QueryDef("ev_kmv_setops", evKmvSetops, Some(evKmvSetopsSql)),
   )
