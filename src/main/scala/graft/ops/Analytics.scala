@@ -226,6 +226,42 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Benford first-digit audit: the distribution of leading significant
+    * digits of a positive value column vs Benford's law
+    * p(d) = log10(1 + 1/d), with chi-square. A strong deviation on
+    * organically-generated amounts is the classic fabricated-data /
+    * broken-generator signal (synthetic uniform values, like this
+    * fixture's, deviate hugely — which is the audit working). The digit
+    * comes from the STRING of the 6dp-scaled integer — never
+    * floor(log10): float log of an exact power of ten can land a hair
+    * low and misread 1000 as leading digit 9.
+    *
+    * Scale shape: scan-side digit extraction, one 9-cell combinable
+    * count, a 9-row spine join so absent digits still contribute to
+    * chi-square.
+    */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val v6 = round(col(valCol) * 1e6, 0).cast("long")
+    val digits = df.select(v6.as("v")).filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val tot = digits.agg(sum(col("cnt")).cast("double").as("__tot"))
+    val cells = spine.join(digits, Seq("digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("__tot") * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("__c",
+        (col("cnt") - col("expected")) * (col("cnt") - col("expected")) /
+          col("expected"))
+    val chi2 = cells.agg(sum(col("__c")).as("__chi2"))
+    cells.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("cnt"), round(col("expected"), 6).as("expected"),
+        round(col("__c"), 6).as("contrib"), round(col("__chi2"), 6).as("chi2"))
+  }
+
   /** Daily peak concurrency: sessionize (same `gapMinutes` idle rule as
     * `ev_sessionize`), then sweep-line over session intervals — +1 at
     * session start, −1 just after session end (end-inclusive presence),

@@ -54,6 +54,27 @@ object TextAnalysis {
           (col("n_docs") * cap), 6).as("waste_frac"))
   }
 
+  /** Per-document character-unigram Shannon entropy (bits/char) — the
+    * classic gibberish detector: natural prose sits ~3.5–4.5 bits,
+    * mashed-keyboard and base64 blobs drift high, repeated-char spam
+    * drifts low. Entirely scan-side higher-order functions over the
+    * lowercased text: for each DISTINCT char, its count via a filter
+    * fold, then −Σ p·log2 p. Per-doc cost is distinct-chars × length —
+    * alphabet-bounded, not length² — and nothing shuffles.
+    */
+  def charEntropy(text: Column): Column = {
+    val t = lower(trim(text))
+    val n = length(t).cast("double")
+    val chars = transform(sequence(lit(1), greatest(length(t), lit(1))),
+      i => t.substr(i, lit(1)))
+    val distinctChars = array_distinct(chars)
+    val ent = aggregate(distinctChars, lit(0d), (acc, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      acc - p * log(2.0, p)
+    })
+    when(n === 0d, lit(0d)).otherwise(round(ent, 6))
+  }
+
   /** Distinct character k-grams (shingles) of the raw text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(trim(text))

@@ -829,7 +829,35 @@ object AnalyticsQueries {
       |                coalesce(cy.carry, 0) + sw.max_run) AS max_concurrency
       |FROM sw LEFT JOIN cy USING (day)""".stripMargin
 
+  /** Benford first-digit audit on event values — see
+    * [[graft.ops.Analytics.benfordAudit]]; the synthetic uniform values
+    * deviate hugely, which is the audit working.
+    */
+  private def dqBenford(s: SparkSession, dir: String): DataFrame =
+    Analytics.benfordAudit(Tables.events(s, dir), "value")
+
+  private val dqBenfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(value * 1000000.0)
+      |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM events WHERE CAST(round(value * 1000000.0) AS BIGINT) > 0),
+      |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+      |cells AS (
+      |  SELECT s.digit, coalesce(c.cnt, 0) AS cnt,
+      |         tot.tot * (ln(1.0 + 1.0 / s.digit) / ln(10.0)) AS expected
+      |  FROM (SELECT unnest(range(1, 10)) AS digit) s
+      |  LEFT JOIN c ON c.digit = s.digit CROSS JOIN tot),
+      |x AS (SELECT digit, cnt, expected,
+      |        (cnt - expected) * (cnt - expected) / expected AS c2
+      |      FROM cells),
+      |t2 AS (SELECT sum(c2) AS chi2 FROM x)
+      |SELECT digit, cnt, round(expected, 6) AS expected,
+      |       round(c2, 6) AS contrib, round(t2.chi2, 6) AS chi2
+      |FROM x CROSS JOIN t2""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("dq_benford_values", dqBenford, Some(dqBenfordSql)),
     QueryDef("ev_max_concurrency_daily", evMaxConcurrency,
       Some(evMaxConcurrencySql)),
     QueryDef("ev_rfm_segments", evRfmSegments, Some(evRfmSegmentsSql)),

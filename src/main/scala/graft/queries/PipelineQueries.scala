@@ -1077,6 +1077,35 @@ object PipelineQueries {
        |FROM pt""".stripMargin
   }
 
+  /** Per-doc character-unigram entropy (bits/char) — the gibberish
+    * detector; see [[graft.ops.TextAnalysis.charEntropy]]. Oracle
+    * mirrors the ln/ln(2) form so both engines take the same float
+    * path.
+    */
+  private def charEntropyQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+
+  private val charEntropySql =
+    """WITH b AS (
+      |  SELECT doc_id, lower(trim(text)) AS t,
+      |         length(lower(trim(text)))::DOUBLE AS n
+      |  FROM documents),
+      |ch AS (SELECT doc_id, n,
+      |         list_transform(range(1, CAST(greatest(n, 1) AS BIGINT) + 1),
+      |                        i -> substr(t, CAST(i AS INT), 1)) AS chars
+      |       FROM b),
+      |e AS (SELECT doc_id, n,
+      |        list_sum(list_transform(list_distinct(chars), c ->
+      |          -(len(list_filter(chars, x -> x = c)) / n) *
+      |           (ln(len(list_filter(chars, x -> x = c)) / n) / ln(2.0))))
+      |          AS ent
+      |      FROM ch)
+      |SELECT doc_id,
+      |       CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END
+      |         AS char_entropy
+      |FROM e""".stripMargin
+
   private def quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id") +: (TextAnalysis.qualityColumns(col("text")) :+
@@ -2809,6 +2838,7 @@ object PipelineQueries {
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_langid_confusion", langidConfusion,
       Some(langidConfusionSql)),
+    QueryDef("text_char_entropy", charEntropyQ, Some(charEntropySql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_topk_quality_by_lang", topkQualityByLang,
       Some(topkQualityByLangSql)),

@@ -22,6 +22,25 @@ class AnalyticsSpec extends AnyFunSuite {
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true))))
 
+  test("benfordAudit: string-extracted digits, spine keeps absent digits") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    // values with leading digits 1,1,2,9; zero/negative excluded
+    val df = Seq(1.5, 0.0000105, 2000.0, 0.9, 0.0, -3.0).toDF("value")
+    val got = Analytics.benfordAudit(df, "value")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == (1 to 9).toSet) // all digits present via spine
+    assert(got(1)._1 == 2L && got(2)._1 == 1L && got(9)._1 == 1L)
+    assert(got(3)._1 == 0L) // absent digit still a cell
+    // chi2 identical on every row and strictly positive here
+    assert(got.values.map(_._2).toSet.size == 1 && got(1)._2 > 0)
+    // power-of-ten edge: 1000000.0 (v6 = 1e12) must read digit 1, not 9
+    val p10 = Analytics.benfordAudit(Seq(1000000.0).toDF("value"), "value")
+      .filter(col("cnt") > 0).collect()
+    assert(p10.length == 1 && p10.head.getInt(0) == 1)
+  }
+
   test("maxConcurrencyDaily: overlap peaks, adjacency, midnight carryover") {
     def t(day: Int, h: Int, m: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")

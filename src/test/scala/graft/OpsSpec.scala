@@ -994,6 +994,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),   // p = {0.5, 0.5} -> exactly 1 bit
+      (2L, "abcd"),   // uniform over 4 -> exactly 2 bits
+      (3L, "aaaa"),   // single symbol -> 0
+      (4L, "   "))    // trims to empty -> 0 by convention
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 1.0 && got(2) == 2.0 && got(3) == 0.0 && got(4) == 0.0)
+  }
+
   test("audio codec round-trips planted WAV samples through javax.sound") {
     import graft.ops.Multimodal.AudioCodec
     val n = 800
