@@ -1083,28 +1083,23 @@ object PipelineQueries {
     * path.
     */
   private def charEntropyQ(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
-      TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
 
   private val charEntropySql =
-    """WITH b AS (
-      |  SELECT doc_id, lower(trim(text)) AS t,
-      |         length(lower(trim(text)))::DOUBLE AS n
-      |  FROM documents),
-      |ch AS (SELECT doc_id, n,
-      |         list_transform(range(1, CAST(greatest(n, 1) AS BIGINT) + 1),
-      |                        i -> substr(t, CAST(i AS INT), 1)) AS chars
+    """WITH b AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |ch AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, length(t) + 1),
+      |                               i -> substr(t, CAST(i AS INT), 1)))
+      |           AS c
       |       FROM b),
-      |e AS (SELECT doc_id, n,
-      |        list_sum(list_transform(list_distinct(chars), c ->
-      |          -(len(list_filter(chars, x -> x = c)) / n) *
-      |           (ln(len(list_filter(chars, x -> x = c)) / n) / ln(2.0))))
-      |          AS ent
-      |      FROM ch)
-      |SELECT doc_id,
-      |       CASE WHEN n = 0 THEN 0.0 ELSE round(ent, 6) END
+      |cnts AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      |h AS (SELECT doc_id, sum(cnt)::DOUBLE AS n,
+      |        sum(cnt * (ln(cnt) / ln(2.0))) AS s
+      |      FROM cnts GROUP BY 1)
+      |SELECT b.doc_id,
+      |       coalesce(round((ln(h.n) / ln(2.0)) - h.s / h.n, 6), 0.0)
       |         AS char_entropy
-      |FROM e""".stripMargin
+      |FROM b LEFT JOIN h USING (doc_id)""".stripMargin
 
   private def quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

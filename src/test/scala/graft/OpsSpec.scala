@@ -1002,8 +1002,7 @@ class OpsSpec extends AnyFunSuite {
       (3L, "aaaa"),   // single symbol -> 0
       (4L, "   "))    // trims to empty -> 0 by convention
       .toDF("doc_id", "text")
-    val got = docs.select(col("doc_id"),
-        TextAnalysis.charEntropy(col("text")).as("h"))
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(1) == 1.0 && got(2) == 2.0 && got(3) == 0.0 && got(4) == 0.0)
   }
