@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{aggregate => foldAgg, _}
+
+/** Distribution statistics for corpus governance: PSI drift between two
+  * populations, Gini/Lorenz activity concentration, and a Kaplan-Meier
+  * survival estimator. Like the other analytics ops, each collapses the
+  * raw stream to a DOMAIN-sized table first (bins, count histogram,
+  * distinct durations) with map-side-combinable aggregates — the only
+  * full-data passes — then runs the statistic on that tiny table, so
+  * the shapes survive 100 TB unchanged.
+  */
+object Stats {
+
+  /** Population Stability Index between a baseline and a current
+    * population of `valueCol`, over `bins` quantile bands fitted on the
+    * BASELINE side (the industry scorecard-drift metric: PSI < 0.1
+    * stable, 0.1–0.25 shifting, > 0.25 drifted).
+    *
+    * Bin edges are the baseline's exact interior quantiles (Spark
+    * `percentile` == DuckDB `quantile_cont` interpolation), rounded to
+    * 6dp BEFORE binning; band assignment is strictly-greater on the
+    * 6dp-rounded value, ties to the lower bin — the same tie rule as
+    * [[Analytics.quantileBins]], so every assignment replays in any
+    * engine. Proportions are Jeffreys-smoothed, p = (cnt + 0.5) /
+    * (tot + 0.5·bins), so an empty band contributes a finite penalty
+    * instead of an infinite log-ratio — deterministic, parameter-free,
+    * and replayable (the usual ad-hoc 1e-4 floor is neither).
+    *
+    * Scale shape: one single-row exact-percentile aggregate over the
+    * baseline (at extreme N swap `approx_percentile`, plumbing
+    * unchanged) broadcast back, then ONE conditional count aggregate
+    * over `bins` groups computes both populations in the same pass.
+    * Output: one row per band with both counts, smoothed proportions,
+    * the band's PSI contribution, and the total.
+    */
+  def psiDrift(df: DataFrame, valueCol: Column, isBaseline: Column,
+               bins: Int): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val v6 = round(valueCol, 6)
+    val ps = (1 until bins).map(i => lit(i.toDouble / bins))
+    val edges = df.filter(isBaseline)
+      .agg(transform(percentile(v6, array(ps: _*)), e => round(e, 6))
+        .as("__edges"))
+    val binned = df.crossJoin(broadcast(edges))
+      .select(
+        (foldAgg(col("__edges"), lit(1),
+          (acc, e) => acc + when(v6 > e, 1).otherwise(0))).as("bin"),
+        isBaseline.as("__isb"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("__isb"), 1)).as("cnt_base"),
+        count(when(!col("__isb"), 1)).as("cnt_cur"))
+    val spine = df.sparkSession.range(1, bins + 1)
+      .select(col("id").cast("int").as("bin"))
+    val cells = spine.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_base", "cnt_cur"))
+      .crossJoin(broadcast(edges))
+      .select(col("bin"),
+        when(col("bin") > 1, element_at(col("__edges"), col("bin") - 1))
+          .as("lo"),
+        when(col("bin") < bins, element_at(col("__edges"), col("bin")))
+          .as("hi"),
+        col("cnt_base"), col("cnt_cur"))
+    val tots = cells.agg(sum(col("cnt_base")).cast("double").as("__tb"),
+      sum(col("cnt_cur")).cast("double").as("__tc"))
+    val contrib = cells.crossJoin(broadcast(tots))
+      .withColumn("__pb",
+        (col("cnt_base") + lit(0.5)) / (col("__tb") + lit(0.5 * bins)))
+      .withColumn("__pc",
+        (col("cnt_cur") + lit(0.5)) / (col("__tc") + lit(0.5 * bins)))
+      .withColumn("__x",
+        (col("__pc") - col("__pb")) * log(col("__pc") / col("__pb")))
+    val total = contrib.agg(sum(col("__x")).as("__psi"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("bin"), col("lo"), col("hi"), col("cnt_base"),
+        col("cnt_cur"), round(col("__pb"), 6).as("p_base"),
+        round(col("__pc"), 6).as("p_cur"),
+        round(col("__x"), 6).as("contrib"), round(col("__psi"), 6).as("psi"))
+  }
+
+  /** Gini coefficient + Lorenz top-share report of per-key event
+    * concentration: how unequally is activity distributed over keys?
+    * (G = 0 uniform, → 1 when a few keys dominate — the audit behind
+    * "5% of users generate 80% of events" and bot/abuse triage.)
+    *
+    * Computed WITHOUT ranking the key domain: with per-key counts
+    * collapsed to the count-of-counts histogram (c, m_c), the rank-sum
+    * S = Σ_i i·x_i over keys sorted ascending decomposes per histogram
+    * row into c·(m_c·b_c + m_c(m_c+1)/2) with b_c = keys below, because
+    * equal-count keys occupy a contiguous rank run whose internal order
+    * cannot matter. Then G = 2S/(nT) − (n+1)/n. So the expensive pass
+    * is ONE map-side-combinable per-key count; the histogram the
+    * windows run over is as small as the distinct-count domain —
+    * `dedup_cluster_size_dist`'s shape, not a global sort of the keys.
+    * All sums are exact BIGINT (at 1e12 keys × 1e9 max count move S to
+    * DECIMAL(38,0); the plumbing is one cast).
+    *
+    * Top-share: the exact share of events held by the top ⌈n/100⌉ and
+    * ⌈n/10⌉ keys, from the same histogram by descending partial sums —
+    * a partially-taken histogram row contributes c·(m − a_c) for the
+    * keys that fit, so the boundary is deterministic with no tie
+    * ambiguity (equal-count keys are interchangeable).
+    */
+  def giniConcentration(df: DataFrame, keyCol: Column): DataFrame = {
+    val hist = df.groupBy(keyCol.as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val tot = hist.agg(sum(col("__m")).as("__n"),
+      sum(col("__c") * col("__m")).as("__t"))
+    // histogram-sized windows (distinct-count domain, not keys): rank
+    // runs below each row ascending, keys above it descending
+    val wAsc = Window.orderBy(col("__c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wDesc = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val runs = hist.select(col("__c"), col("__m"),
+      coalesce(sum(col("__m")).over(wAsc), lit(0L)).as("__below"),
+      coalesce(sum(col("__m")).over(wDesc), lit(0L)).as("__above"))
+      .crossJoin(broadcast(tot))
+    // events held by the top-m keys: each histogram row (desc order)
+    // contributes its count times however many of its keys fit under m
+    def topShare(frac: Double) = sum(col("__c") * greatest(lit(0L),
+      least(col("__m"),
+        ceil(col("__n") / lit(frac)).cast("long") - col("__above"))))
+    val agg = runs.agg(
+      sum(col("__c") * (col("__m") * col("__below") +
+        col("__m") * (col("__m") + lit(1L)) / lit(2L))).as("__s"),
+      topShare(100.0).as("__top1"), topShare(10.0).as("__top10"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("__n").as("n_keys"), col("__t").as("total"),
+        round(lit(2.0) * col("__s") / (col("__n") * col("__t"))
+          - (col("__n") + lit(1.0)) / col("__n"), 6).as("gini"),
+        round(col("__top1").cast("double") / col("__t"), 6)
+          .as("top1_pct_share"),
+        round(col("__top10").cast("double") / col("__t"), 6)
+          .as("top10_pct_share"))
+  }
+
+  /** Kaplan-Meier survival estimator over a per-subject table of
+    * (`durCol` integer duration, `censoredCol` boolean right-censor
+    * flag): S(t) = Π_{u ≤ t} (n_u − d_u)/n_u with d_u the events
+    * (deaths) at duration u and n_u the at-risk count (subjects with
+    * duration ≥ u). Censored subjects leave the risk set at their
+    * censor time without an event — the estimator the naive "fraction
+    * converted by day t" gets wrong the moment observation windows
+    * differ per subject.
+    *
+    * Emits every distinct duration with at_risk / deaths / censored /
+    * S(t). The survival product is an exact left fold over the
+    * duration-sorted domain table via the `aggregate` HOF — each step
+    * is one IEEE division and one multiplication, both correctly
+    * rounded, so any engine's fold replays it bit-for-bit (the oracle
+    * is a recursive CTE); output rounded to 6dp.
+    *
+    * Scale shape: the subject table is already one key-hash aggregate
+    * of the caller's; here one map-side-combinable count per distinct
+    * duration + a reverse-cumulative window and the fold over the
+    * DURATION DOMAIN (calendar-bounded), never the subjects.
+    */
+  def kaplanMeier(subjects: DataFrame, durCol: Column,
+                  censoredCol: Column): DataFrame = {
+    val byDur = subjects.groupBy(durCol.cast("long").as("dur"))
+      .agg(count(when(!censoredCol, 1)).as("deaths"),
+        count(when(censoredCol, 1)).as("censored"))
+    val wAtRisk = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = byDur.select(col("dur"), col("deaths"), col("censored"),
+      sum(col("deaths") + col("censored")).over(wAtRisk).as("at_risk"))
+    val init = expr(
+      "CAST(array() AS array<struct<dur:bigint,deaths:bigint," +
+        "censored:bigint,at_risk:bigint,s:double>>)")
+    val folded = risk
+      .agg(sort_array(collect_list(struct(col("dur"), col("deaths"),
+        col("censored"), col("at_risk")))).as("__rows"))
+      .select(foldAgg(col("__rows"), init, (acc: Column, e: Column) =>
+        concat(acc, array(struct(
+          e.getField("dur").as("dur"),
+          e.getField("deaths").as("deaths"),
+          e.getField("censored").as("censored"),
+          e.getField("at_risk").as("at_risk"),
+          (when(size(acc) === 0, lit(1.0))
+            .otherwise(element_at(acc, -1).getField("s")) *
+            ((e.getField("at_risk") - e.getField("deaths"))
+              .cast("double") / e.getField("at_risk"))).as("s")))))
+        .as("__f"))
+    folded.select(explode(col("__f")).as("e"))
+      .select(col("e.dur").as("dur"), col("e.at_risk").as("at_risk"),
+        col("e.deaths").as("deaths"), col("e.censored").as("censored"),
+        round(col("e.s"), 6).as("survival"))
+  }
+}

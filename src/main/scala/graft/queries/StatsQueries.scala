@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Analytics, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-statistics governance queries: PSI drift, Gini/Lorenz
+  * activity concentration, Kaplan-Meier conversion survival. Oracles
+  * replay the statistic exactly — quantile edges via `quantile_cont`,
+  * rank sums via the same histogram decomposition, and the KM product
+  * via a recursive CTE that matches the Spark fold bit-for-bit before
+  * the 6dp output rounding (see [[graft.ops.Stats]]).
+  */
+object StatsQueries {
+
+  /** PSI of the event `value` distribution, baseline = the stream
+    * before 2024-01-15 (the same pivot as `ev_impact_welch` — detect
+    * with CUSUM, quantify with Welch-t, grade the whole-distribution
+    * shift with PSI), 10 baseline-decile bands.
+    */
+  private def evPsiValueDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Stats.psiDrift(ev, col("value"),
+      col("ts") < lit("2024-01-15").cast("timestamp"), bins = 10)
+  }
+
+  private val evPsiValueDriftSql =
+    """WITH e AS (SELECT round(value, 6) AS v,
+      |                  ts < TIMESTAMP '2024-01-15' AS isb FROM events),
+      |ed AS (SELECT list_transform(
+      |         quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |         x -> round(x, 6)) AS edges
+      |       FROM e WHERE isb),
+      |b AS (SELECT CAST(1 + list_sum(list_transform(ed.edges,
+      |               t -> CASE WHEN e.v > t THEN 1 ELSE 0 END)) AS INT)
+      |               AS bin,
+      |             e.isb
+      |      FROM e CROSS JOIN ed),
+      |c AS (SELECT bin, count(*) FILTER (isb) AS cnt_base,
+      |             count(*) FILTER (NOT isb) AS cnt_cur
+      |      FROM b GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+      |cells AS (
+      |  SELECT sp.bin,
+      |         CASE WHEN sp.bin > 1 THEN ed.edges[sp.bin - 1] END AS lo,
+      |         CASE WHEN sp.bin < 10 THEN ed.edges[sp.bin] END AS hi,
+      |         CAST(coalesce(c.cnt_base, 0) AS BIGINT) AS cnt_base,
+      |         CAST(coalesce(c.cnt_cur, 0) AS BIGINT) AS cnt_cur
+      |  FROM sp LEFT JOIN c USING (bin) CROSS JOIN ed),
+      |t AS (SELECT CAST(sum(cnt_base) AS DOUBLE) AS tb,
+      |             CAST(sum(cnt_cur) AS DOUBLE) AS tc FROM cells),
+      |x AS (SELECT bin, lo, hi, cnt_base, cnt_cur,
+      |             (cnt_base + 0.5) / (tb + 5.0) AS pb,
+      |             (cnt_cur + 0.5) / (tc + 5.0) AS pc
+      |      FROM cells CROSS JOIN t),
+      |x2 AS (SELECT bin, lo, hi, cnt_base, cnt_cur, pb, pc,
+      |              (pc - pb) * ln(pc / pb) AS cx FROM x),
+      |ps AS (SELECT sum(cx) AS psi FROM x2)
+      |SELECT bin, lo, hi, cnt_base, cnt_cur,
+      |       round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+      |       round(cx, 6) AS contrib, round(ps.psi, 6) AS psi
+      |FROM x2 CROSS JOIN ps""".stripMargin
+
+  /** Gini + top-1%/top-10% share of events per user — the activity-
+    * concentration audit behind bot triage and per-key skew planning.
+    */
+  private def evGiniUsers(s: SparkSession, dir: String): DataFrame =
+    Stats.giniConcentration(Tables.events(s, dir), col("user_id"))
+
+  private val evGiniUsersSql =
+    """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |h AS (SELECT c, count(*) AS m FROM k GROUP BY 1),
+      |t AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+      |             CAST(sum(c * m) AS BIGINT) AS tt FROM h),
+      |r AS (SELECT c, m,
+      |        CAST(coalesce(sum(m) OVER (ORDER BY c ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS below,
+      |        CAST(coalesce(sum(m) OVER (ORDER BY c DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS above
+      |      FROM h),
+      |a AS (SELECT
+      |        CAST(sum(c * (m * below + m * (m + 1) // 2)) AS BIGINT) AS s,
+      |        CAST(sum(c * greatest(0, least(m,
+      |          CAST(ceil(t.n / 100.0) AS BIGINT) - above))) AS BIGINT)
+      |          AS top1,
+      |        CAST(sum(c * greatest(0, least(m,
+      |          CAST(ceil(t.n / 10.0) AS BIGINT) - above))) AS BIGINT)
+      |          AS top10
+      |      FROM r CROSS JOIN t)
+      |SELECT t.n AS n_keys, t.tt AS total,
+      |       round(2.0 * a.s / (t.n * t.tt) - (t.n + 1.0) / t.n, 6)
+      |         AS gini,
+      |       round(CAST(a.top1 AS DOUBLE) / t.tt, 6) AS top1_pct_share,
+      |       round(CAST(a.top10 AS DOUBLE) / t.tt, 6) AS top10_pct_share
+      |FROM a CROSS JOIN t""".stripMargin
+
+  /** Kaplan-Meier signup→purchase conversion survival in whole days:
+    * subjects are `ev_time_to_conversion`'s per-user table (the two ops
+    * compose); never-converted users are right-censored at the last
+    * observed day of the stream. On this dense synthetic stream every
+    * user converts, so `censored` is all-zero here — the censored path
+    * is exercised by the spec's planted fixture; the registry row gates
+    * the risk-set/fold arithmetic.
+    */
+  private def evSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val conv = Analytics.timeToConversion(ev, "user_id", "ts",
+      "event_type", "signup", "purchase")
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("__md"))
+    val subjects = conv.crossJoin(broadcast(maxDay))
+      .select(
+        when(col("to_ts").isNull,
+          datediff(col("__md"), to_date(col("from_ts"))))
+          .otherwise(datediff(to_date(col("to_ts")),
+            to_date(col("from_ts")))).as("dur"),
+        col("to_ts").isNull.as("censored"))
+    Stats.kaplanMeier(subjects, col("dur"), col("censored"))
+  }
+
+  private val evSurvivalKmSql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id, min(ts) AS from_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS to_ts
+      |      FROM events e JOIN s ON s.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= s.from_ts
+      |      GROUP BY 1),
+      |mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+      |subj AS (
+      |  SELECT CAST(CASE WHEN c.to_ts IS NULL
+      |           THEN datediff('day', CAST(s.from_ts AS DATE), mx.md)
+      |           ELSE datediff('day', CAST(s.from_ts AS DATE),
+      |                         CAST(c.to_ts AS DATE)) END AS BIGINT)
+      |           AS dur,
+      |         c.to_ts IS NULL AS cen
+      |  FROM s LEFT JOIN c USING (user_id) CROSS JOIN mx),
+      |g AS (SELECT dur,
+      |             CAST(count(*) FILTER (NOT cen) AS BIGINT) AS deaths,
+      |             CAST(count(*) FILTER (cen) AS BIGINT) AS censored
+      |      FROM subj GROUP BY 1),
+      |rsk AS (SELECT dur, deaths, censored,
+      |          CAST(sum(deaths + censored) OVER (ORDER BY dur ASC
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |            AS BIGINT) AS at_risk,
+      |          row_number() OVER (ORDER BY dur ASC) AS rn
+      |        FROM g),
+      |km AS (
+      |  SELECT rn, dur, deaths, censored, at_risk,
+      |         CAST(at_risk - deaths AS DOUBLE) / at_risk AS sv
+      |  FROM rsk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.dur, r.deaths, r.censored, r.at_risk,
+      |         km.sv * (CAST(r.at_risk - r.deaths AS DOUBLE) / r.at_risk)
+      |  FROM km JOIN rsk r ON r.rn = km.rn + 1)
+      |SELECT dur, at_risk, deaths, censored, round(sv, 6) AS survival
+      |FROM km""".stripMargin
+
+  def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
+    QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),
+    QueryDef("ev_survival_km", evSurvivalKm, Some(evSurvivalKmSql)),
+  )
+}

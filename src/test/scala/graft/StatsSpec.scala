@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  test("psiDrift: hand-computed two-band shift with Jeffreys smoothing") {
+    // baseline 1,2,3,4 (median edge 2.5); current 3,4,4,4 — everything
+    // lands in the upper band: pb = 0.5/0.5, pc = 0.1/0.9
+    val df = Seq((1.0, true), (2.0, true), (3.0, true), (4.0, true),
+      (3.0, false), (4.0, false), (4.0, false), (4.0, false))
+      .toDF("v", "isb")
+    val rows = Stats.psiDrift(df, col("v"), col("isb"), bins = 2)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows(0).getDouble(2) == 2.5 && rows(1).getDouble(1) == 2.5)
+    assert(rows.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((2L, 0L), (2L, 4L)))
+    assert(rows.map(_.getDouble(5)).toSeq == Seq(0.5, 0.5))
+    assert(rows.map(_.getDouble(6)).toSeq == Seq(0.1, 0.9))
+    val c1 = (0.1 - 0.5) * math.log(0.1 / 0.5)
+    val c2 = (0.9 - 0.5) * math.log(0.9 / 0.5)
+    assert(rows(0).getDouble(7) ==
+      BigDecimal(c1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(0).getDouble(8) ==
+      BigDecimal(c1 + c2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("psiDrift: identical populations score ~0 with all bands hit") {
+    val df = (1 to 100).flatMap(i =>
+      Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "isb")
+    val rows = Stats.psiDrift(df, col("v"), col("isb"), bins = 5)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getLong(3) == 20L && r.getLong(4) == 20L))
+    assert(rows.forall(_.getDouble(8) == 0.0))
+  }
+
+  test("giniConcentration: hand-computed rank sum over the histogram") {
+    // counts A:1 B:1 C:2 D:4 — sorted 1,1,2,4; S = 1+2+6+16 = 25;
+    // G = 2*25/(4*8) - 5/4 = 0.3125; top-1% and top-10% both take
+    // ceil(4/100)=ceil(4/10)=1 key, the count-4 one: share 0.5
+    val df = Seq("A", "B", "C", "C", "D", "D", "D", "D").toDF("k")
+    val r = Stats.giniConcentration(df, col("k")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 8L)))
+    assert(r.getDouble(2) == 0.3125)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5)
+  }
+
+  test("giniConcentration: uniform counts score exactly 0") {
+    val df = (1 to 30).map(i => s"k${i % 10}").toDF("k")
+    val r = Stats.giniConcentration(df, col("k")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((10L, 30L)))
+    assert(r.getDouble(2) == 0.0)
+    // top 1 key of 10 holds exactly its uniform 1/10 share
+    assert(r.getDouble(3) == 0.1 && r.getDouble(4) == 0.1)
+  }
+
+  test("kaplanMeier: textbook censored fixture") {
+    // durations 1,1,2c,3,4c: S(1)=3/5, S(2)=3/5 (censor only),
+    // S(3)=3/5 * 1/2 = 0.3, S(4)=0.3 (censor only)
+    val df = Seq((1, false), (1, false), (2, true), (3, false), (4, true))
+      .toDF("dur", "cen")
+    val rows = Stats.kaplanMeier(df, col("dur"), col("cen"))
+      .orderBy("dur").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 5L, 2L, 0L, 0.6), (2L, 3L, 0L, 1L, 0.6),
+      (3L, 2L, 1L, 0L, 0.3), (4L, 1L, 0L, 1L, 0.3)))
+  }
+
+  test("kaplanMeier: no censoring degenerates to the empirical survivor") {
+    // durations 1,2,2,3: S(1)=3/4, S(2)=3/4*(1/3)=0.25, S(3)=0
+    val df = Seq(1, 2, 2, 3).map((_, false)).toDF("dur", "cen")
+    val rows = Stats.kaplanMeier(df, col("dur"), col("cen"))
+      .orderBy("dur").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 0.75), (2L, 0.25), (3L, 0.0)))
+  }
+}
