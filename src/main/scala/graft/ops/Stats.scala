@@ -190,4 +190,51 @@ object Stats {
         col("e.deaths").as("deaths"), col("e.censored").as("censored"),
         round(col("e.s"), 6).as("survival"))
   }
+
+  /** Mutual information (bits) between two categorical columns — the
+    * column-dependence audit: MI ≈ 0 says `y` adds signal `x` doesn't
+    * have; MI ≈ min(H) says one column is (nearly) a function of the
+    * other and a stratified sample over both is redundant. The same
+    * Shannon machinery as the decomposition engine's attribute-set
+    * entropies, surfaced for pipeline metadata.
+    *
+    * ONE full-data pass (the joint count aggregate, map-side
+    * combinable, |X|·|Y| groups); marginal counts come from two window
+    * sums OVER THE JOINT TABLE — Σ_x c_x·log2 c_x = Σ_xy c_xy·log2 c_x,
+    * so no second corpus scan. All entropies use the exact-count
+    * identity H = log2 N − (Σ c·log2 c)/N (`text_char_entropy`'s form).
+    * Output: h_x, h_y, h_xy, mi = h_x + h_y − h_xy, and nmi = mi /
+    * min(h_x, h_y) (null when a column is constant).
+    */
+  def mutualInformation(df: DataFrame, xCol: Column,
+                        yCol: Column): DataFrame = {
+    val joint = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    val withMarg = joint.select(col("__c").cast("double").as("c"),
+      sum(col("__c")).over(wx).cast("double").as("cx"),
+      sum(col("__c")).over(wy).cast("double").as("cy"))
+    val agg = withMarg.agg(sum(col("c")).as("n"),
+      sum(col("c") * log(2.0, col("c"))).as("__sxy"),
+      sum(col("c") * log(2.0, col("cx"))).as("__sx"),
+      sum(col("c") * log(2.0, col("cy"))).as("__sy"))
+    agg.select(
+      round(log(2.0, col("n")) - col("__sx") / col("n"), 6).as("h_x"),
+      round(log(2.0, col("n")) - col("__sy") / col("n"), 6).as("h_y"),
+      round(log(2.0, col("n")) - col("__sxy") / col("n"), 6).as("h_xy"),
+      round((log(2.0, col("n")) - col("__sx") / col("n")) +
+        (log(2.0, col("n")) - col("__sy") / col("n")) -
+        (log(2.0, col("n")) - col("__sxy") / col("n")), 6).as("mi_bits"),
+      when(least(round(log(2.0, col("n")) - col("__sx") / col("n"), 6),
+        round(log(2.0, col("n")) - col("__sy") / col("n"), 6)) === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(
+          ((log(2.0, col("n")) - col("__sx") / col("n")) +
+            (log(2.0, col("n")) - col("__sy") / col("n")) -
+            (log(2.0, col("n")) - col("__sxy") / col("n"))) /
+            least(log(2.0, col("n")) - col("__sx") / col("n"),
+              log(2.0, col("n")) - col("__sy") / col("n")), 6))
+        .as("nmi"))
+  }
 }

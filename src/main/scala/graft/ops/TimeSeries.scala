@@ -191,4 +191,75 @@ object TimeSeries {
         round(when(col("__den") === 0d, lit(null))
           .otherwise(col("__num") / col("__den")), 6).as("acf"))
   }
+
+  /** Holt double-exponential (level + trend) smoothing of the daily
+    * count series — the one-step-ahead forecaster EWMA can't be once a
+    * series trends (EWMA lags a ramp forever; Holt's trend term closes
+    * the gap). Update forms with SINGLE alpha/beta literals (same 1−α
+    * ulp rationale as [[ewmaDaily]]):
+    *   l_t = (l + b) + alpha · (x_t − (l + b))
+    *   b_t = b + beta · (l_t − l − b)
+    * initialized l_1 = x_1, b_1 = 0 — the parameter-free init (the
+    * common x_2 − x_1 trend seed needs a lookahead and an n ≥ 2 guard;
+    * with beta > 0 the trend converges to the same path either way).
+    * `forecast` is the one-step-ahead l + b at each day. Same 100 TB
+    * shape as the other recurrences: one combinable daily count, exact
+    * HOF fold over the calendar-bounded series, recursive-CTE oracle.
+    */
+  def holtDaily(df: DataFrame, tsCol: String, alpha: Double,
+                beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0 && beta <= 1, s"need 0 <= beta <= 1, got $beta")
+    val init = expr(
+      "CAST(array() AS array<struct<day:date,x:double,l:double,b:double>>)")
+    val folded = sortedSeries(dailySeries(df, tsCol)).select(
+      foldAgg(col("s"), init, (acc: Column, e: Column) => {
+        val prev = element_at(acc, -1)
+        val pred = prev.getField("l") + prev.getField("b")
+        val lNew = pred + lit(alpha) * (e.getField("x") - pred)
+        concat(acc, array(struct(
+          e.getField("day").as("day"),
+          e.getField("x").as("x"),
+          when(size(acc) === 0, e.getField("x")).otherwise(lNew).as("l"),
+          when(size(acc) === 0, lit(0.0))
+            .otherwise(prev.getField("b") +
+              lit(beta) * (lNew - prev.getField("l") - prev.getField("b")))
+            .as("b"))))
+      }).as("f"))
+    folded.select(explode(col("f")).as("e"))
+      .select(col("e.day").as("day"), col("e.x").as("x"),
+        round(col("e.l"), 6).as("level"), round(col("e.b"), 6).as("trend"),
+        round(col("e.l") + col("e.b"), 6).as("forecast"))
+  }
+
+  /** Theil-Sen robust trend over the daily count series: slope = the
+    * exact median of all pairwise slopes (x_j − x_i)/(t_j − t_i),
+    * i < j, with t integer epoch days; intercept = median of
+    * x_i − slope·t_i with the slope pinned to 6dp first so both medians
+    * replay. Breakdown point ~29% — the level-shift days CUSUM flags
+    * would drag an OLS fit; the pairwise median shrugs them off.
+    *
+    * Scale shape: the self-join is over the DOMAIN-sized daily series —
+    * pairs grow quadratically in CALENDAR DAYS, not in data (a decade
+    * of days is ~6.7M pairs, one task's work); both medians are
+    * single-row exact-percentile aggregates.
+    */
+  def theilSenTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val d = dailySeries(df, tsCol)
+      .select(unix_date(col("day")).cast("double").as("t"), col("x"))
+    val a = d.select(col("t").as("t1"), col("x").as("x1"))
+    val b = d.select(col("t").as("t2"), col("x").as("x2"))
+    val slope = a.join(b, col("t2") > col("t1"))
+      .select(((col("x2") - col("x1")) / (col("t2") - col("t1")))
+        .as("__sl"))
+      .agg(round(percentile(col("__sl"), lit(0.5)), 6).as("slope"),
+        count(lit(1)).as("n_pairs"))
+    d.crossJoin(broadcast(slope))
+      .agg(first(col("slope")).as("slope"),
+        first(col("n_pairs")).as("n_pairs"),
+        count(lit(1)).as("n_days"),
+        round(percentile(col("x") - col("slope") * col("t"), lit(0.5)), 6)
+          .as("intercept"))
+      .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+  }
 }

@@ -158,9 +158,49 @@ object StatsQueries {
       |SELECT dur, at_risk, deaths, censored, round(sv, 6) AS survival
       |FROM km""".stripMargin
 
+  /** Mutual information between a document's declared language and its
+    * source — the metadata-dependence audit (high NMI ⇒ source nearly
+    * determines language, so per-source sampling already stratifies by
+    * language; ~0 ⇒ the two columns carry independent signal). The
+    * oracle mirrors the `ln/ln(2)` float path Spark's `log(2, x)`
+    * takes, like the char-entropy oracle.
+    */
+  private def docMiLangSource(s: SparkSession, dir: String): DataFrame =
+    Stats.mutualInformation(Tables.documents(s, dir),
+      col("lang"), col("source"))
+
+  private val docMiLangSourceSql =
+    """WITH j AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |m AS (SELECT c,
+      |        CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE) AS cx,
+      |        CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS cy
+      |      FROM j),
+      |a AS (SELECT sum(c) AS n,
+      |             sum(c * (ln(c) / ln(2.0))) AS sxy,
+      |             sum(c * (ln(cx) / ln(2.0))) AS sx,
+      |             sum(c * (ln(cy) / ln(2.0))) AS sy
+      |      FROM m)
+      |SELECT round(ln(n) / ln(2.0) - sx / n, 6) AS h_x,
+      |       round(ln(n) / ln(2.0) - sy / n, 6) AS h_y,
+      |       round(ln(n) / ln(2.0) - sxy / n, 6) AS h_xy,
+      |       round((ln(n) / ln(2.0) - sx / n) + (ln(n) / ln(2.0) - sy / n)
+      |             - (ln(n) / ln(2.0) - sxy / n), 6) AS mi_bits,
+      |       CASE WHEN least(round(ln(n) / ln(2.0) - sx / n, 6),
+      |                       round(ln(n) / ln(2.0) - sy / n, 6)) = 0.0
+      |            THEN NULL
+      |            ELSE round(((ln(n) / ln(2.0) - sx / n)
+      |                        + (ln(n) / ln(2.0) - sy / n)
+      |                        - (ln(n) / ln(2.0) - sxy / n))
+      |                       / least(ln(n) / ln(2.0) - sx / n,
+      |                               ln(n) / ln(2.0) - sy / n), 6)
+      |       END AS nmi
+      |FROM a""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),
     QueryDef("ev_survival_km", evSurvivalKm, Some(evSurvivalKmSql)),
+    QueryDef("doc_mi_lang_source", docMiLangSource, Some(docMiLangSourceSql)),
   )
 }

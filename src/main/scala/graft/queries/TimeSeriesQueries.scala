@@ -130,7 +130,55 @@ object TimeSeriesQueries {
       |  END AS t_welch
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Holt level+trend smoothing (alpha = 0.3, beta = 0.1) of daily
+    * counts — see [[graft.ops.TimeSeries.holtDaily]] for the update
+    * forms and the l_1 = x_1, b_1 = 0 init.
+    */
+  private def evHoltDaily(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtDaily(Tables.events(s, dir), "ts",
+      alpha = 0.3, beta = 0.1)
+
+  private val evHoltDailySql =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |h AS (
+      |  SELECT rn, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.day, r.x,
+      |         (h.l + h.b) + 0.3 * (r.x - (h.l + h.b)),
+      |         h.b + 0.1 *
+      |           ((h.l + h.b) + 0.3 * (r.x - (h.l + h.b)) - h.l - h.b)
+      |  FROM h JOIN r ON r.rn = h.rn + 1)
+      |SELECT day, x, round(l, 6) AS level, round(b, 6) AS trend,
+      |       round(l + b, 6) AS forecast FROM h""".stripMargin
+
+  /** Theil-Sen robust trend of the daily count series — see
+    * [[graft.ops.TimeSeries.theilSenTrend]].
+    */
+  private def evTheilSen(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.theilSenTrend(Tables.events(s, dir), "ts")
+
+  private val evTheilSenSql =
+    """WITH d AS (
+      |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS DOUBLE) AS t,
+      |         CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT (b.x - a.x) / (b.t - a.t) AS sl
+      |      FROM d a JOIN d b ON b.t > a.t),
+      |s AS (SELECT round(quantile_cont(sl, 0.5), 6) AS slope,
+      |             CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days, s.n_pairs, s.slope,
+      |       round(quantile_cont(d.x - s.slope * d.t, 0.5), 6)
+      |         AS intercept
+      |FROM d CROSS JOIN s GROUP BY s.n_pairs, s.slope""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_holt_daily", evHoltDaily, Some(evHoltDailySql)),
+    QueryDef("ev_theilsen_trend", evTheilSen, Some(evTheilSenSql)),
     QueryDef("ev_impact_welch", evImpactWelch, Some(evImpactWelchSql)),
     QueryDef("ev_dow_seasonality", evDowSeasonality,
       Some(evDowSeasonalitySql)),

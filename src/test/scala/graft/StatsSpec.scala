@@ -75,6 +75,25 @@ class StatsSpec extends AnyFunSuite {
       (3L, 2L, 1L, 0L, 0.3), (4L, 1L, 0L, 1L, 0.3)))
   }
 
+  test("mutualInformation: functional dependence, independence, constant") {
+    // x == y over 4 uniform values: H = 2 bits each, MI = 2, NMI = 1
+    val dep = Seq("a", "b", "c", "d").map(v => (v, v)).toDF("x", "y")
+    val r1 = Stats.mutualInformation(dep, col("x"), col("y")).collect().head
+    assert((r1.getDouble(0), r1.getDouble(1), r1.getDouble(2),
+      r1.getDouble(3), r1.getDouble(4)) == ((2.0, 2.0, 2.0, 2.0, 1.0)))
+    // full product distribution: MI = 0
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val r2 = Stats.mutualInformation(ind, col("x"), col("y")).collect().head
+    assert((r2.getDouble(0), r2.getDouble(1), r2.getDouble(2),
+      r2.getDouble(3), r2.getDouble(4)) == ((1.0, 1.0, 2.0, 0.0, 0.0)))
+    // constant y: H(y) = 0 so NMI is undefined (null), MI = 0
+    val const = Seq(("a", "z"), ("b", "z")).toDF("x", "y")
+    val r3 = Stats.mutualInformation(const, col("x"), col("y"))
+      .collect().head
+    assert(r3.getDouble(1) == 0.0 && r3.getDouble(3) == 0.0 && r3.isNullAt(4))
+  }
+
   test("kaplanMeier: no censoring degenerates to the empirical survivor") {
     // durations 1,2,2,3: S(1)=3/4, S(2)=3/4*(1/3)=0.25, S(3)=0
     val df = Seq(1, 2, 2, 3).map((_, false)).toDF("dur", "cen")

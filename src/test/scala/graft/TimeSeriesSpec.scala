@@ -99,4 +99,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got.head.isNullAt(1) || got.head.getDouble(1).isNaN)
   }
+
+  test("holtDaily matches the hand-rolled level/trend recurrence") {
+    // alpha = beta = 0.5, counts 10,20,10:
+    // t1: l=10 b=0; t2: pred=10, l=15, b=0.5*(15-10)=2.5;
+    // t3: pred=17.5, l=13.75, b=2.5+0.5*(13.75-15-2.5)=0.625
+    val rows = TimeSeries.holtDaily(seriesDf(Seq(10, 20, 10)), "ts",
+      alpha = 0.5, beta = 0.5).orderBy("day").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((10.0, 0.0, 10.0), (15.0, 2.5, 17.5),
+      (13.75, 0.625, 14.375)))
+  }
+
+  test("theilSenTrend: pairwise median shrugs off a planted outlier") {
+    // days 1..5 with counts 10,12,14,16,100: 6 of the 10 pairwise
+    // slopes are exactly 2, so the median is 2 (OLS would be dragged
+    // to ~17); intercept = median of x - 2t = the clean days' value
+    val r = TimeSeries.theilSenTrend(seriesDf(Seq(10, 12, 14, 16, 100)),
+      "ts").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 2.0)
+    // epoch day of 2024-01-01 is 19723: 10 - 2*19723 = -39436
+    assert(r.getDouble(3) == -39436.0)
+  }
 }
