@@ -620,6 +620,33 @@ object Analytics {
     * per-group inside one reduce; at extreme N swap in
     * `approx_percentile` — the clip plumbing is unchanged.)
     */
+  /** Daily new-vs-returning actives — the growth dashboard's first
+    * panel: per day, distinct active keys split by whether this is the
+    * key's first-ever day, plus the cumulative distinct-keys curve.
+    *
+    * Scale shape: one (day, key) distinct (two-phase, map-side
+    * partial), one per-key min-day aggregate on the SAME key hash (AQE
+    * reuses the exchange for the join), then a day-domain-sized count +
+    * cumulative window over the calendar. No window ever touches the
+    * raw stream.
+    */
+  def newVsReturning(df: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+    val dayKey = df.select(to_date(col(tsCol)).as("day"), col(keyCol))
+      .distinct()
+    val firstDay = dayKey.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__first"))
+    val daily = dayKey.join(firstDay, Seq(keyCol))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        count(when(col("day") === col("__first"), 1)).as("new_keys"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day"), col("active"), col("new_keys"),
+      (col("active") - col("new_keys")).as("returning"),
+      sum(col("new_keys")).over(wCum).as("cum_keys"))
+  }
+
   def winsorize(df: DataFrame, valueCol: Column, pLow: Double,
                 pHigh: Double, outCols: Seq[String]): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,

@@ -53,4 +53,66 @@ object Incremental {
       round(when(col("m_n") >= 2, sqrt(variance)), 6).as("stddev"),
       col("m_min").as("vmin"), col("m_max").as("vmax")): _*)
   }
+
+  /** Per-group equi-width histogram STATE of `valCol`: one row per
+    * (group, bin) with the bin's count — the mergeable complement of
+    * [[momentState]] for quantiles, which moments can't answer. The
+    * [lo, hi) range and bin count are CALLER-PINNED, never derived from
+    * the batch: data-dependent bounds would make states from different
+    * days non-mergeable, which is the entire point. Out-of-range values
+    * clamp into the edge bins (the state's own min/max audit is
+    * `momentState`, which shares the scan). One combinable aggregate;
+    * empty bins are simply absent rows.
+    */
+  def histogramState(df: DataFrame, groupCols: Seq[String], valCol: String,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(hi > lo && bins >= 1, s"need hi > lo and bins >= 1")
+    val bin = least(greatest(
+      floor((col(valCol) - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins))
+        .cast("int"), lit(0)), lit(bins - 1))
+    df.groupBy((groupCols.map(col) :+ bin.as("h_bin")): _*)
+      .agg(count(lit(1)).as("h_cnt"))
+  }
+
+  /** Merge histogram states: union + per-(group, bin) count addition —
+    * associative and commutative like the moments merge.
+    */
+  def mergeHistograms(states: Seq[DataFrame],
+                      groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("h_bin")): _*)
+      .agg(sum(col("h_cnt")).as("h_cnt"))
+  }
+
+  /** Quantile estimates from a merged histogram state: for each
+    * requested p, the first bin whose cumulative count reaches p·N,
+    * linearly interpolated inside the bin — the classic equi-width
+    * estimator, deterministic given the pinned (lo, hi, bins) contract
+    * (error bounded by bin width; tighten by raising `bins`, the state
+    * stays tiny). The cumulative window runs over groups × bins rows —
+    * state-sized, never data-sized. Output one row per (group, p).
+    */
+  def histogramQuantiles(state: DataFrame, groupCols: Seq[String],
+                         lo: Double, hi: Double, bins: Int,
+                         ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wBefore = Window.partitionBy(gcols: _*).orderBy(col("h_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wAll = Window.partitionBy(gcols: _*)
+    val cum = state.select(gcols ++ Seq(col("h_bin"), col("h_cnt"),
+      coalesce(sum(col("h_cnt")).over(wBefore), lit(0L)).as("__before"),
+      sum(col("h_cnt")).over(wAll).as("__n")): _*)
+    val probes = state.sparkSession
+      .createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    val width = (lit(hi) - lit(lo)) / lit(bins)
+    cum.join(broadcast(probes),
+        col("__before") < col("p") * col("__n") &&
+          col("__before") + col("h_cnt") >= col("p") * col("__n"))
+      .select(gcols ++ Seq(col("p"), col("__n").as("n"),
+        round(lit(lo) + col("h_bin") * width +
+          (col("p") * col("__n") - col("__before")) / col("h_cnt") * width,
+          6).as("estimate")): _*)
+  }
 }

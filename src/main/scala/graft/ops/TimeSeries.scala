@@ -244,6 +244,33 @@ object TimeSeries {
     * of days is ~6.7M pairs, one task's work); both medians are
     * single-row exact-percentile aggregates.
     */
+  /** Fano factor (variance-to-mean ratio of DAILY counts) per group —
+    * the burstiness audit: ≈1 is Poisson-like arrivals, ≫1 bursty
+    * (incident storms, bots, batch replays), ≪1 metronomic. Days with
+    * no events COUNT AS ZERO: the (group × observed-calendar) spine is
+    * a broadcast cross-join, absent cells zero-filled — dropping them
+    * would bias every sparse group toward its busy days. Mean and
+    * variance are 6dp-pinned before the ratio (CUSUM's rule), so the
+    * verdict arithmetic replays; singleton calendars have no sample
+    * variance — null.
+    */
+  def fanoFactor(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val days = df.select(to_date(col(tsCol)).as("day")).distinct()
+    val groups = counts.select(col(groupCol)).distinct()
+    val cells = groups.crossJoin(broadcast(days))
+      .join(counts, Seq(groupCol, "day"), "left")
+      .na.fill(0.0, Seq("x"))
+    cells.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("x")), 6).as("mean_daily"),
+        round(var_samp(col("x")), 6).as("var_daily"))
+      .select(col(groupCol), col("n_days"), col("mean_daily"),
+        col("var_daily"),
+        round(col("var_daily") / col("mean_daily"), 6).as("fano"))
+  }
+
   def theilSenTrend(df: DataFrame, tsCol: String): DataFrame = {
     val d = dailySeries(df, tsCol)
       .select(unix_date(col("day")).cast("double").as("t"), col("x"))

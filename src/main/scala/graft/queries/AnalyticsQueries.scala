@@ -741,6 +741,71 @@ object AnalyticsQueries {
       |       min(value) AS vmin, max(value) AS vmax
       |FROM events GROUP BY 1""".stripMargin
 
+  /** The quantile complement of `ev_incremental_moments`: the same two
+    * "daily batches" each reduce to a pinned-range equi-width histogram
+    * state (0..600, 24 bins — the contract, not data-derived), states
+    * merge by addition, and p50/p90/p99 are estimated from the merged
+    * histogram. The oracle rescans the full stream into the same
+    * histogram — merge == rescan is the property under test. See
+    * [[graft.ops.Incremental.histogramState]].
+    */
+  private def evIncrementalHistogram(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pivot = lit("2024-01-15").cast("timestamp")
+    val b1 = Incremental.histogramState(ev.filter(col("ts") < pivot),
+      Seq("event_type"), "value", lo = 0.0, hi = 600.0, bins = 24)
+    val b2 = Incremental.histogramState(ev.filter(col("ts") >= pivot),
+      Seq("event_type"), "value", lo = 0.0, hi = 600.0, bins = 24)
+    Incremental.histogramQuantiles(
+      Incremental.mergeHistograms(Seq(b1, b2), Seq("event_type")),
+      Seq("event_type"), lo = 0.0, hi = 600.0, bins = 24,
+      ps = Seq(0.5, 0.9, 0.99))
+  }
+
+  private val evIncrementalHistogramSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         least(greatest(CAST(floor((value - 0.0) / (600.0 - 0.0)
+      |           * 24) AS INT), 0), 23) AS h_bin
+      |  FROM events),
+      |g AS (SELECT event_type, h_bin, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, h_bin, c,
+      |         CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+      |           ORDER BY h_bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |           1 PRECEDING), 0) AS BIGINT) AS bef,
+      |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS n
+      |  FROM g),
+      |p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+      |SELECT event_type, p.p AS p, cum.n AS n,
+      |       round(0.0 + h_bin * ((600.0 - 0.0) / 24)
+      |             + (p.p * cum.n - bef) / c * ((600.0 - 0.0) / 24), 6)
+      |         AS estimate
+      |FROM cum JOIN p
+      |  ON bef < p.p * cum.n AND bef + c >= p.p * cum.n""".stripMargin
+
+  /** Daily new-vs-returning active users + the cumulative user curve —
+    * see [[graft.ops.Analytics.newVsReturning]].
+    */
+  private def evNewVsReturning(s: SparkSession, dir: String): DataFrame =
+    Analytics.newVsReturning(Tables.events(s, dir), "user_id", "ts")
+
+  private val evNewVsReturningSql =
+    """WITH dk AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |            FROM events),
+      |f AS (SELECT user_id, min(day) AS fd FROM dk GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS active,
+      |             CAST(count(*) FILTER (day = fd) AS BIGINT) AS new_keys
+      |      FROM dk JOIN f USING (user_id) GROUP BY 1)
+      |SELECT day, active, new_keys, active - new_keys AS returning,
+      |       CAST(sum(new_keys) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_keys
+      |FROM d""".stripMargin
+
   /** Join/group-key skew audit of orders.o_custkey: max/avg/p99 per-key
     * counts and the skew ratio — the measurement that decides whether a
     * salted join/aggregate (or AQE skew split) is warranted BEFORE
@@ -864,6 +929,10 @@ object AnalyticsQueries {
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
     QueryDef("ev_interarrival_quantiles", evInterarrival,
       Some(evInterarrivalSql)),
+    QueryDef("ev_incremental_histogram", evIncrementalHistogram,
+      Some(evIncrementalHistogramSql)),
+    QueryDef("ev_new_vs_returning", evNewVsReturning,
+      Some(evNewVsReturningSql)),
     QueryDef("ev_incremental_moments", evIncrementalMoments,
       Some(evIncrementalMomentsSql)),
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),

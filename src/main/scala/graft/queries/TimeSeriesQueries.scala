@@ -176,7 +176,30 @@ object TimeSeriesQueries {
       |         AS intercept
       |FROM d CROSS JOIN s GROUP BY s.n_pairs, s.slope""".stripMargin
 
+  /** Fano burstiness per event type (zero-filled calendar) — see
+    * [[graft.ops.TimeSeries.fanoFactor]].
+    */
+  private def evFano(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.fanoFactor(Tables.events(s, dir), "event_type", "ts")
+
+  private val evFanoSql =
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |                  CAST(count(*) AS DOUBLE) AS x
+      |           FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |g AS (SELECT DISTINCT event_type FROM c),
+      |cells AS (SELECT g.event_type, days.day, coalesce(c.x, 0.0) AS x
+      |          FROM g CROSS JOIN days
+      |          LEFT JOIN c ON c.event_type = g.event_type
+      |                     AND c.day = days.day)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |       round(avg(x), 6) AS mean_daily,
+      |       round(var_samp(x), 6) AS var_daily,
+      |       round(round(var_samp(x), 6) / round(avg(x), 6), 6) AS fano
+      |FROM cells GROUP BY 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_fano_burstiness", evFano, Some(evFanoSql)),
     QueryDef("ev_holt_daily", evHoltDaily, Some(evHoltDailySql)),
     QueryDef("ev_theilsen_trend", evTheilSen, Some(evTheilSenSql)),
     QueryDef("ev_impact_welch", evImpactWelch, Some(evImpactWelchSql)),

@@ -104,6 +104,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(b(1) == 1L && b(3) == null) // singleton: no sample stddev
   }
 
+  test("histogram states: merge == rescan, hand-computed estimate, clamp") {
+    import spark.implicits._
+    import graft.ops.Incremental
+    // values 0.5..9.5, one per [i, i+1) bin of [0,10)x10
+    val all = (0 until 10).map(i => (i, "g", i + 0.5)).toDF("i", "k", "v")
+    def quant(st: DataFrame) = Incremental.histogramQuantiles(
+      st, Seq("k"), 0.0, 10.0, 10, Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val direct = quant(Incremental.histogramState(
+      all.drop("i"), Seq("k"), "v", 0.0, 10.0, 10))
+    val merged = quant(Incremental.mergeHistograms(
+      Seq(Seq(0, 3, 7), Seq(1, 2, 9), Seq(4, 5, 6, 8)).map(idx =>
+        Incremental.histogramState(all.filter(col("i").isin(idx: _*))
+          .drop("i"), Seq("k"), "v", 0.0, 10.0, 10)), Seq("k")))
+    assert(merged == direct)
+    // p=0.5, N=10: target 5 lands at the end of bin 4 -> 4 + 1/1 = 5.0
+    assert(direct == Set(("g", 0.5, 10L, 5.0)))
+    // out-of-range values clamp into the edge bins
+    val clamped = Incremental.histogramState(
+      Seq(("g", -3.0), ("g", 42.0)).toDF("k", "v"),
+      Seq("k"), "v", 0.0, 10.0, 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(clamped == Set((0, 1L), (9, 1L)))
+  }
+
+  test("newVsReturning: first-day split and cumulative curve") {
+    import spark.implicits._
+    // day1: A,B (A twice - no double count); day2: A,C
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "A"), ("2024-01-01 11:00:00", "A"),
+      ("2024-01-01 12:00:00", "B"), ("2024-01-02 09:00:00", "A"),
+      ("2024-01-02 10:00:00", "C"))
+      .map { case (t, u) => (java.sql.Timestamp.valueOf(t), u) }
+      .toDF("ts", "u")
+    val got = Analytics.newVsReturning(rows, "u", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((2L, 2L, 0L, 2L), (2L, 1L, 1L, 3L)))
+  }
+
   test("interarrivalQuantiles: exact gaps, cross-user gaps excluded") {
     val rows = Seq(
       (1L, 1L, ts(0L), "v", null), (2L, 1L, ts(100000L), "v", null),

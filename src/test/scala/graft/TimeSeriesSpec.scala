@@ -111,6 +111,23 @@ class TimeSeriesSpec extends AnyFunSuite {
       (13.75, 0.625, 14.375)))
   }
 
+  test("fanoFactor: zero-filled calendar, hand-computed ratios") {
+    import spark.implicits._
+    // type P: 4 then 6 events (mean 5, var 2, fano 0.4);
+    // type Q: 10 on day 1 ONLY - the zero-filled day 2 must count
+    // (mean 5, var 50, fano 10); dropping it would read var 0
+    val rows =
+      Seq.fill(4)(("2024-01-01 10:00:00", "P")) ++
+        Seq.fill(6)(("2024-01-02 10:00:00", "P")) ++
+        Seq.fill(10)(("2024-01-01 10:00:00", "Q"))
+    val df = rows.map { case (t, g) => (java.sql.Timestamp.valueOf(t), g) }
+      .toDF("ts", "g")
+    val got = TimeSeries.fanoFactor(df, "g", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(("P", 2L, 5.0, 2.0, 0.4), ("Q", 2L, 5.0, 50.0, 10.0)))
+  }
+
   test("theilSenTrend: pairwise median shrugs off a planted outlier") {
     // days 1..5 with counts 10,12,14,16,100: 6 of the 10 pairwise
     // slopes are exactly 2, so the median is 2 (OLS would be dragged
