@@ -85,6 +85,54 @@ object Embeddings {
         col("inertia"))
   }
 
+  /** Nearest-centroid classifier evaluation: assign every vector to
+    * the closest label centroid (squared Euclidean against the
+    * 6dp-rounded [[labelCentroids]] means, ties to the lower label) and
+    * report the confusion matrix with overall resubstitution accuracy —
+    * the cheapest possible probe of "do the labels have geometric
+    * structure worth an index / a classifier?" (accuracy ≈ 1/|labels|
+    * says the embedding carries no label signal and a same-label ANN
+    * restriction buys nothing).
+    *
+    * Scale shape: the centroid table is a bounded driver collect
+    * (labels × dims doubles — the pinned-IVF pattern); assignment is a
+    * scan-side argmin fold over centroid literals through the
+    * `vec_l2sq` codegen kernel (no explode × cells join), and the
+    * confusion aggregate is |labels|²-sized and map-side combinable.
+    */
+  def centroidClassifierEval(df: DataFrame, idCol: String, vecCol: String,
+                             labelCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val v = df.select(col(labelCol).cast("int").as("true_label"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cents: Seq[(Int, Array[Double])] =
+      labelCentroids(df, idCol, vecCol, labelCol)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (lb, rows) =>
+          lb -> rows.sortBy(_._2).map(_._3).toArray
+        }.toSeq.sortBy(_._1)
+    require(cents.nonEmpty, "no labels in corpus")
+    def sqd(c: Array[Double]): Column =
+      round(call_function("vec_l2sq", col("v"), typedLit(c)), 6)
+    // argmin by (rounded distance, then smallest label):
+    // greatest() on (−dist, −label) structs is lexicographic
+    val best = greatest(cents.map { case (lb, c) =>
+      struct((-sqd(c)).as("nd"), lit(-lb).as("nl"))
+    }: _*)
+    val conf = v
+      .select(col("true_label"), (-best.getField("nl")).as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val acc = conf.agg((sum(when(col("true_label") === col("pred_label"),
+      col("cnt")).otherwise(0L)).cast("double") / sum(col("cnt")))
+      .as("__acc"))
+    conf.crossJoin(broadcast(acc))
+      .select(col("true_label"), col("pred_label"), col("cnt"),
+        round(col("__acc"), 6).as("accuracy"))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max |x_i| (so
     * codes span the full [-127, 127] range), code_i = round(x_i / scale
     * * 127). Returns (`idCol`, `scale` rounded 6dp, `codes`

@@ -53,6 +53,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Matryoshka truncation audit: recall@k of brute-force cosine top-k
+    * computed on the first `d` dimensions against the full-dimension
+    * top-k, for each `d` in `dims` — the measurement behind "can we
+    * store 16 of the 64 dims and keep 90% of retrieval?" (matryoshka /
+    * dimension-truncation deployment, the cheapest embedding-store
+    * compression there is). High recall at small d ⇒ truncate + rerank;
+    * low ⇒ the tail dims carry real signal.
+    *
+    * ONE pair scan computes the full and every truncated similarity
+    * (`slice` + the `cosine_sim` kernel, so each variant is one more
+    * codegen'd column, not another corpus pass); per-variant top-k are
+    * windows over the SAME query_id partitioning (one shuffle, sorts
+    * reused), ranked by (6dp cosine desc, neighbor id) so every rank
+    * boundary replays. Recall is summed in integers and divided once —
+    * sum(hits)/(n·k) — never an average of per-query doubles, so the
+    * result is bit-stable under partition order. Queries with zero
+    * overlap are kept by a (dim × query) spine. The query set comes
+    * from `queryPred` and is broadcast; corpus side streams.
+    */
+  def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims.nonEmpty && k >= 1, "need dims and k >= 1")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim_full")) ++
+        dims.map(d => round(cosine(slice(col("qv"), 1, d),
+          slice(col("v"), 1, d)), 6).as(s"sim_$d")): _*)
+    def topK(simCol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(simCol).desc, col("neighbor_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).select("query_id", "neighbor_id")
+    }
+    val full = topK("sim_full")
+    val variants = dims.map(d => topK(s"sim_$d")
+      .withColumn("trunc_dim", lit(d))).reduce(_ unionByName _)
+    val hits = variants.join(full, Seq("query_id", "neighbor_id"))
+      .groupBy(col("trunc_dim"), col("query_id"))
+      .agg(count(lit(1)).as("__hits"))
+    val dimsDf = df.sparkSession.createDataFrame(dims.map(Tuple1(_)))
+      .toDF("trunc_dim")
+    val spine = q.select(col("query_id")).crossJoin(broadcast(dimsDf))
+    spine.join(hits, Seq("trunc_dim", "query_id"), "left")
+      .na.fill(0L, Seq("__hits"))
+      .groupBy(col("trunc_dim"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("__hits")).cast("double") /
+          (count(lit(1)) * lit(k)), 6).as("recall_at_k"))
+  }
+
   /** Metadata-filtered (hybrid) exact top-k: neighbors restricted to
     * rows sharing the query's `labelCol` value — "nearest documents in
     * the same language/source/tenant", the filtered-search shape every

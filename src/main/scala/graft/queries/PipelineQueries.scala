@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Ranking, Sampling, Selection, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Multimodal, Packing, Ranking, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1722,6 +1722,100 @@ object PipelineQueries {
        |FROM m JOIN cs USING (cell)""".stripMargin
   }
 
+  /** Matryoshka truncation audit: recall@10 of cosine top-10 under the
+    * first 8/16/32 of 64 dims vs the full vectors, queries = every 50th
+    * vec_id. See [[graft.ops.Similarity.matryoshkaRecall]].
+    */
+  private def embMatryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaRecall(Tables.embeddings(s, dir), "vec_id",
+      "embedding", col("vec_id") % 50 === 0, k = 10, dims = Seq(8, 16, 32))
+
+  private val embMatryoshkaSql =
+    """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |q AS (SELECT id AS query_id, embedding AS qv FROM v
+      |      WHERE id % 50 = 0),
+      |sc AS (
+      |  SELECT q.query_id, v.id AS nid,
+      |    round(list_cosine_similarity(q.qv::DOUBLE[],
+      |      v.embedding::DOUBLE[]), 6) AS sf,
+      |    round(list_cosine_similarity((q.qv[1:8])::DOUBLE[],
+      |      (v.embedding[1:8])::DOUBLE[]), 6) AS s8,
+      |    round(list_cosine_similarity((q.qv[1:16])::DOUBLE[],
+      |      (v.embedding[1:16])::DOUBLE[]), 6) AS s16,
+      |    round(list_cosine_similarity((q.qv[1:32])::DOUBLE[],
+      |      (v.embedding[1:32])::DOUBLE[]), 6) AS s32
+      |  FROM v CROSS JOIN q WHERE v.id != q.query_id),
+      |f AS (SELECT query_id, nid FROM (
+      |        SELECT query_id, nid, row_number() OVER (
+      |          PARTITION BY query_id ORDER BY sf DESC, nid) AS rn
+      |        FROM sc) t WHERE rn <= 10),
+      |u AS (
+      |  SELECT 8 AS td, query_id, nid FROM (
+      |    SELECT query_id, nid, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY s8 DESC, nid) AS rn
+      |    FROM sc) t WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 16, query_id, nid FROM (
+      |    SELECT query_id, nid, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY s16 DESC, nid) AS rn
+      |    FROM sc) t WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 32, query_id, nid FROM (
+      |    SELECT query_id, nid, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY s32 DESC, nid) AS rn
+      |    FROM sc) t WHERE rn <= 10),
+      |h AS (SELECT u.td, u.query_id, count(*) AS hits
+      |      FROM u JOIN f ON u.query_id = f.query_id AND u.nid = f.nid
+      |      GROUP BY 1, 2),
+      |spine AS (SELECT CAST(d.td AS INT) AS td, q.query_id
+      |          FROM (SELECT unnest([8, 16, 32]) AS td) d CROSS JOIN q)
+      |SELECT spine.td AS trunc_dim,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       round(CAST(sum(coalesce(h.hits, 0)) AS DOUBLE)
+      |             / (count(*) * 10), 6) AS recall_at_k
+      |FROM spine LEFT JOIN h ON h.td = spine.td
+      |                      AND h.query_id = spine.query_id
+      |GROUP BY 1""".stripMargin
+
+  /** Nearest-centroid classifier eval over the label centroids:
+    * confusion matrix + resubstitution accuracy. See
+    * [[graft.ops.Embeddings.centroidClassifierEval]].
+    */
+  private def embCentroidEval(s: SparkSession, dir: String): DataFrame =
+    Embeddings.centroidClassifierEval(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label")
+
+  private val embCentroidEvalSql =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |                  label AS tl FROM embeddings),
+      |cm AS (SELECT label AS cl, CAST(i - 1 AS INT) AS pos,
+      |         round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+      |           AS c
+      |       FROM (SELECT label, embedding,
+      |               unnest(generate_series(1, length(embedding))) AS i
+      |             FROM embeddings) u
+      |       GROUP BY 1, 2),
+      |cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cm GROUP BY 1),
+      |d AS (SELECT v.id, v.tl, cent.cl,
+      |        round(list_sum(list_transform(
+      |          generate_series(1, length(v.v)),
+      |          i -> (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i]))), 6)
+      |          AS sd
+      |      FROM v CROSS JOIN cent),
+      |a AS (SELECT tl, cl AS pl FROM (
+      |        SELECT tl, cl, row_number() OVER (
+      |          PARTITION BY id ORDER BY sd, cl) AS rn FROM d) t
+      |      WHERE rn = 1),
+      |conf AS (SELECT tl AS true_label, pl AS pred_label,
+      |                CAST(count(*) AS BIGINT) AS cnt
+      |         FROM a GROUP BY 1, 2),
+      |acc AS (SELECT CAST(sum(CASE WHEN true_label = pred_label
+      |                 THEN cnt ELSE 0 END) AS DOUBLE)
+      |               / CAST(sum(cnt) AS BIGINT) AS a
+      |        FROM conf)
+      |SELECT true_label, pred_label, cnt, round(acc.a, 6) AS accuracy
+      |FROM conf CROSS JOIN acc""".stripMargin
+
   /** Top-40 collocations by PMI with a support floor of 5 occurrences —
     * the frequency-independent complement of `text_top_ngrams`. The PMI
     * ratio is evaluated in the same left-to-right order on both sides
@@ -2815,6 +2909,9 @@ object PipelineQueries {
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
     QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
+    QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
+    QueryDef("emb_centroid_classifier", embCentroidEval,
+      Some(embCentroidEvalSql)),
     QueryDef("emb_pca_top_component", embPcaTop, Some(embPcaTopSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),

@@ -1703,4 +1703,46 @@ class OpsSpec extends AnyFunSuite {
         centroidIds = Seq(1L, 999L)).collect()
     }
   }
+
+  test("matryoshkaRecall: truncation flips a neighbor, full dims recall 1") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    // q1=[1,0,0,0]: full top-1 is A (cos 0.6) but on the first 2 dims
+    // B=[0.5,0,.866,0] projects to [0.5,0] with cos 1.0 and steals the
+    // slot; q2=[0,1,0,0] keeps A either way -> recall@1 d=2 is 1/2,
+    // d=4 (the whole vector) must be exactly 1
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(10L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.6f, 0.8f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.5f, 0.0f, 0.866f, 0.0f)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val got = Similarity.matryoshkaRecall(df, "vec_id", "embedding",
+        col("vec_id").isin(0L, 10L), k = 1, dims = Seq(2, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2, 2L, 0.5), (4, 2L, 1.0)))
+  }
+
+  test("centroidClassifierEval: planted overlap, hand-computed confusion") {
+    import graft.ops.Embeddings
+    // label 0 at x = 0, 0.2, 0.9 (centroid 0.366667); label 1 at
+    // x = 1, 0.8 (centroid 0.9): the 0.9 point sits ON the label-1
+    // centroid and misclassifies; everything else is clean -> 4/5
+    val rows = Seq(
+      Row(1L, 0, Seq(0.0f, 0.0f)), Row(2L, 0, Seq(0.2f, 0.0f)),
+      Row(3L, 0, Seq(0.9f, 0.0f)), Row(4L, 1, Seq(1.0f, 0.0f)),
+      Row(5L, 1, Seq(0.8f, 0.0f)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("label", IntegerType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val got = Embeddings.centroidClassifierEval(df, "vec_id", "embedding",
+        "label").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map((0, 0) -> ((2L, 0.8)), (0, 1) -> ((1L, 0.8)),
+      (1, 1) -> ((2L, 0.8))))
+  }
 }
