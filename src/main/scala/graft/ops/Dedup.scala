@@ -277,6 +277,38 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** LSH recall/precision audit: run [[jaccardPairs]] (exact, over
+    * df-capped rare-shingle postings) and [[minhashLshPairs]] (banded
+    * candidates + full-postings verification) at the SAME tau and
+    * full-outer-join the pair sets — the measurement that justifies (or
+    * indicts) the banding parameters BEFORE a 100 TB dedup run trusts
+    * them. `exact_only` pairs are banding misses (no band collided);
+    * `lsh_only` pairs are reachable only through shingles the exact
+    * op's df-cap dropped — the two paths' blind spots are different by
+    * construction, and the audit quantifies both. One extra pair-level
+    * join on top of the two audited pipelines; nothing rescans the
+    * corpus.
+    */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int, bands: Int, k: Int, dfCap: Long,
+                     tau: Double): DataFrame = {
+    val exact = jaccardPairs(df, idCol, textCol, k, dfCap, tau)
+      .select(col("id1"), col("id2"), lit(true).as("__ex"))
+    val lsh = minhashLshPairs(df, idCol, textCol, numHashes, bands, k, tau)
+      .select(col("id1"), col("id2"), lit(true).as("__ls"))
+    exact.join(lsh, Seq("id1", "id2"), "full_outer")
+      .agg(count(when(col("__ex"), 1)).as("n_exact"),
+        count(when(col("__ls"), 1)).as("n_lsh"),
+        count(when(col("__ex") && col("__ls"), 1)).as("n_both"),
+        count(when(col("__ex") && col("__ls").isNull, 1)).as("exact_only"),
+        count(when(col("__ex").isNull && col("__ls"), 1)).as("lsh_only"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        col("exact_only"), col("lsh_only"),
+        when(col("n_exact") > 0,
+          round(col("n_both").cast("double") / col("n_exact"), 6))
+          .as("recall_vs_exact"))
+  }
+
   /** Edit-distance-verified near-duplicate pairs: the
     * [[minhashLshPairs]] candidates (LSH banding + exact shingle
     * Jaccard at a permissive `tau`) confirmed by character-level

@@ -191,6 +191,38 @@ object Stats {
         round(col("e.s"), 6).as("survival"))
   }
 
+  /** Leave-one-out contribution audit: for each group (source, shard,
+    * snapshot…), the corpus mean of `scoreCol` with that group REMOVED,
+    * and the delta against the full-corpus mean — the cheapest data
+    * valuation there is ("which source drags corpus quality?"), exact
+    * rather than sampled because LOO means decompose over group
+    * aggregates: mean₋g = (T − t_g)/(N − n_g). Positive delta = the
+    * corpus improves without the group.
+    *
+    * ONE map-side-combinable (group, count, sum) aggregate is the only
+    * full-data pass; totals are a broadcast re-aggregation of the
+    * group-domain table. Delta compares the 6dp-ROUNDED LOO and corpus
+    * means so the verdict replays. Single-group corpora have no LOO —
+    * null.
+    */
+  def leaveOneOutContribution(df: DataFrame, groupCol: Column,
+                              scoreCol: Column): DataFrame = {
+    val g = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("n_rows"), sum(scoreCol).as("__t"))
+    val tot = g.agg(sum(col("n_rows")).as("__nn"), sum(col("__t")).as("__tt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("__g").as("group"), col("n_rows"),
+        round(col("__t") / col("n_rows"), 6).as("mean_group"),
+        round(col("__tt") / col("__nn"), 6).as("corpus_mean"),
+        when(col("__nn") > col("n_rows"),
+          round((col("__tt") - col("__t")) / (col("__nn") - col("n_rows")),
+            6)).as("loo_mean"),
+        when(col("__nn") > col("n_rows"),
+          round(round((col("__tt") - col("__t")) /
+            (col("__nn") - col("n_rows")), 6) -
+            round(col("__tt") / col("__nn"), 6), 6)).as("delta"))
+  }
+
   /** Mutual information (bits) between two categorical columns — the
     * column-dependence audit: MI ≈ 0 says `y` adds signal `x` doesn't
     * have; MI ≈ min(H) says one column is (nearly) a function of the

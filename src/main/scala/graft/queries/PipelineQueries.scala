@@ -1722,6 +1722,39 @@ object PipelineQueries {
        |FROM m JOIN cs USING (cell)""".stripMargin
   }
 
+  /** LSH recall audit at tau 0.5: exact df-capped Jaccard pairs vs the
+    * banded MinHash pipeline, blind spots counted both ways. The exact
+    * side reuses `dedup_ngram_jaccard`'s oracle filtered to 0.5 (its
+    * own tau is 0.3, so the subset is free); the LSH side composes
+    * `dedup_minhash_lsh`'s oracle verbatim. See
+    * [[graft.ops.Dedup.lshRecallAudit]].
+    */
+  private def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, dfCap = 20, tau = 0.5)
+
+  private lazy val lshRecallAuditSql =
+    s"""WITH ex AS (SELECT id1, id2 FROM ($jaccardPairsSql) e
+       |            WHERE jaccard >= 0.5),
+       |ls AS (SELECT id1, id2 FROM ($minhashLshSql) l),
+       |j AS (SELECT coalesce(ex.id1, ls.id1) AS id1,
+       |             ex.id1 IS NOT NULL AS in_ex,
+       |             ls.id1 IS NOT NULL AS in_ls
+       |      FROM ex FULL OUTER JOIN ls
+       |        ON ex.id1 = ls.id1 AND ex.id2 = ls.id2)
+       |SELECT CAST(count(*) FILTER (in_ex) AS BIGINT) AS n_exact,
+       |       CAST(count(*) FILTER (in_ls) AS BIGINT) AS n_lsh,
+       |       CAST(count(*) FILTER (in_ex AND in_ls) AS BIGINT) AS n_both,
+       |       CAST(count(*) FILTER (in_ex AND NOT in_ls) AS BIGINT)
+       |         AS exact_only,
+       |       CAST(count(*) FILTER (in_ls AND NOT in_ex) AS BIGINT)
+       |         AS lsh_only,
+       |       CASE WHEN count(*) FILTER (in_ex) > 0
+       |            THEN round(CAST(count(*) FILTER (in_ex AND in_ls)
+       |                   AS DOUBLE) / count(*) FILTER (in_ex), 6)
+       |       END AS recall_vs_exact
+       |FROM j""".stripMargin
+
   /** Matryoshka truncation audit: recall@10 of cosine top-10 under the
     * first 8/16/32 of 64 dims vs the full vectors, queries = every 50th
     * vec_id. See [[graft.ops.Similarity.matryoshkaRecall]].
@@ -2878,6 +2911,8 @@ object PipelineQueries {
       Some(dedupBloomPrefilterSql)),
     QueryDef("doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_lsh_recall_audit", lshRecallAudit,
+      Some(lshRecallAuditSql)),
     QueryDef("dedup_edit_verified", dedupEditVerified,
       Some(dedupEditVerifiedSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),

@@ -197,10 +197,58 @@ object StatsQueries {
       |       END AS nmi
       |FROM a""".stripMargin
 
+  /** Leave-one-source-out quality contribution: the corpus-mean quality
+    * delta from removing each source — exact data valuation from one
+    * aggregate (see [[graft.ops.Stats.leaveOneOutContribution]]); the
+    * per-doc score is `text_quality`'s composite, whose SQL the oracle
+    * inlines.
+    */
+  private def docSourceLooQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Stats.leaveOneOutContribution(
+      docs.select(col("source"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("q")),
+      col("source"), col("q"))
+      .withColumnRenamed("group", "source")
+  }
+
+  private val docSourceLooQualitySql =
+    """WITH b AS (
+      |  SELECT source, trim(text) AS t,
+      |    CAST(greatest(length(trim(text)), 1) AS DOUBLE) AS len,
+      |    CAST(greatest(length(string_split_regex(lower(trim(text)),
+      |      '\s+')), 1) AS DOUBLE) AS ntoks
+      |  FROM documents),
+      |q AS (SELECT source,
+      |  round(((len - length(regexp_replace(t, '[a-zA-Z]', '', 'g')))
+      |      / len) * 0.5
+      |    + (CASE WHEN length(regexp_replace(t, '\s+', '', 'g')) / ntoks
+      |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      |    + (CASE WHEN length(t) BETWEEN 50 AND 100000
+      |            THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS q
+      |  FROM b),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |             sum(q) AS t FROM q GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn, sum(t) AS tt
+      |       FROM g)
+      |SELECT source, g.n_rows,
+      |       round(g.t / g.n_rows, 6) AS mean_group,
+      |       round(tt.tt / tt.nn, 6) AS corpus_mean,
+      |       CASE WHEN tt.nn > g.n_rows
+      |            THEN round((tt.tt - g.t) / (tt.nn - g.n_rows), 6)
+      |       END AS loo_mean,
+      |       CASE WHEN tt.nn > g.n_rows
+      |            THEN round(round((tt.tt - g.t) / (tt.nn - g.n_rows), 6)
+      |                       - round(tt.tt / tt.nn, 6), 6)
+      |       END AS delta
+      |FROM g CROSS JOIN tt""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),
     QueryDef("ev_survival_km", evSurvivalKm, Some(evSurvivalKmSql)),
     QueryDef("doc_mi_lang_source", docMiLangSource, Some(docMiLangSourceSql)),
+    QueryDef("doc_source_loo_quality", docSourceLooQuality,
+      Some(docSourceLooQualitySql)),
   )
 }

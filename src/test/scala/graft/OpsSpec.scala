@@ -439,6 +439,22 @@ class OpsSpec extends AnyFunSuite {
       s"LSH missed pairs: ${brute -- lsh}")
   }
 
+  test("lshRecallAudit: planted duplicates found by both paths, set algebra") {
+    val r = Dedup.lshRecallAudit(docs(corpus), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, dfCap = 1000, tau = 0.6)
+      .collect().head
+    val (nEx, nLsh, nBoth, exOnly, lshOnly) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nEx >= 1, "planted near-dup pair must appear in the exact set")
+    assert(nBoth + exOnly == nEx && nBoth + lshOnly == nLsh)
+    assert(r.getDouble(5) ==
+      BigDecimal(nBoth.toDouble / nEx).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // at dfCap 1000 nothing is capped away, so the exact set is ground
+    // truth and this banding recovers all of it (the 0.6-tau geometry)
+    assert(exOnly == 0L && r.getDouble(5) == 1.0)
+  }
+
   test("simhash: exact dup same signature, near dup low hamming") {
     val sigs = Dedup.simhashSignatures(docs(corpus), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

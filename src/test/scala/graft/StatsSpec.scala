@@ -94,6 +94,22 @@ class StatsSpec extends AnyFunSuite {
     assert(r3.getDouble(1) == 0.0 && r3.getDouble(3) == 0.0 && r3.isNullAt(4))
   }
 
+  test("leaveOneOutContribution: exact decomposed LOO means") {
+    // A: scores 1,1; B: 0. corpus 2/3; drop A -> 0 (delta -2/3);
+    // drop B -> 1 (delta +1/3)
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 0.0)).toDF("g", "s")
+    val got = Stats.leaveOneOutContribution(df, col("g"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("A") == ((2L, 1.0, 0.666667, 0.0, -0.666667)))
+    assert(got("B") == ((1L, 0.0, 0.666667, 1.0, 0.333333)))
+    // a single-group corpus has no leave-one-out mean
+    val solo = Stats.leaveOneOutContribution(
+      Seq(("A", 1.0)).toDF("g", "s"), col("g"), col("s")).collect().head
+    assert(solo.isNullAt(4) && solo.isNullAt(5))
+  }
+
   test("kaplanMeier: no censoring degenerates to the empirical survivor") {
     // durations 1,2,2,3: S(1)=3/4, S(2)=3/4*(1/3)=0.25, S(3)=0
     val df = Seq(1, 2, 2, 3).map((_, false)).toDF("dur", "cen")
