@@ -223,6 +223,55 @@ object Stats {
             round(col("__tt") / col("__nn"), 6), 6)).as("delta"))
   }
 
+  /** Per-column profile drift between a baseline and current
+    * population: null rate plus mean (numeric) / mean length (string)
+    * per column per side, with absolute deltas — the schema-health
+    * companion to [[psiDrift]] (PSI grades ONE column's distribution;
+    * this sweeps every column for the cheap early signals: a null-rate
+    * jump is an upstream extraction break, a mean-length collapse is a
+    * truncating producer). ONE conditional aggregate pass computes both
+    * sides of every column — no per-column scan, no count-distinct
+    * expand — then a literal stack unpivots to the audit's long form
+    * (the `profile_events` pattern). Deltas compare 6dp-rounded sides.
+    */
+  def profileDrift(df: DataFrame, isBaseline: Column, numCols: Seq[String],
+                   strCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty, "need columns")
+    def side(base: Boolean, c: Column) =
+      when(if (base) isBaseline else !isBaseline, c)
+    def nullRate(base: Boolean, c: String) =
+      round(count(side(base, when(col(c).isNull, 1))).cast("double") /
+        count(side(base, lit(1))), 6)
+    val aggs = numCols.flatMap { c =>
+      Seq(nullRate(base = true, c).as(s"__nr_b_$c"),
+        nullRate(base = false, c).as(s"__nr_c_$c"),
+        round(avg(side(base = true, col(c).cast("double"))), 6)
+          .as(s"__m_b_$c"),
+        round(avg(side(base = false, col(c).cast("double"))), 6)
+          .as(s"__m_c_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(nullRate(base = true, c).as(s"__nr_b_$c"),
+        nullRate(base = false, c).as(s"__nr_c_$c"),
+        round(avg(side(base = true, length(col(c)).cast("double"))), 6)
+          .as(s"__m_b_$c"),
+        round(avg(side(base = false, length(col(c)).cast("double"))), 6)
+          .as(s"__m_c_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = numCols.map(c => (c, "mean")) ++
+      strCols.map(c => (c, "mean_length"))
+    val rows = entries.flatMap { case (c, metric) => Seq(
+      struct(lit(c).as("column"), lit("null_rate").as("metric"),
+        col(s"__nr_b_$c").as("val_base"), col(s"__nr_c_$c").as("val_cur")),
+      struct(lit(c).as("column"), lit(metric).as("metric"),
+        col(s"__m_b_$c").as("val_base"), col(s"__m_c_$c").as("val_cur")))
+    }
+    wide.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.metric").as("metric"),
+        col("e.val_base").as("val_base"), col("e.val_cur").as("val_cur"),
+        round(abs(col("e.val_cur") - col("e.val_base")), 6).as("abs_delta"))
+  }
+
   /** Mutual information (bits) between two categorical columns — the
     * column-dependence audit: MI ≈ 0 says `y` adds signal `x` doesn't
     * have; MI ≈ min(H) says one column is (nearly) a function of the

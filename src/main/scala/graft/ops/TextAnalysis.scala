@@ -16,6 +16,24 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Type-token ratio (lexical diversity) per document: distinct
+    * tokens / tokens — boilerplate and template spam repeat a tiny
+    * vocabulary (TTR → 0) while natural prose sits in a length-
+    * dependent band; the word-level complement of the character-level
+    * `charEntropy` gibberish signal. Zero-shuffle: tokenize,
+    * `array_distinct`, two sizes and a division, all in one codegen
+    * span. Empty-string docs tokenize to one empty token (the split
+    * semantics both engines share) — callers gate on n_tokens.
+    */
+  def typeTokenRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_types"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+        .as("ttr"))
+  }
+
   /** Power-of-two length-bucket report with padding waste: documents
     * bucketed by token count (bucket b holds counts in [2^b, 2^{b+1})),
     * with per-bucket doc/token totals and the padding waste a trainer

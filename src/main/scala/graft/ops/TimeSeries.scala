@@ -232,6 +232,53 @@ object TimeSeries {
         round(col("e.l") + col("e.b"), 6).as("forecast"))
   }
 
+  /** Per-group OLS trend of daily counts: slope/intercept/R² of x(t)
+    * over integer epoch days, one group per row — the vectorized
+    * complement of [[theilSenTrend]] (that one is robust but its pair
+    * join is per-series; this closed form is ONE combinable aggregate
+    * for every group at once, the shape that fits "a trend per tenant"
+    * at 100 TB). Computed from the moment identities
+    * slope = (nΣty − Σt Σy) / (nΣt² − (Σt)²) with the same explicit
+    * left-to-right arithmetic in the oracle — never the engine's
+    * regr_slope, whose internal form differs. Time is DAYS SINCE THE
+    * SERIES START, not raw epoch days: with t ≈ 19700 the denominator
+    * nΣt² − (Σt)² cancels eleven digits and hands the slope to shuffle-
+    * order ulp noise; centered t keeps every moment small and the 6dp
+    * verdicts safely off the rounding boundary. Zero-variance time (a
+    * single day) yields nulls. Days with no events for a group count
+    * as zero via the same broadcast spine as [[fanoFactor]].
+    */
+  def olsTrendByGroup(df: DataFrame, groupCol: String,
+                      tsCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val days = df.select(to_date(col(tsCol)).as("day")).distinct()
+    val d0 = days.agg(min(col("day")).as("__d0"))
+    val groups = counts.select(col(groupCol)).distinct()
+    val cells = groups.crossJoin(broadcast(days))
+      .join(counts, Seq(groupCol, "day"), "left")
+      .na.fill(0.0, Seq("y"))
+      .crossJoin(broadcast(d0))
+      .select(col(groupCol),
+        datediff(col("day"), col("__d0")).cast("double").as("t"),
+        col("y"))
+    val m = cells.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("y") * col("y")).as("syy"))
+    val denT = m("n") * m("stt") - m("st") * m("st")
+    val denY = m("n") * m("syy") - m("sy") * m("sy")
+    val num = m("n") * m("sty") - m("st") * m("sy")
+    m.select(col(groupCol), col("n").cast("long").as("n_days"),
+      when(denT =!= 0.0, round(num / denT, 6)).as("slope"),
+      when(denT =!= 0.0,
+        round((m("sy") - num / denT * m("st")) / m("n"), 6))
+        .as("intercept"),
+      when(denT =!= 0.0 && denY =!= 0.0,
+        round(num * num / (denT * denY), 6)).as("r2"))
+  }
+
   /** Theil-Sen robust trend over the daily count series: slope = the
     * exact median of all pairwise slopes (x_j − x_i)/(t_j − t_i),
     * i < j, with t integer epoch days; intercept = median of

@@ -1034,6 +1034,24 @@ object PipelineQueries {
 
   // ---- text analysis ----
 
+  /** Type-token ratio per doc — see
+    * [[graft.ops.TextAnalysis.typeTokenRatio]].
+    */
+  private def textTtr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenRatio(Tables.documents(s, dir), "doc_id", "text")
+
+  private val textTtrSql =
+    """SELECT doc_id,
+      |  CAST(length(string_split_regex(lower(trim(text)), '\s+'))
+      |    AS INT) AS n_tokens,
+      |  CAST(length(list_distinct(string_split_regex(lower(trim(text)),
+      |    '\s+'))) AS INT) AS n_types,
+      |  round(CAST(length(list_distinct(string_split_regex(
+      |      lower(trim(text)), '\s+'))) AS DOUBLE)
+      |    / length(string_split_regex(lower(trim(text)), '\s+')), 6)
+      |    AS ttr
+      |FROM documents""".stripMargin
+
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -1756,17 +1774,22 @@ object PipelineQueries {
        |FROM j""".stripMargin
 
   /** Matryoshka truncation audit: recall@10 of cosine top-10 under the
-    * first 8/16/32 of 64 dims vs the full vectors, queries = every 50th
-    * vec_id. See [[graft.ops.Similarity.matryoshkaRecall]].
+    * first 8/16/32 of 64 dims vs the full vectors. The probe set is
+    * FIXED-COUNT (every 50th vec_id below 2000 — ≤ 40 probes at any
+    * corpus size): a fraction-of-corpus predicate would grow the probe
+    * side linearly and the brute-force pair scan quadratically, when
+    * the audit's statistical power needs only a constant sample. See
+    * [[graft.ops.Similarity.matryoshkaRecall]].
     */
   private def embMatryoshka(s: SparkSession, dir: String): DataFrame =
     Similarity.matryoshkaRecall(Tables.embeddings(s, dir), "vec_id",
-      "embedding", col("vec_id") % 50 === 0, k = 10, dims = Seq(8, 16, 32))
+      "embedding", col("vec_id") % 50 === 0 && col("vec_id") < 2000,
+      k = 10, dims = Seq(8, 16, 32))
 
   private val embMatryoshkaSql =
     """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
       |q AS (SELECT id AS query_id, embedding AS qv FROM v
-      |      WHERE id % 50 = 0),
+      |      WHERE id % 50 = 0 AND id < 2000),
       |sc AS (
       |  SELECT q.query_id, v.id AS nid,
       |    round(list_cosine_similarity(q.qv::DOUBLE[],
@@ -2950,6 +2973,7 @@ object PipelineQueries {
     QueryDef("emb_pca_top_component", embPcaTop, Some(embPcaTopSql)),
     QueryDef("pipeline_emb_prep", embPrepPipeline, Some(embPrepPipelineSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_ttr", textTtr, Some(textTtrSql)),
     QueryDef("doc_length_buckets", docLengthBuckets,
       Some(docLengthBucketsSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),

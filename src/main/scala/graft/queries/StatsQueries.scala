@@ -243,6 +243,44 @@ object StatsQueries {
       |       END AS delta
       |FROM g CROSS JOIN tt""".stripMargin
 
+  /** Per-column profile drift of the events table around 2024-01-15:
+    * null rates + means (numeric) / mean lengths (string), both sides
+    * from ONE conditional pass. See [[graft.ops.Stats.profileDrift]].
+    */
+  private def dqProfileDriftEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.profileDrift(Tables.events(s, dir),
+      col("ts") < lit("2024-01-15").cast("timestamp"),
+      numCols = Seq("value", "user_id"),
+      strCols = Seq("event_type", "props"))
+
+  private val dqProfileDriftEventsSql = {
+    def nr(base: String, c: String) =
+      s"""round(CAST(count(CASE WHEN $base AND $c IS NULL THEN 1 END)
+         |  AS DOUBLE) / count(CASE WHEN $base THEN 1 END), 6)""".stripMargin
+    def mean(base: String, e: String) =
+      s"round(avg(CASE WHEN $base THEN $e END), 6)"
+    def block(c: String, metric: String, e: String) =
+      s"""SELECT '$c' AS "column", 'null_rate' AS metric,
+         |  ${nr("isb", c)} AS val_base, ${nr("NOT isb", c)} AS val_cur
+         |FROM e
+         |UNION ALL
+         |SELECT '$c', '$metric', ${mean("isb", e)}, ${mean("NOT isb", e)}
+         |FROM e""".stripMargin
+    val blocks = Seq(
+      block("value", "mean", "CAST(value AS DOUBLE)"),
+      block("user_id", "mean", "CAST(user_id AS DOUBLE)"),
+      block("event_type", "mean_length",
+        "CAST(length(event_type) AS DOUBLE)"),
+      block("props", "mean_length", "CAST(length(props) AS DOUBLE)"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT *, ts < TIMESTAMP '2024-01-15' AS isb
+       |           FROM events),
+       |u AS ($blocks)
+       |SELECT "column", metric, val_base, val_cur,
+       |       round(abs(val_cur - val_base), 6) AS abs_delta
+       |FROM u""".stripMargin
+  }
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),
@@ -250,5 +288,7 @@ object StatsQueries {
     QueryDef("doc_mi_lang_source", docMiLangSource, Some(docMiLangSourceSql)),
     QueryDef("doc_source_loo_quality", docSourceLooQuality,
       Some(docSourceLooQualitySql)),
+    QueryDef("dq_profile_drift_events", dqProfileDriftEvents,
+      Some(dqProfileDriftEventsSql)),
   )
 }

@@ -198,7 +198,45 @@ object TimeSeriesQueries {
       |       round(round(var_samp(x), 6) / round(avg(x), 6), 6) AS fano
       |FROM cells GROUP BY 1""".stripMargin
 
+  /** Per-type OLS daily trend (slope/intercept/R² over centered days) —
+    * see [[graft.ops.TimeSeries.olsTrendByGroup]].
+    */
+  private def evOlsTrend(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.olsTrendByGroup(Tables.events(s, dir), "event_type", "ts")
+
+  private val evOlsTrendSql =
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |                  CAST(count(*) AS DOUBLE) AS y
+      |           FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |mn AS (SELECT min(day) AS d0 FROM days),
+      |g AS (SELECT DISTINCT event_type FROM c),
+      |cells AS (SELECT g.event_type,
+      |            CAST(datediff('day', mn.d0, days.day) AS DOUBLE) AS t,
+      |            coalesce(c.y, 0.0) AS y
+      |          FROM g CROSS JOIN days CROSS JOIN mn
+      |          LEFT JOIN c ON c.event_type = g.event_type
+      |                     AND c.day = days.day),
+      |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |             sum(t) AS st, sum(y) AS sy, sum(t * y) AS sty,
+      |             sum(t * t) AS stt, sum(y * y) AS syy
+      |      FROM cells GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CASE WHEN n * stt - st * st != 0
+      |       THEN round((n * sty - st * sy) / (n * stt - st * st), 6)
+      |  END AS slope,
+      |  CASE WHEN n * stt - st * st != 0
+      |       THEN round((sy - (n * sty - st * sy) / (n * stt - st * st)
+      |                   * st) / n, 6)
+      |  END AS intercept,
+      |  CASE WHEN n * stt - st * st != 0 AND n * syy - sy * sy != 0
+      |       THEN round((n * sty - st * sy) * (n * sty - st * sy)
+      |                  / ((n * stt - st * st) * (n * syy - sy * sy)), 6)
+      |  END AS r2
+      |FROM m""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_ols_trend_by_type", evOlsTrend, Some(evOlsTrendSql)),
     QueryDef("ev_fano_burstiness", evFano, Some(evFanoSql)),
     QueryDef("ev_holt_daily", evHoltDaily, Some(evHoltDailySql)),
     QueryDef("ev_theilsen_trend", evTheilSen, Some(evTheilSenSql)),

@@ -56,6 +56,66 @@ object StreamOps extends Serializable {
         unix_micros(col("w.start")).as("ws_us"), col("n_distinct"))
   }
 
+  /** Streaming PSI drift monitor: per tumbling window, the Population
+    * Stability Index of `valueCol` against a PINNED baseline — band
+    * `edges` and already-smoothed baseline proportions `baseProps` are
+    * literals fitted offline (in production, from the baseline side of
+    * [[graft.ops.Stats.psiDrift]]), because a streaming monitor cannot
+    * re-derive its reference mid-stream; re-fitting is a deploy, not a
+    * micro-batch. Same band arithmetic as the batch op: strictly-greater
+    * on the 6dp value, Jeffreys-smoothed current proportions
+    * (cnt + 0.5)/(tot + 0.5·bins).
+    *
+    * Two chained stateful aggregations (Spark 3.4+ multi-stateful
+    * support, the `slidingDistinctStream` idiom): (window, band) counts,
+    * then a per-window rollup carrying the band counts as a ≤ bins-sized
+    * list. Bands ABSENT from a window still contribute their smoothed
+    * penalty: the final PSI folds over the full literal band list,
+    * looking each band's count up in the collected list (0 if absent) —
+    * no spine join, which streaming could not express. State is
+    * watermark-bounded: bins per open window + one rollup row.
+    * Works on a batch frame too, where the identical plan degenerates
+    * to two grouped aggregations.
+    */
+  def psiDriftStream(events: DataFrame, tsCol: String, valueCol: String,
+                     edges: Seq[Double], baseProps: Seq[Double],
+                     windowDur: String,
+                     withWatermark: Boolean): DataFrame = {
+    val bins = edges.size + 1
+    require(baseProps.size == bins,
+      s"need ${bins} baseline proportions, got ${baseProps.size}")
+    val src =
+      if (withWatermark) events.withWatermark(tsCol, "1 hour") else events
+    val v6 = round(col(valueCol), 6)
+    val band = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(v6 > lit(e), 1).otherwise(0)
+    }
+    val counts = src
+      .select(window(col(tsCol), windowDur).as("w"), band.as("band"))
+      .groupBy(col("w"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val rolled = counts
+      .groupBy(col("w"))
+      .agg(sum(col("cnt")).as("tot"),
+        collect_list(struct(col("band"), col("cnt"))).as("bl"))
+    // fold over the FULL pinned band list: absent bands read cnt 0 and
+    // still pay their smoothed penalty, present ones are looked up in
+    // the collected (band, cnt) pairs — bins-sized work per window
+    val allBands = array(baseProps.zipWithIndex.map { case (pb, i) =>
+      struct(lit(i + 1).as("band"), lit(pb).as("pb"))
+    }: _*)
+    val psi = aggregate(allBands, lit(0.0), (acc, b) => {
+      val hit = filter(col("bl"), x => x.getField("band") === b.getField("band"))
+      val cnt = when(size(hit) > 0,
+        element_at(hit, 1).getField("cnt")).otherwise(lit(0L))
+      val pc = (cnt + lit(0.5)) / (col("tot") + lit(0.5 * bins))
+      acc + (pc - b.getField("pb")) * log(pc / b.getField("pb"))
+    })
+    rolled.select(col("w.start").as("window_start"),
+      unix_micros(col("w.start")).as("ws_us"),
+      col("tot").as("n"), round(psi, 6).as("psi"))
+  }
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon (state for a key is droppable once the watermark
     * passes it — bounded state on an unbounded feed). Works on batch

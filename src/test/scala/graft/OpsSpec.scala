@@ -1720,6 +1720,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("typeTokenRatio: repeated vocabulary scores low") {
+    import graft.ops.TextAnalysis
+    val df = docs(Seq((1L, "a a a b"), (2L, "Spam spam SPAM"),
+      (3L, "four distinct words here")))
+    val got = TextAnalysis.typeTokenRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4, 2, 0.5)))
+    assert(got(2L) == ((3, 1, 0.333333))) // case-folded to one type
+    assert(got(3L) == ((4, 4, 1.0)))
+  }
+
   test("matryoshkaRecall: truncation flips a neighbor, full dims recall 1") {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions.col

@@ -110,6 +110,20 @@ class StatsSpec extends AnyFunSuite {
     assert(solo.isNullAt(4) && solo.isNullAt(5))
   }
 
+  test("profileDrift: planted null spike and mean shift in one pass") {
+    // baseline: v = 10, 20 (no nulls); current: v = 40, null
+    val df = Seq((true, Some(10.0), "ab"), (true, Some(20.0), "ab"),
+      (false, Some(40.0), "abcd"), (false, None, "ab"))
+      .toDF("isb", "v", "s")
+    val got = Stats.profileDrift(df, col("isb"), Seq("v"), Seq("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("v", "null_rate")) == ((0.0, 0.5, 0.5)))
+    assert(got(("v", "mean")) == ((15.0, 40.0, 25.0)))
+    assert(got(("s", "null_rate")) == ((0.0, 0.0, 0.0)))
+    assert(got(("s", "mean_length")) == ((2.0, 3.0, 1.0)))
+  }
+
   test("kaplanMeier: no censoring degenerates to the empirical survivor") {
     // durations 1,2,2,3: S(1)=3/4, S(2)=3/4*(1/3)=0.25, S(3)=0
     val df = Seq(1, 2, 2, 3).map((_, false)).toDF("dur", "cen")

@@ -98,6 +98,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= expected.size - TextishSlack(expected.size))
   }
 
+  test("streaming PSI monitor: pinned-edge twin replays the batch op") {
+    val dir = "/root/testdata/sf0.001"
+    val pivot = lit("2024-01-15").cast("timestamp")
+    // fit the reference offline: edges + smoothed baseline proportions
+    // from the batch op (exactly what a production deploy would pin)
+    val batch = graft.ops.Stats.psiDrift(Tables.events(spark, dir),
+        col("value"), col("ts") < pivot, bins = 4)
+      .orderBy("bin").collect()
+    val edges = batch.filter(_.getInt(0) < 4).map(_.getDouble(2)).toSeq
+    val baseProps = batch.map(_.getDouble(5)).toSeq // 6dp-rounded pins
+    val cur = Tables.events(spark, dir).select(col("ts"), col("value"))
+      .filter(col("ts") >= pivot)
+    // one whole-stream window: the twin must reproduce the PSI computed
+    // by hand from the batch op's own current-side counts and the SAME
+    // rounded pins, in the same band-ascending fold order
+    val one = StreamOps.psiDriftStream(cur, "ts", "value", edges,
+      baseProps, "90 days", withWatermark = false).collect()
+    assert(one.length == 1)
+    val tot = batch.map(_.getLong(4)).sum.toDouble
+    val expected = batch.map(_.getInt(0)).sorted.foldLeft(0.0) { (acc, b) =>
+      val cnt = batch.find(_.getInt(0) == b).get.getLong(4).toDouble
+      val pc = (cnt + 0.5) / (tot + 0.5 * 4)
+      val pb = baseProps(b - 1)
+      acc + (pc - pb) * math.log(pc / pb)
+    }
+    assert(one.head.getDouble(3) ==
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(one.head.getLong(2) == tot.toLong)
+
+    // daily windows: the streamed run over the same parquet must emit a
+    // prefix-subset (only watermark-open tail windows may be missing)
+    val twinDaily = StreamOps.psiDriftStream(cur, "ts", "value", edges,
+      baseProps, "24 hours", withWatermark = false)
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    cur.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(cur.schema).parquet(tmp)
+    val q = StreamOps.psiDriftStream(stream, "ts", "value", edges,
+        baseProps, "24 hours", withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_psi_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_psi_out").collect().map(_.toSeq).toSet
+    assert(got.subsetOf(twinDaily), "streamed windows must be batch rows")
+    assert(got.size >= twinDaily.size - 2,
+      s"streamed ${got.size} of ${twinDaily.size} daily windows")
+  }
+
   test("streaming DQ monitor equals the batch suite on the drained stream") {
     import graft.ops.Analytics
     import Analytics.Constraint

@@ -111,6 +111,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       (13.75, 0.625, 14.375)))
   }
 
+  test("olsTrendByGroup: exact line recovered, zero-fill, degenerates null") {
+    import spark.implicits._
+    // type L: perfect ramp 10,12,14 -> slope 2, intercept 10, r2 1
+    // type Z: day-1 burst only; zero-filled days make its slope -5
+    val rows =
+      Seq.fill(10)(("2024-01-01 08:00:00", "L")) ++
+        Seq.fill(12)(("2024-01-02 08:00:00", "L")) ++
+        Seq.fill(14)(("2024-01-03 08:00:00", "L")) ++
+        Seq.fill(10)(("2024-01-01 08:00:00", "Z"))
+    val df = rows.map { case (t, g) => (java.sql.Timestamp.valueOf(t), g) }
+      .toDF("ts", "g")
+    val got = TimeSeries.olsTrendByGroup(df, "g", "ts").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("L") == ((3L, 2.0, 10.0, 1.0)))
+    assert(got("Z")._2 == -5.0)
+    // single-day calendar: time has no variance -> null slope
+    val solo = TimeSeries.olsTrendByGroup(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), "S"))
+        .toDF("ts", "g"), "g", "ts").collect().head
+    assert(solo.isNullAt(2) && solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
   test("fanoFactor: zero-filled calendar, hand-computed ratios") {
     import spark.implicits._
     // type P: 4 then 6 events (mean 5, var 2, fano 0.4);
