@@ -318,6 +318,51 @@ object TimeSeries {
         round(col("var_daily") / col("mean_daily"), 6).as("fano"))
   }
 
+  /** Classical additive seasonal decomposition of the daily count
+    * series: x = trend + seasonal + residual, with trend the centered
+    * 7-day moving average (defined only where the full window exists),
+    * seasonal the mean-centered weekday average of the detrended
+    * series, residual the rest. The moving sum `s7` is a window over
+    * INTEGER counts (exact in double), and the detrended values enter
+    * the weekday means as the exact integers 7·x − s7 — scaled by the
+    * window width instead of dividing per row — so every aggregate here
+    * sums integers and divides once: bit-stable under partition order,
+    * no float-sum ordering anywhere. The weekday grand mean is likewise
+    * taken over 6dp-scaled BIGINTs. Weekday = epoch_day mod 7 on both
+    * engines (see [[dowSeasonality]] — never engine `dayofweek()`).
+    *
+    * Scale shape: the only full-data pass is the daily count; windows
+    * and joins run on the DOMAIN-sized series (calendar days × 7
+    * weekday cells), so the sequential part is a few hundred rows at
+    * any corpus size.
+    */
+  def seasonalDecompose(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val w = daily.select(col("day"), col("c"),
+      sum(col("c")).over(win).as("s7"),
+      count(lit(1)).over(win).as("n7"),
+      (unix_date(col("day")) % 7).as("dow"))
+    val t = w.withColumn("trend",
+      when(col("n7") === 7, round(col("s7").cast("double") / 7.0, 6)))
+    val sr = t.filter(col("n7") === 7)
+      .groupBy(col("dow"))
+      .agg(round(sum(lit(7L) * col("c") - col("s7")).cast("double") /
+        (lit(7.0) * count(lit(1))), 6).as("sraw"))
+    val sm = sr.agg((sum(round(col("sraw") * 1e6, 0).cast("long"))
+      .cast("double") / (lit(1e6) * count(lit(1)))).as("sm"))
+    val se = sr.crossJoin(broadcast(sm))
+      .select(col("dow"), round(col("sraw") - col("sm"), 6).as("seasonal"))
+    t.join(broadcast(se), Seq("dow"), "left")
+      .select(col("day"), col("c").cast("double").as("x"), col("dow"),
+        col("trend"), col("seasonal"),
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col("c") - col("trend") - col("seasonal"), 6))
+          .as("residual"))
+  }
+
   def theilSenTrend(df: DataFrame, tsCol: String): DataFrame = {
     val d = dailySeries(df, tsCol)
       .select(unix_date(col("day")).cast("double").as("t"), col("x"))

@@ -235,7 +235,43 @@ object TimeSeriesQueries {
       |  END AS r2
       |FROM m""".stripMargin
 
+  /** Additive seasonal decomposition of daily counts (trend = centered
+    * 7-day MA, weekday seasonal, residual) — see
+    * [[graft.ops.TimeSeries.seasonalDecompose]] for the exact-integer
+    * detrending that keeps every aggregate order-stable.
+    */
+  private def evSeasonal(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalDecompose(Tables.events(s, dir), "ts")
+
+  private val evSeasonalSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+      |           FROM events GROUP BY 1),
+      |w AS (SELECT day, c,
+      |        sum(c) OVER win AS s7, count(*) OVER win AS n7,
+      |        datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |      FROM d WINDOW win AS
+      |        (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t AS (SELECT day, c, dow, n7,
+      |        CASE WHEN n7 = 7
+      |             THEN round(CAST(s7 AS DOUBLE) / 7.0, 6) END AS trend
+      |      FROM w),
+      |sr AS (SELECT dow,
+      |         round(CAST(sum(7 * c - s7) AS DOUBLE)
+      |               / (7.0 * count(*)), 6) AS sraw
+      |       FROM w WHERE n7 = 7 GROUP BY 1),
+      |sm AS (SELECT CAST(sum(CAST(round(sraw * 1000000.0, 0) AS BIGINT))
+      |                AS DOUBLE) / (1000000.0 * count(*)) AS sm FROM sr),
+      |se AS (SELECT dow, round(sraw - sm.sm, 6) AS seasonal
+      |       FROM sr CROSS JOIN sm)
+      |SELECT t.day, CAST(t.c AS DOUBLE) AS x, CAST(t.dow AS INT) AS dow,
+      |       t.trend, se.seasonal,
+      |       CASE WHEN t.trend IS NOT NULL AND se.seasonal IS NOT NULL
+      |            THEN round(t.c - t.trend - se.seasonal, 6)
+      |       END AS residual
+      |FROM t LEFT JOIN se ON se.dow = t.dow""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_seasonal_decompose", evSeasonal, Some(evSeasonalSql)),
     QueryDef("ev_ols_trend_by_type", evOlsTrend, Some(evOlsTrendSql)),
     QueryDef("ev_fano_burstiness", evFano, Some(evFanoSql)),
     QueryDef("ev_holt_daily", evHoltDaily, Some(evHoltDailySql)),

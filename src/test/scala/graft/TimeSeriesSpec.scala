@@ -162,4 +162,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     // epoch day of 2024-01-01 is 19723: 10 - 2*19723 = -39436
     assert(r.getDouble(3) == -39436.0)
   }
+
+  test("seasonalDecompose: planted weekly cycle decomposes exactly") {
+    // 21 days from 2024-01-01 (epoch day 19723): 13 events on days with
+    // epoch_day%7 == 4, 10 elsewhere. Every full 7-day window holds
+    // exactly one spike: trend = 73/7 everywhere, the weekday means
+    // reproduce the plant, residuals vanish.
+    val counts = (0 until 21).map(i => if ((19723 + i) % 7 == 4) 13 else 10)
+    val rows = TimeSeries.seasonalDecompose(seriesDf(counts), "ts")
+      .orderBy("day").collect()
+    assert(rows.length == 21)
+    // first/last 3 days: no full window -> trend and residual null
+    assert((rows.take(3) ++ rows.takeRight(3))
+      .forall(r => r.isNullAt(3) && r.isNullAt(5)))
+    val full = rows.slice(3, 18)
+    assert(full.forall(_.getDouble(3) == 10.428571), "trend = round(73/7)")
+    assert(full.forall(_.getDouble(5) == 0.0), "plant leaves no residual")
+    // seasonal: spike weekday +18/7, others -3/7 (grand-mean centering
+    // shifts by ~4e-7, below the 6dp round)
+    rows.foreach { r =>
+      val expected = if (r.getInt(2) == 4) 2.571429 else -0.428571
+      assert(r.getDouble(4) == expected, s"dow ${r.getInt(2)}")
+    }
+  }
+
+  test("seasonalDecompose: series shorter than the window is all-null") {
+    val rows = TimeSeries.seasonalDecompose(seriesDf(Seq(5, 6, 7, 8, 9)),
+      "ts").orderBy("day").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(5d, 6d, 7d, 8d, 9d))
+  }
 }
