@@ -53,6 +53,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** ColBERT-style multi-vector late-interaction (MaxSim) top-k: each
+    * embedding is read as `nSub` contiguous sub-vectors of `subDim`
+    * dims, and score(q, d) = Σ_i max_j cos(q_i, d_j) — every query
+    * sub-vector matches its best document sub-vector independently,
+    * the retrieval shape behind late-interaction rankers (token-level
+    * multi-vector models served from a single packed array column).
+    *
+    * All nSub² cosines are codegen'd `slice` + `cosine_sim` columns in
+    * ONE pair scan — no explode, no per-sub-vector join; the per-i max
+    * is a `greatest` over 6dp-rounded cosines and the score a fixed
+    * left-to-right sum of those maxes, so ranking replays bit-for-bit
+    * in any engine. Query set broadcast, corpus streams; ranking is the
+    * same (score desc, id) window as [[bruteForceTopK]].
+    */
+  def maxSimTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, subDim: Int, nSub: Int,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(subDim >= 1 && nSub >= 1 && k >= 1, "need positive params")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val score = (0 until nSub).map { i =>
+      val qs = slice(col("qv"), i * subDim + 1, subDim)
+      val sims = (0 until nSub).map(j =>
+        round(cosine(qs, slice(col("v"), j * subDim + 1, subDim)), 6))
+      if (sims.size == 1) sims.head else greatest(sims: _*)
+    }.reduce(_ + _)
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(score, 6).as("maxsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "maxsim")
+  }
+
   /** Matryoshka truncation audit: recall@k of brute-force cosine top-k
     * computed on the first `d` dimensions against the full-dimension
     * top-k, for each `d` in `dims` — the measurement behind "can we

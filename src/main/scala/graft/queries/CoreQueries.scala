@@ -550,7 +550,48 @@ object CoreQueries {
       java.util.Arrays.asList(Row(v)),
       StructType(Seq(StructField(name, LongType, nullable = false))))
 
+  /** Pareto frontier of orders maximizing (o_totalprice, recency):
+    * the orders no other order beats on both price and date — see
+    * [[graft.ops.Skyline.frontier2d]] for the bucketed two-level
+    * running max that avoids both the quadratic self-join and a global
+    * single-partition sort. Bucket width 500 on a [0, ~600k] price
+    * range keeps the bucket table ≈1.2k rows.
+    */
+  private def qParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.frontier2d(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("o_day")),
+      "o_totalprice", "o_day", bucketWidth = 500.0)
+
+  private val qParetoFrontierSql =
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |             datediff('day', DATE '1970-01-01',
+      |               CAST(o_orderdate AS DATE)) AS o_day
+      |           FROM orders),
+      |pd AS (SELECT o_totalprice AS x, max(o_day) AS maxy
+      |       FROM b GROUP BY 1),
+      |pb AS (SELECT x, maxy, floor(x / 500.0) AS bucket FROM pd),
+      |bm AS (SELECT bucket, max(maxy) AS bmaxy FROM pb GROUP BY 1),
+      |br AS (SELECT bucket, max(bmaxy) OVER (ORDER BY bucket DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hmax
+      |       FROM bm),
+      |cand AS (SELECT pb.x, pb.maxy, br.hmax,
+      |           max(pb.maxy) OVER (PARTITION BY pb.bucket
+      |             ORDER BY pb.x DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |             AS wmax
+      |         FROM pb JOIN br USING (bucket)),
+      |sv AS (SELECT x, maxy FROM cand
+      |       WHERE (hmax IS NULL OR hmax < maxy)
+      |         AND (wmax IS NULL OR wmax < maxy))
+      |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_day
+      |FROM b JOIN sv ON b.o_totalprice = sv.x AND b.o_day = sv.maxy"""
+      .stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("q_pareto_frontier", qParetoFrontier,
+      Some(qParetoFrontierSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q3_join", q3Join, Some(q3Sql)),
     QueryDef("q5_six_table_join", q5Join, Some(q5Sql)),

@@ -1781,6 +1781,38 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
+  /** MaxSim late-interaction top-k: the 64-dim embedding read as 8
+    * sub-vectors of 8 dims, score = Σ_i max_j cos(q_i, d_j) — see
+    * [[graft.ops.Similarity.maxSimTopK]]. Queries: every 100th vector.
+    */
+  private def simMaxsim(s: SparkSession, dir: String): DataFrame =
+    Similarity.maxSimTopK(Tables.embeddings(s, dir), "vec_id",
+      "embedding", col("vec_id") % 100 === 0, subDim = 8, nSub = 8,
+      k = 10)
+
+  private val simMaxsimSql = {
+    val score = (0 until 8).map { i =>
+      val (qlo, qhi) = (i * 8 + 1, i * 8 + 8)
+      "greatest(" + (0 until 8).map { j =>
+        val (dlo, dhi) = (j * 8 + 1, j * 8 + 8)
+        s"round(list_cosine_similarity((q.qv[$qlo:$qhi])::DOUBLE[], " +
+          s"(v.embedding[$dlo:$dhi])::DOUBLE[]), 6)"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |q AS (SELECT id AS query_id, embedding AS qv FROM v
+       |      WHERE id % 100 = 0),
+       |sc AS (SELECT q.query_id, v.id AS neighbor_id,
+       |         round($score, 6) AS maxsim
+       |       FROM v CROSS JOIN q WHERE v.id != q.query_id),
+       |r AS (SELECT query_id, neighbor_id, maxsim, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id)
+       |        AS rank
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, maxsim
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   private def embMatryoshka(s: SparkSession, dir: String): DataFrame =
     Similarity.matryoshkaRecall(Tables.embeddings(s, dir), "vec_id",
       "embedding", col("vec_id") % 50 === 0 && col("vec_id") < 2000,
@@ -2967,6 +2999,7 @@ object PipelineQueries {
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
     QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
+    QueryDef("sim_maxsim_topk", simMaxsim, Some(simMaxsimSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
     QueryDef("emb_centroid_classifier", embCentroidEval,
       Some(embCentroidEvalSql)),

@@ -1773,4 +1773,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map((0, 0) -> ((2L, 0.8)), (0, 1) -> ((1L, 0.8)),
       (1, 1) -> ((2L, 0.8))))
   }
+
+  test("maxSimTopK: per-sub-vector max is order-invariant, full cosine is not") {
+    import spark.implicits._
+    // query 0 = [e1 | e2]; doc 1 identical; doc 2 has the SAME
+    // sub-vectors swapped (full cosine 0, MaxSim still perfect: each
+    // query sub-vector finds its best partner independently); doc 3
+    // only matches the first sub-vector
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(1f, 0f, 0f, 1f)),
+      (2L, Seq(0f, 1f, 1f, 0f)),
+      (3L, Seq(1f, 0f, 1f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(df, "vec_id", "embedding",
+      col("vec_id") === 0, subDim = 2, nSub = 2, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1, 2.0), (2L, 2, 2.0), (3L, 3, 1.0)))
+  }
+
+  test("Skyline.frontier2d matches the brute-force NOT EXISTS skyline") {
+    import spark.implicits._
+    // deterministic scatter + planted ties: (90, 50) twice (both must
+    // survive together), and (90, 40) dominated by them on y alone
+    val rng = new Lcg(4242)
+    val pts = (1L to 60L).map(i =>
+      (i, rng.nextInt(100).toDouble, rng.nextInt(100).toLong)) ++
+      Seq((101L, 90.0, 50L), (102L, 90.0, 50L), (103L, 90.0, 40L))
+    val df = pts.toDF("id", "x", "y")
+    val got = graft.ops.Skyline.frontier2d(df, "x", "y", bucketWidth = 7.0)
+      .select("id").as[Long].collect().toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got == brute && got.contains(101L) && got.contains(102L) &&
+      !got.contains(103L))
+    // bucket width must not change the answer
+    val gotWide = graft.ops.Skyline.frontier2d(df, "x", "y", 1000.0)
+      .select("id").as[Long].collect().toSet
+    assert(gotWide == brute)
+  }
 }
