@@ -728,4 +728,40 @@ object Dedup {
       .select(col("id"), col("v"), col("prediction").as("cell")),
       "id", "v", "cell", tau)
   }
+
+  /** Dictionary-level fuzzy matching (record-linkage blocking): near-
+    * duplicate VALUES of a categorical column — misspelled brands,
+    * variant entity names — found by token blocking + edit-distance
+    * verification. Complements [[editVerifiedPairs]] (documents via LSH
+    * candidates): here the join runs over the DISTINCT-value dictionary,
+    * which is domain-sized at any corpus scale, with per-value support
+    * counts carried from one combinable pre-aggregate over the data.
+    *
+    * Blocking: each value files under its FIRST and its LAST
+    * whitespace token; candidates share at least one block, so a typo
+    * confined to either token is always caught. Pairs differing in
+    * BOTH tokens are out of reach — the standard blocking recall
+    * trade-off, pinned by the spec. Within-block work is quadratic in
+    * the BLOCK size (dictionary values per token), never in rows.
+    * Returns (`name1`, `name2`, `support1`, `support2`, `dist`) with
+    * `name1 < name2`, `dist` ≤ `maxDist`.
+    */
+  def fuzzyBlockedPairs(df: DataFrame, nameCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    val dict = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("support"))
+    val keyed = dict.select(col("name"), col("support"),
+      explode(array(
+        concat(lit("F"), split(col("name"), " ").getItem(0)),
+        concat(lit("L"), element_at(split(col("name"), " "), -1))))
+        .as("bkey"))
+    val k1 = keyed.toDF("name1", "support1", "bkey")
+    val k2 = keyed.toDF("name2", "support2", "bkey2")
+    k1.join(k2, col("bkey") === col("bkey2") && col("name1") < col("name2"))
+      .select("name1", "name2", "support1", "support2")
+      .distinct()
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -13,6 +13,28 @@ object PipelineQueries {
 
   // ---- dedup ----
 
+  /** Fuzzy value matching over the part-name dictionary: token-blocked
+    * levenshtein pairs with support counts — see
+    * [[graft.ops.Dedup.fuzzyBlockedPairs]].
+    */
+  private def dedupFuzzyParts(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyBlockedPairs(Tables.part(s, dir), "p_name", maxDist = 3)
+
+  private val dedupFuzzyPartsSql =
+    """WITH d AS (SELECT p_name AS name, count(*) AS support
+      |           FROM part GROUP BY 1),
+      |k AS (SELECT name, support,
+      |             'F' || string_split(name, ' ')[1] AS bkey FROM d
+      |      UNION ALL
+      |      SELECT name, support,
+      |             'L' || string_split(name, ' ')[-1] FROM d),
+      |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2,
+      |             a.support AS support1, b.support AS support2
+      |      FROM k a JOIN k b ON a.bkey = b.bkey AND a.name < b.name)
+      |SELECT name1, name2, support1, support2,
+      |       CAST(levenshtein(name1, name2) AS INT) AS dist
+      |FROM p WHERE levenshtein(name1, name2) <= 3""".stripMargin
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
       .select("fp", "keep_id", "dup_cnt")
@@ -2948,6 +2970,8 @@ object PipelineQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_fuzzy_parts", dedupFuzzyParts,
+      Some(dedupFuzzyPartsSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource,
       Some(dedupRateBySourceSql)),
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),

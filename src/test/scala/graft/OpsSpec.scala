@@ -1774,6 +1774,23 @@ class OpsSpec extends AnyFunSuite {
       (1, 1) -> ((2L, 0.8))))
   }
 
+  test("fuzzyBlockedPairs: token blocking catches either-token typos, not both") {
+    import spark.implicits._
+    val df = Seq("red widget", "red widget", "red widgit", "hot gear",
+      "hot bear", "ted widgit").toDF("p_name")
+    val got = Dedup.fuzzyBlockedPairs(df, "p_name", maxDist = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      ("hot bear", "hot gear", 1L, 1L, 1),
+      ("red widget", "red widgit", 2L, 1L, 1),
+      ("red widgit", "ted widgit", 1L, 1L, 1)))
+    // lev("red widget","ted widgit") = 2 <= 3, but the pair differs in
+    // BOTH tokens -> no shared block: the documented recall bound
+    assert(!got.exists(p => p._1 == "red widget" && p._2 == "ted widgit"))
+  }
+
   test("maxSimTopK: per-sub-vector max is order-invariant, full cosine is not") {
     import spark.implicits._
     // query 0 = [e1 | e2]; doc 1 identical; doc 2 has the SAME
