@@ -180,6 +180,74 @@ object Embeddings {
           .as("snr_db"))
   }
 
+  /** Full-batch logistic-regression training epochs over the embedding
+    * corpus — the distributed-ML training step as a Spark plan: each
+    * epoch is exactly the data-parallel allreduce shape (per-partition
+    * partial gradients → one combine → broadcast the updated weights),
+    * expressed as a combinable per-dimension aggregate plus a broadcast
+    * one-row weight table. No driver-side vector collects, mirroring
+    * [[pcaTopComponent]]:
+    *
+    *   margin_i = x_i · w + b    — scan-side fold vs the broadcast w
+    *   p_i      = sigmoid(margin_i)
+    *   grad     = avg_i (p_i − y_i) x_i   — posexplode that never hits
+    *              the wire (partial aggregation → d cells per task)
+    *   w'       = round6(w − lr·grad)     — weights PINNED to 6dp per
+    *              epoch (CUSUM's rule) so every epoch's input state is
+    *              exactly replayable and cross-engine float-sum drift
+    *              cannot compound across epochs
+    *
+    * Epoch 1 from w=0 gives margin exactly 0 and p exactly 0.5 in any
+    * IEEE engine, so the whole recursion is anchored. Output: one row
+    * per dimension (`pos`, final `weight`) with the `bias`, corpus
+    * `logloss` and decision `accuracy` (integer-count ratio — exact)
+    * of the final weights repeated — the eval pass a training loop
+    * reports per epoch.
+    */
+  def logregEpochs(df: DataFrame, vecCol: String, labelCol: String,
+                   posLabel: Int, lr: Double, epochs: Int): DataFrame = {
+    require(epochs >= 1 && lr > 0, s"need epochs >= 1 and lr > 0")
+    val x = graft.data.ScopedCaches.materialize(
+      df.select(col(vecCol).cast("array<double>").as("x"),
+        when(col(labelCol) === posLabel, 1.0).otherwise(0.0).as("y")))
+    def margin(w: Column, b: Column): Column =
+      aggregate(zip_with(col("x"), w, (a, c) => a * c), lit(0d),
+        (acc, e) => acc + e) + b
+    var wb = x.limit(1).select(
+      transform(col("x"), _ => lit(0.0)).as("w"), lit(0.0).as("b"))
+    for (_ <- 1 to epochs) {
+      val scored = x.crossJoin(broadcast(wb))
+        .select(col("x"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-margin(col("w"), col("b")))))
+            .as("p"))
+      val grad = scored
+        .select(col("p"), col("y"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("pos"))
+        .agg(avg((col("p") - col("y")) * col("xv")).as("g"))
+      val wPrev = wb.select(col("b"), posexplode(col("w")).as(Seq("pos", "wp")))
+      val bNew = scored.agg(avg(col("p") - col("y")).as("gb"))
+        .crossJoin(broadcast(wb.select(col("b"))))
+        .select(round(col("b") - lit(lr) * col("gb"), 6).as("bn"))
+      wb = grad.join(wPrev, "pos")
+        .select(col("pos"), round(col("wp") - lit(lr) * col("g"), 6).as("wn"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("wn")))).as("ws"))
+        .select(transform(col("ws"), e => e.getField("wn")).as("w"))
+        .crossJoin(broadcast(bNew)).select(col("w"), col("bn").as("b"))
+    }
+    val ev = x.crossJoin(broadcast(wb))
+      .select(col("y"), margin(col("w"), col("b")).as("m"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+    val met = ev.agg(
+      round(avg(-(col("y") * log(col("p")) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("logloss"),
+      round(sum(when((col("m") >= 0) === (col("y") === 1.0), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("accuracy"))
+    wb.select(col("b"), posexplode(col("w")).as(Seq("pos", "weight")))
+      .crossJoin(broadcast(met))
+      .select(col("pos"), col("weight"), round(col("b"), 6).as("bias"),
+        col("logloss"), col("accuracy"))
+  }
+
   /** Top principal component of the embedding corpus by `iters` pinned
     * power iterations — the dimensionality-reduction primitive (PCA
     * whitening, spectral dedup diagnostics) kept FULLY declarative: no

@@ -1803,6 +1803,48 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
+  /** Two full-batch logistic-regression epochs (label 0 vs rest,
+    * lr 0.1) over the embeddings — the data-parallel allreduce training
+    * shape; see [[graft.ops.Embeddings.logregEpochs]]. The oracle
+    * unrolls both epochs as CTEs against the same 6dp weight pins.
+    */
+  private def embLogreg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.logregEpochs(Tables.embeddings(s, dir),
+      "embedding", "label", posLabel = 0, lr = 0.1, epochs = 2)
+
+  private val embLogregSql =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS x,
+      |             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      |           FROM embeddings),
+      |g1 AS (SELECT d, round(0.0 - 0.1 * avg((0.5 - y) * x[d]), 6) AS w
+      |       FROM e CROSS JOIN range(1, 65) t(d) GROUP BY 1),
+      |b1 AS (SELECT round(0.0 - 0.1 * avg(0.5 - y), 6) AS b FROM e),
+      |w1 AS (SELECT list(w ORDER BY d) AS w FROM g1),
+      |p2 AS (SELECT x, y,
+      |         1.0 / (1.0 + exp(-(list_dot_product(x, w1.w) + b1.b)))
+      |           AS p
+      |       FROM e CROSS JOIN w1 CROSS JOIN b1),
+      |g2 AS (SELECT t.d,
+      |         round(g1.w - 0.1 * avg((p - y) * x[t.d]), 6) AS w
+      |       FROM p2 CROSS JOIN range(1, 65) t(d)
+      |       JOIN g1 ON g1.d = t.d GROUP BY t.d, g1.w),
+      |b2 AS (SELECT round(b1.b - 0.1 * avg(p - y), 6) AS b
+      |       FROM p2 CROSS JOIN b1 GROUP BY b1.b),
+      |w2 AS (SELECT list(w ORDER BY d) AS w FROM g2),
+      |m3 AS (SELECT y, list_dot_product(x, w2.w) + b2.b AS m
+      |       FROM e CROSS JOIN w2 CROSS JOIN b2),
+      |p3 AS (SELECT y, m, 1.0 / (1.0 + exp(-m)) AS p FROM m3),
+      |met AS (SELECT
+      |          round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)
+      |            AS logloss,
+      |          round(CAST(sum(CASE WHEN (m >= 0) = (y = 1.0)
+      |                              THEN 1 ELSE 0 END) AS DOUBLE)
+      |                / count(*), 6) AS accuracy
+      |        FROM p3)
+      |SELECT CAST(g2.d - 1 AS INT) AS pos, g2.w AS weight,
+      |       round(b2.b, 6) AS bias, met.logloss, met.accuracy
+      |FROM g2 CROSS JOIN b2 CROSS JOIN met""".stripMargin
+
   /** MaxSim late-interaction top-k: the 64-dim embedding read as 8
     * sub-vectors of 8 dims, score = Σ_i max_j cos(q_i, d_j) — see
     * [[graft.ops.Similarity.maxSimTopK]]. Queries: every 100th vector.
@@ -3024,6 +3066,7 @@ object PipelineQueries {
     QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
     QueryDef("sim_maxsim_topk", simMaxsim, Some(simMaxsimSql)),
+    QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
     QueryDef("emb_centroid_classifier", embCentroidEval,
       Some(embCentroidEvalSql)),

@@ -1774,6 +1774,27 @@ class OpsSpec extends AnyFunSuite {
       (1, 1) -> ((2L, 0.8))))
   }
 
+  test("logregEpochs: hand-computed two-epoch recursion on a separable fixture") {
+    import spark.implicits._
+    // dim0 separates the classes, dim1 is symmetric noise. Epoch 1 from
+    // p=0.5 exactly: grad0 = -0.5 -> w1 = (0.05, 0), b1 = 0. Epoch 2:
+    // all four |p - y| = sigmoid(-0.05) = 0.48750260..., so
+    // w2_0 = round6(0.05 + 0.1*0.4875026) = 0.09875, w2_1 = b2 = 0.
+    val df = Seq(
+      (Seq(1f, 0.5f), 0), (Seq(1f, -0.5f), 0),
+      (Seq(-1f, 0.5f), 1), (Seq(-1f, -0.5f), 1)).toDF("embedding", "label")
+    val rows = graft.ops.Embeddings.logregEpochs(df, "embedding", "label",
+      posLabel = 0, lr = 0.1, epochs = 2).orderBy("pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(1) == 0.09875 && rows(1).getDouble(1) == 0.0)
+    assert(rows(0).getDouble(2) == 0.0, "symmetric classes -> zero bias")
+    val (logloss, acc) = (rows(0).getDouble(3), rows(0).getDouble(4))
+    assert(acc == 1.0, "separable fixture must classify perfectly")
+    // margins are only +-0.09875 after 2 epochs: loss below ln 2 but
+    // still near it
+    assert(logloss > 0.6 && logloss < 0.6932)
+  }
+
   test("fuzzyBlockedPairs: token blocking catches either-token typos, not both") {
     import spark.implicits._
     val df = Seq("red widget", "red widget", "red widgit", "hot gear",
