@@ -318,4 +318,54 @@ object Stats {
               log(2.0, col("n")) - col("__sy") / col("n")), 6))
         .as("nmi"))
   }
+
+  /** Poisson-bootstrap confidence interval for the corpus mean of
+    * `valueCol` — THE distributed bootstrap: classical resampling needs
+    * a global sample-with-replacement per replicate (unshardable), the
+    * Poisson approximation instead gives every row an independent
+    * Poisson(1) multiplicity per replicate, so all `b` replicates are
+    * ONE combinable aggregate over a row×replicate explode that
+    * partial-aggregates down to `b` cells per task — nothing about the
+    * corpus ever centralizes.
+    *
+    * Multiplicities are deterministic, not RNG: u = the pinned
+    * `hashSample` md5 draw keyed (salt, row key, replicate), inverted
+    * through the Poisson(1) CDF as fixed 9dp literal thresholds
+    * (0 ≤ w ≤ 5; the truncated tail is ~6e-4 of draws at w=5 — pinned,
+    * replayable, and immaterial to the interval). Any engine replays
+    * the exact multiset. For integer-valued `valueCol` every replicate
+    * mean is an exact integer ratio — bit-stable under partition order;
+    * real-valued metrics ride the usual 6dp pin. CI bounds are exact
+    * percentiles over the DOMAIN-sized (b rows) replicate means;
+    * replicates whose total weight is 0 (vanishing probability beyond
+    * toy corpora) are dropped.
+    */
+  def poissonBootstrapCi(df: DataFrame, keyCol: String, valueCol: String,
+                         b: Int, salt: String = "bs"): DataFrame = {
+    require(b >= 2, s"need b >= 2 resamples, got $b")
+    val x = df.select(col(keyCol).cast("string").as("k"),
+      col(valueCol).cast("double").as("x"))
+    val reps = x.select(col("k"), col("x"),
+      explode(sequence(lit(1), lit(b))).as("rep"))
+    val h = conv(substring(md5(concat(lit(salt), lit(":"), col("k"),
+      lit(":"), col("rep").cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (h + 1.0) / 4294967296.0
+    val w = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+      .when(u < 0.919698603, 2L).when(u < 0.980988177, 3L)
+      .when(u < 0.996340153, 4L).otherwise(5L)
+    val means = reps.withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("x")).as("sx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select((col("sx") / col("sw")).as("m"))
+    val base = x.agg(count(lit(1)).as("n_rows"),
+      round(avg(col("x")), 6).as("mean"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"),
+        round(stddev_samp(col("m")), 6).as("se_boot"))
+      .crossJoin(broadcast(base))
+      .select(col("n_rows"), col("mean"), col("n_resamples"),
+        col("ci_lo"), col("ci_hi"), col("se_boot"))
+  }
 }

@@ -281,7 +281,44 @@ object StatsQueries {
        |FROM u""".stripMargin
   }
 
+  /** Poisson-bootstrap 95% CI for the corpus mean document length
+    * (200 deterministic replicates) — see
+    * [[graft.ops.Stats.poissonBootstrapCi]].
+    */
+  private def docBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    Stats.poissonBootstrapCi(Tables.documents(s, dir), "doc_id",
+      "n_chars", b = 200)
+
+  private val docBootstrapCiSql =
+    """WITH x AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+      |             CAST(n_chars AS DOUBLE) AS x
+      |           FROM documents),
+      |reps AS (SELECT k, x, r.rep FROM x CROSS JOIN range(1, 201) r(rep)),
+      |ws AS (SELECT x, rep,
+      |         CASE WHEN u < 0.367879441 THEN 0
+      |              WHEN u < 0.735758882 THEN 1
+      |              WHEN u < 0.919698603 THEN 2
+      |              WHEN u < 0.980988177 THEN 3
+      |              WHEN u < 0.996340153 THEN 4
+      |              ELSE 5 END AS w
+      |       FROM (SELECT x, rep,
+      |               (CAST('0x' || substr(md5('bs:' || k || ':' ||
+      |                  CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+      |                 / 4294967296.0 AS u
+      |             FROM reps)),
+      |m AS (SELECT rep, sum(w * x) / sum(w) AS m FROM ws
+      |      GROUP BY 1 HAVING sum(w) > 0),
+      |base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |                round(avg(x), 6) AS mean FROM x)
+      |SELECT base.n_rows, base.mean,
+      |       CAST(count(*) AS BIGINT) AS n_resamples,
+      |       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+      |       round(quantile_cont(m, 0.975), 6) AS ci_hi,
+      |       round(stddev_samp(m), 6) AS se_boot
+      |FROM m CROSS JOIN base GROUP BY 1, 2""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),
     QueryDef("ev_survival_km", evSurvivalKm, Some(evSurvivalKmSql)),

@@ -131,4 +131,26 @@ class StatsSpec extends AnyFunSuite {
       .orderBy("dur").collect().map(r => (r.getLong(0), r.getDouble(4)))
     assert(rows.toSeq == Seq((1L, 0.75), (2L, 0.25), (3L, 0.0)))
   }
+
+  test("poissonBootstrapCi: constant metric collapses the interval") {
+    val df = (1L to 40L).map((_, 7.0)).toDF("id", "v")
+    val r = Stats.poissonBootstrapCi(df, "id", "v", b = 50).collect().head
+    assert(r.getLong(0) == 40L && r.getDouble(1) == 7.0)
+    assert(r.getDouble(3) == 7.0 && r.getDouble(4) == 7.0,
+      "every replicate mean of a constant is the constant")
+    assert(r.getDouble(5) == 0.0)
+  }
+
+  test("poissonBootstrapCi: interval brackets the mean, multiplicities near Poisson(1)") {
+    val df = (1L to 200L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
+    val r = Stats.poissonBootstrapCi(df, "id", "v", b = 200).collect().head
+    val (mean, nRes, lo, hi, se) = (r.getDouble(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(nRes == 200L, "no replicate should lose all its weight")
+    assert(lo < mean && mean < hi, s"CI [$lo,$hi] must bracket $mean")
+    // population sd ~2.87, n=200 -> se ~0.2; the bootstrap estimate
+    // should land in the right ballpark, not degenerate
+    assert(se > 0.1 && se < 0.4, s"se_boot $se out of band")
+    assert(hi - lo < 4 * 0.4 && hi - lo > 0.3)
+  }
 }
