@@ -226,6 +226,57 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain — the long-run fraction of time the process spends in each
+    * type, the summary behind "where does user attention equilibrate"
+    * and the baseline for spotting types whose observed share diverges
+    * from their dynamics. Power iteration from the uniform vector over
+    * [[transitionMatrix]]'s row-normalized 6dp probabilities, `iters`
+    * pinned iterations; convergence is geometric in the chain's second
+    * eigenvalue, so ~12 iterations land well under the 6dp grain for
+    * well-mixed behavioral chains. Terminal types (observed only as
+    * targets) have no outgoing row: mass stepping into them is
+    * reclaimed by renormalizing each iterate — PageRank's
+    * dangling-node treatment — and every iterate is re-pinned to 6dp
+    * so both engines walk the identical trajectory.
+    *
+    * Scale shape: the matrix and the iterate are TYPE-DOMAIN-sized; the
+    * only full-data pass is [[transitionMatrix]]'s single shuffle. The
+    * iteration is domain-sized joins, broadcast totals, no collects.
+    */
+  def markovStationary(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val tm = graft.data.ScopedCaches.materialize(
+      transitionMatrix(df, keyCol, tsCol, tieCol, typeCol)
+        .select(col("from_type"), col("to_type"), col("prob")))
+    val states = tm.select(col("from_type").as("state"))
+      .union(tm.select(col("to_type"))).distinct()
+    val nn = states.agg(count(lit(1)).cast("double").as("__n"))
+    var pi = states.crossJoin(broadcast(nn))
+      .select(col("state"), round(lit(1.0) / col("__n"), 6).as("p"))
+    for (_ <- 1 to iters) {
+      val stepped = pi.join(tm, col("state") === col("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("p") * col("prob")).as("pr"))
+        .withColumnRenamed("to_type", "state")
+      val tot = stepped.agg(sum(col("pr")).as("__tot"))
+      // localCheckpoint truncates the growing lineage ([[
+      // graft.ops.Dedup.connectedComponents]]'s trick): the iterate
+      // references `stepped` twice (cells + total), so an unrolled
+      // plan would DOUBLE per iteration — 2^iters subtrees is an OOM
+      // in plan stringification long before execution. The iterate is
+      // type-domain-sized, so materializing it is free.
+      pi = states.join(stepped, Seq("state"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("state"),
+          round(coalesce(col("pr"), lit(0.0)) / col("__tot"), 6).as("p"))
+        .localCheckpoint()
+    }
+    pi.select(col("state"), col("p").as("pi"))
+  }
+
   /** Benford first-digit audit: the distribution of leading significant
     * digits of a positive value column vs Benford's law
     * p(d) = log10(1 + 1/d), with chi-square. A strong deviation on

@@ -335,6 +335,50 @@ object AnalyticsQueries {
       |       round(c.cnt * 1.0 / tot.n, 6) AS prob
       |FROM c JOIN tot USING (from_type)""".stripMargin
 
+  /** Stationary distribution of the event-type chain (12 pinned power
+    * iterations, dangling mass renormalized) — see
+    * [[graft.ops.Analytics.markovStationary]]. The oracle unrolls the
+    * identical 6dp-pinned trajectory as generated CTEs.
+    */
+  private def evMarkovStationary(s: SparkSession, dir: String): DataFrame =
+    Analytics.markovStationary(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type", iters = 12)
+
+  private val evMarkovStationarySql = {
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each iterate
+    // references its step twice (cells + total) — the same 2^iters
+    // plan doubling the Spark side avoids with localCheckpoint
+    val iterCtes = (1 to 12).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT tm.to_type AS state,
+         |  sum(p${i - 1}.p * tm.prob) AS pr
+         |  FROM p${i - 1} JOIN tm ON tm.from_type = p${i - 1}.state
+         |  GROUP BY 1),
+         |t$i AS (SELECT sum(pr) AS tot FROM s$i),
+         |p$i AS MATERIALIZED (SELECT states.state,
+         |  round(coalesce(s$i.pr, 0.0) / t$i.tot, 6) AS p
+         |  FROM states LEFT JOIN s$i USING (state) CROSS JOIN t$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT event_type AS from_type,
+       |             lead(event_type) OVER (PARTITION BY user_id
+       |               ORDER BY ts, event_id) AS to_type
+       |           FROM events),
+       |c AS (SELECT from_type, to_type, count(*) AS cnt
+       |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM c GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT c.from_type, c.to_type,
+       |         round(c.cnt * 1.0 / tot.n, 6) AS prob
+       |       FROM c JOIN tot USING (from_type)),
+       |states AS MATERIALIZED (SELECT from_type AS state FROM tm
+       |           UNION SELECT to_type FROM tm),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+       |p0 AS (SELECT state, round(1.0 / nn.n, 6) AS p
+       |       FROM states CROSS JOIN nn),
+       |$iterCtes
+       |SELECT state, p AS pi FROM p12""".stripMargin
+  }
+
   /** Token-budget mixture allocation: 15k-token target corpus at a
     * pinned (30% en / 17.5% each de,es,fr,zh) TOKEN mixture — the
     * production dataset-mixing contract (budgets are specified in
@@ -948,6 +992,8 @@ object AnalyticsQueries {
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),
     QueryDef("ev_winsorize", evWinsorize, Some(evWinsorizeSql)),
+    QueryDef("ev_markov_stationary", evMarkovStationary,
+      Some(evMarkovStationarySql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
     QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),

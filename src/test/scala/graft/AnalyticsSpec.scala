@@ -750,4 +750,20 @@ class AnalyticsSpec extends AnyFunSuite {
     // median 10, MAD 0.5: only the 100.0 scores 0.6745*90/0.5 = 121.41
     assert(got.toSeq == Seq((8L, "n", 121.41)))
   }
+
+  test("markovStationary converges to the analytic two-state fixpoint") {
+    // one user, sequence A A B B B B A: P(A->A)=P(A->B)=0.5,
+    // P(B->B)=0.75, P(B->A)=0.25 -> stationary (1/3, 2/3); second
+    // eigenvalue 0.25, so 12 iterations sit far below the 6dp grain
+    val rows = "AABBBBA".zipWithIndex.map { case (c, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), c.toString,
+        java.lang.Double.valueOf(1.0))
+    }
+    val got = Analytics.markovStationary(evDf(rows), "user_id", "ts",
+        "event_id", "event_type", iters = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("A") - 1.0 / 3) < 5e-6, s"piA = ${got("A")}")
+    assert(math.abs(got("B") - 2.0 / 3) < 5e-6, s"piB = ${got("B")}")
+    assert(math.abs(got("A") + got("B") - 1.0) < 2e-6)
+  }
 }
