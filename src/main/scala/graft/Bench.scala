@@ -39,13 +39,20 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.trim.toInt))
       .getOrElse(3)
       .max(1)
+    // dev-only name filter (comma-separated): time a subset without
+    // paying for the whole registry. The driver never sets it.
+    val only = args.sliding(2).collectFirst { case Array("--only", n) => n }
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .map(_.split(",").map(_.trim).toSet)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the measured window
     try Materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case NonFatal(_) => () }
 
-    val names = SparkEntry.registry.map(_.name)
+    val registry = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+    val names = registry.map(_.name)
     val perRep: Seq[Map[String, Double]] = (1 to reps).map { rep =>
       // Each rep starts from the same cache state: operator-scoped
       // caches are released through their owner registry, and remaining
@@ -56,7 +63,7 @@ object Bench {
         graft.data.ScopedCaches.releaseAll()
         spark.catalog.clearCache()
       }
-      SparkEntry.registry.map { q =>
+      registry.map { q =>
         val t0 = System.nanoTime()
         // Materialize, not count(): count()'s re-optimized plan prunes
         // scan-side projections and join-back shapes to a bare row-count
