@@ -232,6 +232,70 @@ object TimeSeries {
         round(col("e.l") + col("e.b"), 6).as("forecast"))
   }
 
+  /** Holt-Winters additive triple-exponential smoothing (level + trend
+    * + weekly seasonal, period 7) of the daily count series — the
+    * forecaster [[holtDaily]] can't be once the series has a weekly
+    * cycle (Holt's trend chases the cycle; the seasonal states absorb
+    * it). Single-literal update forms throughout:
+    *   f_t = l + b + s_head                      (one-step forecast)
+    *   l_t = (l+b) + alpha · (x_t − s_head − (l+b))
+    *   b_t = b + beta · (l_t − (l+b))
+    *   s_t = s_head + gamma · (x_t − l_t − s_head)
+    * Pinned init over the first two weeks (requires n ≥ 14, else
+    * empty): l₀ = round6(mean week 1), b₀ = round6((mean week 2 −
+    * l₀)/7), s₀ = round6(x_i − l₀) for the first 7 days. The seasonal
+    * state is a ROTATING 7-list — each step consumes the head and
+    * appends the update — so both engines only ever index position 1
+    * (no mod arithmetic to disagree on). Every state is re-pinned to
+    * 6dp per step, so the three-way recurrence replays exactly; the
+    * oracle is a recursive CTE carrying the same list.
+    * Same 100 TB shape as the other recurrences: one combinable daily
+    * count, then a calendar-bounded fold.
+    */
+  def holtWintersDaily(df: DataFrame, tsCol: String, alpha: Double,
+                       beta: Double, gamma: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0 && beta <= 1, s"need 0 <= beta <= 1, got $beta")
+    require(gamma >= 0 && gamma <= 1, s"need 0 <= gamma <= 1, got $gamma")
+    val one = sortedSeries(dailySeries(df, tsCol))
+      .filter(size(col("s")) >= 14)
+    val emptyOut = expr("CAST(array() AS array<struct<" +
+      "day:date,x:double,f:double,l:double,b:double,sv:double>>)")
+    val withInit = one
+      .withColumn("l0", round(foldAgg(slice(col("s"), 1, 7), lit(0d),
+        (a: Column, e: Column) => a + e.getField("x")) / 7.0, 6))
+      .withColumn("b0", round((foldAgg(slice(col("s"), 8, 7), lit(0d),
+        (a: Column, e: Column) => a + e.getField("x")) / 7.0 - col("l0"))
+        / 7.0, 6))
+      .withColumn("s0", transform(slice(col("s"), 1, 7),
+        e => round(e.getField("x") - col("l0"), 6)))
+    val folded = withInit.select(
+      foldAgg(col("s"),
+        struct(col("l0").as("l"), col("b0").as("b"), col("s0").as("sv"),
+          emptyOut.as("out")),
+        (acc: Column, e: Column) => {
+          val sOld = element_at(acc.getField("sv"), 1)
+          val pred = acc.getField("l") + acc.getField("b")
+          val f = round(pred + sOld, 6)
+          val lNew = round(pred +
+            lit(alpha) * (e.getField("x") - sOld - pred), 6)
+          val bNew = round(acc.getField("b") +
+            lit(beta) * (lNew - pred), 6)
+          val sNew = round(sOld +
+            lit(gamma) * (e.getField("x") - lNew - sOld), 6)
+          struct(lNew.as("l"), bNew.as("b"),
+            concat(slice(acc.getField("sv"), 2, 6), array(sNew)).as("sv"),
+            concat(acc.getField("out"), array(struct(
+              e.getField("day").as("day"), e.getField("x").as("x"),
+              f.as("f"), lNew.as("l"), bNew.as("b"), sNew.as("sv"))))
+              .as("out"))
+        }).getField("out").as("o"))
+    folded.select(explode(col("o")).as("e"))
+      .select(col("e.day").as("day"), col("e.x").as("x"),
+        col("e.f").as("forecast"), col("e.l").as("level"),
+        col("e.b").as("trend"), col("e.sv").as("seasonal"))
+  }
+
   /** Per-group OLS trend of daily counts: slope/intercept/R² of x(t)
     * over integer epoch days, one group per row — the vectorized
     * complement of [[theilSenTrend]] (that one is robust but its pair

@@ -270,7 +270,53 @@ object TimeSeriesQueries {
       |       END AS residual
       |FROM t LEFT JOIN se ON se.dow = t.dow""".stripMargin
 
+  /** Holt-Winters additive level+trend+weekly-seasonal smoothing
+    * (alpha 0.3, beta 0.1, gamma 0.2) — see
+    * [[graft.ops.TimeSeries.holtWintersDaily]] for the rotating-list
+    * seasonal state and per-step 6dp pins the oracle replays.
+    */
+  private def evHoltWinters(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtWintersDaily(Tables.events(s, dir), "ts",
+      alpha = 0.3, beta = 0.1, gamma = 0.2)
+
+  private val evHoltWintersSql = {
+    // l_t inlined wherever the Spark fold uses the ROUNDED l_t
+    val lNew = "round((h.l + h.b) + 0.3 * (r.x - h.s[1] - (h.l + h.b)), 6)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+       |      FROM d),
+       |nn AS (SELECT count(*) AS n FROM d),
+       |i1 AS (SELECT round(avg(x) FILTER (rn BETWEEN 1 AND 7), 6) AS l0
+       |       FROM r),
+       |i2 AS (SELECT round((avg(x) FILTER (rn BETWEEN 8 AND 14)
+       |                     - i1.l0) / 7.0, 6) AS b0
+       |       FROM r CROSS JOIN i1 GROUP BY i1.l0),
+       |s0 AS (SELECT list(round(x - i1.l0, 6) ORDER BY rn) AS s
+       |       FROM r CROSS JOIN i1 WHERE rn <= 7),
+       |h AS (
+       |  SELECT 0 AS rn, CAST(NULL AS DATE) AS day,
+       |         CAST(0.0 AS DOUBLE) AS x, CAST(0.0 AS DOUBLE) AS f,
+       |         i1.l0 AS l, i2.b0 AS b, s0.s AS s
+       |  FROM i1 CROSS JOIN i2 CROSS JOIN s0 CROSS JOIN nn
+       |  WHERE nn.n >= 14
+       |  UNION ALL
+       |  SELECT r.rn, r.day, r.x,
+       |         round(h.l + h.b + h.s[1], 6),
+       |         $lNew,
+       |         round(h.b + 0.1 * ($lNew - (h.l + h.b)), 6),
+       |         list_concat(h.s[2:7],
+       |           [round(h.s[1] + 0.2 * (r.x - $lNew - h.s[1]), 6)])
+       |  FROM h JOIN r ON r.rn = h.rn + 1)
+       |SELECT day, x, f AS forecast, l AS level, b AS trend,
+       |       s[7] AS seasonal
+       |FROM h WHERE rn >= 1""".stripMargin
+  }
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_holt_winters_daily", evHoltWinters,
+      Some(evHoltWintersSql)),
     QueryDef("ev_seasonal_decompose", evSeasonal, Some(evSeasonalSql)),
     QueryDef("ev_ols_trend_by_type", evOlsTrend, Some(evOlsTrendSql)),
     QueryDef("ev_fano_burstiness", evFano, Some(evFanoSql)),

@@ -186,6 +186,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWintersDaily matches an independent reference recurrence") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // weekly spike + gentle weekly step trend, 21 days
+    val counts = (0 until 21).map(i => 10 + i / 7 + (if (i % 7 == 2) 3 else 0))
+    val xs = counts.map(_.toDouble)
+    val l0 = r6(xs.take(7).sum / 7.0)
+    val b0 = r6((xs.slice(7, 14).sum / 7.0 - l0) / 7.0)
+    var (l, b) = (l0, b0)
+    val s = scala.collection.mutable.Queue(xs.take(7).map(x => r6(x - l0)): _*)
+    val expected = xs.map { x =>
+      val sOld = s.dequeue()
+      val pred = l + b
+      val f = r6(pred + sOld)
+      val lN = r6(pred + 0.3 * (x - sOld - pred))
+      val bN = r6(b + 0.1 * (lN - pred))
+      val sN = r6(sOld + 0.2 * (x - lN - sOld))
+      l = lN; b = bN; s.enqueue(sN)
+      (x, f, lN, bN, sN)
+    }
+    val got = TimeSeries.holtWintersDaily(seriesDf(counts), "ts",
+        alpha = 0.3, beta = 0.1, gamma = 0.2)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == expected)
+  }
+
+  test("holtWintersDaily: series shorter than two periods is empty") {
+    assert(TimeSeries.holtWintersDaily(seriesDf(Seq.fill(13)(5)), "ts",
+      0.3, 0.1, 0.2).count() == 0L)
+  }
+
   test("seasonalDecompose: series shorter than the window is all-null") {
     val rows = TimeSeries.seasonalDecompose(seriesDf(Seq(5, 6, 7, 8, 9)),
       "ts").orderBy("day").collect()
