@@ -92,6 +92,105 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "maxsim")
   }
 
+  /** Maximal-Marginal-Relevance diversified rerank: from each query's
+    * brute-force top-`m` cosine candidates, greedily select `k` that
+    * trade relevance against redundancy —
+    * argmax λrel·rel(d) − λdiv·max_{s∈S} cos(d, s) — the classic
+    * redundancy-suppressing rerank (Carbonell & Goldstein 1998) every
+    * retrieval stack bolts onto its ANN stage. Pass both weights
+    * explicitly (never compute 1−λ: the single-literal rule).
+    *
+    * The greedy loop is inherently sequential in k but BOUNDED (m
+    * candidates per query): stage 1 is the usual broadcast pair scan +
+    * top-m window; stage 2 computes the m×(m−1) candidate-candidate
+    * cosines per query (codegen pair join, never corpus-wide); stage 3
+    * packs each query's candidates and sims into arrays and runs the
+    * k-step fold as ONE `aggregate` HOF over `sequence(1,k)` — per-row
+    * work is O(k·m²) on in-memory arrays, no iteration-scale joins, no
+    * driver loop, queries process in parallel. Selection ties break to
+    * the smaller id via max-of-(score, −id) structs. Requires m ≥ k.
+    *
+    * The greedy score is computed in SCALED INTEGERS, not floats:
+    * λ-weighting 6dp cosines lands a tenth of all scores EXACTLY on a
+    * 7th-decimal half (0.7·x − 0.3·y of 6dp decimals is a 7dp decimal),
+    * where Spark's round (shortest-string HALF_UP) and an oracle's
+    * binary round disagree — so the weights become integer
+    * hundredths and sc = wRel·(10⁶rel) − wDiv·(10⁶ms) ranks as an
+    * exact BIGINT in 10⁻⁸ units that any engine reproduces bit-for-bit
+    * (the oracle walks the same recursion over the same arrays).
+    */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, m: Int, k: Int,
+                lambdaRel: Double, lambdaDiv: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    val wRel = math.round(lambdaRel * 100)
+    val wDiv = math.round(lambdaDiv * 100)
+    require(wRel / 100.0 == lambdaRel && wDiv / 100.0 == lambdaDiv,
+      s"weights must be integer hundredths, got $lambdaRel/$lambdaDiv")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("v")), 6).as("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("id"))
+    val cands = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m).drop("__rn")
+    val cv = cands.join(v, "id")
+    val c1 = cv.select(col("query_id"), col("id").as("a"), col("v").as("va"))
+    val c2 = cv.select(col("query_id").as("__q2"), col("id").as("b"),
+      col("v").as("vb"))
+    val sims = c1.join(c2,
+        col("query_id") === col("__q2") && col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("s"))
+    val candArr = cands.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("id"),
+        round(col("rel") * 1e6, 0).cast("long").as("rs")))).as("cands"))
+    val simArr = sims.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("a"), col("b"),
+        round(col("s") * 1e6, 0).cast("long").as("ss")))).as("sims"))
+    val packed = candArr.join(simArr, Seq("query_id"), "left")
+      .withColumn("sims", coalesce(col("sims"),
+        expr("CAST(array() AS array<struct<a:bigint,b:bigint,ss:bigint>>)")))
+    val init = struct(
+      expr("CAST(array() AS array<bigint>)").as("sel"),
+      expr("CAST(array() AS array<struct<id:bigint,rank:int,sc:bigint>>)")
+        .as("out"))
+    val folded = packed.select(col("query_id"),
+      aggregate(sequence(lit(1), lit(k)), init,
+        (acc: Column, step: Column) => {
+        val sel = acc.getField("sel")
+        val remaining = filter(col("cands"),
+          c => !array_contains(sel, c.getField("id")))
+        val stepScores = transform(remaining, c => {
+          val ms = array_max(transform(
+            filter(col("sims"), p =>
+              p.getField("a") === c.getField("id") &&
+                array_contains(sel, p.getField("b"))),
+            p => p.getField("ss")))
+          struct(
+            (lit(wRel) * c.getField("rs") -
+              lit(wDiv) * coalesce(ms, lit(0L))).as("sc"),
+            (-c.getField("id")).as("ni"))
+        })
+        val best = array_max(stepScores)
+        val bestId = -best.getField("ni")
+        struct(
+          concat(sel, array(bestId)).as("sel"),
+          concat(acc.getField("out"), array(struct(
+            bestId.as("id"), step.cast("int").as("rank"),
+            best.getField("sc").as("sc")))).as("out"))
+      }).getField("out").as("o"))
+    folded.select(col("query_id"), explode(col("o")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.rank").as("rank"),
+        (col("e.sc").cast("double") / 1e8).as("score"))
+  }
+
   /** Matryoshka truncation audit: recall@k of brute-force cosine top-k
     * computed on the first `d` dimensions against the full-dimension
     * top-k, for each `d` in `dims` — the measurement behind "can we

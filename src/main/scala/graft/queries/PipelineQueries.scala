@@ -1845,6 +1845,72 @@ object PipelineQueries {
       |       round(b2.b, 6) AS bias, met.logloss, met.accuracy
       |FROM g2 CROSS JOIN b2 CROSS JOIN met""".stripMargin
 
+  /** MMR diversified rerank of the brute top-20 (k=8, λ=0.7/0.3) —
+    * see [[graft.ops.Similarity.mmrRerank]]. The oracle replays the
+    * greedy path with a recursive CTE over the identical packed
+    * candidate/sim arrays and 6dp score pins.
+    */
+  private def searchMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, m = 20, k = 8,
+      lambdaRel = 0.7, lambdaDiv = 0.3)
+
+  private val searchMmrSql =
+    """WITH RECURSIVE v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id % 100 = 0),
+      |sc AS MATERIALIZED (
+      |  SELECT q.query_id, v.id,
+      |         round(list_cosine_similarity(q.qv, v.v), 6) AS rel
+      |  FROM v CROSS JOIN q WHERE v.id != q.query_id),
+      |cand AS MATERIALIZED (
+      |  SELECT query_id, id, rel FROM (
+      |    SELECT query_id, id, rel, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+      |    FROM sc) WHERE rn <= 20),
+      |cv AS (SELECT c.query_id, c.id, v.v FROM cand c JOIN v USING (id)),
+      |sims AS MATERIALIZED (
+      |  SELECT a.query_id, a.id AS sa, b.id AS sb,
+      |         round(list_cosine_similarity(a.v, b.v), 6) AS s
+      |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id != b.id),
+      |ca AS (SELECT query_id,
+      |         list({'id': id,
+      |               'rs': CAST(round(rel * 1000000.0, 0) AS BIGINT)}
+      |              ORDER BY id) AS cands
+      |       FROM cand GROUP BY 1),
+      |sa AS (SELECT query_id,
+      |         list({'a': sa, 'b': sb,
+      |               'ss': CAST(round(s * 1000000.0, 0) AS BIGINT)}
+      |              ORDER BY sa, sb) AS sims
+      |       FROM sims GROUP BY 1),
+      |h AS (
+      |  SELECT ca.query_id, 0 AS step, []::BIGINT[] AS sel,
+      |         []::STRUCT(id BIGINT, rnk INT, sc BIGINT)[] AS out,
+      |         ca.cands,
+      |         coalesce(sa.sims,
+      |           []::STRUCT(a BIGINT, b BIGINT, ss BIGINT)[]) AS sims
+      |  FROM ca LEFT JOIN sa USING (query_id)
+      |  UNION ALL
+      |  SELECT query_id, step + 1,
+      |         list_concat(sel, [-best.ni]),
+      |         list_concat(out,
+      |           [{'id': -best.ni, 'rnk': (step + 1)::INT,
+      |             'sc': best.sc}]),
+      |         cands, sims
+      |  FROM (
+      |    SELECT *, list_max(list_transform(
+      |        list_filter(cands, c -> NOT list_contains(sel, c.id)),
+      |        c -> {'sc': 70 * c.rs - 30 * coalesce(
+      |                list_max(list_transform(list_filter(sims,
+      |                  p -> p.a = c.id AND list_contains(sel, p.b)),
+      |                  p -> p.ss)), 0),
+      |              'ni': -c.id})) AS best
+      |    FROM h WHERE step < 8)),
+      |fin AS (SELECT query_id, unnest(out) AS u FROM h WHERE step = 8)
+      |SELECT query_id, u.id AS neighbor_id, u.rnk AS rank,
+      |       CAST(u.sc AS DOUBLE) / 100000000.0 AS score
+      |FROM fin""".stripMargin
+
   /** MaxSim late-interaction top-k: the 64-dim embedding read as 8
     * sub-vectors of 8 dims, score = Σ_i max_j cos(q_i, d_j) — see
     * [[graft.ops.Similarity.maxSimTopK]]. Queries: every 100th vector.
@@ -3066,6 +3132,7 @@ object PipelineQueries {
     QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
     QueryDef("sim_maxsim_topk", simMaxsim, Some(simMaxsimSql)),
+    QueryDef("search_mmr_rerank", searchMmr, Some(searchMmrSql)),
     QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
     QueryDef("emb_centroid_classifier", embCentroidEval,

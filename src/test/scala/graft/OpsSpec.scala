@@ -1774,6 +1774,31 @@ class OpsSpec extends AnyFunSuite {
       (1, 1) -> ((2L, 0.8))))
   }
 
+  test("mmrRerank suppresses the near-duplicate a pure top-k keeps") {
+    import spark.implicits._
+    // query 0 = (1,1,1). Doc 2 is the most relevant; doc 1 is a
+    // near-duplicate of doc 2 (cos ~0.99995); doc 3 is as relevant as
+    // doc 1 but diverse (cos to doc 2 ~0.51). Pure top-2 = [2, 1];
+    // MMR at lambda 0.7/0.3 must swap in the diverse doc: [2, 3].
+    val rows = Seq(
+      (0L, Seq(1f, 1f, 1f)),
+      (1L, Seq(1f, 1f, 0f)),
+      (2L, Seq(0.99f, 1f, 0.01f)),
+      (3L, Seq(0f, 1f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        Seq(0L), k = 2).orderBy("rank").collect().map(_.getLong(1))
+    assert(brute.toSeq == Seq(2L, 1L), "pure top-2 keeps the near-dup")
+    val mmr = Similarity.mmrRerank(df, "vec_id", "embedding",
+        col("vec_id") === 0, m = 3, k = 2,
+        lambdaRel = 0.7, lambdaDiv = 0.3)
+      .orderBy("rank").collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(2L, 3L),
+      "MMR must trade the near-dup for the diverse doc")
+    assert(mmr(0).getDouble(3) > mmr(1).getDouble(3),
+      "greedy scores decrease")
+  }
+
   test("logregEpochs: hand-computed two-epoch recursion on a separable fixture") {
     import spark.implicits._
     // dim0 separates the classes, dim1 is symmetric noise. Epoch 1 from
