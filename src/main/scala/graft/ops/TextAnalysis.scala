@@ -706,4 +706,59 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010), corpus-level:
+    * candidate phrases are the maximal stopword-free token runs (the
+    * "en" stopword profile is the pinned delimiter set), capped at
+    * `maxLen` words; each word scores degree/frequency over the phrase
+    * corpus (degree = Σ phrase length over its occurrences — words
+    * that live in long phrases outrank loners at equal frequency);
+    * a phrase scores the sum of its word scores, and the corpus-level
+    * report is the top `topN` distinct phrases by (6dp score desc,
+    * phrase) with occurrence counts — the cheap keyword profile beside
+    * [[pmiCollocations]] (PMI finds pairs that co-occur unusually,
+    * RAKE finds multi-word terms worth indexing).
+    *
+    * Determinism: freq/degree are integer aggregates; each word score
+    * is a single int/int divide; the ≤maxLen-term phrase sum folds in
+    * POSITION order on both engines. Scale shape: one tokenize pass,
+    * the phrase-run grouping rides the per-doc window partitioning,
+    * word stats are a vocab-sized combinable aggregate joined back,
+    * and the final top-N is TakeOrdered — no global sort.
+    */
+  def rakeKeyphrases(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, maxLen: Int,
+                     topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLen >= 1 && topN >= 1, "need maxLen >= 1 and topN >= 1")
+    val stop = stopwordProfiles.head._2
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val flagged = toks.withColumn("brk",
+      when(col("w").isin(stop: _*) || col("w") === "", 1).otherwise(0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.withColumn("grp", sum(col("brk")).over(w))
+      .filter(col("brk") === 0)
+    val phrases = runs.groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col("doc_id"), col("grp"),
+        transform(col("pw"), e => e.getField("w")).as("ws"))
+      .filter(size(col("ws")).between(1, maxLen))
+    val pw = phrases.select(col("doc_id"), col("grp"), col("ws"),
+      posexplode(col("ws")).as(Seq("wp", "w")))
+    val wstats = pw.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(size(col("ws"))).as("deg"))
+    val scored = pw.join(wstats, "w")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("wp"),
+          (col("deg").cast("double") / col("freq")).as("r")))).as("rs"),
+        first(col("ws")).as("ws"))
+      .select(concat_ws(" ", col("ws")).as("phrase"),
+        aggregate(col("rs"), lit(0.0),
+          (acc: Column, e: Column) => acc + e.getField("r")).as("score"))
+    scored.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"), round(max(col("score")), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topN)
+  }
 }

@@ -3056,6 +3056,51 @@ object PipelineQueries {
     * Ordering, empty-doc survival, and the corpus-global df criterion
     * are all replayed by the oracle.
     */
+  /** RAKE corpus keyphrases (maxLen 3, top 25) — see
+    * [[graft.ops.TextAnalysis.rakeKeyphrases]].
+    */
+  private def rakeKeyphrasesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
+      "text", maxLen = 3, topN = 25)
+
+  private val rakeKeyphrasesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, i AS pos, ts[CAST(i AS INT)] AS w
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '\s+') AS ts,
+      |          unnest(generate_series(1,
+      |            len(string_split_regex(lower(trim(text)), '\s+'))))
+      |            AS i
+      |        FROM documents)),
+      |flag AS (SELECT doc_id, pos, w,
+      |           CASE WHEN w IN ('the','and','of','to','a','in','is',
+      |                           'it','you','that') OR w = ''
+      |                THEN 1 ELSE 0 END AS brk
+      |         FROM toks),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+      |        AS grp
+      |      FROM flag),
+      |ph AS (SELECT doc_id, grp, list(w ORDER BY pos) AS ws
+      |       FROM g WHERE brk = 0 GROUP BY 1, 2),
+      |ph2 AS (SELECT * FROM ph WHERE len(ws) BETWEEN 1 AND 3),
+      |pw AS (SELECT doc_id, grp, ws, r.p AS wp,
+      |         ws[CAST(r.p AS INT)] AS w
+      |       FROM ph2 CROSS JOIN range(1, 4) r(p) WHERE r.p <= len(ws)),
+      |st AS (SELECT w, count(*) AS freq, sum(len(ws)) AS deg
+      |       FROM pw GROUP BY 1),
+      |sc AS (SELECT pw.ws,
+      |         list(CAST(st.deg AS DOUBLE) / st.freq ORDER BY pw.wp)
+      |           AS rs
+      |       FROM pw JOIN st USING (w)
+      |       GROUP BY pw.doc_id, pw.grp, pw.ws),
+      |ps AS (SELECT array_to_string(ws, ' ') AS phrase,
+      |              list_aggregate(rs, 'sum') AS score
+      |       FROM sc)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+      |       round(max(score), 6) AS score
+      |FROM ps GROUP BY 1 ORDER BY score DESC, phrase LIMIT 25"""
+      .stripMargin
+
   private def dropStopwords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.dropCorpusStopwords(
       Tables.documents(s, dir), "doc_id", "text", maxDfFrac = 0.75)
@@ -3174,6 +3219,8 @@ object PipelineQueries {
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
+    QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
+      Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),

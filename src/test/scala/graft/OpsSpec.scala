@@ -1774,6 +1774,25 @@ class OpsSpec extends AnyFunSuite {
       (1, 1) -> ((2L, 0.8))))
   }
 
+  test("rakeKeyphrases: hand-computed degree/freq scores and run splitting") {
+    // doc 10 splits on the stopword "of" into two 2-word phrases;
+    // doc 11 repeats one of them; doc 12 is a singleton; doc 13 is a
+    // 4-word stopword-free run — over maxLen, excluded entirely
+    // (and so contributes nothing to word stats: no "alpha" output).
+    // Every surviving word: freq 2 deg 4 or freq 1 deg 2 -> score 2;
+    // both 2-word phrases score 4, ties break lexicographically.
+    val df = docs(Seq(
+      (10L, "red widget of blue gadget"),
+      (11L, "red widget"),
+      (12L, "tiny"),
+      (13L, "alpha beta gamma delta")))
+    val got = TextAnalysis.rakeKeyphrases(df, "doc_id", "text",
+        maxLen = 3, topN = 25).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("blue gadget", 1L, 4.0),
+      ("red widget", 2L, 4.0), ("tiny", 1L, 1.0)))
+  }
+
   test("mmrRerank suppresses the near-duplicate a pure top-k keeps") {
     import spark.implicits._
     // query 0 = (1,1,1). Doc 2 is the most relevant; doc 1 is a
