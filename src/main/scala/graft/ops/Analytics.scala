@@ -226,6 +226,45 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Last-touch (last-click) conversion attribution: each conversion
+    * event credits the user's most recent touch-channel event within
+    * `windowSec` seconds, else "direct" — the standard marketing /
+    * growth attribution report. One pass: a per-user running
+    * max-of-(ts, tie, channel) struct over PRECEDING rows carries the
+    * latest touch to every event (struct max is lexicographic, so ties
+    * on ts resolve by the tie column — both engines see the same
+    * sequence, [[transitionMatrix]]'s rule), conversions then compare
+    * recency against the window. No self-join of the stream against
+    * itself; the report is a channel-domain-sized combinable count.
+    */
+  def lastTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                           tieCol: String, typeCol: String,
+                           conversionType: String,
+                           touchTypes: Seq[String],
+                           windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lt = max(when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+        col(typeCol).as("ch")))).over(w)
+    val attributed = df.withColumn("__lt", lt)
+      .filter(col(typeCol) === conversionType)
+      .select(when(col("__lt").isNull ||
+          col(tsCol).cast("long") - col("__lt.ts").cast("long") >
+            windowSec, "direct")
+        .otherwise(col("__lt.ch")).as("channel"))
+    val tot = attributed.agg(count(lit(1)).as("__tot"))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"), col("conversions"),
+        round(col("conversions").cast("double") / col("__tot"), 6)
+          .as("share"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov
     * chain — the long-run fraction of time the process spends in each
     * type, the summary behind "where does user attention equilibrate"

@@ -133,6 +133,52 @@ object Embeddings {
         round(col("__acc"), 6).as("accuracy"))
   }
 
+  /** k-NN majority-vote classifier eval: for each held-out query
+    * vector, the k nearest corpus neighbors (6dp cosine, id
+    * tie-break) vote with their labels; prediction = most votes, ties
+    * to the smaller label. The local-neighborhood complement of
+    * [[centroidClassifierEval]] (centroids assume unimodal classes;
+    * k-NN doesn't care) — together they bracket "is the label signal
+    * geometric, and is it global or local?". Same confusion-matrix +
+    * exact integer-accuracy output shape. Scale: broadcast query set,
+    * one codegen pair scan, two windows on the same query_id
+    * partitioning, |labels|²-sized combinable confusion.
+    */
+  def knnClassifierEval(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, queryPred: Column,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val q = df.filter(queryPred).select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col(labelCol).as("true_label"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("true_label"), col("id"), col("lbl"),
+        round(graft.ops.Similarity.cosine(col("qv"), col("v")), 6)
+          .as("cos"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    val top = scored.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+    val votes = top.groupBy(col("qid"), col("true_label"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("lbl").asc)
+    val pred = votes.withColumn("__vr", row_number().over(wv))
+      .filter(col("__vr") === 1)
+      .select(col("true_label"), col("lbl").as("pred_label"))
+    val conf = pred.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val acc = conf.agg((sum(when(col("true_label") === col("pred_label"),
+      col("cnt")).otherwise(0L)).cast("double") / sum(col("cnt")))
+      .as("__acc"))
+    conf.crossJoin(broadcast(acc))
+      .select(col("true_label"), col("pred_label"), col("cnt"),
+        round(col("__acc"), 6).as("accuracy"))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max |x_i| (so
     * codes span the full [-127, 127] range), code_i = round(x_i / scale
     * * 127). Returns (`idCol`, `scale` rounded 6dp, `codes`

@@ -335,6 +335,34 @@ object AnalyticsQueries {
       |       round(c.cnt * 1.0 / tot.n, 6) AS prob
       |FROM c JOIN tot USING (from_type)""".stripMargin
 
+  /** Last-click attribution of purchases to the most recent
+    * click/view/signup touch within 24h, else "direct" — see
+    * [[graft.ops.Analytics.lastTouchAttribution]].
+    */
+  private def evAttribution(s: SparkSession, dir: String): DataFrame =
+    Analytics.lastTouchAttribution(Tables.events(s, dir), "user_id",
+      "ts", "event_id", "event_type", conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"), windowSec = 86400L)
+
+  private val evAttributionSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         max(CASE WHEN event_type IN ('click', 'view', 'signup')
+      |                  THEN {'ts': ts, 'tie': event_id,
+      |                        'ch': event_type} END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS lt
+      |  FROM events),
+      |p AS (SELECT CASE WHEN lt IS NULL
+      |               OR epoch(ts)::BIGINT - epoch(lt.ts)::BIGINT > 86400
+      |             THEN 'direct' ELSE lt.ch END AS channel
+      |      FROM o WHERE event_type = 'purchase'),
+      |t AS (SELECT count(*) AS tot FROM p)
+      |SELECT channel, count(*) AS conversions,
+      |       round(count(*) * 1.0 / t.tot, 6) AS share
+      |FROM p CROSS JOIN t GROUP BY 1, t.tot""".stripMargin
+
   /** Stationary distribution of the event-type chain (12 pinned power
     * iterations, dangling mass renormalized) — see
     * [[graft.ops.Analytics.markovStationary]]. The oracle unrolls the
@@ -994,6 +1022,8 @@ object AnalyticsQueries {
     QueryDef("ev_winsorize", evWinsorize, Some(evWinsorizeSql)),
     QueryDef("ev_markov_stationary", evMarkovStationary,
       Some(evMarkovStationarySql)),
+    QueryDef("ev_attribution_lastclick", evAttribution,
+      Some(evAttributionSql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
     QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),

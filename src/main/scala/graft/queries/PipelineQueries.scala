@@ -1803,6 +1803,41 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
+  /** k-NN (k=5) majority-vote label eval over every 10th vector — see
+    * [[graft.ops.Embeddings.knnClassifierEval]].
+    */
+  private def embKnnEval(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.knnClassifierEval(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", col("vec_id") % 10 === 0, k = 5)
+
+  private val embKnnEvalSql =
+    """WITH v AS (SELECT vec_id AS id, embedding, label FROM embeddings),
+      |q AS (SELECT id AS qid, embedding AS qv, label AS true_label
+      |      FROM v WHERE id % 10 = 0),
+      |sc AS (SELECT q.qid, q.true_label, v.id, v.label AS lbl,
+      |         round(list_cosine_similarity(q.qv::DOUBLE[],
+      |           v.embedding::DOUBLE[]), 6) AS cos
+      |       FROM v CROSS JOIN q WHERE v.id != q.qid),
+      |top AS (SELECT qid, true_label, lbl FROM (
+      |          SELECT qid, true_label, lbl, row_number() OVER (
+      |            PARTITION BY qid ORDER BY cos DESC, id) AS rn
+      |          FROM sc) WHERE rn <= 5),
+      |votes AS (SELECT qid, true_label, lbl, count(*) AS votes
+      |          FROM top GROUP BY 1, 2, 3),
+      |pred AS (SELECT true_label, lbl AS pred_label FROM (
+      |           SELECT *, row_number() OVER (
+      |             PARTITION BY qid ORDER BY votes DESC, lbl) AS vr
+      |           FROM votes) WHERE vr = 1),
+      |conf AS (SELECT true_label, pred_label, count(*) AS cnt
+      |         FROM pred GROUP BY 1, 2),
+      |acc AS (SELECT CAST(sum(CASE WHEN true_label = pred_label
+      |                             THEN cnt ELSE 0 END) AS DOUBLE)
+      |               / sum(cnt) AS acc
+      |        FROM conf)
+      |SELECT conf.true_label, conf.pred_label, conf.cnt,
+      |       round(acc.acc, 6) AS accuracy
+      |FROM conf CROSS JOIN acc""".stripMargin
+
   /** Two full-batch logistic-regression epochs (label 0 vs rest,
     * lr 0.1) over the embeddings — the data-parallel allreduce training
     * shape; see [[graft.ops.Embeddings.logregEpochs]]. The oracle
@@ -3179,6 +3214,7 @@ object PipelineQueries {
     QueryDef("sim_maxsim_topk", simMaxsim, Some(simMaxsimSql)),
     QueryDef("search_mmr_rerank", searchMmr, Some(searchMmrSql)),
     QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),
+    QueryDef("emb_knn_classifier", embKnnEval, Some(embKnnEvalSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
     QueryDef("emb_centroid_classifier", embCentroidEval,
       Some(embCentroidEvalSql)),

@@ -751,6 +751,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((8L, "n", 121.41)))
   }
 
+  test("lastTouchAttribution: window cutoff, direct, and same-ts tie rule") {
+    val S = 1000000L // 1s in micros
+    val rows = Seq(
+      // u1: click 100s before purchase -> click
+      (1L, 1L, ts(1000 * S), "click", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(1100 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u2: view 200000s (>24h) before purchase -> direct
+      (3L, 2L, ts(1000 * S), "view", java.lang.Double.valueOf(1.0)),
+      (4L, 2L, ts(201000 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u3: purchase with no touch at all -> direct
+      (5L, 3L, ts(500 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u4: click then view -> the LAST touch (view) gets the credit
+      (6L, 4L, ts(100 * S), "click", java.lang.Double.valueOf(1.0)),
+      (7L, 4L, ts(200 * S), "view", java.lang.Double.valueOf(1.0)),
+      (8L, 4L, ts(300 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u5: click and view at the SAME ts -> higher event_id (view) wins
+      (9L, 5L, ts(400 * S), "click", java.lang.Double.valueOf(1.0)),
+      (10L, 5L, ts(400 * S), "view", java.lang.Double.valueOf(1.0)),
+      (11L, 5L, ts(500 * S), "purchase", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.lastTouchAttribution(evDf(rows), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("click", "view", "signup"), windowSec = 86400L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((1L, 0.2)), "view" -> ((2L, 0.4)),
+      "direct" -> ((2L, 0.4))))
+  }
+
   test("markovStationary converges to the analytic two-state fixpoint") {
     // one user, sequence A A B B B B A: P(A->A)=P(A->B)=0.5,
     // P(B->B)=0.75, P(B->A)=0.25 -> stationary (1/3, 2/3); second

@@ -1774,6 +1774,29 @@ class OpsSpec extends AnyFunSuite {
       (1, 1) -> ((2L, 0.8))))
   }
 
+  test("knnClassifierEval: majority vote, all-distinct tie to smallest label") {
+    import spark.implicits._
+    // three tight clusters; queries are ids 0/10/20. Cluster A's
+    // neighborhood outvotes the true label (wrong), B's agrees
+    // (right), C's 3 neighbors carry 3 DISTINCT labels -> 1-1-1 tie
+    // resolves to the smallest label, which matches (right).
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 1),
+      (2L, Seq(1f, -0.1f), 1), (3L, Seq(1f, 0.05f), 0),
+      (10L, Seq(0f, 1f), 2), (11L, Seq(0.1f, 1f), 2),
+      (12L, Seq(-0.1f, 1f), 2), (13L, Seq(0.05f, 1f), 1),
+      (20L, Seq(1f, 1f), 0), (21L, Seq(1f, 0.9f), 2),
+      (22L, Seq(0.9f, 1f), 1), (23L, Seq(1f, 1.05f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Embeddings.knnClassifierEval(df, "vec_id",
+        "embedding", "label", col("vec_id") % 10 === 0, k = 3)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map((0, 1) -> ((1L, 0.666667)),
+      (2, 2) -> ((1L, 0.666667)), (0, 0) -> ((1L, 0.666667))))
+  }
+
   test("rakeKeyphrases: hand-computed degree/freq scores and run splitting") {
     // doc 10 splits on the stopword "of" into two 2-word phrases;
     // doc 11 repeats one of them; doc 12 is a singleton; doc 13 is a
