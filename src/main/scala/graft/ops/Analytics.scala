@@ -265,6 +265,53 @@ object Analytics {
           .as("share"))
   }
 
+  /** Linear multi-touch attribution: every touch-channel event inside
+    * the lookback window of a conversion shares the credit equally
+    * (credit 1/n per touch; conversions with no in-window touch credit
+    * "direct" in full) — the fairness-spread complement of
+    * [[lastTouchAttribution]] (last-touch over-credits the bottom of
+    * the funnel; linear shows which channels participate at all).
+    *
+    * Shape: conversions left-join touches per user with the window
+    * range predicate — the shuffle key is the user, and the per-user
+    * pair fan-out is bounded by events-per-user × window, never
+    * corpus²; per-conversion touch counts are a window count over the
+    * same partitioning. A touch strictly "before" means (ts, tie) <
+    * (ts, tie) — same-instant ties resolve by the tie column, so both
+    * engines see identical touch sets.
+    */
+  def linearAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, typeCol: String,
+                        conversionType: String, touchTypes: Seq[String],
+                        windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__cts"),
+        col(tieCol).as("__ctie"))
+    val touch = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tts"),
+        col(tieCol).as("__ttie"), col(typeCol).as("__ch"))
+    val joined = conv.join(touch,
+      conv("__k") === touch("__k") &&
+        (col("__tts") < col("__cts") ||
+          (col("__tts") === col("__cts") && col("__ttie") < col("__ctie"))) &&
+        col("__cts").cast("long") - col("__tts").cast("long") <= windowSec,
+      "left")
+      .select(conv("__k").as("k"), col("__cts"), col("__ctie"),
+        col("__ch"))
+    val w = Window.partitionBy(col("k"), col("__cts"), col("__ctie"))
+    val credited = joined
+      .withColumn("__n", count(col("__ch")).over(w))
+      .select(
+        coalesce(col("__ch"), lit("direct")).as("channel"),
+        when(col("__n") === 0, lit(1.0))
+          .otherwise(lit(1.0) / col("__n")).as("credit"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(sum(col("credit")), 6).as("credited"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov
     * chain — the long-run fraction of time the process spends in each
     * type, the summary behind "where does user attention equilibrate"

@@ -363,6 +363,35 @@ object AnalyticsQueries {
       |       round(count(*) * 1.0 / t.tot, 6) AS share
       |FROM p CROSS JOIN t GROUP BY 1, t.tot""".stripMargin
 
+  /** Linear multi-touch attribution twin of the last-click report —
+    * see [[graft.ops.Analytics.linearAttribution]].
+    */
+  private def evAttributionLinear(s: SparkSession, dir: String): DataFrame =
+    Analytics.linearAttribution(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type", conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"), windowSec = 86400L)
+
+  private val evAttributionLinearSql =
+    """WITH c AS (SELECT user_id AS k, ts AS cts, event_id AS ctie
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id AS k, ts AS tts, event_id AS ttie,
+      |             event_type AS ch
+      |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |j AS (SELECT c.k, c.cts, c.ctie, t.ch
+      |      FROM c LEFT JOIN t ON c.k = t.k
+      |        AND (t.tts < c.cts
+      |             OR (t.tts = c.cts AND t.ttie < c.ctie))
+      |        AND epoch(c.cts)::BIGINT - epoch(t.tts)::BIGINT <= 86400),
+      |n AS (SELECT k, cts, ctie, ch,
+      |        count(ch) OVER (PARTITION BY k, cts, ctie) AS nt
+      |      FROM j),
+      |cr AS (SELECT coalesce(ch, 'direct') AS channel,
+      |         CASE WHEN nt = 0 THEN 1.0 ELSE 1.0 / nt END AS credit
+      |       FROM n)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+      |       round(sum(credit), 6) AS credited
+      |FROM cr GROUP BY 1""".stripMargin
+
   /** Stationary distribution of the event-type chain (12 pinned power
     * iterations, dangling mass renormalized) — see
     * [[graft.ops.Analytics.markovStationary]]. The oracle unrolls the
@@ -1024,6 +1053,8 @@ object AnalyticsQueries {
       Some(evMarkovStationarySql)),
     QueryDef("ev_attribution_lastclick", evAttribution,
       Some(evAttributionSql)),
+    QueryDef("ev_attribution_linear", evAttributionLinear,
+      Some(evAttributionLinearSql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
     QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),

@@ -589,7 +589,30 @@ object CoreQueries {
       |FROM b JOIN sv ON b.o_totalprice = sv.x AND b.o_day = sv.maxy"""
       .stripMargin
 
+  /** Segment revenue through a SALTED orders⋈customer join — the
+    * skew-breaker pattern ([[graft.ops.SkewJoin.saltedJoin]]) with its
+    * semantics hash-gated against the plain join: salting must be
+    * invisible in the result. Revenue sums are exact (2dp prices are
+    * integers ×100 in double, far under 2^53), so the aggregate is
+    * bit-stable under any partitioning.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.saltedJoin(
+      Tables.orders(s, dir), Tables.customer(s, dir)
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  private val qSaltedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("q_salted_join_revenue", qSaltedJoin, Some(qSaltedJoinSql)),
     QueryDef("q_pareto_frontier", qParetoFrontier,
       Some(qParetoFrontierSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),

@@ -779,6 +779,30 @@ class AnalyticsSpec extends AnyFunSuite {
       "direct" -> ((2L, 0.4))))
   }
 
+  test("linearAttribution splits credit equally, totals conversions") {
+    val S = 1000000L
+    val rows = Seq(
+      // u1: click + view share the purchase 0.5 / 0.5
+      (1L, 1L, ts(100 * S), "click", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(200 * S), "view", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(300 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u2: no touches -> direct 1.0
+      (4L, 2L, ts(100 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u3: one view feeds BOTH purchases (both within window)
+      (5L, 3L, ts(100 * S), "view", java.lang.Double.valueOf(1.0)),
+      (6L, 3L, ts(200 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      (7L, 3L, ts(300 * S), "purchase", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.linearAttribution(evDf(rows), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("click", "view", "signup"), windowSec = 86400L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((1L, 0.5)), "view" -> ((3L, 2.5)),
+      "direct" -> ((1L, 1.0))))
+    // linear attribution conserves mass: credits sum to conversions
+    assert(got.values.map(_._2).sum == 4.0)
+  }
+
   test("markovStationary converges to the analytic two-state fixpoint") {
     // one user, sequence A A B B B B A: P(A->A)=P(A->B)=0.5,
     // P(B->B)=0.75, P(B->A)=0.25 -> stationary (1/3, 2/3); second

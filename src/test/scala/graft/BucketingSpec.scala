@@ -89,4 +89,26 @@ class BucketingSpec extends AnyFunSuite {
     // nothing lost
     assert(spark.read.parquet(out).count() == docs.count())
   }
+
+  test("saltedJoin is row-for-row identical to the plain equi-join") {
+    import spark.implicits._
+    // hot key 1 on both sides (4x3 fan-out), a 1:1 key, an unmatched
+    // key, and a null key (must match nothing in BOTH forms)
+    val big = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (2L, "e"),
+      (3L, "f")).toDF("k", "bv")
+      .union(Seq((Option.empty[Long], "g")).toDF("k", "bv"))
+    val small = Seq((1L, 10), (1L, 11), (1L, 12), (2L, 20), (9L, 90))
+      .toDF("k", "sv")
+      .union(Seq((Option.empty[Long], 99)).toDF("k", "sv"))
+    val plain = big.join(small, "k")
+      .select("k", "bv", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val salted = graft.ops.SkewJoin.saltedJoin(big, small, "k", salts = 4)
+      .select("k", "bv", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+    assert(plain.values.sum == 13, "4*3 hot fan-out + the 1:1 pair")
+  }
 }
