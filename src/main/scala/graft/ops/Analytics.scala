@@ -265,6 +265,47 @@ object Analytics {
           .as("share"))
   }
 
+  /** Cohort LTV triangle: users cohorted by FIRST-signup epoch-week,
+    * purchase revenue accumulated by weeks-since-signup — the
+    * lifetime-value report behind "does week-N monetization improve
+    * cohort over cohort". Weeks are integer epoch-day arithmetic
+    * (floor-div 7, positive domain), never engine week functions.
+    * Pre-signup purchases are excluded; users who never signed up and
+    * cohorts with no purchases emit no cells. Per-cell revenue is
+    * 2dp-pinned, and the cumulative column sums the PINNED cells (2dp
+    * values are integers ×100 — the running sum is exact), so the
+    * triangle replays bit-for-bit.
+    *
+    * Scale shape: first-signup and cohort sizes are combinable
+    * aggregates; the purchase join shuffles on the user key once; the
+    * cumulative window runs over the (cohorts × weeks) DOMAIN table.
+    */
+  def cohortLtv(df: DataFrame, keyCol: String, tsCol: String,
+                typeCol: String, signupType: String, purchaseType: String,
+                valueCol: String): DataFrame = {
+    val s = df.filter(col(typeCol) === signupType)
+      .groupBy(col(keyCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("sd"))
+      .select(col("u"), col("sd"),
+        floor(unix_date(col("sd")) / 7).as("cw"))
+    val sizes = s.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+    val p = df.filter(col(typeCol) === purchaseType)
+      .select(col(keyCol).as("u"), to_date(col(tsCol)).as("pd"),
+        col(valueCol).as("v"))
+    val cells = p.join(s, "u")
+      .filter(col("pd") >= col("sd"))
+      .groupBy(col("cw"),
+        floor((unix_date(col("pd")) - unix_date(col("sd"))) / lit(7))
+          .as("weeks_since"))
+      .agg(round(sum(col("v")), 2).as("revenue"))
+    val w = Window.partitionBy(col("cw")).orderBy(col("weeks_since"))
+    cells.join(broadcast(sizes), "cw")
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .select(col("cw").as("cohort_week"), col("weeks_since"),
+        col("n_users"), col("revenue"), col("cum_revenue"),
+        round(col("cum_revenue") / col("n_users"), 6).as("ltv_per_user"))
+  }
+
   /** Linear multi-touch attribution: every touch-channel event inside
     * the lookback window of a conversion shares the credit equally
     * (credit 1/n per touch; conversions with no in-window touch credit

@@ -363,6 +363,34 @@ object AnalyticsQueries {
       |       round(count(*) * 1.0 / t.tot, 6) AS share
       |FROM p CROSS JOIN t GROUP BY 1, t.tot""".stripMargin
 
+  /** Cohort LTV triangle (signup epoch-week × weeks-since) — see
+    * [[graft.ops.Analytics.cohortLtv]].
+    */
+  private def evCohortLtv(s: SparkSession, dir: String): DataFrame =
+    Analytics.cohortLtv(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "signup", "purchase", "value")
+
+  private val evCohortLtvSql =
+    """WITH s AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS sd
+      |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT u, sd,
+      |         datediff('day', DATE '1970-01-01', sd) // 7 AS cw
+      |       FROM s),
+      |sz AS (SELECT cw, count(*) AS n_users FROM s2 GROUP BY 1),
+      |p AS (SELECT user_id AS u, CAST(ts AS DATE) AS pd, value AS v
+      |      FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT s2.cw, datediff('day', s2.sd, p.pd) // 7
+      |        AS weeks_since,
+      |        round(sum(p.v), 2) AS revenue
+      |      FROM p JOIN s2 USING (u) WHERE p.pd >= s2.sd GROUP BY 1, 2),
+      |w AS (SELECT c.cw, c.weeks_since, sz.n_users, c.revenue,
+      |        round(sum(c.revenue) OVER (PARTITION BY c.cw
+      |          ORDER BY c.weeks_since), 2) AS cum_revenue
+      |      FROM c JOIN sz USING (cw))
+      |SELECT cw AS cohort_week, weeks_since, n_users, revenue,
+      |       cum_revenue, round(cum_revenue / n_users, 6) AS ltv_per_user
+      |FROM w""".stripMargin
+
   /** Linear multi-touch attribution twin of the last-click report —
     * see [[graft.ops.Analytics.linearAttribution]].
     */
@@ -1055,6 +1083,7 @@ object AnalyticsQueries {
       Some(evAttributionSql)),
     QueryDef("ev_attribution_linear", evAttributionLinear,
       Some(evAttributionLinearSql)),
+    QueryDef("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),
     QueryDef("dq_fk_integrity", dqFkIntegrity, Some(dqFkIntegritySql)),

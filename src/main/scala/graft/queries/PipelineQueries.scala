@@ -2860,17 +2860,23 @@ object PipelineQueries {
     * mm_feature_ann_pipeline oracles). Starts at `imgs`, ends at
     * `feats`; splice after `WITH`.
     */
-  private lazy val pngFeatureCtes: String = {
+  /** Generalized planted-PNG pixel replay: `imgsSql` must produce
+    * (`keys`…, w, h); `seedSql` is the per-image splitmix seed in
+    * HUGEINT (the Spark generators use `media_id` for stills and
+    * `media_id·1000 + frame` for video frames). Emits `feats(keys…,
+    * idx, feature)`.
+    */
+  private def pngReplayCtes(imgsSql: String, keys: Seq[String],
+                            seedSql: String): String = {
     val K = BigInt("9E3779B97F4A7C15", 16)
     val C1 = BigInt("BF58476D1CE4E5B9", 16)
     val C2 = BigInt("94D049BB133111EB", 16)
-    s"""imgs AS (SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
-       |                4 + doc_id % 11 AS h
-       |              FROM documents WHERE doc_id % 2 = 0),
-       |px0 AS (SELECT media_id, w, h, unnest(range(w * h)) AS p FROM imgs),
-       |px AS (SELECT media_id, w, h, p // w AS y, p % w AS x FROM px0),
-       |s1 AS (SELECT media_id, w, h, y, x,
-       |         (CAST(media_id AS HUGEINT) +
+    val k = keys.mkString(", ")
+    s"""imgs AS ($imgsSql),
+       |px0 AS (SELECT $k, w, h, unnest(range(w * h)) AS p FROM imgs),
+       |px AS (SELECT $k, w, h, p // w AS y, p % w AS x FROM px0),
+       |s1 AS (SELECT $k, w, h, y, x,
+       |         (($seedSql) +
        |          ${wrapMul64("CAST(y AS HUGEINT) * w + x + 1", K)})
        |           % 18446744073709551616 AS v
        |       FROM px),
@@ -2878,29 +2884,64 @@ object PipelineQueries {
        |       FROM s1),
        |s3 AS (SELECT *, ${wrapMul64("xor(z1, z1 // 134217728)", C2)} AS z2
        |       FROM s2),
-       |s4 AS (SELECT media_id, w, h, y, x,
+       |s4 AS (SELECT $k, w, h, y, x,
        |         xor(z2, z2 // 2147483648) % 16777216 AS rgb
        |       FROM s3),
-       |pooled AS (SELECT media_id,
+       |pooled AS (SELECT $k,
        |    least(y*2//h, 1)*2 + least(x*2//w, 1) AS cell,
        |    rgb // 65536 AS r, (rgb // 256) % 256 AS g, rgb % 256 AS b
        |  FROM s4),
-       |agg AS (SELECT media_id, cell, count(*) AS cnt, sum(r) AS sr,
+       |agg AS (SELECT $k, cell, count(*) AS cnt, sum(r) AS sr,
        |          sum(g) AS sg, sum(b) AS sb
-       |        FROM pooled GROUP BY 1, 2),
+       |        FROM pooled GROUP BY ALL),
        |feats AS (
-       |  SELECT media_id, cell*4 AS idx,
+       |  SELECT $k, cell*4 AS idx,
        |         CAST(sr/(cnt*255.0) AS REAL) AS feature FROM agg
-       |  UNION ALL SELECT media_id, cell*4+1,
+       |  UNION ALL SELECT $k, cell*4+1,
        |         CAST(sg/(cnt*255.0) AS REAL) FROM agg
-       |  UNION ALL SELECT media_id, cell*4+2,
+       |  UNION ALL SELECT $k, cell*4+2,
        |         CAST(sb/(cnt*255.0) AS REAL) FROM agg
-       |  UNION ALL SELECT media_id, cell*4+3, CAST(1.0 AS REAL) FROM agg)""".stripMargin
+       |  UNION ALL SELECT $k, cell*4+3, CAST(1.0 AS REAL) FROM agg)"""
+      .stripMargin
   }
+
+  private lazy val pngFeatureCtes: String = pngReplayCtes(
+    """SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+      |                4 + doc_id % 11 AS h
+      |              FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    Seq("media_id"), "CAST(media_id AS HUGEINT)")
 
   private val mmDecodeSql =
     s"""WITH $pngFeatureCtes
        |SELECT media_id, CAST(idx AS INT) AS idx, feature FROM feats""".stripMargin
+
+  /** Video frame-sample gate: GMJ1 container walk + REAL `imageio`
+    * decode of every 2nd frame of the planted videos — the "probe one
+    * frame a second and embed it" ingestion shape; see
+    * [[graft.ops.Multimodal.videoFrameFeatures]]. The oracle replays
+    * each sampled frame's pixels with the seed-parameterized PNG
+    * replay (seed = media_id·1000 + frame), so container framing,
+    * sampling stride, and the per-frame decode are all hash-checked.
+    */
+  private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaWithVideo(s, Tables.documents(s, dir))
+    Multimodal.videoFrameFeatures(media, everyN = 2).toDF()
+      .select(col("media_id"), col("frame"),
+        posexplode(col("features")).as(Seq("idx", "feature")))
+  }
+
+  private val mmVideoFramesSql = {
+    val imgs =
+      """SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame,
+        |       4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+        |FROM documents CROSS JOIN range(0, 4) f(f)
+        |WHERE doc_id % 3 = 0 AND f.f < 2 + doc_id % 3
+        |  AND f.f % 2 = 0""".stripMargin
+    s"""WITH ${pngReplayCtes(imgs, Seq("media_id", "frame"),
+        "CAST(media_id AS HUGEINT) * 1000 + frame")}
+       |SELECT media_id, frame, CAST(idx AS INT) AS idx, feature
+       |FROM feats""".stripMargin
+  }
 
   /** The real-decode AUDIO gate: per-frame RMS + zero-crossing counts
     * of planted PCM WAVs, decoded by `javax.sound.sampled` (JDK
@@ -3272,6 +3313,8 @@ object PipelineQueries {
       Some(docWeightedSampleSql)),
     QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),
     QueryDef("mm_decode_features", mmDecode, Some(mmDecodeSql)),
+    QueryDef("mm_video_frame_sample", mmVideoFrames,
+      Some(mmVideoFramesSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_decode_audio_frames", mmAudioFrames, Some(mmAudioFramesSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),

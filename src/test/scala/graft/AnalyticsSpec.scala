@@ -779,6 +779,31 @@ class AnalyticsSpec extends AnyFunSuite {
       "direct" -> ((2L, 0.4))))
   }
 
+  test("cohortLtv: epoch-week cohorts, pre-signup excluded, cum exact") {
+    val D = 86400L * 1000000L // one day in micros
+    val jan1 = 19723L // epoch day of 2024-01-01; 19723/7 = 2817
+    def at(day: Long) = ts(day * D)
+    val rows = Seq(
+      // u1 signs up Jan 1; a pre-signup purchase must be excluded
+      (1L, 1L, at(jan1 - 1), "purchase", java.lang.Double.valueOf(99.0)),
+      (2L, 1L, at(jan1), "signup", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, at(jan1), "purchase", java.lang.Double.valueOf(10.0)),
+      (4L, 1L, at(jan1 + 8), "purchase", java.lang.Double.valueOf(5.0)),
+      // u2: next day, SAME epoch-week cohort (19724/7 = 2817)
+      (5L, 2L, at(jan1 + 1), "signup", java.lang.Double.valueOf(1.0)),
+      (6L, 2L, at(jan1 + 2), "purchase", java.lang.Double.valueOf(2.0)),
+      // u3: purchase with no signup -> never cohorted
+      (7L, 3L, at(jan1), "purchase", java.lang.Double.valueOf(7.0)))
+    val got = Analytics.cohortLtv(evDf(rows), "user_id", "ts",
+        "event_type", "signup", "purchase", "value")
+      .orderBy("weeks_since").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (2817L, 0L, 2L, 12.0, 12.0, 6.0),
+      (2817L, 1L, 2L, 5.0, 17.0, 8.5)))
+  }
+
   test("linearAttribution splits credit equally, totals conversions") {
     val S = 1000000L
     val rows = Seq(

@@ -1080,6 +1080,31 @@ class OpsSpec extends AnyFunSuite {
     assert(qf.features.slice(12, 15).toSeq == Seq(1f, 1f, 1f))
   }
 
+  test("video container round-trips; frame sampling decodes real stills") {
+    import graft.ops.Multimodal.{MediaRow, VideoContainer}
+    val vid = Multimodal.syntheticVideo(5L, 3, 5, 4)
+    val frames = VideoContainer.unpack(vid).get
+    assert(frames.length == 3)
+    assert(frames(1).sameElements(Multimodal.syntheticPng(5001L, 5, 4)),
+      "per-frame seed is id*1000 + frame")
+    // truncated and foreign payloads are rejected, not mis-parsed
+    assert(VideoContainer.unpack(vid.dropRight(1)).isEmpty)
+    assert(VideoContainer.unpack("JUNKJUNK".getBytes("US-ASCII")).isEmpty)
+    // sampling stride keeps frames 0 and 2; each decode is the REAL
+    // imageio pass, bit-identical to decoding the still directly
+    import spark.implicits._
+    val ds = spark.createDataset(
+      Seq(MediaRow(5L, "video/x-graft-mjpeg", vid)))
+    val got = Multimodal.videoFrameFeatures(ds, everyN = 2)
+      .collect().sortBy(_.frame)
+    assert(got.map(_.frame).toSeq == Seq(0, 2))
+    val direct = Multimodal.ImageCodec.tryDecode(
+      MediaRow(5L, "image/png", frames(2))).get
+    assert(got(1).width == 5 && got(1).height == 4 &&
+      got(1).channels == direct.channels)
+    assert(got(1).features.sameElements(direct.features))
+  }
+
   test("mixed media table routes PNGs to imageio and text to the fallback") {
     val media = Multimodal.mediaWithImages(spark, docs(corpus.take(8)))
     val fs = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
