@@ -368,4 +368,150 @@ object Stats {
       .select(col("n_rows"), col("mean"), col("n_resamples"),
         col("ci_lo"), col("ci_hi"), col("se_boot"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) for a two-arm
+    * experiment: per-unit post-period metric Y adjusted by the
+    * pre-period covariate X, Yadj = Y − θ(X − mean(X)) with the pooled
+    * θ = cov(X,Y)/var(X). Arm assignment is a pinned md5 bit of the
+    * unit key (engine-portable, the same family as [[cmsBucket]]'s),
+    * so the whole experiment — assignment, θ, adjusted means — replays
+    * exactly in SQL.
+    *
+    * Determinism: per-unit X/Y are exact DECIMAL(38,6) sums of the
+    * 6dp-rounded value (addition order can't perturb them), and the
+    * cross-moments Σx, Σy, Σxy, Σx² are exact DECIMAL sums of those —
+    * θ and the adjusted means are computed in double only from those
+    * few exact totals, so they are bit-deterministic across engines
+    * and partitionings. (Plain double covar_samp would be Welford-merge
+    * order-dependent.)
+    *
+    * Scale shape: one unit-keyed conditional aggregate (the only
+    * full-data shuffle), then a single-row moment aggregate broadcast
+    * back over the unit table — no quadratic stage, no global sort.
+    * Output: one row per arm with raw and adjusted means, plus the
+    * pooled θ, the diff-in-means before/after adjustment, and the
+    * variance-reduction ratio 1 − var(Yadj)/var(Y) repeated per row.
+    */
+  def cuped(df: DataFrame, unitCol: Column, valueCol: Column,
+            isPre: Column, salt: String = "cuped"): DataFrame = {
+    val v = round(valueCol, 6).cast("decimal(38,6)")
+    val arm = (conv(substring(md5(concat(lit(salt), lit(":"),
+      unitCol.cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
+    // DECIMAL(18,6) per-unit totals: sf0.1-scale per-user sums are
+    // ≤ ~1e6, and (18,6)×(18,6) products stay inside DECIMAL(38,12) in
+    // BOTH engines (a (38,6) square would overflow DuckDB's 38-digit
+    // multiply), so the oracle replays every sum exactly.
+    val units = df.groupBy(unitCol.as("unit"), arm.as("arm"))
+      .agg(coalesce(sum(when(isPre, v)), lit(0)).cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(!isPre, v)), lit(0)).cast("decimal(18,6)").as("y"))
+    val unitsC = graft.data.ScopedCaches.track(units)
+    val mom = unitsC.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double")
+        .as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,12)")).cast("double")
+        .as("syy"))
+      .select(col("n"), (col("sx") / col("n")).as("mx"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) *
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+          ((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("var_reduction"))
+    // E[Y − θ(X − mx)] is linear, so arm means of the adjusted metric
+    // come straight from the exact per-arm decimal sums — no second
+    // (order-sensitive) double pass over units. var_reduction is the
+    // classic CUPED identity ρ² = cov²/(varX·varY).
+    val perArm = unitsC.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x")).cast("double").as("__sxa"),
+        sum(col("y")).cast("double").as("__sya"))
+      .crossJoin(broadcast(mom))
+      .select(col("arm"), col("n_units"),
+        (col("__sya") / col("n_units")).as("__my"),
+        (col("__sya") / col("n_units") - col("theta") *
+          (col("__sxa") / col("n_units") - col("mx"))).as("__madj"),
+        col("theta"), col("var_reduction"))
+    val overall = perArm.agg(
+      round(first(col("theta")), 6).as("theta"),
+      round(max(when(col("arm") === 1, col("__my"))) -
+        max(when(col("arm") === 0, col("__my"))), 6).as("diff_raw"),
+      round(max(when(col("arm") === 1, col("__madj"))) -
+        max(when(col("arm") === 0, col("__madj"))), 6).as("diff_adj"),
+      round(first(col("var_reduction")), 6).as("var_reduction"))
+    perArm.select(col("arm"), col("n_units"),
+        round(col("__my"), 6).as("mean_y"),
+        round(col("__madj"), 6).as("mean_y_adj"))
+      .crossJoin(broadcast(overall))
+  }
+
+  /** Difference-in-differences over the same pinned-arm split as
+    * [[cuped]]: the four (arm × pre/post) cell means of `valueCol` and
+    * the DiD estimate (T,post − T,pre) − (C,post − C,pre). Cell sums
+    * are exact DECIMAL(38,6) of the 6dp-rounded value, so the estimate
+    * is bit-deterministic. One conditional aggregate over 2 groups —
+    * nothing here changes at 100 TB. Output: one row per arm with both
+    * period means, plus the DiD estimate repeated.
+    */
+  def diffInDiff(df: DataFrame, unitCol: Column, valueCol: Column,
+                 isPre: Column, salt: String = "cuped"): DataFrame = {
+    val v = round(valueCol, 6).cast("decimal(38,6)")
+    val arm = (conv(substring(md5(concat(lit(salt), lit(":"),
+      unitCol.cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
+    val cells = df.groupBy(arm.as("arm"))
+      .agg(count(when(isPre, 1)).as("n_pre"),
+        count(when(!isPre, 1)).as("n_post"),
+        (sum(when(isPre, v)).cast("double") / count(when(isPre, 1)))
+          .as("__m_pre"),
+        (sum(when(!isPre, v)).cast("double") / count(when(!isPre, 1)))
+          .as("__m_post"))
+    val did = cells.agg(round(
+      max(when(col("arm") === 1, col("__m_post") - col("__m_pre"))) -
+        max(when(col("arm") === 0, col("__m_post") - col("__m_pre"))), 6)
+      .as("did_estimate"))
+    cells.select(col("arm"), col("n_pre"), col("n_post"),
+        round(col("__m_pre"), 6).as("mean_pre"),
+        round(col("__m_post"), 6).as("mean_post"))
+      .crossJoin(broadcast(did))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols` (upper triangle,
+    * one row per pair) in ONE combinable aggregate pass: every Σx, Σx²
+    * and Σxy is an exact DECIMAL sum of 6dp-rounded values (the same
+    * order-immunity argument as [[cuped]]), and each r is assembled in
+    * double from its five exact totals. p columns → p(p+1)/2 decimal
+    * sums in a single-row aggregate; no shuffle wider than that row.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    // (18,6), not (38,6): the squares must fit a DuckDB 38-digit
+    // multiply for the oracle to replay them exactly (see [[cuped]])
+    val vs = cols.map(c => round(col(c), 6).cast("decimal(18,6)").as(s"__$c"))
+    val base = df.select(vs: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(s"__$c")).cast("double").as(s"s_$c"),
+        sum((col(s"__$c") * col(s"__$c")).cast("decimal(38,12)"))
+          .cast("double").as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum((col(s"__$a") * col(s"__$b")).cast("decimal(38,12)"))
+          .cast("double").as(s"sp_${a}_$b") }
+    val mom = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round((col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b") / col("n")) /
+          sqrt((col(s"ss_$a") - col(s"s_$a") * col(s"s_$a") / col("n")) *
+            (col(s"ss_$b") - col(s"s_$b") * col(s"s_$b") / col("n"))), 6)
+          .as("pearson_r"))
+    }
+    mom.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.pearson_r"))
+  }
 }

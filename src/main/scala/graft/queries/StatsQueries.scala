@@ -317,7 +317,132 @@ object StatsQueries {
       |       round(stddev_samp(m), 6) AS se_boot
       |FROM m CROSS JOIN base GROUP BY 1, 2""".stripMargin
 
+  /** CUPED-adjusted experiment readout over events: units = users,
+    * arms = pinned md5 bit, covariate X = pre-2024-01-15 per-user value
+    * total, metric Y = post-period total. Every sum the estimate
+    * touches is an exact DECIMAL, so the oracle replays θ, the
+    * adjusted means, and the ρ² variance reduction bit-for-bit.
+    */
+  private def evCupedImpact(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Stats.cuped(ev, col("user_id"), col("value"),
+      col("ts") < lit("2024-01-15").cast("timestamp"))
+  }
+
+  private val evCupedImpactSql =
+    """WITH u AS (
+      |  SELECT CAST(CAST('0x' || substr(md5('cuped:' ||
+      |           CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS INT)
+      |           AS arm,
+      |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+      |           THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0)
+      |           AS DECIMAL(18,6)) AS x,
+      |         CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15')
+      |           THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0)
+      |           AS DECIMAL(18,6)) AS y
+      |  FROM events GROUP BY user_id, 1),
+      |mom AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+      |           AS DOUBLE) AS sxy,
+      |         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+      |           AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+      |           AS DOUBLE) AS syy
+      |  FROM u),
+      |th AS (
+      |  SELECT n, sx / n AS mx,
+      |         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+      |         ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+      |           ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS vr
+      |  FROM mom),
+      |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+      |              CAST(sum(x) AS DOUBLE) AS sxa,
+      |              CAST(sum(y) AS DOUBLE) AS sya
+      |       FROM u GROUP BY 1),
+      |pa2 AS (SELECT arm, n_units, sya / n_units AS my,
+      |               sya / n_units - th.theta * (sxa / n_units - th.mx)
+      |                 AS madj,
+      |               th.theta AS theta, th.vr AS vr
+      |        FROM pa CROSS JOIN th),
+      |ov AS (SELECT round(max(theta), 6) AS theta,
+      |              round(max(CASE WHEN arm = 1 THEN my END) -
+      |                    max(CASE WHEN arm = 0 THEN my END), 6) AS diff_raw,
+      |              round(max(CASE WHEN arm = 1 THEN madj END) -
+      |                    max(CASE WHEN arm = 0 THEN madj END), 6)
+      |                AS diff_adj,
+      |              round(max(vr), 6) AS var_reduction
+      |       FROM pa2)
+      |SELECT arm, n_units, round(my, 6) AS mean_y,
+      |       round(madj, 6) AS mean_y_adj, ov.theta, ov.diff_raw,
+      |       ov.diff_adj, ov.var_reduction
+      |FROM pa2 CROSS JOIN ov""".stripMargin
+
+  /** Difference-in-differences on the same pinned split and pivot:
+    * the 2×2 (arm × period) cell means and the DiD interaction.
+    */
+  private def evDidEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Stats.diffInDiff(ev, col("user_id"), col("value"),
+      col("ts") < lit("2024-01-15").cast("timestamp"))
+  }
+
+  private val evDidEstimateSql =
+    """WITH c AS (
+      |  SELECT CAST(CAST('0x' || substr(md5('cuped:' ||
+      |           CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS INT)
+      |           AS arm,
+      |         count(*) FILTER (ts < TIMESTAMP '2024-01-15') AS n_pre,
+      |         count(*) FILTER (NOT (ts < TIMESTAMP '2024-01-15'))
+      |           AS n_post,
+      |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+      |             THEN CAST(round(value, 6) AS DECIMAL(38,6)) END)
+      |             AS DOUBLE) /
+      |           count(*) FILTER (ts < TIMESTAMP '2024-01-15') AS m_pre,
+      |         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15')
+      |             THEN CAST(round(value, 6) AS DECIMAL(38,6)) END)
+      |             AS DOUBLE) /
+      |           count(*) FILTER (NOT (ts < TIMESTAMP '2024-01-15'))
+      |           AS m_post
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT round(
+      |        max(CASE WHEN arm = 1 THEN m_post - m_pre END) -
+      |        max(CASE WHEN arm = 0 THEN m_post - m_pre END), 6)
+      |        AS did_estimate FROM c)
+      |SELECT arm, n_pre, n_post, round(m_pre, 6) AS mean_pre,
+      |       round(m_post, 6) AS mean_post, d.did_estimate
+      |FROM c CROSS JOIN d""".stripMargin
+
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * numeric measures — one combinable pass, exact decimal moments.
+    */
+  private def liCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    Stats.corrMatrix(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private val liCorrMatrixSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val b = cols.map(c =>
+      s"CAST(round($c, 6) AS DECIMAL(18,6)) AS $c").mkString(", ")
+    val moms = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      cols.flatMap(c => Seq(
+        s"CAST(sum($c) AS DOUBLE) AS s_$c",
+        s"CAST(sum(CAST($c AS DECIMAL(19,6)) * CAST($c AS DECIMAL(19,6))) AS DOUBLE) AS ss_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield s"CAST(sum(CAST(${cols(i)} AS DECIMAL(19,6)) * CAST(${cols(j)} AS DECIMAL(19,6))) AS DOUBLE) AS sp_${cols(i)}_${cols(j)}"))
+      .mkString(",\n       ")
+    val rows = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, c) = (cols(i), cols(j))
+      s"SELECT '$a' AS col_x, '$c' AS col_y, round((sp_${a}_$c - s_$a * s_$c / n) / sqrt((ss_$a - s_$a * s_$a / n) * (ss_$c - s_$c * s_$c / n)), 6) AS pearson_r FROM m"
+    }).mkString("\nUNION ALL\n")
+    s"WITH b AS (SELECT $b FROM lineitem),\nm AS (SELECT $moms FROM b)\n$rows"
+  }
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
+    QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
+    QueryDef("li_corr_matrix", liCorrMatrix, Some(liCorrMatrixSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),

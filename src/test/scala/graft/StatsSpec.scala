@@ -141,6 +141,53 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.0)
   }
 
+  test("cuped: perfectly-correlated covariate gives theta=2, rho2=1, diff_adj=0") {
+    // per unit: pre total X = i, post total Y = 2i. θ = cov/var = 2,
+    // var_reduction = ρ² = 1, and the adjusted arm means both collapse
+    // to 2·mean(X) — the arm split (pinned md5 bit) cannot matter.
+    val df = (1 to 40).flatMap(i =>
+      Seq((i.toLong, i.toDouble, true), (i.toLong, 2.0 * i, false)))
+      .toDF("unit", "value", "pre")
+    val rows = Stats.cuped(df, col("unit"), col("value"), col("pre"))
+      .collect()
+    assert(rows.length == 2, "one row per arm")
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(rows.map(_.getLong(1)).sum == 40L, "all units assigned")
+    val r = rows.head
+    assert(r.getDouble(4) == 2.0, "theta")
+    assert(r.getDouble(7) == 1.0, "var_reduction = rho^2 = 1")
+    assert(r.getDouble(6) == 0.0, "perfect covariate removes the arm diff")
+    rows.foreach { x =>
+      assert(x.getDouble(3) == 41.0, // 2 * mean(1..40) = 41
+        "adjusted mean is 2*mean(X) for both arms")
+    }
+  }
+
+  test("diffInDiff: a uniform pre->post shift is not a treatment effect") {
+    val df = (1 to 30).flatMap(i =>
+      Seq((i.toLong, 1.0, true), (i.toLong, 6.0, false)))
+      .toDF("unit", "value", "pre")
+    val rows = Stats.diffInDiff(df, col("unit"), col("value"), col("pre"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 6.0)
+      assert(r.getDouble(5) == 0.0, "parallel trends -> DiD 0")
+    }
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == 60L)
+  }
+
+  test("corrMatrix: exact +1/-1 on linearly dependent columns") {
+    val df = Seq((1.0, 2.0, 4.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0),
+      (4.0, 8.0, 1.0)).toDF("a", "b", "c")
+    val m = Stats.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 3, "upper triangle of 3 columns")
+    assert(m(("a", "b")) == 1.0)
+    assert(m(("a", "c")) == -1.0)
+    assert(m(("b", "c")) == -1.0)
+  }
+
   test("poissonBootstrapCi: interval brackets the mean, multiplicities near Poisson(1)") {
     val df = (1L to 200L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
     val r = Stats.poissonBootstrapCi(df, "id", "v", b = 200).collect().head
