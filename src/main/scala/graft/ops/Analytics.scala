@@ -353,6 +353,114 @@ object Analytics {
         round(sum(col("credit")), 6).as("credited"))
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution: the
+    * FIRST and LAST in-window touch of each conversion get 40% of the
+    * credit each and the middle touches split the remaining 20%
+    * equally; 1 touch takes 100%, 2 touches split 50/50, and a
+    * conversion with no in-window touch credits "direct" in full. The
+    * standard middle ground between [[lastTouchAttribution]] (all
+    * credit at the bottom of the funnel) and [[linearAttribution]]
+    * (position-blind): discovery and closing both matter more than the
+    * nurturing middle.
+    *
+    * Shape: identical join skeleton to [[linearAttribution]] — one
+    * shuffle on the user key, pair fan-out bounded by events-per-user
+    * × window. Position and touch count are a row_number + count over
+    * the SAME per-conversion partitioning (one window pass), ordered by
+    * (ts, tie) so both engines see identical positions. All credits
+    * are small rationals; only the final per-channel sum is rounded.
+    */
+  def positionAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String,
+                          conversionType: String, touchTypes: Seq[String],
+                          windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__cts"),
+        col(tieCol).as("__ctie"))
+    val touch = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tts"),
+        col(tieCol).as("__ttie"), col(typeCol).as("__ch"))
+    val joined = conv.join(touch,
+      conv("__k") === touch("__k") &&
+        (col("__tts") < col("__cts") ||
+          (col("__tts") === col("__cts") && col("__ttie") < col("__ctie"))) &&
+        col("__cts").cast("long") - col("__tts").cast("long") <= windowSec,
+      "left")
+      .select(conv("__k").as("k"), col("__cts"), col("__ctie"),
+        col("__tts"), col("__ttie"), col("__ch"))
+    val part = Window.partitionBy(col("k"), col("__cts"), col("__ctie"))
+    val ord = part.orderBy(col("__tts").asc, col("__ttie").asc)
+    val credited = joined
+      .withColumn("__n", count(col("__ch")).over(part))
+      .withColumn("__pos", row_number().over(ord))
+      .select(
+        coalesce(col("__ch"), lit("direct")).as("channel"),
+        when(col("__n") === 0, lit(1.0))
+          .when(col("__n") === 1, lit(1.0))
+          .when(col("__n") === 2, lit(0.5))
+          .when(col("__pos") === 1 || col("__pos") === col("__n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("__n") - 2)).as("credit"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(sum(col("credit")), 6).as("credited"))
+  }
+
+  /** Time-decay multi-touch attribution with EXACT power-of-two decay:
+    * a touch Δt seconds before its conversion earns raw weight
+    * 2^(−⌊Δt / halfLifeSec⌋), normalized per conversion so each
+    * conversion distributes exactly one unit of credit; no in-window
+    * touch → "direct" in full. The floor-bucketed exponent keeps every
+    * raw weight a dyadic rational — sums and ratios of these are exact
+    * in binary doubles, so the report replays bit-for-bit across
+    * engines (a continuous exp(−λΔt) would hang determinism on libm).
+    * Recency-weighted credit is the standard answer to last-touch's
+    * winner-take-all and linear's flat split.
+    *
+    * Shape: same single user-key shuffle as the other attribution
+    * variants; the per-conversion normalizer is a window sum over the
+    * same partitioning (exponent spread is ≤ window/halfLife ≈ 2⁴ here,
+    * far inside the double mantissa, so the window sum is exact in any
+    * accumulation order).
+    */
+  def timeDecayAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                           tieCol: String, typeCol: String,
+                           conversionType: String, touchTypes: Seq[String],
+                           windowSec: Long, halfLifeSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    require(halfLifeSec > 0, "halfLifeSec must be positive")
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__cts"),
+        col(tieCol).as("__ctie"))
+    val touch = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tts"),
+        col(tieCol).as("__ttie"), col(typeCol).as("__ch"))
+    val joined = conv.join(touch,
+      conv("__k") === touch("__k") &&
+        (col("__tts") < col("__cts") ||
+          (col("__tts") === col("__cts") && col("__ttie") < col("__ctie"))) &&
+        col("__cts").cast("long") - col("__tts").cast("long") <= windowSec,
+      "left")
+      .select(conv("__k").as("k"), col("__cts"), col("__ctie"),
+        col("__tts"), col("__ch"))
+    val part = Window.partitionBy(col("k"), col("__cts"), col("__ctie"))
+    val raw = when(col("__ch").isNull, lit(0.0)).otherwise(
+      pow(lit(2.0), -floor((col("__cts").cast("long") -
+        col("__tts").cast("long")) / lit(halfLifeSec))))
+    val credited = joined
+      .withColumn("__w", raw)
+      .withColumn("__tot", sum(col("__w")).over(part))
+      .select(
+        coalesce(col("__ch"), lit("direct")).as("channel"),
+        when(col("__tot") === 0, lit(1.0))
+          .otherwise(col("__w") / col("__tot")).as("credit"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(sum(col("credit")), 6).as("credited"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov
     * chain — the long-run fraction of time the process spends in each
     * type, the summary behind "where does user attention equilibrate"

@@ -420,6 +420,76 @@ object AnalyticsQueries {
       |       round(sum(credit), 6) AS credited
       |FROM cr GROUP BY 1""".stripMargin
 
+  /** Position-based (U-shaped 40/20/40) attribution — see
+    * [[graft.ops.Analytics.positionAttribution]].
+    */
+  private def evAttributionUshape(s: SparkSession, dir: String): DataFrame =
+    Analytics.positionAttribution(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type", conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"), windowSec = 86400L)
+
+  private val evAttributionUshapeSql =
+    """WITH c AS (SELECT user_id AS k, ts AS cts, event_id AS ctie
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id AS k, ts AS tts, event_id AS ttie,
+      |             event_type AS ch
+      |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |j AS (SELECT c.k, c.cts, c.ctie, t.tts, t.ttie, t.ch
+      |      FROM c LEFT JOIN t ON c.k = t.k
+      |        AND (t.tts < c.cts
+      |             OR (t.tts = c.cts AND t.ttie < c.ctie))
+      |        AND epoch(c.cts)::BIGINT - epoch(t.tts)::BIGINT <= 86400),
+      |n AS (SELECT k, cts, ctie, ch,
+      |        count(ch) OVER (PARTITION BY k, cts, ctie) AS nt,
+      |        row_number() OVER (PARTITION BY k, cts, ctie
+      |          ORDER BY tts, ttie) AS pos
+      |      FROM j),
+      |cr AS (SELECT coalesce(ch, 'direct') AS channel,
+      |         CASE WHEN nt <= 1 THEN 1.0
+      |              WHEN nt = 2 THEN 0.5
+      |              WHEN pos = 1 OR pos = nt THEN 0.4
+      |              ELSE 0.2 / (nt - 2) END AS credit
+      |       FROM n)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+      |       round(sum(credit), 6) AS credited
+      |FROM cr GROUP BY 1""".stripMargin
+
+  /** Time-decay attribution with exact power-of-two half-life decay —
+    * see [[graft.ops.Analytics.timeDecayAttribution]]. Half-life 6 h
+    * inside the 24 h window: exponents 0..4, all weights dyadic.
+    */
+  private def evAttributionTimeDecay(s: SparkSession,
+                                     dir: String): DataFrame =
+    Analytics.timeDecayAttribution(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type", conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"), windowSec = 86400L,
+      halfLifeSec = 21600L)
+
+  private val evAttributionTimeDecaySql =
+    """WITH c AS (SELECT user_id AS k, ts AS cts, event_id AS ctie
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id AS k, ts AS tts, event_id AS ttie,
+      |             event_type AS ch
+      |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |j AS (SELECT c.k, c.cts, c.ctie, t.ch,
+      |        CASE WHEN t.ch IS NULL THEN 0.0
+      |             ELSE pow(2.0, -floor(
+      |               (epoch(c.cts)::BIGINT - epoch(t.tts)::BIGINT)
+      |                 / 21600.0)) END AS w
+      |      FROM c LEFT JOIN t ON c.k = t.k
+      |        AND (t.tts < c.cts
+      |             OR (t.tts = c.cts AND t.ttie < c.ctie))
+      |        AND epoch(c.cts)::BIGINT - epoch(t.tts)::BIGINT <= 86400),
+      |n AS (SELECT ch, w,
+      |        sum(w) OVER (PARTITION BY k, cts, ctie) AS tot
+      |      FROM j),
+      |cr AS (SELECT coalesce(ch, 'direct') AS channel,
+      |         CASE WHEN tot = 0 THEN 1.0 ELSE w / tot END AS credit
+      |       FROM n)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+      |       round(sum(credit), 6) AS credited
+      |FROM cr GROUP BY 1""".stripMargin
+
   /** Stationary distribution of the event-type chain (12 pinned power
     * iterations, dangling mass renormalized) — see
     * [[graft.ops.Analytics.markovStationary]]. The oracle unrolls the
@@ -1083,6 +1153,10 @@ object AnalyticsQueries {
       Some(evAttributionSql)),
     QueryDef("ev_attribution_linear", evAttributionLinear,
       Some(evAttributionLinearSql)),
+    QueryDef("ev_attribution_ushape", evAttributionUshape,
+      Some(evAttributionUshapeSql)),
+    QueryDef("ev_attribution_timedecay", evAttributionTimeDecay,
+      Some(evAttributionTimeDecaySql)),
     QueryDef("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
     QueryDef("ev_transition_matrix", evTransitionMatrix,
       Some(evTransitionMatrixSql)),

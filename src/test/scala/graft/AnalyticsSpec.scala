@@ -828,6 +828,59 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 4.0)
   }
 
+  test("positionAttribution: 40/20/40 ends, pair split, singleton, direct") {
+    val S = 1000000L
+    val rows = Seq(
+      // u1: 4 touches -> first click 0.4, middles view/click 0.1, last signup 0.4
+      (1L, 1L, ts(100 * S), "click", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(200 * S), "view", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(300 * S), "click", java.lang.Double.valueOf(1.0)),
+      (4L, 1L, ts(400 * S), "signup", java.lang.Double.valueOf(1.0)),
+      (5L, 1L, ts(500 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u2: 2 touches -> 0.5 each
+      (6L, 2L, ts(100 * S), "click", java.lang.Double.valueOf(1.0)),
+      (7L, 2L, ts(200 * S), "view", java.lang.Double.valueOf(1.0)),
+      (8L, 2L, ts(300 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u3: 1 touch -> full credit
+      (9L, 3L, ts(100 * S), "view", java.lang.Double.valueOf(1.0)),
+      (10L, 3L, ts(200 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u4: no touch -> direct
+      (11L, 4L, ts(100 * S), "purchase", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.positionAttribution(evDf(rows), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("click", "view", "signup"), windowSec = 86400L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((3L, 1.0)), "view" -> ((3L, 1.6)),
+      "signup" -> ((1L, 0.4)), "direct" -> ((1L, 1.0))))
+    // mass conservation: credits sum to the 4 conversions
+    assert(math.abs(got.values.map(_._2).sum - 4.0) < 1e-9)
+  }
+
+  test("timeDecayAttribution: dyadic half-life weights, window, direct") {
+    val S = 1000000L
+    val rows = Seq(
+      // u1: clicks at dt=250,201 (w=0.25 each), view at dt=100 (w=0.5)
+      //  -> tot=1.0: click 0.5, view 0.5
+      (1L, 1L, ts(0 * S), "click", java.lang.Double.valueOf(1.0)),
+      (2L, 1L, ts(49 * S), "click", java.lang.Double.valueOf(1.0)),
+      (3L, 1L, ts(150 * S), "view", java.lang.Double.valueOf(1.0)),
+      (4L, 1L, ts(250 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u2: no touch -> direct
+      (5L, 2L, ts(100 * S), "purchase", java.lang.Double.valueOf(1.0)),
+      // u3: only touch is outside the window -> direct
+      (6L, 3L, ts(0 * S), "view", java.lang.Double.valueOf(1.0)),
+      (7L, 3L, ts(990 * S), "purchase", java.lang.Double.valueOf(1.0)))
+    val got = Analytics.timeDecayAttribution(evDf(rows), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("click", "view", "signup"), windowSec = 900L,
+        halfLifeSec = 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((2L, 0.5)), "view" -> ((1L, 0.5)),
+      "direct" -> ((2L, 2.0))))
+  }
+
   test("markovStationary converges to the analytic two-state fixpoint") {
     // one user, sequence A A B B B B A: P(A->A)=P(A->B)=0.5,
     // P(B->B)=0.75, P(B->A)=0.25 -> stationary (1/3, 2/3); second
