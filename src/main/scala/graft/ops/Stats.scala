@@ -486,6 +486,63 @@ object Stats {
     * double from its five exact totals. p columns → p(p+1)/2 decimal
     * sums in a single-row aggregate; no shuffle wider than that row.
     */
+  /** Wald SPRT monitoring view (Wald 1945) for a Bernoulli metric on
+    * the experiment arm: H0 p = p0 vs H1 p = p1 over arm-B trials in
+    * arrival order, checkpointed per time bucket. Each row is one
+    * checkpoint with the cumulative trial/success counts, the log-
+    * likelihood ratio llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)),
+    * and the Wald-boundary state at that point: `accept_h1` when
+    * llr ≥ ln((1−β)/α), `accept_h0` when llr ≤ ln(β/(1−α)), else
+    * `continue`. This is the MONITORING view — a sequential deployment
+    * stops at the first non-continue row; later rows show where the
+    * trajectory went had it kept sampling.
+    *
+    * Arm assignment is the same pinned md5 split as [[cuped]] (arm 1 =
+    * treatment), so every engine and every retry sees identical trials.
+    * Determinism: n and k are exact integers; the llr is integer counts
+    * × two log constants — double error stays ~ulp·n, far inside the
+    * 6dp pin; boundary constants are 6dp-pinned on both sides before
+    * the comparison.
+    *
+    * Scale shape: ONE conditional aggregate per (bucket) is the only
+    * full-data shuffle; the cumulative window runs over the bucket
+    * DOMAIN (hours of the experiment — thousands, not rows), so the
+    * unpartitioned window is deliberate and bounded.
+    */
+  def sprtMonitor(df: DataFrame, unitCol: Column, tsCol: Column,
+                  isSuccess: Column, p0: Double, p1: Double,
+                  alpha: Double, beta: Double,
+                  salt: String = "sprt"): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct probabilities in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta must be in (0,1)")
+    val arm = (conv(substring(md5(concat(lit(salt), lit(":"),
+      unitCol.cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
+    val buckets = df.filter(arm === 1)
+      .groupBy(date_trunc("hour", tsCol).as("bucket"))
+      .agg(count(lit(1)).as("trials"),
+        coalesce(sum(when(isSuccess, 1L).otherwise(0L)), lit(0L))
+          .as("successes"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = col("cum_k") * log(lit(p1 / p0)) +
+      (col("cum_n") - col("cum_k")) * log(lit((1 - p1) / (1 - p0)))
+    val upper = round(log(lit((1 - beta) / alpha)), 6)
+    val lower = round(log(lit(beta / (1 - alpha))), 6)
+    buckets
+      .withColumn("cum_n", sum(col("trials")).over(w))
+      .withColumn("cum_k", sum(col("successes")).over(w))
+      .select(col("bucket"), col("trials"), col("successes"),
+        col("cum_n"), col("cum_k"),
+        round(col("cum_k").cast("double") / col("cum_n"), 6)
+          .as("cum_rate"),
+        round(llr, 6).as("llr"),
+        when(round(llr, 6) >= upper, "accept_h1")
+          .when(round(llr, 6) <= lower, "accept_h0")
+          .otherwise("continue").as("state"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

@@ -414,6 +414,52 @@ object StatsQueries {
       |       round(m_post, 6) AS mean_post, d.did_estimate
       |FROM c CROSS JOIN d""".stripMargin
 
+  /** Wald SPRT monitoring view: is the purchase share of arm-B events
+    * p1 = 0.21 rather than p0 = 0.19, α = 0.05 / β = 0.10, hourly
+    * checkpoints — see [[graft.ops.Stats.sprtMonitor]]. The oracle
+    * writes every probability constant as the SAME double expression
+    * (e.g. `(1-0.21)/(1-0.19)`, never a pre-simplified `0.79/0.81`,
+    * which is a DIFFERENT double) so both engines feed ln identical
+    * arguments.
+    */
+  private def evSprtMonitor(s: SparkSession, dir: String): DataFrame =
+    Stats.sprtMonitor(Tables.events(s, dir), col("event_id"), col("ts"),
+      col("event_type") === "purchase", p0 = 0.19, p1 = 0.21,
+      alpha = 0.05, beta = 0.10)
+
+  private val evSprtMonitorSql =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', ts) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS trials,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS successes
+      |  FROM events
+      |  WHERE CAST(CAST('0x' || substr(md5('sprt:' ||
+      |          CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS INT)
+      |          = 1
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT bucket, trials, successes,
+      |         CAST(sum(trials) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+      |         CAST(sum(successes) OVER (ORDER BY bucket) AS BIGINT)
+      |           AS cum_k
+      |  FROM b)
+      |SELECT bucket, trials, successes, cum_n, cum_k,
+      |       round(CAST(cum_k AS DOUBLE) / cum_n, 6) AS cum_rate,
+      |       round(cum_k * ln(0.21 / 0.19) +
+      |             (cum_n - cum_k) * ln((1 - 0.21) / (1 - 0.19)), 6)
+      |         AS llr,
+      |       CASE WHEN round(cum_k * ln(0.21 / 0.19) +
+      |                 (cum_n - cum_k) * ln((1 - 0.21) / (1 - 0.19)), 6)
+      |                 >= round(ln((1 - 0.10) / 0.05), 6)
+      |              THEN 'accept_h1'
+      |            WHEN round(cum_k * ln(0.21 / 0.19) +
+      |                 (cum_n - cum_k) * ln((1 - 0.21) / (1 - 0.19)), 6)
+      |                 <= round(ln(0.10 / (1 - 0.05)), 6)
+      |              THEN 'accept_h0'
+      |            ELSE 'continue' END AS state
+      |FROM c""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -443,6 +489,7 @@ object StatsQueries {
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
     QueryDef("li_corr_matrix", liCorrMatrix, Some(liCorrMatrixSql)),
+    QueryDef("ev_sprt_monitor", evSprtMonitor, Some(evSprtMonitorSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),

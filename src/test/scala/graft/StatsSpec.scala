@@ -188,6 +188,50 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("b", "c")) == -1.0)
   }
 
+  test("sprtMonitor: cumulative counts, llr formula, boundary states") {
+    // 600 trial units over 3 hours; success iff id % 4 == 0. Arm
+    // membership is the op's own md5 split — the test recomputes it
+    // with the same expression and checks the checkpoint math exactly.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = (0L until 1800L).map { i =>
+      (i, new java.sql.Timestamp(base.getTime + (i / 600) * 3600 * 1000L),
+        i % 4 == 0)
+    }.toDF("id", "ts", "succ")
+    val armB = df.filter(
+      conv(substring(md5(concat(lit("sprt:"), col("id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2 === 1)
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), sum(when(col("succ"), 1L).otherwise(0L))
+        .as("k"))
+      .orderBy("h").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val got = Stats.sprtMonitor(df, col("id"), col("ts"), col("succ"),
+        p0 = 0.19, p1 = 0.21, alpha = 0.05, beta = 0.10)
+      .orderBy("bucket").collect()
+    assert(got.length == 3)
+    var (cn, ck) = (0L, 0L)
+    got.zip(armB).foreach { case (r, (n, k)) =>
+      cn += n; ck += k
+      assert(r.getLong(1) == n && r.getLong(2) == k)
+      assert(r.getLong(3) == cn && r.getLong(4) == ck)
+      val llr = ck * math.log(0.21 / 0.19) +
+        (cn - ck) * math.log((1 - 0.21) / (1 - 0.19))
+      val llr6 = BigDecimal(llr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == llr6)
+      val up = BigDecimal(math.log((1 - 0.10) / 0.05))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lo = BigDecimal(math.log(0.10 / (1 - 0.05)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = if (llr6 >= up) "accept_h1"
+        else if (llr6 <= lo) "accept_h0" else "continue"
+      assert(r.getString(7) == want)
+    }
+    // 25% success rate vs H0 19% / H1 21%: with ~300 B-arm trials the
+    // trajectory must have drifted up into accept_h1 by the last row
+    assert(got.last.getString(7) == "accept_h1")
+  }
+
   test("poissonBootstrapCi: interval brackets the mean, multiplicities near Poisson(1)") {
     val df = (1L to 200L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
     val r = Stats.poissonBootstrapCi(df, "id", "v", b = 200).collect().head
