@@ -726,6 +726,80 @@ object TextAnalysis {
     * word stats are a vocab-sized combinable aggregate joined back,
     * and the final top-N is TakeOrdered — no global sort.
     */
+  /** Multinomial Naive Bayes language classifier, trained and evaluated
+    * in one plan: docs split train/test by a pinned md5 bucket
+    * (test = bucket 0 of `testMod`), add-one-smoothed word likelihoods
+    * fit on train, every test doc scored per language and argmax'd,
+    * output the (true, predicted) confusion matrix. The supervised
+    * complement of the heuristic n-gram langId: "is the lang column
+    * learnable from the text at all, and where does it confuse".
+    *
+    * Determinism: all likelihoods are SCALED-INTEGER logs — ln of an
+    * exact integer ratio, ×10⁶, rounded to BIGINT once at the (word,
+    * lang) grain — so doc scores are exact integer sums in any
+    * accumulation order, and argmax ties break to the smaller language
+    * code. A token the training lang never saw scores the lang's
+    * smoothed default ln(1/(T_l+V)); the doc score algebra is
+    * Σ present ll + Σ absent default, realized as a per-(token, lang)
+    * coalesce so no (doc × vocab) blow-up exists anywhere.
+    *
+    * Scale shape: the model is (vocab × langs) — shuffled once on
+    * (lang, word); per-lang totals/priors/vocab size ride tiny
+    * broadcasts. Test tokens fan out ×|langs| (a DOMAIN dimension,
+    * single digits) and join the model on (lang, word) — the only
+    * big-big shuffle; the argmax is a window over the test-DOC
+    * partitioning. No driver-side model, no collect.
+    */
+  def naiveBayesLangEval(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, labelCol: String,
+                         testMod: Int = 5,
+                         salt: String = "nbsplit"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(testMod >= 2, "testMod must be >= 2")
+    val bucket = (conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      % testMod).cast("int")
+    val base = df.select(col(idCol).as("id"), col(labelCol).as("lang"),
+      tokens(col(textCol)).as("toks"), bucket.as("h"))
+    val baseC = graft.data.ScopedCaches.track(base)
+    val train = baseC.filter(col("h") =!= 0)
+    val tt = train.select(col("lang"), explode(col("toks")).as("w"))
+    val cw = tt.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val cwC = graft.data.ScopedCaches.track(cw)
+    val tl = cwC.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val v = cwC.agg(countDistinct(col("w")).as("v"))
+    val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val ndt = train.agg(count(lit(1)).as("ndt"))
+    val langStats = tl.join(prior, "lang")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(ndt))
+      .select(col("lang"),
+        round(log(lit(1.0) / (col("t") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("dflt"),
+        round(log(col("nd").cast("double") / col("ndt")) * 1e6)
+          .cast("long").as("prior"))
+    val ll = cwC.join(broadcast(tl), "lang").crossJoin(broadcast(v))
+      .select(col("lang"), col("w"),
+        round(log((col("c") + 1).cast("double") /
+          (col("t") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("ll"))
+    val dt = baseC.filter(col("h") === 0)
+      .select(col("id"), col("lang").as("true_lang"),
+        explode(col("toks")).as("w"))
+    val scored = dt.crossJoin(broadcast(langStats))
+      .join(ll, Seq("lang", "w"), "left")
+      .select(col("id"), col("true_lang"), col("lang"),
+        coalesce(col("ll"), col("dflt")).as("s"), col("prior"))
+    val docLang = scored.groupBy(col("id"), col("true_lang"), col("lang"))
+      .agg((sum(col("s")) + max(col("prior"))).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    docLang.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def rakeKeyphrases(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, maxLen: Int,
                      topN: Int): org.apache.spark.sql.DataFrame = {

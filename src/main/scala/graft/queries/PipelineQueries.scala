@@ -3135,6 +3135,55 @@ object PipelineQueries {
   /** RAKE corpus keyphrases (maxLen 3, top 25) — see
     * [[graft.ops.TextAnalysis.rakeKeyphrases]].
     */
+  /** Naive Bayes language classifier train+eval — see
+    * [[graft.ops.TextAnalysis.naiveBayesLangEval]]. 80/20 pinned md5
+    * split, add-one smoothing, scaled-integer log scores.
+    */
+  private def nbLangConfusionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.naiveBayesLangEval(Tables.documents(s, dir), "doc_id",
+      "text", "lang", testMod = 5)
+
+  private val nbLangConfusionSql =
+    """WITH base AS (
+      |  SELECT doc_id AS id, lang,
+      |         string_split_regex(lower(trim(text)), '\s+') AS toks,
+      |         CAST(CAST('0x' || substr(md5('nbsplit:' ||
+      |           CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT)
+      |           AS h
+      |  FROM documents),
+      |tt AS (SELECT lang, unnest(toks) AS w FROM base WHERE h <> 0),
+      |cw AS (SELECT lang, w, count(*) AS c FROM tt GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+      |vo AS (SELECT count(DISTINCT w) AS v FROM cw),
+      |pr AS (SELECT lang, count(*) AS nd FROM base WHERE h <> 0
+      |       GROUP BY 1),
+      |nt AS (SELECT count(*) AS ndt FROM base WHERE h <> 0),
+      |ls AS (SELECT tl.lang,
+      |         CAST(round(ln(1.0 / CAST(t + vo.v AS DOUBLE)) * 1e6)
+      |           AS BIGINT) AS dflt,
+      |         CAST(round(ln(CAST(nd AS DOUBLE) / nt.ndt) * 1e6)
+      |           AS BIGINT) AS prior
+      |       FROM tl JOIN pr USING (lang) CROSS JOIN vo CROSS JOIN nt),
+      |ll AS (SELECT cw.lang, cw.w,
+      |         CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+      |           CAST(t + vo.v AS DOUBLE)) * 1e6) AS BIGINT) AS ll
+      |       FROM cw JOIN tl USING (lang) CROSS JOIN vo),
+      |dt AS (SELECT id, lang AS true_lang, unnest(toks) AS w
+      |       FROM base WHERE h = 0),
+      |sc AS (SELECT dt.id, dt.true_lang, ls.lang,
+      |         coalesce(ll.ll, ls.dflt) AS s, ls.prior
+      |       FROM dt CROSS JOIN ls
+      |       LEFT JOIN ll ON ll.lang = ls.lang AND ll.w = dt.w),
+      |ds AS (SELECT id, true_lang, lang,
+      |         CAST(sum(s) AS BIGINT) + max(prior) AS score
+      |       FROM sc GROUP BY 1, 2, 3),
+      |p AS (SELECT true_lang, lang AS pred_lang,
+      |        row_number() OVER (PARTITION BY id
+      |          ORDER BY score DESC, lang ASC) AS rn
+      |      FROM ds)
+      |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   private def rakeKeyphrasesQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
       "text", maxLen = 3, topN = 25)
@@ -3296,6 +3345,8 @@ object PipelineQueries {
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
+    QueryDef("text_nb_lang_confusion", nbLangConfusionQ,
+      Some(nbLangConfusionSql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),

@@ -1945,4 +1945,26 @@ class OpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(gotWide == brute)
   }
+
+  test("naiveBayesLangEval: disjoint vocab classifies every test doc right") {
+    import spark.implicits._
+    // langs with fully disjoint vocabulary: whatever the md5 split
+    // does, every test doc must land on the diagonal
+    val docs = (1L to 40L).map(i => (i, "xxxx xxxx xxxx", "aa")) ++
+      (41L to 80L).map(i => (i, "yyyy yyyy yyyy", "bb"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.naiveBayesLangEval(df, "doc_id", "text",
+        "lang", testMod = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // recompute the op's own split to know the expected diagonal counts
+    val testCounts = df.filter(
+      conv(substring(md5(concat(lit("nbsplit:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 5 === 0)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(testCounts.values.sum > 0, "fixture must yield test docs")
+    assert(got == testCounts.map { case (l, n) => (l, l) -> n })
+  }
 }
