@@ -853,6 +853,50 @@ object AnalyticsQueries {
     * scales to a 100 TB edge table. Edges are the first-order
     * transition counts; see [[graft.ops.Graph.pagerank]].
     */
+  /** Triangle census of the co-purchase graph (parts joined by
+    * appearing in the same order) — see
+    * [[graft.ops.Graph.triangleStats]].
+    */
+  private def liTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.triangleStats(pairs, "pa", "pb")
+  }
+
+  private val liTrianglesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN e.u ELSE e.v END AS a,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN e.v ELSE e.u END AS b,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN dv.d ELSE du.d END AS db
+      |      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      |w AS (SELECT w1.b AS x1, w2.b AS x2
+      |      FROM o w1 JOIN o w2 ON w1.a = w2.a
+      |        AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |      FROM w JOIN o ON o.a = w.x1 AND o.b = w.x2),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+      |             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      |      FROM deg)
+      |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+      |       CASE WHEN n_wedges = 0 THEN 0.0
+      |            ELSE round(3.0 * n_triangles / n_wedges, 6) END
+      |         AS global_clustering
+      |FROM s CROSS JOIN t""".stripMargin
+
   private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pagerank(
       Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1136,6 +1180,7 @@ object AnalyticsQueries {
       Some(evIncrementalMomentsSql)),
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
+    QueryDef("li_triangle_census", liTriangles, Some(liTrianglesSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

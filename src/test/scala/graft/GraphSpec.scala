@@ -64,4 +64,25 @@ class GraphSpec extends AnyFunSuite {
     // vcp appears 3x; cpv and pvc once each -> lexicographic tie-break
     assert(got.toSeq == Seq(("v", "c", "p", 3L), ("c", "p", "v", 1L)))
   }
+
+  test("triangleStats: planted triangles, dup/reversed/self edges cleaned") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus (2,4),(3,4) -> triangles {1,2,3},{2,3,4};
+    // (4,5) dangles. Input deliberately dirty: duplicates, reversed
+    // orientation, a self-loop.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (2L, 4L), (4L, 5L), (4L, 5L), (5L, 5L)).toDF("s", "t")
+    val r = Graph.triangleStats(edges, "s", "t").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((5L, 6L, 2L, 10L, 0.6)))
+  }
+
+  test("triangleStats: triangle-free graph has zero count, zero cc") {
+    import spark.implicits._
+    // a path 1-2-3-4: wedges exist but no triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val r = Graph.triangleStats(edges, "s", "t").collect().head
+    assert(r.getLong(2) == 0L && r.getDouble(4) == 0.0)
+    assert(r.getLong(3) == 2L)
+  }
 }
