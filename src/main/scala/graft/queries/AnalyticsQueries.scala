@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Analytics, Graph, Incremental, Skew}
+import graft.ops.{Analytics, Forget, Graph, Incremental, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -897,6 +897,34 @@ object AnalyticsQueries {
       |         AS global_clustering
       |FROM s CROSS JOIN t""".stripMargin
 
+  /** ε-DP Laplace release of the (event_type × day) histogram — see
+    * [[graft.ops.Forget.dpLaplaceHistogram]], ε = 1.
+    */
+  private def govDpHistogram(s: SparkSession, dir: String): DataFrame =
+    Forget.dpLaplaceHistogram(Tables.events(s, dir),
+      concat(col("event_type"), lit(":"),
+        to_date(col("ts")).cast("string")),
+      epsilon = 1.0)
+      .withColumnRenamed("key", "bucket")
+
+  private val govDpHistogramSql =
+    """WITH c AS (SELECT event_type || ':' ||
+      |             CAST(CAST(ts AS DATE) AS VARCHAR) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT bucket, n,
+      |        (CAST(CAST('0x' || substr(md5('dpnoise:' || bucket), 1, 13)
+      |           AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5
+      |          AS cc
+      |      FROM c)
+      |SELECT bucket, n,
+      |       round(n + (-sign(cc) * ln(1.0 - 2.0 * abs(cc))), 6)
+      |         AS noisy_n,
+      |       round(abs(-sign(cc) * ln(1.0 - 2.0 * abs(cc))), 6)
+      |         AS abs_noise,
+      |       CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM x""".stripMargin
+
   private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pagerank(
       Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1181,6 +1209,7 @@ object AnalyticsQueries {
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("li_triangle_census", liTriangles, Some(liTrianglesSql)),
+    QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

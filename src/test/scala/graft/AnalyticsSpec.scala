@@ -332,6 +332,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("items") == ((4L, 1L)))
   }
 
+  test("dpLaplaceHistogram: exact JVM replay of the pinned Laplace draw") {
+    import graft.ops.Forget
+    import spark.implicits._
+    val df = (Seq.fill(30)("a") ++ Seq.fill(12)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Forget.dpLaplaceHistogram(df, col("k"), epsilon = 0.5)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def expect(key: String, n: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dpnoise:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(13), 16)
+      val c = (h.toDouble + 0.5) / 4503599627370496.0 - 0.5
+      val noise = -(1.0 / 0.5) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, r6(n + noise), r6(math.abs(noise)), 0.5)
+    }
+    assert(got == Map("a" -> expect("a", 30L), "b" -> expect("b", 12L),
+      "c" -> expect("c", 1L)))
+    // the three draws must not collide (independent per-key noise)
+    assert(got.values.map(_._3).toSet.size == 3)
+  }
+
   test("rebalanceGroups keeps the smallest group whole and replays the md5 draw") {
     import graft.ops.Sampling
     // skewed corpus: group a = 40 rows, b = 10, c = 5 (min)
