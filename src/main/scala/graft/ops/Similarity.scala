@@ -791,6 +791,51 @@ object Similarity {
   private def hyperplane(planeIdx: Int, dim: Int): Seq[Double] =
     (0 until dim).map(j => graft.functions.LshKernel.planeSign(planeIdx, j))
 
+  /** Johnson-Lindenstrauss distortion audit over consecutive-id pairs:
+    * project every vector to `targetDim` dims through the pinned ±1
+    * plane family (Achlioptas 2003 — database-friendly projections:
+    * sign matrices satisfy the JL lemma with the same O(log n / ε²)
+    * dimension bound as Gaussians, and ours are the deterministic
+    * [[graft.functions.LshKernel]] stream, so the audit replays
+    * exactly), then compare squared distances before vs after on the
+    * (id, id+1) pair sample. `distortion` = (‖ya−yb‖²/targetDim) /
+    * ‖va−vb‖² — the JL lemma says it concentrates in [1−ε, 1+ε]; the
+    * audit table is the evidence for "how few dimensions can this
+    * corpus afford", the sizing decision ahead of any IVF/LSH build.
+    *
+    * `planeOffset` defaults far past the LSH families so the audit is
+    * independent of bucketing. The pair sample is an EQUI-join on
+    * adjacent ids — linear, never the quadratic all-pairs; zero-
+    * distance pairs emit null distortion rather than poisoning the
+    * ratio. Scale shape: one scan computes projections (targetDim
+    * codegen'd `vec_dot`s against literal planes), one id-keyed join
+    * forms pairs; no shuffle beyond that join.
+    */
+  def jlDistortionPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, targetDim: Int,
+                        planeOffset: Int = 4096): DataFrame = {
+    require(targetDim >= 1 && targetDim <= dim,
+      "targetDim must be in [1, dim]")
+    val proj = array((0 until targetDim).map(p =>
+      call_function("vec_dot", col("__v"),
+        typedLit(hyperplane(planeOffset + p, dim)))): _*)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v")).withColumn("__y", proj)
+    val a = base.select(col("id").as("id1"), col("__v").as("__va"),
+      col("__y").as("__ya"))
+    val b = base.select((col("id") - 1).as("id1"), col("id").as("id2"),
+      col("__v").as("__vb"), col("__y").as("__yb"))
+    val d2o = call_function("vec_l2sq", col("__va"), col("__vb"))
+    val d2p = call_function("vec_l2sq", col("__ya"), col("__yb"))
+    a.join(b, "id1")
+      .select(col("id1"), col("id2"),
+        round(d2o, 6).as("d2_orig"),
+        round(d2p / lit(targetDim.toDouble), 6).as("d2_proj_scaled"),
+        when(d2o === 0, lit(null).cast("double"))
+          .otherwise(round((d2p / lit(targetDim.toDouble)) / d2o, 6))
+          .as("distortion"))
+  }
+
   /** Sign-random-projection bucket id over `numPlanes` hyperplanes.
     * `planeOffset` selects an independent plane family — distinct offsets
     * give the independent hash tables of the OR-construction.

@@ -765,6 +765,42 @@ object PipelineQueries {
        |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.45""".stripMargin
   }
 
+  /** JL random-projection distortion audit, 64 → 16 dims through the
+    * pinned ±1 plane family at offset 4096 — see
+    * [[graft.ops.Similarity.jlDistortionPairs]].
+    */
+  private def jlDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistortionPairs(Tables.embeddings(s, dir), "vec_id",
+      "embedding", dim = 64, targetDim = 16)
+
+  private val jlDistortionSql = {
+    val vals = (0 until 16)
+      .map(p => s"($p,${planeSqlArray(4096 + p, 64)})").mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |pl(p, s) AS (VALUES
+       |$vals),
+       |prj AS (SELECT id, p, list_dot_product(v, s) AS pr
+       |        FROM v CROSS JOIN pl),
+       |proj AS (SELECT id, list(pr ORDER BY p) AS y FROM prj GROUP BY id),
+       |b AS (SELECT v.id, v.v, proj.y FROM v JOIN proj USING (id)),
+       |prs AS (SELECT a.id AS id1, c.id AS id2, a.v AS va, c.v AS vb,
+       |          a.y AS ya, c.y AS yb
+       |        FROM b a JOIN b c ON c.id = a.id + 1),
+       |d AS (SELECT id1, id2,
+       |        list_dot_product(dv, dv) AS d2o,
+       |        list_dot_product(dy, dy) AS d2p
+       |      FROM (SELECT id1, id2,
+       |              [z[1] - z[2] for z in list_zip(va, vb)] AS dv,
+       |              [z[1] - z[2] for z in list_zip(ya, yb)] AS dy
+       |            FROM prs) t)
+       |SELECT id1, id2, round(d2o, 6) AS d2_orig,
+       |       round(d2p / 16.0, 6) AS d2_proj_scaled,
+       |       CASE WHEN d2o = 0 THEN NULL
+       |            ELSE round((d2p / 16.0) / d2o, 6) END AS distortion
+       |FROM d""".stripMargin
+  }
+
   private def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
@@ -3281,6 +3317,7 @@ object PipelineQueries {
       Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
+    QueryDef("sim_jl_distortion", jlDistortion, Some(jlDistortionSql)),
     QueryDef("sim_lsh_cosine_pairs_pinned", embLshCosinePairsPinned,
       Some(embLshCosinePairsPinnedSql)),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),

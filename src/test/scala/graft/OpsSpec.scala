@@ -1946,6 +1946,48 @@ class OpsSpec extends AnyFunSuite {
     assert(gotWide == brute)
   }
 
+  test("jlDistortionPairs: exact plane replay, zero-distance pair is null") {
+    import spark.implicits._
+    val v1 = Array(1.0f, 2.0f, -1.0f, 0.5f)
+    val v2 = Array(0.0f, 1.0f, 3.0f, -2.0f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v2)).toDF("vec_id", "embedding")
+    val got = Similarity.jlDistortionPairs(df, "vec_id", "embedding",
+        dim = 4, targetDim = 2)
+      .orderBy("id1").collect()
+    assert(got.length == 2)
+    // independent replay with the shared plane stream
+    def proj(v: Array[Float], p: Int): Double =
+      (0 until 4).map(j =>
+        v(j).toDouble * graft.functions.LshKernel.planeSign(4096 + p, j)).sum
+    val d2o = (0 until 4).map(j => {
+      val d = v1(j).toDouble - v2(j).toDouble; d * d }).sum
+    val d2p = (0 until 2).map(p => {
+      val d = proj(v1, p) - proj(v2, p); d * d }).sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(2) == r6(d2o))
+    assert(got(0).getDouble(3) == r6(d2p / 2.0))
+    assert(got(0).getDouble(4) == r6((d2p / 2.0) / d2o))
+    // identical vectors: zero original distance -> null distortion
+    assert(got(1).getDouble(2) == 0.0 && got(1).isNullAt(4))
+  }
+
+  test("jlDistortionPairs: distortion concentrates near 1 at scale") {
+    import spark.implicits._
+    // 200 hash-derived 64-dim vectors; with k=16 the JL ratio should
+    // land in a loose [0.2, 3] band for the overwhelming majority
+    val rng = new java.util.Random(7)
+    val rows = (1L to 200L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val d = Similarity.jlDistortionPairs(df, "vec_id", "embedding",
+        dim = 64, targetDim = 16)
+      .select("distortion").as[Double].collect()
+    assert(d.length == 199)
+    val inBand = d.count(x => x > 0.2 && x < 3.0)
+    assert(inBand >= 190, s"only $inBand/199 in band")
+  }
+
   test("naiveBayesLangEval: disjoint vocab classifies every test doc right") {
     import spark.implicits._
     // langs with fully disjoint vocabulary: whatever the md5 split
