@@ -791,6 +791,61 @@ object Similarity {
   private def hyperplane(planeIdx: Int, dim: Int): Seq[Double] =
     (0 until dim).map(j => graft.functions.LshKernel.planeSign(planeIdx, j))
 
+  /** Centroid-based (simplified) silhouette per IVF cell — the
+    * clustering-quality audit for a coarse quantizer: for each vector,
+    * a = cosine distance to its own (nearest) pinned centroid, b =
+    * distance to the second-nearest, s = (b−a)/max(a,b) ∈ [0,1] here
+    * (a ≤ b by construction; a = b ⇒ 0). High mean s per cell = tight,
+    * well-separated cell; low = the centroid budget is wrong or the
+    * cell straddles a boundary — the go/no-go gauge before trusting an
+    * IVF index's probe counts. This is the O(n·k) centroid variant
+    * (Kaufman-Rousseeuw's full silhouette is O(n²) pairwise — never
+    * acceptable at corpus scale).
+    *
+    * Same pinned-centroid convention as [[ivfTopKPinned]] (6dp-rounded
+    * cosines, ties to the smaller centroid id), so cells here ARE the
+    * index's cells. Determinism: per-point s is pinned to a ×10⁶
+    * BIGINT before any aggregation — sums are exact integers in any
+    * order; mean/min/max divide exact integers by exact powers of ten.
+    *
+    * Scale shape: centroids ride a bounded driver collect (numCells ×
+    * dim — same pattern as the query vectors); the per-row top-2 is a
+    * scan-side sort of a k-element literal-scored array (no explode,
+    * no window over the corpus); one combinable groupBy(cell) ends it.
+    */
+  def silhouetteByCell(df: DataFrame, idCol: String, vecCol: String,
+                       centroidIds: Seq[Long]): DataFrame = {
+    require(centroidIds.size >= 2, "need at least two centroids")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids: Seq[(Long, Array[Double])] =
+      v.filter(col("id").isin(centroidIds: _*))
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1).toSeq
+    require(centroids.size == centroidIds.size,
+      s"pinned centroid ids missing from corpus: got ${centroids.size}" +
+        s" of ${centroidIds.size}")
+    val scoreArr = array(centroids.map { case (cid, c) =>
+      struct(round(cosine(col("v"), typedLit(c)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    val top = sort_array(scoreArr, asc = false)
+    val s0 = top.getItem(0).getField("s")
+    val s1 = top.getItem(1).getField("s")
+    val a = lit(1.0) - s0
+    val b = lit(1.0) - s1
+    val sil = when(a === b, lit(0.0)).otherwise((b - a) / b)
+    val rows = v.select((-top.getItem(0).getField("nc")).as("cell"),
+      round(sil * 1e6).cast("long").as("si"))
+    rows.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("si")).cast("double") / lit(1e6) /
+          count(lit(1)), 6).as("mean_sil"),
+        (min(col("si")).cast("double") / lit(1e6)).as("min_sil"),
+        (max(col("si")).cast("double") / lit(1e6)).as("max_sil"))
+  }
+
   /** Johnson-Lindenstrauss distortion audit over consecutive-id pairs:
     * project every vector to `targetDim` dims through the pinned ±1
     * plane family (Achlioptas 2003 — database-friendly projections:

@@ -868,6 +868,39 @@ object PipelineQueries {
     * so every id always resolves. */
   private val ivfPinnedCentroids: Seq[Long] = (0 until 16).map(_ * 31L)
 
+  /** Per-cell simplified silhouette of the pinned IVF coarse quantizer
+    * — see [[graft.ops.Similarity.silhouetteByCell]].
+    */
+  private def silhouetteByCellQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteByCell(Tables.embeddings(s, dir), "vec_id",
+      "embedding", centroidIds = ivfPinnedCentroids)
+
+  private val silhouetteByCellSql = {
+    val cids = ivfPinnedCentroids.mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |c AS (SELECT id AS cid, v AS cv FROM v WHERE id IN ($cids)),
+       |sc AS (SELECT v.id, c.cid,
+       |         round(list_cosine_similarity(v.v, c.cv), 6) AS s
+       |       FROM v CROSS JOIN c),
+       |r AS (SELECT id, cid, s, row_number() OVER
+       |        (PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+       |      FROM sc),
+       |t AS (SELECT a.id, a.cid AS cell, a.s AS s0, b.s AS s1
+       |      FROM r a JOIN r b ON a.id = b.id AND a.rn = 1 AND b.rn = 2),
+       |x AS (SELECT cell,
+       |        CAST(round((CASE WHEN (1.0 - s0) = (1.0 - s1) THEN 0.0
+       |          ELSE ((1.0 - s1) - (1.0 - s0)) / (1.0 - s1) END) * 1e6)
+       |          AS BIGINT) AS si
+       |      FROM t)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+       |       round(CAST(sum(si) AS DOUBLE) / 1e6 / count(*), 6)
+       |         AS mean_sil,
+       |       CAST(min(si) AS DOUBLE) / 1e6 AS min_sil,
+       |       CAST(max(si) AS DOUBLE) / 1e6 AS max_sil
+       |FROM x GROUP BY 1""".stripMargin
+  }
+
   private val annIvfPinnedSql = {
     val cids = ivfPinnedCentroids.mkString(", ")
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -3318,6 +3351,8 @@ object PipelineQueries {
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_jl_distortion", jlDistortion, Some(jlDistortionSql)),
+    QueryDef("sim_silhouette_by_cell", silhouetteByCellQ,
+      Some(silhouetteByCellSql)),
     QueryDef("sim_lsh_cosine_pairs_pinned", embLshCosinePairsPinned,
       Some(embLshCosinePairsPinnedSql)),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),

@@ -1946,6 +1946,25 @@ class OpsSpec extends AnyFunSuite {
     assert(gotWide == brute)
   }
 
+  test("silhouetteByCell: planted orthogonal cells, boundary tie scores 0") {
+    import spark.implicits._
+    // centroids 1 (e_x) and 2 (e_y); id 3 sits on centroid 1, id 4 on
+    // the exact boundary (equal rounded cosines -> tie to cell 1, s=0)
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (4L, Array(1f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteByCell(df, "vec_id", "embedding",
+        centroidIds = Seq(1L, 2L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((3L, 0.666667, 0.0, 1.0)))
+    assert(got(2L) == ((1L, 1.0, 1.0, 1.0)))
+  }
+
   test("jlDistortionPairs: exact plane replay, zero-distance pair is null") {
     import spark.implicits._
     val v1 = Array(1.0f, 2.0f, -1.0f, 0.5f)
