@@ -726,6 +726,45 @@ object TextAnalysis {
     * word stats are a vocab-sized combinable aggregate joined back,
     * and the final top-N is TakeOrdered — no global sort.
     */
+  /** Flesch reading-ease + Flesch-Kincaid grade per document, from the
+    * three classic counts: words (whitespace tokens), sentences
+    * (terminal-punctuation runs `[.!?]+`, min 1), syllables (vowel
+    * groups `[aeiouy]+` per word, min 1 per word — the standard
+    * heuristic; exact hyphenation dictionaries are an English-specific
+    * rabbit hole the score doesn't need). Readability is a cheap,
+    * language-robust quality prior for corpus curation: wildly low
+    * scores flag boilerplate/code/gibberish, wildly high flag
+    * telegraphic spam.
+    *
+    * Determinism: all three counts are exact integers computed by the
+    * same regexes on both engines; the two scores are a fixed
+    * arithmetic expression over those integers (decimal constants
+    * parse to identical doubles), rounded once at 6dp.
+    *
+    * Scale shape: pure scan-side — tokenize, two regex counts, a
+    * higher-order fold per row; zero shuffles.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val nSyl = aggregate(toks, lit(0L), (acc: Column, w: Column) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+    val wps = nWords.cast("double") / nSent
+    val spw = nSyl.cast("double") / nWords
+    df.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"))
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and evaluated
     * in one plan: docs split train/test by a pinned md5 bucket
     * (test = bucket 0 of `testMod`), add-one-smoothed word likelihoods

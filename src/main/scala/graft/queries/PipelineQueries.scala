@@ -3208,6 +3208,34 @@ object PipelineQueries {
     * [[graft.ops.TextAnalysis.naiveBayesLangEval]]. 80/20 pinned md5
     * split, add-one smoothing, scaled-integer log scores.
     */
+  /** Flesch / Flesch-Kincaid readability per document — see
+    * [[graft.ops.TextAnalysis.readability]].
+    */
+  private def readabilityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+
+  private val readabilitySql =
+    """WITH b AS (SELECT doc_id, text,
+      |             string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_words,
+      |        greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |          AS BIGINT)) AS n_sentences,
+      |        CAST(list_sum(list_transform(toks, w ->
+      |          greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+      |          AS BIGINT) AS n_syllables
+      |      FROM b)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       round(206.835
+      |         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+      |         AS flesch_ease,
+      |       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+      |         - 15.59, 6) AS fk_grade
+      |FROM c""".stripMargin
+
   private def nbLangConfusionQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.naiveBayesLangEval(Tables.documents(s, dir), "doc_id",
       "text", "lang", testMod = 5)
@@ -3419,6 +3447,7 @@ object PipelineQueries {
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,
       Some(nbLangConfusionSql)),
+    QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),

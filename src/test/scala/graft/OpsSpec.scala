@@ -1946,6 +1946,24 @@ class OpsSpec extends AnyFunSuite {
     assert(gotWide == brute)
   }
 
+  test("readability: hand-counted words/sentences/syllables and scores") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "xyz 123."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 5 words, 2 sentences, 5 syllables
+    assert(got(1L) == ((5L, 2L,
+      5L, r6(206.835 - 1.015 * 2.5 - 84.6 * 1.0),
+      r6(0.39 * 2.5 + 11.8 * 1.0 - 15.59))))
+    // vowelless words still count 1 syllable each
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
+  }
+
   test("silhouetteByCell: planted orthogonal cells, boundary tie scores 0") {
     import spark.implicits._
     // centroids 1 (e_x) and 2 (e_y); id 3 sits on centroid 1, id 4 on
