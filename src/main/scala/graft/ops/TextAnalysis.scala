@@ -765,6 +765,85 @@ object TextAnalysis {
           .as("fk_grade"))
   }
 
+  /** Heaps' law fit V = k·N^β: vocabulary growth against corpus growth
+    * in doc-id order, checkpointed at `buckets` id ranges, with the
+    * log-log OLS fit of (β, k) — Zipf's companion law (β ≈ 0.4–0.6 for
+    * natural text); a corpus whose vocabulary grows linearly (β → 1)
+    * is ID-like noise, one that flatlines (β → 0) is template spam.
+    * The cumulative-distinct problem is made distributed-friendly by
+    * the FIRST-OCCURRENCE trick: cum_vocab(bucket) = # words whose
+    * min(doc_id) falls at or before the bucket — one groupBy(word)
+    * instead of a quadratic running distinct.
+    *
+    * Determinism: checkpoint counts are exact integers; their logs are
+    * pinned to ×10⁶ BIGINTs before the moment sums (exact in any
+    * order); the final normal-equation combination runs in exact
+    * 38-digit arithmetic and only the last divide is double. exp for k
+    * is one call on an identical double, 6dp-rounded.
+    *
+    * Scale shape: two shuffles (per-word min-id, per-bucket sums);
+    * the cumulative window and the OLS run over the BUCKET domain
+    * (tens of rows). Output: one row per non-empty checkpoint with the
+    * fit repeated.
+    */
+  def heapsLawFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  buckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least two checkpoints")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("toks"))
+    val maxId = base.agg(max(col("id")).as("mx"))
+    // width from the id span: floor(mx / buckets) + 1 keeps every
+    // bucket id inside [0, buckets)
+    val withW = base.crossJoin(broadcast(maxId))
+      .withColumn("b", floor(col("id") /
+        (floor(col("mx") / buckets) + 1)).cast("long"))
+    val tokPerBucket = withW
+      .groupBy(col("b"))
+      .agg(sum(size(col("toks")).cast("long")).as("nt"))
+    val firstDoc = withW.select(col("b"), col("id"),
+        explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(min(col("id")).as("fid"))
+    val newPerBucket = firstDoc.crossJoin(broadcast(maxId))
+      .groupBy(floor(col("fid") /
+        (floor(col("mx") / buckets) + 1)).cast("long").as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val checkpoints = tokPerBucket
+      .join(newPerBucket, Seq("b"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("cum_tokens", sum(col("nt")).over(w))
+      .withColumn("cum_vocab", sum(col("nv")).over(w))
+      .filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+      .select(col("b").as("bucket"), col("cum_tokens"), col("cum_vocab"),
+        round(log(col("cum_tokens").cast("double")) * 1e6).cast("long")
+          .as("x"),
+        round(log(col("cum_vocab").cast("double")) * 1e6).cast("long")
+          .as("y"))
+    val cpC = graft.data.ScopedCaches.track(checkpoints)
+    val d19 = "decimal(19,0)"
+    val mom = cpC.agg(count(lit(1)).cast(d19).as("n"),
+        sum(col("x")).cast(d19).as("sx"), sum(col("y")).cast(d19).as("sy"),
+        sum((col("x").cast(d19) * col("y").cast(d19))
+          .cast("decimal(38,0)")).cast(d19).as("sxy"),
+        sum((col("x").cast(d19) * col("x").cast(d19))
+          .cast("decimal(38,0)")).cast(d19).as("sxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("decimal(38,0)").cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").cast("double")).as("beta_raw"),
+        col("n").cast("double").as("nd"), col("sx").cast("double")
+          .as("sxd"), col("sy").cast("double").as("syd"))
+      .select(round(col("beta_raw"), 6).as("beta"),
+        round(exp(((col("syd") - col("beta_raw") * col("sxd")) /
+          col("nd")) / lit(1e6)), 6).as("k"))
+    cpC.select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+      .crossJoin(broadcast(mom))
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and evaluated
     * in one plan: docs split train/test by a pinned md5 bucket
     * (test = bucket 0 of `testMod`), add-one-smoothed word likelihoods

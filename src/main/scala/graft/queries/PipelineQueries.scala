@@ -3236,6 +3236,55 @@ object PipelineQueries {
       |         - 15.59, 6) AS fk_grade
       |FROM c""".stripMargin
 
+  /** Heaps' law vocabulary-growth fit at 20 doc-id checkpoints — see
+    * [[graft.ops.TextAnalysis.heapsLawFit]].
+    */
+  private def heapsLawQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLawFit(Tables.documents(s, dir), "doc_id", "text",
+      buckets = 20)
+
+  private val heapsLawSql =
+    """WITH base AS (SELECT doc_id AS id,
+      |         string_split_regex(lower(trim(text)), '\s+') AS toks
+      |       FROM documents),
+      |mx AS (SELECT max(id) AS mx FROM base),
+      |wb AS (SELECT id, toks,
+      |         CAST(floor(id / (floor(mx / 20) + 1)) AS BIGINT) AS b
+      |       FROM base CROSS JOIN mx),
+      |tpb AS (SELECT b, CAST(sum(len(toks)) AS BIGINT) AS nt
+      |        FROM wb GROUP BY 1),
+      |fd AS (SELECT w, min(id) AS fid
+      |       FROM (SELECT id, unnest(toks) AS w FROM wb) GROUP BY 1),
+      |npb AS (SELECT CAST(floor(fid / (floor(mx / 20) + 1)) AS BIGINT)
+      |          AS b, count(*) AS nv
+      |        FROM fd CROSS JOIN mx GROUP BY 1),
+      |cp0 AS (SELECT tpb.b, tpb.nt, coalesce(npb.nv, 0) AS nv
+      |        FROM tpb LEFT JOIN npb USING (b)),
+      |cp AS (SELECT b AS bucket,
+      |         CAST(sum(nt) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+      |         CAST(sum(nv) OVER (ORDER BY b) AS BIGINT) AS cum_vocab
+      |       FROM cp0),
+      |cpf AS (SELECT bucket, cum_tokens, cum_vocab,
+      |          CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6)
+      |            AS BIGINT) AS x,
+      |          CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e6)
+      |            AS BIGINT) AS y
+      |        FROM cp WHERE cum_tokens > 0 AND cum_vocab > 0),
+      |mom AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |          sum(x * y) AS sxy, sum(x * x) AS sxx
+      |        FROM cpf),
+      |fit AS (SELECT
+      |          round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |                CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+      |          round(exp(((CAST(sy AS DOUBLE) -
+      |            (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |            CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6), 6)
+      |            AS k
+      |        FROM mom)
+      |SELECT bucket, cum_tokens, cum_vocab, fit.beta, fit.k
+      |FROM cpf CROSS JOIN fit""".stripMargin
+
   private def nbLangConfusionQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.naiveBayesLangEval(Tables.documents(s, dir), "doc_id",
       "text", "lang", testMod = 5)
@@ -3448,6 +3497,7 @@ object PipelineQueries {
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,
       Some(nbLangConfusionSql)),
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
+    QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),

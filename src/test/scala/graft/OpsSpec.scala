@@ -1964,6 +1964,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
   }
 
+  test("heapsLawFit: all-new vocab fits beta=1 k=1; flat vocab fits beta=0") {
+    import spark.implicits._
+    // every doc contributes two never-seen words: V = N exactly at
+    // every checkpoint, so the log-log fit is beta=1, k=1, exactly
+    val fresh = (0L to 9L).map(i => (i, s"w${i}a w${i}b"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.heapsLawFit(fresh, "doc_id", "text", buckets = 5)
+      .orderBy("bucket").collect()
+    assert(a.length == 5)
+    assert(a.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      (1 to 5).map(i => (4L * i, 4L * i)).toSeq)
+    assert(a.head.getDouble(3) == 1.0 && a.head.getDouble(4) == 1.0)
+    // constant vocabulary: slope 0, k = the vocab size (to 6dp grain)
+    val flat = (0L to 9L).map(i => (i, "a b")).toDF("doc_id", "text")
+    val b = TextAnalysis.heapsLawFit(flat, "doc_id", "text", buckets = 5)
+      .collect().head
+    assert(b.getDouble(3) == 0.0)
+    assert(math.abs(b.getDouble(4) - 2.0) < 1e-5)
+  }
+
   test("silhouetteByCell: planted orthogonal cells, boundary tie scores 0") {
     import spark.implicits._
     // centroids 1 (e_x) and 2 (e_y); id 3 sits on centroid 1, id 4 on
