@@ -70,4 +70,52 @@ object Ranking {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("rrf").desc, col(idCol).asc)).cast("int"))
   }
+
+  /** Item-item collaborative filtering from co-occurrence (the
+    * Sarwar et al. 2001 / Amazon item-to-item shape): for items that
+    * share a basket, sim(i,j) = co(i,j) / √(n(i)·n(j)) — binary-vector
+    * cosine over baskets — and each item keeps its top-k most similar
+    * as recommendations. The workhorse "customers also bought" model:
+    * no training, mergeable counts, interpretable scores.
+    *
+    * Scale shape: candidate pairs are generated per basket via the
+    * basket-keyed self-join — fan-out bounded by basket size squared,
+    * never items²; a pathological mega-basket should be capped
+    * upstream (same argument as the dedup blockers). One shuffle
+    * counts pairs, per-item totals ride a (domain-sized) broadcast
+    * join, and the top-k is a window partitioned by item. Determinism:
+    * counts are exact integers, the score is one √ and one divide on
+    * exact integers (6dp-pinned), rank ties break to the smaller
+    * neighbor id.
+    */
+  def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val biC = graft.data.ScopedCaches.track(bi)
+    val n = biC.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val co = biC.as("x").join(biC.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"))
+      .agg(count(lit(1)).as("co"))
+    // symmetrize: each undirected pair recommends in both directions
+    val directed = co.select(col("i1").as("item_id"), col("i2").as("rec_id"),
+        col("co"))
+      .unionByName(co.select(col("i2").as("item_id"),
+        col("i1").as("rec_id"), col("co")))
+    val scored = directed
+      .join(broadcast(n.select(col("i").as("item_id"), col("n").as("ni"))),
+        "item_id")
+      .join(broadcast(n.select(col("i").as("rec_id"), col("n").as("nj"))),
+        "rec_id")
+      .select(col("item_id"), col("rec_id"), col("co"),
+        round(col("co").cast("double") /
+          sqrt((col("ni") * col("nj")).cast("double")), 6).as("score"))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("score").desc, col("rec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("item_id", "rec_id", "rank", "co", "score")
+  }
 }

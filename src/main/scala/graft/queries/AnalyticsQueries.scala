@@ -925,6 +925,34 @@ object AnalyticsQueries {
       |       CAST(1.0 AS DOUBLE) AS epsilon
       |FROM x""".stripMargin
 
+  /** Item-item collaborative-filtering recommendations over order
+    * baskets — see [[graft.ops.Ranking.itemItemCf]].
+    */
+  private def liItemItemCf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.itemItemCf(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", k = 5)
+
+  private val liItemItemCfSql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      |            FROM lineitem),
+      |n AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1),
+      |co AS (SELECT x.i AS i1, y.i AS i2, CAST(count(*) AS BIGINT) AS co
+      |       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      |       GROUP BY 1, 2),
+      |d AS (SELECT i1 AS item_id, i2 AS rec_id, co FROM co
+      |      UNION ALL SELECT i2, i1, co FROM co),
+      |s AS (SELECT d.item_id, d.rec_id, d.co,
+      |        round(CAST(d.co AS DOUBLE) /
+      |              sqrt(CAST(ni.n * nj.n AS DOUBLE)), 6) AS score
+      |      FROM d JOIN n ni ON ni.i = d.item_id
+      |             JOIN n nj ON nj.i = d.rec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item_id
+      |        ORDER BY score DESC, rec_id ASC) AS INT) AS rank
+      |      FROM s)
+      |SELECT item_id, rec_id, rank, co, score FROM r WHERE rank <= 5"""
+      .stripMargin
+
   private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pagerank(
       Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1210,6 +1238,7 @@ object AnalyticsQueries {
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("li_triangle_census", liTriangles, Some(liTrianglesSql)),
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
+    QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

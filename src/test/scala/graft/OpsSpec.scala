@@ -1964,6 +1964,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
   }
 
+  test("itemItemCf: hand-computed binary cosine and top-k per item") {
+    import spark.implicits._
+    val baskets = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L),
+      (20L, 2L), (30L, 2L), (30L, 3L), (40L, 1L),
+      (10L, 1L) /* dup row must not double-count */)
+      .toDF("b", "i")
+    val got = Ranking.itemItemCf(baskets, "b", "i", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // n(1)=3 n(2)=3 n(3)=2; co(1,2)=2 co(1,3)=1 co(2,3)=2
+    assert(got((1L, 1)) == ((2L, 2L, r6(2.0 / 3.0))))
+    assert(got((1L, 2)) == ((3L, 1L, r6(1.0 / math.sqrt(6.0)))))
+    assert(got((2L, 1)) == ((3L, 2L, r6(2.0 / math.sqrt(6.0)))))
+    assert(got((2L, 2)) == ((1L, 2L, r6(2.0 / 3.0))))
+    assert(got((3L, 1)) == ((2L, 2L, r6(2.0 / math.sqrt(6.0)))))
+    assert(got((3L, 2)) == ((1L, 1L, r6(1.0 / math.sqrt(6.0)))))
+  }
+
   test("heapsLawFit: all-new vocab fits beta=1 k=1; flat vocab fits beta=0") {
     import spark.implicits._
     // every doc contributes two never-seen words: V = N exactly at
