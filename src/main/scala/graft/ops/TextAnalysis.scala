@@ -844,6 +844,61 @@ object TextAnalysis {
       .crossJoin(broadcast(mom))
   }
 
+  /** χ² feature selection: the top-k terms most associated with each
+    * label, by the 2×2 document-presence contingency test
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the classic
+    * discriminative-term ranking (Yang & Pedersen 1997): what NB
+    * *uses* is likelihoods, what an analyst *reads* is this table.
+    * Presence is document-level (a doc contributes a term once).
+    * Terms present in every document have a zero margin and score 0
+    * by convention rather than dividing by zero.
+    *
+    * Determinism: all four cells are exact integers; ad−bc stays an
+    * exact BIGINT (≤ ndocs², far under 2⁶³); numerator and denominator
+    * are fixed-order double products of exact integers, one divide,
+    * 6dp pin; rank ties break to the lexicographically smaller term.
+    *
+    * Scale shape: distinct (doc, term) is one shuffle, (label, term)
+    * counts a second; per-label doc totals and the term-presence
+    * margin ride broadcasts; top-k is a label-partitioned window.
+    */
+  def chiSquareTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, labelCol: String,
+                     topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be >= 1")
+    val docTerm = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val docTermC = graft.data.ScopedCaches.track(docTerm)
+    val nDocs = df.agg(count(lit(1)).as("nn"))
+    val perLbl = df.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val termDf = docTermC.groupBy(col("w")).agg(count(lit(1)).as("tw"))
+    val a = docTermC.groupBy(col("lbl"), col("w"))
+      .agg(count(lit(1)).as("a"))
+    val cells = a.join(broadcast(perLbl), "lbl")
+      .join(broadcast(termDf), "w")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lbl"), col("w"), col("a"),
+        (col("tw") - col("a")).as("b"),
+        (col("nl") - col("a")).as("c"),
+        (col("nn") - col("nl") - (col("tw") - col("a"))).as("d"),
+        col("nn"))
+    val delta = col("a") * col("d") - col("b") * col("c")
+    val denom = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")) * (col("a") + col("c")) *
+      (col("b") + col("d"))
+    val chi2 = when(denom === 0, lit(0.0))
+      .otherwise(col("nn").cast("double") * delta * delta / denom)
+    val scored = cells.select(col("lbl").as("label"), col("w").as("term"),
+      col("a").as("n_docs_label"), round(chi2, 6).as("chi2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and evaluated
     * in one plan: docs split train/test by a pinned md5 bucket
     * (test = bucket 0 of `testMod`), add-one-smoothed word likelihoods

@@ -3285,6 +3285,42 @@ object PipelineQueries {
       |SELECT bucket, cum_tokens, cum_vocab, fit.beta, fit.k
       |FROM cpf CROSS JOIN fit""".stripMargin
 
+  /** χ² discriminative terms per language, top 10 — see
+    * [[graft.ops.TextAnalysis.chiSquareTerms]].
+    */
+  private def chi2TermsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chiSquareTerms(Tables.documents(s, dir), "doc_id",
+      "text", "lang", topK = 10)
+
+  private val chi2TermsSql =
+    """WITH dt AS (SELECT DISTINCT id, lbl, w FROM (
+      |        SELECT doc_id AS id, lang AS lbl,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |pl AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS nl
+      |       FROM documents GROUP BY 1),
+      |tw AS (SELECT w, CAST(count(*) AS BIGINT) AS tw FROM dt GROUP BY 1),
+      |aa AS (SELECT lbl, w, CAST(count(*) AS BIGINT) AS a
+      |       FROM dt GROUP BY 1, 2),
+      |cells AS (SELECT aa.lbl, aa.w, a, tw - a AS b, nl - a AS c,
+      |            nn - nl - (tw - a) AS d, nn
+      |          FROM aa JOIN pl USING (lbl) JOIN tw USING (w)
+      |          CROSS JOIN nn),
+      |sc AS (SELECT lbl AS label, w AS term, a AS n_docs_label,
+      |         round(CASE WHEN CAST(a + b AS DOUBLE) * (c + d) *
+      |                 (a + c) * (b + d) = 0 THEN 0.0
+      |           ELSE CAST(nn AS DOUBLE) * (a * d - b * c) *
+      |                (a * d - b * c) /
+      |                (CAST(a + b AS DOUBLE) * (c + d) * (a + c) *
+      |                 (b + d)) END, 6) AS chi2
+      |       FROM cells),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+      |        ORDER BY chi2 DESC, term ASC) AS INT) AS rank
+      |      FROM sc)
+      |SELECT label, term, n_docs_label, chi2, rank
+      |FROM r WHERE rank <= 10""".stripMargin
+
   private def nbLangConfusionQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.naiveBayesLangEval(Tables.documents(s, dir), "doc_id",
       "text", "lang", testMod = 5)
@@ -3498,6 +3534,7 @@ object PipelineQueries {
       Some(nbLangConfusionSql)),
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
+    QueryDef("text_chi2_terms", chi2TermsQ, Some(chi2TermsSql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),

@@ -1964,6 +1964,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
   }
 
+  test("chiSquareTerms: hand 2x2 contingency, zero-margin term scores 0") {
+    import spark.implicits._
+    val df = Seq((1L, "x y", "A"), (2L, "x z", "A"),
+      (3L, "y y", "B"), (4L, "z", "B")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.chiSquareTerms(df, "doc_id", "text", "lang",
+        topK = 2)
+      .collect().map(r => (r.getString(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // (A, x): a=2 b=0 c=0 d=2 -> chi2 = 4*(4)^2/16 = 4; repeated "y y"
+    // counts once per doc; every balanced term scores 0, ties by term
+    assert(got(("A", 1)) == (("x", 2L, 4.0)))
+    assert(got(("A", 2)) == (("y", 1L, 0.0)))
+    assert(got(("B", 1)) == (("y", 1L, 0.0)))
+    assert(got(("B", 2)) == (("z", 1L, 0.0)))
+  }
+
   test("itemItemCf: hand-computed binary cosine and top-k per item") {
     import spark.implicits._
     val baskets = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L),
