@@ -445,4 +445,61 @@ object TimeSeries {
           .as("intercept"))
       .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
   }
+
+  /** Forecast backtest of the two baselines every real model must
+    * beat: per group, hold out the last `horizon` days and score (a)
+    * the NAIVE forecast (last training-day value, persisted flat) and
+    * (b) the SEASONAL-NAIVE walk-forward (each test day predicted by
+    * the actual `season` days earlier), with MASE (Hyndman-Koehler
+    * 2006) = test MAE of snaive / in-sample one-season MAE — the
+    * scale-free "is anything here even forecastable" gauge (MASE ≥ 1
+    * means the model adds nothing). Days absent `season` days earlier
+    * drop out of both the in-sample denominator and the snaive
+    * numerator (inner join on the lagged DATE, never a row lag —
+    * calendar gaps must not silently shift the season).
+    *
+    * Determinism: daily counts are exact integers, so every |error|
+    * is an exact integer; each MAE is one int/int divide and MASE one
+    * divide of those two doubles, 6dp-pinned. Scale shape: one daily
+    * aggregate; the seasonal join is (group, day−season) keyed; the
+    * last-train-day value is a max-of-struct per group; everything
+    * after runs on the (groups × days) DOMAIN table.
+    */
+  def forecastBacktest(df: DataFrame, groupCol: String, tsCol: String,
+                       horizon: Int, season: Int): DataFrame = {
+    require(horizon >= 1 && season >= 1, "horizon and season must be >= 1")
+    val daily = df.groupBy(col(groupCol).as("g"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dailyC = graft.data.ScopedCaches.track(daily)
+    val cutoff = dailyC.agg(date_sub(max(col("day")), horizon).as("cut"))
+    val withCut = dailyC.crossJoin(broadcast(cutoff))
+    val train = withCut.filter(col("day") <= col("cut"))
+    val test = withCut.filter(col("day") > col("cut"))
+    // flat naive: the value on each group's LAST training day
+    val lastTrain = train.groupBy(col("g"))
+      .agg(max(struct(col("day"), col("x"))).getField("x").as("fnaive"))
+    val lagged = dailyC.select(col("g"), date_add(col("day"), season)
+      .as("day"), col("x").as("xlag"))
+    val snaiveTest = test.join(lagged, Seq("g", "day"))
+    val insample = train.join(lagged, Seq("g", "day"))
+    val mTest = snaiveTest.join(broadcast(lastTrain), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("x") - col("fnaive"))).as("saen"),
+        sum(abs(col("x") - col("xlag"))).as("saes"))
+    val mIn = insample.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(abs(col("x") - col("xlag"))).as("saei"))
+    mTest.join(mIn, "g")
+      .select(col("g").as(groupCol), col("n_test"), col("n_in"),
+        round(col("saen").cast("double") / col("n_test"), 6)
+          .as("mae_naive"),
+        round(col("saes").cast("double") / col("n_test"), 6)
+          .as("mae_snaive"),
+        when(col("saei") === 0, lit(null).cast("double"))
+          .otherwise(round((col("saes").cast("double") / col("n_test")) /
+            (col("saei").cast("double") / col("n_in")), 6))
+          .as("mase_snaive"))
+  }
 }

@@ -314,6 +314,43 @@ object TimeSeriesQueries {
        |FROM h WHERE rn >= 1""".stripMargin
   }
 
+  /** Naive / seasonal-naive forecast backtest with MASE, per event
+    * type, 7-day holdout, weekly season — see
+    * [[graft.ops.TimeSeries.forecastBacktest]].
+    */
+  private def evForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.forecastBacktest(Tables.events(s, dir), "event_type",
+      "ts", horizon = 7, season = 7)
+
+  private val evForecastBacktestSql =
+    """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |cut AS (SELECT max(day) - 7 AS cut FROM daily),
+      |tr AS (SELECT daily.* FROM daily CROSS JOIN cut WHERE day <= cut),
+      |te AS (SELECT daily.* FROM daily CROSS JOIN cut WHERE day > cut),
+      |lt AS (SELECT g, arg_max(x, day) AS fnaive FROM tr GROUP BY 1),
+      |lg AS (SELECT g, day + 7 AS day, x AS xlag FROM daily),
+      |st AS (SELECT te.g, te.day, te.x, lg.xlag
+      |       FROM te JOIN lg USING (g, day)),
+      |ins AS (SELECT tr.g, tr.day, tr.x, lg.xlag
+      |        FROM tr JOIN lg USING (g, day)),
+      |mt AS (SELECT st.g, CAST(count(*) AS BIGINT) AS n_test,
+      |         CAST(sum(abs(st.x - lt.fnaive)) AS BIGINT) AS saen,
+      |         CAST(sum(abs(st.x - st.xlag)) AS BIGINT) AS saes
+      |       FROM st JOIN lt USING (g) GROUP BY 1),
+      |mi AS (SELECT g, CAST(count(*) AS BIGINT) AS n_in,
+      |         CAST(sum(abs(x - xlag)) AS BIGINT) AS saei
+      |       FROM ins GROUP BY 1)
+      |SELECT mt.g AS event_type, n_test, n_in,
+      |       round(CAST(saen AS DOUBLE) / n_test, 6) AS mae_naive,
+      |       round(CAST(saes AS DOUBLE) / n_test, 6) AS mae_snaive,
+      |       CASE WHEN saei = 0 THEN NULL
+      |            ELSE round((CAST(saes AS DOUBLE) / n_test) /
+      |                       (CAST(saei AS DOUBLE) / n_in), 6) END
+      |         AS mase_snaive
+      |FROM mt JOIN mi USING (g)""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_holt_winters_daily", evHoltWinters,
       Some(evHoltWintersSql)),
@@ -322,6 +359,8 @@ object TimeSeriesQueries {
     QueryDef("ev_fano_burstiness", evFano, Some(evFanoSql)),
     QueryDef("ev_holt_daily", evHoltDaily, Some(evHoltDailySql)),
     QueryDef("ev_theilsen_trend", evTheilSen, Some(evTheilSenSql)),
+    QueryDef("ev_forecast_backtest", evForecastBacktest,
+      Some(evForecastBacktestSql)),
     QueryDef("ev_impact_welch", evImpactWelch, Some(evImpactWelchSql)),
     QueryDef("ev_dow_seasonality", evDowSeasonality,
       Some(evDowSeasonalitySql)),

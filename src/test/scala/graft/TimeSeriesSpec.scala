@@ -226,4 +226,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
     assert(rows.map(_.getDouble(1)).toSeq == Seq(5d, 6d, 7d, 8d, 9d))
   }
+
+  test("forecastBacktest: linear ramp gives MASE exactly 1") {
+    import org.apache.spark.sql.functions.lit
+    // counts 1..21 by day: snaive error is 7 everywhere (in-sample and
+    // test), naive test errors are 1..7
+    val df = seriesDf((1 to 21)).withColumn("g", lit("A"))
+    val r = TimeSeries.forecastBacktest(df, "g", "ts",
+      horizon = 7, season = 7).collect().head
+    assert(r.getString(0) == "A")
+    assert(r.getLong(1) == 7L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 4.0)  // (1+...+7)/7
+    assert(r.getDouble(4) == 7.0)
+    assert(r.getDouble(5) == 1.0)  // 7 / 7
+  }
 }
