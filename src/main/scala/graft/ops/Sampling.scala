@@ -217,4 +217,68 @@ object Sampling {
       .select(col(keyCol), col(groupCol), nToks.as("n_toks"),
         round(rate, 6).as("rate"))
   }
+
+  /** Neyman-allocation stratified sampling (Neyman 1934): a total
+    * budget of `budget` rows split across strata proportionally to
+    * N_h·σ_h — variance-heavy strata get more samples, which minimizes
+    * the estimator variance for a fixed budget (proportional
+    * allocation is what people do; Neyman is what they should do when
+    * within-stratum spread differs). σ_h is the population stddev of
+    * `valueCol` from exact integer moments; the realized sample takes
+    * each stratum's top-n_h rows by pinned md5 rank, so the draw
+    * replays exactly. A stratum allocated more than it has simply
+    * yields all its rows.
+    *
+    * Determinism: per-stratum (N, Σx, Σx²) are exact BIGINTs; σ =
+    * √(NΣx²−(Σx)²)/N with the radicand exact; the weights N·σ are
+    * 6dp-pinned to BIGINTs before the (exact) total, and each
+    * allocation is one rounded divide of exact integers. Output per
+    * stratum: population size, σ, allocated n, realized n, and the
+    * realized-sample mean of the value (exact-integer ratio).
+    *
+    * Scale shape: one moment aggregate (combinable); the per-stratum
+    * rank is a window partitioned by stratum keyed on the md5 draw —
+    * the one shuffle of the realized pass.
+    */
+  def neymanStratifiedSample(df: DataFrame, keyCol: String,
+                             stratumCol: String, valueCol: String,
+                             budget: Long,
+                             salt: String = "neyman"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, "budget must be >= 1")
+    val x = col(valueCol).cast("long")
+    val stats = df.groupBy(col(stratumCol).as("h"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x * x).as("sxx"))
+      .select(col("h"), col("n"),
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) / col("n")).as("sigma"))
+      .select(col("h"), col("n"), col("sigma"),
+        round(col("n").cast("double") * col("sigma") * 1e6).cast("long")
+          .as("wh"))
+    val statsC = graft.data.ScopedCaches.track(stats)
+    val tot = statsC.agg(sum(col("wh")).as("wtot"))
+    val alloc = statsC.crossJoin(broadcast(tot))
+      .select(col("h"), col("n"), col("sigma"),
+        round(lit(budget) * col("wh").cast("double") / col("wtot"))
+          .cast("long").as("n_alloc"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(salt), lit(":"),
+        col(keyCol).cast("string"))).asc, col(keyCol).asc)
+    val sampled = df
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(alloc.select(col("h").as(stratumCol),
+        col("n_alloc"))), Seq(stratumCol))
+      .filter(col("__rn") <= col("n_alloc"))
+      .groupBy(col(stratumCol).as("h"))
+      .agg(count(lit(1)).as("n_sampled"), sum(x).as("ssum"))
+    alloc.join(sampled, Seq("h"), "left")
+      .select(col("h").as(stratumCol), col("n").as("n_pop"),
+        round(col("sigma"), 6).as("sigma"), col("n_alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        when(coalesce(col("n_sampled"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("ssum").cast("double") /
+            col("n_sampled"), 6)).as("sample_mean"))
+  }
 }

@@ -3288,6 +3288,46 @@ object PipelineQueries {
   /** χ² discriminative terms per language, top 10 — see
     * [[graft.ops.TextAnalysis.chiSquareTerms]].
     */
+  /** Neyman-allocation stratified sample of documents by source,
+    * budget 100, allocation driven by n_chars spread — see
+    * [[graft.ops.Sampling.neymanStratifiedSample]].
+    */
+  private def neymanSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanStratifiedSample(Tables.documents(s, dir), "doc_id",
+      "source", "n_chars", budget = 100L)
+
+  private val neymanSampleSql =
+    """WITH st AS (SELECT source AS h, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS sx,
+      |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      |       FROM documents GROUP BY 1),
+      |s2 AS (SELECT h, n,
+      |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS sigma
+      |       FROM st),
+      |s3 AS (SELECT h, n, sigma,
+      |         CAST(round(CAST(n AS DOUBLE) * sigma * 1e6) AS BIGINT)
+      |           AS wh
+      |       FROM s2),
+      |tt AS (SELECT CAST(sum(wh) AS BIGINT) AS wtot FROM s3),
+      |al AS (SELECT h, n, sigma,
+      |         CAST(round(100 * CAST(wh AS DOUBLE) / wtot) AS BIGINT)
+      |           AS n_alloc
+      |       FROM s3 CROSS JOIN tt),
+      |rk AS (SELECT doc_id, source AS h, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('neyman:' || CAST(doc_id AS VARCHAR)) ASC,
+      |             doc_id ASC) AS rn
+      |       FROM documents),
+      |sm AS (SELECT rk.h, CAST(count(*) AS BIGINT) AS n_sampled,
+      |         CAST(sum(n_chars) AS BIGINT) AS ssum
+      |       FROM rk JOIN al USING (h) WHERE rn <= n_alloc GROUP BY 1)
+      |SELECT al.h AS source, al.n AS n_pop, round(al.sigma, 6) AS sigma,
+      |       al.n_alloc, coalesce(sm.n_sampled, 0) AS n_sampled,
+      |       CASE WHEN coalesce(sm.n_sampled, 0) = 0 THEN NULL
+      |            ELSE round(CAST(ssum AS DOUBLE) / sm.n_sampled, 6) END
+      |         AS sample_mean
+      |FROM al LEFT JOIN sm USING (h)""".stripMargin
+
   private def chi2TermsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chiSquareTerms(Tables.documents(s, dir), "doc_id",
       "text", "lang", topK = 10)
@@ -3535,6 +3575,7 @@ object PipelineQueries {
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
     QueryDef("text_chi2_terms", chi2TermsQ, Some(chi2TermsSql)),
+    QueryDef("doc_neyman_sample", neymanSampleQ, Some(neymanSampleSql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),

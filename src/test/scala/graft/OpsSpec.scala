@@ -1964,6 +1964,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
   }
 
+  test("neymanStratifiedSample: allocation follows N*sigma, zero-variance stratum gets 0") {
+    import spark.implicits._
+    // a: sigma 5 (w 20); b: constant -> sigma 0 (w 0); c: sigma 10 (w 40)
+    val rows =
+      Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 0L), (4L, "a", 10L),
+        (5L, "b", 7L), (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L),
+        (9L, "c", 0L), (10L, "c", 20L), (11L, "c", 0L), (12L, "c", 20L))
+    val df = rows.toDF("id", "src", "v")
+    val got = Sampling.neymanStratifiedSample(df, "id", "src", "v",
+        budget = 6L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    // alloc: a = round(6*20/60) = 2, b = 0, c = round(6*40/60) = 4
+    assert(got("a")._1 == 4L && got("a")._2 == 5.0 && got("a")._3 == 2L &&
+      got("a")._4 == 2L)
+    assert(Set(0.0, 5.0, 10.0).contains(got("a")._5))
+    assert(got("b") == ((4L, 0.0, 0L, 0L, -1.0)))
+    // c gets 4 of its 4 rows -> the full stratum, mean exactly 10
+    assert(got("c") == ((4L, 10.0, 4L, 4L, 10.0)))
+  }
+
   test("chiSquareTerms: hand 2x2 contingency, zero-margin term scores 0") {
     import spark.implicits._
     val df = Seq((1L, "x y", "A"), (2L, "x z", "A"),
