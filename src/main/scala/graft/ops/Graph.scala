@@ -67,6 +67,54 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** k-core peeling profile: `rounds` pinned iterations of "drop every
+    * node with degree < k, discard its edges", reporting surviving
+    * (nodes, edges) after each round — the density-skeleton extraction
+    * behind community cores and spam-ring detection (Seidman 1983).
+    * Peeling cascades: removing a weak node can push neighbors below
+    * k, so one round is NOT the k-core; the profile converging (two
+    * equal consecutive rows) certifies the fixpoint, and a profile
+    * still moving at round R says to raise `rounds`. Rounds past the
+    * fixpoint repeat the final row — harmless and deterministic.
+    *
+    * Scale shape: each round is one combinable degree aggregate plus
+    * two node-keyed semi-joins, MATERIALIZED between rounds (the next
+    * round's aggregate and this round's stats row both re-read it;
+    * without the cut the plan doubles per round exactly like an
+    * unrolled power iteration). Stats rows are lazy one-row aggregates
+    * unioned at the end — no driver-side result assembly.
+    */
+  def kCorePeeling(edges: DataFrame, aCol: String, bCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    // localCheckpoint, not cache: each round references the previous
+    // survivor set TWICE (degree aggregate + semi-join probe), so an
+    // un-truncated lineage doubles per round — 2^rounds copies of the
+    // edge-generation subtree blow up analysis before a single task
+    // runs. Checkpointing pins the round to its RDD blocks.
+    var e = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct().localCheckpoint(true)
+    val roundSets = (1 to rounds).map { r =>
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val keep = broadcast(deg.filter(col("d") >= k).select(col("x")))
+      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      r -> e
+    }
+    roundSets.map { case (r, er) =>
+      val nodes = er.select(explode(array(col("u"), col("v"))).as("x"))
+        .agg(count_distinct(col("x")).as("n_nodes"))
+      val cnt = er.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(cnt).select(lit(r).as("round"), col("n_nodes"),
+        col("n_edges"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Triangle count + global clustering coefficient of an undirected
     * graph, via the degree-ordered (compact-forward) enumeration —
     * the classic distributed-triangle trick (Suri & Vassilvitskii's

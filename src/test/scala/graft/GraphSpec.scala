@@ -77,6 +77,18 @@ class GraphSpec extends AnyFunSuite {
       r.getDouble(4)) == ((5L, 6L, 2L, 10L, 0.6)))
   }
 
+  test("kCorePeeling: cascade removes the tail, profile fixes at the 2-core") {
+    import spark.implicits._
+    // triangle {1,2,3} (all deg>=2) + a path 3-4-5 tail: k=2 peels 5
+    // (deg 1), then 4 (deg drops to 1) -> fixpoint = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val got = Graph.kCorePeeling(edges, "s", "t", k = 2, rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((4L, 4L), (3L, 3L), (3L, 3L), (3L, 3L)))
+  }
+
   test("triangleStats: triangle-free graph has zero count, zero cc") {
     import spark.implicits._
     // a path 1-2-3-4: wedges exist but no triangle
