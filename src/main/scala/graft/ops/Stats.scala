@@ -543,6 +543,68 @@ object Stats {
           .otherwise("continue").as("state"))
   }
 
+  /** Empirical-Bayes (James-Stein-style) shrinkage of per-group means:
+    * each group's mean is pulled toward the grand mean with weight
+    * w_h = τ²/(τ² + σ²/n_h) — the random-effects partial pooling that
+    * fixes the classic league-table fallacy where small groups top and
+    * bottom every ranking by noise alone. σ² is the pooled within-
+    * group variance; τ² the method-of-moments between-group component
+    * max(0, B − σ²·avg(1/n_h)) with B = Σ(m_h−m̄)²/(k−1); τ² = 0
+    * collapses every group to the grand mean, w → 1 as n_h grows.
+    *
+    * Determinism: group sums are exact DECIMALs of the 6dp-rounded
+    * value; every cross-GROUP accumulation (within-SS, between-SS,
+    * Σ1/n) is pinned to a scaled BIGINT per group BEFORE summing, so
+    * group-order never perturbs the variance components; the remaining
+    * arithmetic is fixed-order doubles on those exact totals.
+    *
+    * Scale shape: one group-keyed aggregate is the only full-data
+    * shuffle; all moments and the final shrinkage run on the GROUP
+    * domain with broadcast scalars.
+    */
+  def jamesSteinShrink(df: DataFrame, groupCol: Column,
+                       valueCol: Column): DataFrame = {
+    val v = round(valueCol, 6).cast("decimal(18,6)")
+    val grp = df.groupBy(groupCol.as("h"))
+      .agg(count(lit(1)).as("n"), sum(v).cast("decimal(18,6)").as("sx"),
+        sum((v.cast("decimal(19,6)") * v.cast("decimal(19,6)"))
+          .cast("decimal(38,12)")).as("sxx"))
+    val grpC = graft.data.ScopedCaches.track(grp)
+    val sxd = col("sx").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val glob = grpC.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+        sum(col("sx")).cast("double").as("sxtot"),
+        sum(round((sxxd - sxd * sxd / col("n")) * 1e6).cast("long"))
+          .as("wss6"),
+        sum(round((lit(1.0) / col("n")) * 1e12).cast("long")).as("inv12"))
+      .select(col("nn"), col("k"),
+        (col("sxtot") / col("nn")).as("gm"),
+        (col("wss6").cast("double") / lit(1e6) / (col("nn") - col("k")))
+          .as("sigma2"),
+        (col("inv12").cast("double") / lit(1e12) / col("k")).as("avginv"))
+    val bv = grpC.crossJoin(broadcast(glob))
+      .select(round((sxd / col("n") - col("gm")) *
+        (sxd / col("n") - col("gm")) * 1e12).cast("long").as("b12"))
+      .agg(sum(col("b12")).as("bv12"))
+    val glob2 = glob.crossJoin(broadcast(bv))
+      .select(col("gm"), col("sigma2"),
+        greatest(lit(0.0),
+          col("bv12").cast("double") / lit(1e12) / (col("k") - 1) -
+            col("sigma2") * col("avginv")).as("tau2"))
+    grpC.crossJoin(broadcast(glob2))
+      .select(col("h").as("grp"), col("n"),
+        round(sxd / col("n"), 6).as("raw_mean"),
+        round(when(col("tau2") === 0, lit(0.0))
+          .otherwise(col("tau2") /
+            (col("tau2") + col("sigma2") / col("n"))), 6).as("weight"),
+        round(col("gm") + when(col("tau2") === 0, lit(0.0))
+          .otherwise(col("tau2") /
+            (col("tau2") + col("sigma2") / col("n"))) *
+          (sxd / col("n") - col("gm")), 6).as("shrunk_mean"),
+        round(col("sigma2"), 6).as("sigma2"),
+        round(col("tau2"), 6).as("tau2"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

@@ -460,6 +460,55 @@ object StatsQueries {
       |            ELSE 'continue' END AS state
       |FROM c""".stripMargin
 
+  /** Empirical-Bayes shrinkage of per-source mean document length —
+    * see [[graft.ops.Stats.jamesSteinShrink]].
+    */
+  private def docShrunkSourceMeans(s: SparkSession,
+                                   dir: String): DataFrame =
+    Stats.jamesSteinShrink(Tables.documents(s, dir), col("source"),
+      col("n_chars"))
+
+  private val docShrunkSourceMeansSql =
+    """WITH grp AS (
+      |  SELECT source AS h, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(round(n_chars, 6) AS DECIMAL(38,6)))
+      |           AS DECIMAL(18,6)) AS sx,
+      |         sum(CAST(CAST(round(n_chars, 6) AS DECIMAL(19,6)) *
+      |           CAST(round(n_chars, 6) AS DECIMAL(19,6))
+      |           AS DECIMAL(38,12))) AS sxx
+      |  FROM documents GROUP BY 1),
+      |gtot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |         CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(sx) AS DOUBLE) AS sxtot,
+      |         CAST(sum(CAST(round((CAST(sxx AS DOUBLE) -
+      |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * 1e6)
+      |           AS BIGINT)) AS BIGINT) AS wss6,
+      |         CAST(sum(CAST(round((CAST(1 AS DOUBLE) / n) * 1e12)
+      |           AS BIGINT)) AS BIGINT) AS inv12
+      |  FROM grp),
+      |g2 AS (SELECT nn, k, sxtot / nn AS gm,
+      |         CAST(wss6 AS DOUBLE) / 1e6 / (nn - k) AS sigma2,
+      |         CAST(inv12 AS DOUBLE) / 1e12 / k AS avginv
+      |       FROM gtot),
+      |bv AS (SELECT CAST(sum(CAST(round(
+      |         (CAST(sx AS DOUBLE) / n - gm) *
+      |         (CAST(sx AS DOUBLE) / n - gm) * 1e12) AS BIGINT))
+      |         AS BIGINT) AS bv12
+      |       FROM grp CROSS JOIN g2),
+      |g3 AS (SELECT gm, sigma2, k,
+      |         greatest(0.0, CAST(bv12 AS DOUBLE) / 1e12 / (k - 1) -
+      |           sigma2 * avginv) AS tau2
+      |       FROM g2 CROSS JOIN bv)
+      |SELECT h AS grp, n, round(CAST(sx AS DOUBLE) / n, 6) AS raw_mean,
+      |       round(CASE WHEN tau2 = 0 THEN 0.0
+      |         ELSE tau2 / (tau2 + sigma2 / n) END, 6) AS weight,
+      |       round(gm + CASE WHEN tau2 = 0 THEN 0.0
+      |         ELSE tau2 / (tau2 + sigma2 / n) END *
+      |         (CAST(sx AS DOUBLE) / n - gm), 6) AS shrunk_mean,
+      |       round(sigma2, 6) AS sigma2, round(tau2, 6) AS tau2
+      |FROM grp CROSS JOIN g3""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -490,6 +539,8 @@ object StatsQueries {
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
     QueryDef("li_corr_matrix", liCorrMatrix, Some(liCorrMatrixSql)),
     QueryDef("ev_sprt_monitor", evSprtMonitor, Some(evSprtMonitorSql)),
+    QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
+      Some(docShrunkSourceMeansSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),
     QueryDef("ev_psi_value_drift", evPsiValueDrift, Some(evPsiValueDriftSql)),
     QueryDef("ev_gini_user_concentration", evGiniUsers, Some(evGiniUsersSql)),

@@ -188,6 +188,31 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("b", "c")) == -1.0)
   }
 
+  test("jamesSteinShrink: tau2=0 collapses to grand mean; sigma2=0 keeps raw") {
+    // equal group means -> between-variance 0 -> full pooling
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r1 = Stats.jamesSteinShrink(eq, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(r1("a") == ((2.0, 0.0, 2.0)) && r1("b") == ((2.0, 0.0, 2.0)))
+    // zero within-group variance -> weight 1, no shrinkage at all
+    val sep = Seq(("a", 10.0), ("a", 10.0), ("b", 20.0), ("b", 20.0))
+      .toDF("g", "v")
+    val r2 = Stats.jamesSteinShrink(sep, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(r2("a") == ((10.0, 1.0, 10.0)) && r2("b") == ((20.0, 1.0, 20.0)))
+    // partial pooling: the larger group resists shrinkage more
+    val mix = (Seq.fill(20)(("big", 10.0)) ++ Seq.fill(20)(("big", 30.0)) ++
+      Seq(("small", 38.0), ("small", 42.0)) ++
+      Seq.fill(10)(("mid", 19.0)) ++ Seq.fill(10)(("mid", 29.0)))
+      .toDF("g", "v")
+    val r3 = Stats.jamesSteinShrink(mix, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r3("big") > r3("mid") && r3("mid") > r3("small"))
+  }
+
   test("sprtMonitor: cumulative counts, llr formula, boundary states") {
     // 600 trial units over 3 hours; success iff id % 4 == 0. Arm
     // membership is the op's own md5 split — the test recomputes it
