@@ -844,6 +844,35 @@ object TextAnalysis {
       .crossJoin(broadcast(mom))
   }
 
+  /** Cohen's kappa between two label columns (truth vs prediction, or
+    * any two annotators): κ = (po − pe)/(1 − pe), where po is raw
+    * agreement and pe the agreement two independent annotators with
+    * the observed marginals would reach by chance — raw agreement
+    * flatters any skewed label mix; κ corrects it. Degenerate pe = 1
+    * yields null. All marginals are exact integers from class-domain
+    * aggregates of ONE scan; po/pe/κ are fixed-order ratios 6dp-pinned.
+    */
+  def agreementKappa(df: org.apache.spark.sql.DataFrame, truthCol: String,
+                     predCol: String): org.apache.spark.sql.DataFrame = {
+    val p = graft.data.ScopedCaches.track(
+      df.select(col(truthCol).as("t"), col(predCol).as("p")))
+    val n = p.agg(count(lit(1)).as("n"),
+      sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("diag"))
+    val rows = p.groupBy(col("t").as("c")).agg(count(lit(1)).as("rc"))
+    val cols = p.groupBy(col("p").as("c")).agg(count(lit(1)).as("cc"))
+    val peNum = rows.join(cols, "c")
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("pe_num"))
+    val pe = col("pe_num").cast("double") / (col("n") * col("n"))
+    n.crossJoin(broadcast(peNum))
+      .select(col("n"), col("diag"),
+        round(col("diag").cast("double") / col("n"), 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("diag").cast("double") / col("n") - pe) /
+              (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** χ² feature selection: the top-k terms most associated with each
     * label, by the 2×2 document-presence contingency test
     * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the classic

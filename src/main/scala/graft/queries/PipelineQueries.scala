@@ -1297,6 +1297,59 @@ object PipelineQueries {
        |SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY 1, 2""".stripMargin
   }
 
+  /** Cohen's kappa between the declared `lang` column and the
+    * stopword-profile langId — the chance-corrected agreement scalar
+    * on top of `text_langid_confusion` (raw agreement po flatters any
+    * skewed label mix; κ = (po−pe)/(1−pe) subtracts the agreement two
+    * independent annotators with these marginals would get for free).
+    * All inputs are exact integer marginals of the same one-scan
+    * prediction; po, pe and κ are fixed-order ratios, 6dp-pinned; the
+    * degenerate pe = 1 case yields null. Scale: one scan + class-
+    * domain aggregates.
+    */
+  private def langidKappa(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.agreementKappa(
+      Tables.documents(s, dir).select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      "lang", "lang_pred")
+
+  private val langidKappaSql = {
+    val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+       |  FROM documents),
+       |sc AS (SELECT lang, $scores FROM b),
+       |p AS (SELECT lang, CASE $cases ELSE '${langs.last}' END AS lang_pred
+       |      FROM sc),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS diag
+       |      FROM p),
+       |r AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS rc
+       |      FROM p GROUP BY 1),
+       |cl AS (SELECT lang_pred AS c, CAST(count(*) AS BIGINT) AS cc
+       |       FROM p GROUP BY 1),
+       |pn AS (SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT) AS pe_num
+       |       FROM r JOIN cl USING (c))
+       |SELECT n, diag,
+       |  round(CAST(diag AS DOUBLE) / n, 6) AS po,
+       |  round(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe,
+       |  CASE WHEN CAST(pe_num AS DOUBLE) / (n * n) = 1.0 THEN NULL
+       |    ELSE round((CAST(diag AS DOUBLE) / n -
+       |      CAST(pe_num AS DOUBLE) / (n * n)) /
+       |      (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 6) END AS kappa
+       |FROM t CROSS JOIN pn""".stripMargin
+  }
+
   private def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens"))
@@ -3550,6 +3603,7 @@ object PipelineQueries {
     QueryDef("text_winnow_fps", winnowFps, Some(winnowFpsSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_langid_kappa", langidKappa, Some(langidKappaSql)),
     QueryDef("text_langid_confusion", langidConfusion,
       Some(langidConfusionSql)),
     QueryDef("text_char_entropy", charEntropyQ, Some(charEntropySql)),

@@ -1964,6 +1964,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
   }
 
+  test("agreementKappa: hand 2-class marginals give kappa 0.2; identity gives 1") {
+    import spark.implicits._
+    // truth en,en,de,de vs pred en,es,de,en: po=0.5,
+    // pe = (2*2 + 2*1)/16 = 0.375, kappa = 0.125/0.625 = 0.2
+    val df = Seq(("en", "en"), ("en", "es"), ("de", "de"), ("de", "en"))
+      .toDF("t", "p")
+    val r = TextAnalysis.agreementKappa(df, "t", "p").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((4L, 2L, 0.5, 0.375, 0.2)))
+    // perfect agreement on a uniform mix: kappa exactly 1
+    val id = Seq(("a", "a"), ("b", "b")).toDF("t", "p")
+    val r2 = TextAnalysis.agreementKappa(id, "t", "p").collect().head
+    assert(r2.getDouble(4) == 1.0)
+    // constant annotators: pe = 1 -> kappa undefined (null)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
+    assert(TextAnalysis.agreementKappa(const, "t", "p")
+      .collect().head.isNullAt(4))
+  }
+
   test("neymanStratifiedSample: allocation follows N*sigma, zero-variance stratum gets 0") {
     import spark.implicits._
     // a: sigma 5 (w 20); b: constant -> sigma 0 (w 0); c: sigma 10 (w 40)
