@@ -509,21 +509,36 @@ object Stats {
     * DOMAIN (hours of the experiment — thousands, not rows), so the
     * unpartitioned window is deliberate and bounded.
     */
+  /** The pinned md5 treatment-arm bit shared by [[cuped]]-style
+    * experiment ops and the streaming twin: 1 = treatment.
+    */
+  def treatmentArm(unitCol: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), lit(":"),
+      unitCol.cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
+
   def sprtMonitor(df: DataFrame, unitCol: Column, tsCol: Column,
                   isSuccess: Column, p0: Double, p1: Double,
                   alpha: Double, beta: Double,
                   salt: String = "sprt"): DataFrame = {
-    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
-      "p0, p1 must be distinct probabilities in (0,1)")
-    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
-      "alpha, beta must be in (0,1)")
-    val arm = (conv(substring(md5(concat(lit(salt), lit(":"),
-      unitCol.cast("string"))), 1, 8), 16, 10).cast("long") % 2).cast("int")
-    val buckets = df.filter(arm === 1)
+    val buckets = df.filter(treatmentArm(unitCol, salt) === 1)
       .groupBy(date_trunc("hour", tsCol).as("bucket"))
       .agg(count(lit(1)).as("trials"),
         coalesce(sum(when(isSuccess, 1L).otherwise(0L)), lit(0L))
           .as("successes"))
+    sprtFinish(buckets, p0, p1, alpha, beta)
+  }
+
+  /** The LLR/boundary tail of [[sprtMonitor]] over an already-bucketed
+    * (bucket, trials, successes) table — shared with the streaming
+    * twin, whose hourly counts arrive from a stateful append sink and
+    * get the identical finishing math batch-side.
+    */
+  def sprtFinish(buckets: DataFrame, p0: Double, p1: Double,
+                 alpha: Double, beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct probabilities in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta must be in (0,1)")
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val llr = col("cum_k") * log(lit(p1 / p0)) +

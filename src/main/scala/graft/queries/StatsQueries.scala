@@ -509,6 +509,20 @@ object StatsQueries {
       |       round(sigma2, 6) AS sigma2, round(tau2, 6) AS tau2
       |FROM grp CROSS JOIN g3""".stripMargin
 
+  /** The streaming SPRT path run in batch mode: the ONE shared
+    * hourly-count definition ([[graft.streaming.StreamOps
+    * .sprtHourlyStream]], append-mode under a watermark when streamed)
+    * finished by the same boundary math — must equal `ev_sprt_monitor`
+    * exactly, and shares its oracle. StreamingSpec drives the real
+    * streamed run.
+    */
+  private def evSprtStreamTwin(s: SparkSession, dir: String): DataFrame =
+    Stats.sprtFinish(
+      graft.streaming.StreamOps.sprtHourlyStream(
+        Tables.events(s, dir), "ts", "event_id", "event_type",
+        "purchase", "sprt", withWatermark = false),
+      p0 = 0.19, p1 = 0.21, alpha = 0.05, beta = 0.10)
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -539,6 +553,8 @@ object StatsQueries {
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
     QueryDef("li_corr_matrix", liCorrMatrix, Some(liCorrMatrixSql)),
     QueryDef("ev_sprt_monitor", evSprtMonitor, Some(evSprtMonitorSql)),
+    QueryDef("ev_sprt_stream_twin", evSprtStreamTwin,
+      Some(evSprtMonitorSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),

@@ -116,6 +116,35 @@ object StreamOps extends Serializable {
       col("tot").as("n"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming hourly SPRT trial counts: the arm-B (trials, successes)
+    * per event-time hour, append-mode once the watermark closes each
+    * hour — the streaming HALF of the sequential A/B monitor. The
+    * cumulative LLR is deliberately NOT computed in-stream: running
+    * totals from the stream's beginning would mean a single-key
+    * unbounded state (no parallelism, state never droppable); instead
+    * the closed hourly rows land in a sink and
+    * [[graft.ops.Stats.sprtFinish]] applies the identical boundary
+    * math over the (tiny, hour-domain) sink table — bounded state, and
+    * the finishing step replays bit-for-bit against the batch
+    * [[graft.ops.Stats.sprtMonitor]]. Same pinned md5 arm, same
+    * tumbling hour (window start == date_trunc), so stream == batch
+    * row-for-row on closed hours.
+    */
+  def sprtHourlyStream(events: DataFrame, tsCol: String, unitCol: String,
+                       typeCol: String, successType: String,
+                       salt: String,
+                       withWatermark: Boolean): DataFrame = {
+    val src =
+      if (withWatermark) events.withWatermark(tsCol, "1 hour") else events
+    src.filter(graft.ops.Stats.treatmentArm(col(unitCol), salt) === 1)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L))
+          .as("successes"))
+      .select(col("w.start").as("bucket"), col("trials"),
+        col("successes"))
+  }
+
   /** Streaming exact dedup: first occurrence per key within the
     * watermark horizon (state for a key is droppable once the watermark
     * passes it — bounded state on an unbounded feed). Works on batch

@@ -149,6 +149,51 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${got.size} of ${twinDaily.size} daily windows")
   }
 
+  test("streaming SPRT twin: hourly counts + batch finish equal the batch monitor") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select("ts", "event_id", "event_type")
+    val batch = graft.ops.Stats.sprtMonitor(ev, col("event_id"),
+        col("ts"), col("event_type") === "purchase",
+        p0 = 0.19, p1 = 0.21, alpha = 0.05, beta = 0.10)
+      .collect().map(_.toSeq)
+    // batch-mode call of the streaming source == the monitor's buckets
+    val one = StreamOps.sprtHourlyStream(ev, "ts", "event_id",
+        "event_type", "purchase", "sprt", withWatermark = false)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == batch.map(s => (s(0), s(1), s(2))).toSet)
+    // streamed append over the same rows: closed hours must be batch
+    // rows, and the shared finisher over the DRAINED sink replays the
+    // batch monitor bit-for-bit
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sprt").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = StreamOps.sprtHourlyStream(stream, "ts", "event_id",
+        "event_type", "purchase", "sprt", withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sprt_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("graft_sprt_out")
+    val sinkRows = sink.collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sinkRows.subsetOf(one), "streamed hours must be batch hours")
+    assert(sinkRows.size >= one.size - 2,
+      s"streamed ${sinkRows.size} of ${one.size} hours")
+    val finished = graft.ops.Stats.sprtFinish(sink,
+        p0 = 0.19, p1 = 0.21, alpha = 0.05, beta = 0.10)
+      .collect().map(_.toSeq).toSet
+    val batchClosed = batch.filter(s =>
+      sinkRows.contains((s(0), s(1).asInstanceOf[Long],
+        s(2).asInstanceOf[Long]))).toSet
+    // the finisher over the drained sink agrees with the batch monitor
+    // on every closed hour (cumulatives match when the sink is complete)
+    if (sinkRows.size == one.size) assert(finished == batchClosed)
+    else assert(finished.map(s => (s(0), s(1), s(2))).toSet ==
+      batchClosed.map(s => (s(0), s(1), s(2))))
+  }
+
   test("streaming DQ monitor equals the batch suite on the drained stream") {
     import graft.ops.Analytics
     import Analytics.Constraint
