@@ -620,6 +620,42 @@ object Stats {
         round(col("tau2"), 6).as("tau2"))
   }
 
+  /** Per-segment uplift readout of the pinned experiment: for each
+    * segment, both arms' trial/success counts, rates, and the uplift
+    * rate_B − rate_A — the heterogeneous-treatment-effect table behind
+    * "the average effect is +1%, but WHERE" (and the input any
+    * qini/uplift ranking starts from). Same md5 arm as
+    * [[sprtMonitor]]/[[cuped]] so all experiment readouts describe the
+    * same split. Counts are exact integers from ONE conditional
+    * aggregate; rates and uplift are fixed-order int ratios 6dp-pinned;
+    * segments with an empty arm yield null rate/uplift rather than a
+    * division blow-up.
+    */
+  def upliftBySegment(df: DataFrame, unitCol: Column, segmentCol: Column,
+                      isSuccess: Column,
+                      salt: String = "sprt"): DataFrame = {
+    val arm = treatmentArm(unitCol, salt)
+    val s = when(isSuccess, 1L).otherwise(0L)
+    def rate(kc: Column, nc: Column): Column =
+      when(nc === 0, lit(null).cast("double"))
+        .otherwise(round(kc.cast("double") / nc, 6))
+    df.groupBy(segmentCol.as("segment"))
+      .agg(coalesce(sum(when(arm === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(arm === 0, s).otherwise(0L)), lit(0L)).as("k_a"),
+        coalesce(sum(when(arm === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(arm === 1, s).otherwise(0L)), lit(0L)).as("k_b"))
+      .select(col("segment"), col("n_a"), col("k_a"), col("n_b"),
+        col("k_b"),
+        rate(col("k_a"), col("n_a")).as("rate_a"),
+        rate(col("k_b"), col("n_b")).as("rate_b"),
+        when(col("n_a") === 0 || col("n_b") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("k_b").cast("double") / col("n_b") -
+            col("k_a").cast("double") / col("n_a"), 6)).as("uplift"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

@@ -523,6 +523,42 @@ object StatsQueries {
         "purchase", "sprt", withWatermark = false),
       p0 = 0.19, p1 = 0.21, alpha = 0.05, beta = 0.10)
 
+  /** Day-part uplift readout of the same pinned event-level experiment
+    * as `ev_sprt_monitor` — see [[graft.ops.Stats.upliftBySegment]].
+    */
+  private def evUpliftDaypart(s: SparkSession, dir: String): DataFrame =
+    Stats.upliftBySegment(Tables.events(s, dir), col("event_id"),
+      floor(hour(col("ts")) / 6).cast("int"),
+      col("event_type") === "purchase")
+
+  private val evUpliftDaypartSql =
+    """WITH e AS (
+      |  SELECT CAST(floor(hour(ts) / 6) AS INT) AS segment,
+      |         CAST(CAST('0x' || substr(md5('sprt:' ||
+      |           CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+      |           AS INT) AS arm,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      |  FROM events),
+      |c AS (SELECT segment,
+      |        CAST(coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+      |          AS BIGINT) AS n_a,
+      |        CAST(coalesce(sum(CASE WHEN arm = 0 THEN s ELSE 0 END), 0)
+      |          AS BIGINT) AS k_a,
+      |        CAST(coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
+      |          AS BIGINT) AS n_b,
+      |        CAST(coalesce(sum(CASE WHEN arm = 1 THEN s ELSE 0 END), 0)
+      |          AS BIGINT) AS k_b
+      |      FROM e GROUP BY 1)
+      |SELECT segment, n_a, k_a, n_b, k_b,
+      |       CASE WHEN n_a = 0 THEN NULL
+      |            ELSE round(CAST(k_a AS DOUBLE) / n_a, 6) END AS rate_a,
+      |       CASE WHEN n_b = 0 THEN NULL
+      |            ELSE round(CAST(k_b AS DOUBLE) / n_b, 6) END AS rate_b,
+      |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |            ELSE round(CAST(k_b AS DOUBLE) / n_b -
+      |                       CAST(k_a AS DOUBLE) / n_a, 6) END AS uplift
+      |FROM c""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -555,6 +591,8 @@ object StatsQueries {
     QueryDef("ev_sprt_monitor", evSprtMonitor, Some(evSprtMonitorSql)),
     QueryDef("ev_sprt_stream_twin", evSprtStreamTwin,
       Some(evSprtMonitorSql)),
+    QueryDef("ev_uplift_daypart", evUpliftDaypart,
+      Some(evUpliftDaypartSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),

@@ -188,6 +188,29 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("b", "c")) == -1.0)
   }
 
+  test("upliftBySegment: exact conditional counts vs recomputed arm split") {
+    val df = (0L until 400L).map(i => (i, (i % 2).toInt, i % 5 == 0))
+      .toDF("id", "seg", "succ")
+    val got = Stats.upliftBySegment(df, col("id"), col("seg"),
+        col("succ"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(7)))).toMap
+    // recompute with the op's own arm hash
+    val ref = df.withColumn("arm", Stats.treatmentArm(col("id"), "sprt"))
+      .collect().map(r => (r.getInt(1), r.getInt(3), r.getBoolean(2)))
+    (0 to 1).foreach { seg =>
+      val (na, ka) = (ref.count(t => t._1 == seg && t._2 == 0),
+        ref.count(t => t._1 == seg && t._2 == 0 && t._3))
+      val (nb, kb) = (ref.count(t => t._1 == seg && t._2 == 1),
+        ref.count(t => t._1 == seg && t._2 == 1 && t._3))
+      val up = BigDecimal(kb.toDouble / nb - ka.toDouble / na)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(seg) == ((na.toLong, ka.toLong, nb.toLong, kb.toLong,
+        up)))
+    }
+  }
+
   test("jamesSteinShrink: tau2=0 collapses to grand mean; sigma2=0 keeps raw") {
     // equal group means -> between-variance 0 -> full pooling
     val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
