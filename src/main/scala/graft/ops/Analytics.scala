@@ -226,6 +226,64 @@ object Analytics {
         round(col("cnt") / col("__tot"), 6).as("prob"))
   }
 
+  /** Entropy rate of the first-order event-type chain: H_rate =
+    * Σ_s π̂(s)·H(next | s), with π̂ the empirical from-state frequency
+    * and per-state entropy via the exact-count identity H_s =
+    * log2(n_s) − Σ_t c_st·log2(c_st)/n_s (the EntropyEngine form).
+    * Reported against the marginal next-event entropy: info_gain =
+    * H_marginal − H_rate is the bits of predictability the previous
+    * event buys — 0 means the chain is memoryless, large means
+    * behavior is strongly sequential (sessionize before you sample!).
+    *
+    * Determinism: every Σ over states/cells of a float term is pinned
+    * to a ×10⁹ BIGINT per cell BEFORE the sum (exact in any order);
+    * the identity keeps each term a log2 of an exact integer count.
+    * Same (ts, tie) ordering as [[transitionMatrix]], so both describe
+    * the same chain. One window pass + type-domain aggregates.
+    */
+  def chainEntropyRate(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val steps = df
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val cells = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val cellsC = graft.data.ScopedCaches.track(cells)
+    val states = cellsC.groupBy(col("from_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c") * log2(col("c")) * 1e9).cast("long"))
+          .as("e9"))
+      .select(col("from_type"), col("n"),
+        (log2(col("n")) -
+          col("e9").cast("double") / lit(1e9) / col("n")).as("hs"))
+    val statesC = graft.data.ScopedCaches.track(states)
+    val bigN = statesC.agg(sum(col("n")).as("nn"))
+    val rate = statesC.crossJoin(broadcast(bigN))
+      .select(round((col("n").cast("double") / col("nn")) * col("hs") *
+        1e9).cast("long").as("t9"))
+      .agg(sum(col("t9")).as("r9"))
+      .crossJoin(broadcast(bigN))
+      .select(col("r9"), col("nn"))
+    val marg = cellsC.groupBy(col("to_type"))
+      .agg(sum(col("c")).as("m"))
+      .agg(sum(round(col("m") * log2(col("m")) * 1e9).cast("long"))
+        .as("me9"))
+    val scalars = rate.crossJoin(broadcast(marg))
+      .select(
+        (col("r9").cast("double") / lit(1e9)).as("hr"),
+        (log2(col("nn")) -
+          col("me9").cast("double") / lit(1e9) / col("nn")).as("hm"))
+      .select(round(col("hr"), 6).as("entropy_rate"),
+        round(col("hm"), 6).as("h_marginal"),
+        round(col("hm") - col("hr"), 6).as("info_gain"))
+    statesC.select(col("from_type"), col("n").as("n_out"),
+        round(col("hs"), 6).as("h_state"))
+      .crossJoin(broadcast(scalars))
+  }
+
   /** Last-touch (last-click) conversion attribution: each conversion
     * event credits the user's most recent touch-channel event within
     * `windowSec` seconds, else "direct" — the standard marketing /

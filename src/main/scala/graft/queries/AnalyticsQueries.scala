@@ -996,6 +996,46 @@ object AnalyticsQueries {
        |$stats""".stripMargin
   }
 
+  /** Entropy rate of the event-type chain vs the marginal next-event
+    * entropy — see [[graft.ops.Analytics.chainEntropyRate]].
+    */
+  private def evChainEntropy(s: SparkSession, dir: String): DataFrame =
+    Analytics.chainEntropyRate(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type")
+
+  private val evChainEntropySql =
+    """WITH o AS (SELECT event_type AS from_type,
+      |             lead(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS to_type
+      |           FROM events),
+      |cells AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+      |          FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |st AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(CAST(round(c * log2(c) * 1e9) AS BIGINT))
+      |           AS BIGINT) AS e9
+      |       FROM cells GROUP BY 1),
+      |st2 AS (SELECT from_type, n,
+      |          log2(n) - CAST(e9 AS DOUBLE) / 1e9 / n AS hs
+      |        FROM st),
+      |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM st2),
+      |r AS (SELECT CAST(sum(CAST(round((CAST(n AS DOUBLE) / nn.nn) *
+      |        hs * 1e9) AS BIGINT)) AS BIGINT) AS r9
+      |      FROM st2 CROSS JOIN nn),
+      |mg AS (SELECT CAST(sum(CAST(round(m * log2(m) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS me9
+      |       FROM (SELECT to_type, CAST(sum(c) AS BIGINT) AS m
+      |             FROM cells GROUP BY 1)),
+      |sc AS (SELECT
+      |         round(CAST(r9 AS DOUBLE) / 1e9, 6) AS entropy_rate,
+      |         round(log2(nn.nn) - CAST(me9 AS DOUBLE) / 1e9 / nn.nn, 6)
+      |           AS h_marginal,
+      |         round((log2(nn.nn) - CAST(me9 AS DOUBLE) / 1e9 / nn.nn) -
+      |           (CAST(r9 AS DOUBLE) / 1e9), 6) AS info_gain
+      |       FROM r CROSS JOIN mg CROSS JOIN nn)
+      |SELECT from_type, n AS n_out, round(hs, 6) AS h_state,
+      |       sc.entropy_rate, sc.h_marginal, sc.info_gain
+      |FROM st2 CROSS JOIN sc""".stripMargin
+
   private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pagerank(
       Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1283,6 +1323,8 @@ object AnalyticsQueries {
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),
+    QueryDef("ev_chain_entropy_rate", evChainEntropy,
+      Some(evChainEntropySql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

@@ -908,6 +908,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "direct" -> ((2L, 2.0))))
   }
 
+  test("chainEntropyRate: deterministic chain rate 0, memoryless gain 0") {
+    // ABABABA: every transition is determined -> rate 0; marginal
+    // next-event entropy is 1 bit -> info_gain 1
+    val det = "ABABABA".zipWithIndex.map { case (c, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), c.toString,
+        java.lang.Double.valueOf(1.0))
+    }
+    val r1 = Analytics.chainEntropyRate(evDf(det), "user_id", "ts",
+        "event_id", "event_type").collect()
+    assert(r1.forall(_.getDouble(2) == 0.0))
+    assert(r1.head.getDouble(3) == 0.0 && r1.head.getDouble(4) == 1.0 &&
+      r1.head.getDouble(5) == 1.0)
+    // AABBA: all four transitions equally likely -> rate = marginal = 1
+    val mem = "AABBA".zipWithIndex.map { case (c, i) =>
+      (i.toLong, 1L, ts(i * 1000000L), c.toString,
+        java.lang.Double.valueOf(1.0))
+    }
+    val r2 = Analytics.chainEntropyRate(evDf(mem), "user_id", "ts",
+        "event_id", "event_type").collect()
+    assert(r2.head.getDouble(3) == 1.0 && r2.head.getDouble(4) == 1.0 &&
+      r2.head.getDouble(5) == 0.0)
+  }
+
   test("markovStationary converges to the analytic two-state fixpoint") {
     // one user, sequence A A B B B B A: P(A->A)=P(A->B)=0.5,
     // P(B->B)=0.75, P(B->A)=0.25 -> stationary (1/3, 2/3); second
