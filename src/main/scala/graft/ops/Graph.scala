@@ -115,6 +115,53 @@ object Graph {
     }.reduce(_.unionByName(_))
   }
 
+  /** BFS reach profile from the top-degree node: per hop, the frontier
+    * size and cumulative reach — the small-world audit ("how many hops
+    * until a hub touches everything") that sizes iteration counts for
+    * label propagation, PageRank convergence, and contamination blast
+    * radius. The seed is the max-(degree, smaller-id) node, so the
+    * probe is deterministic. Hops past saturation emit frontier 0 and
+    * a flat reach — harmless, and the flat tail certifies saturation.
+    *
+    * Scale shape: each hop is one node-keyed join of the adjacency
+    * with the (broadcast) frontier plus an anti-join against reached,
+    * `localCheckpoint`ed — frontier/reached are re-read next hop AND
+    * by the stats rows, the same 2^hops lineage trap as
+    * [[kCorePeeling]]. No collect; the seed is a one-row broadcast.
+    */
+  def bfsReach(edges: DataFrame, aCol: String, bCol: String,
+               hops: Int): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val canon = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(canon.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val seed = deg.agg(max(struct(col("d"), (-col("s")).as("ns")))
+        .as("m"))
+      .select((-col("m.ns")).as("x"))
+      .localCheckpoint(true)
+    var frontier = seed
+    var reached = seed.localCheckpoint(true)
+    val hopStats = (1 to hops).map { h =>
+      val next = adj.join(broadcast(frontier.select(col("x").as("s"))),
+          Seq("s"))
+        .select(col("t").as("x")).distinct()
+        .join(reached, Seq("x"), "left_anti")
+        .localCheckpoint(true)
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next
+      val f = next.agg(count(lit(1)).as("frontier"))
+      val rr = reached.agg(count(lit(1)).as("reached"))
+      f.crossJoin(rr).select(lit(h).as("hop"), col("frontier"),
+        col("reached"))
+    }
+    hopStats.reduce(_.unionByName(_))
+  }
+
   /** Triangle count + global clustering coefficient of an undirected
     * graph, via the degree-ordered (compact-forward) enumeration —
     * the classic distributed-triangle trick (Suri & Vassilvitskii's

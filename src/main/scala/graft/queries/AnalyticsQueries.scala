@@ -1036,6 +1036,49 @@ object AnalyticsQueries {
       |       sc.entropy_rate, sc.h_marginal, sc.info_gain
       |FROM st2 CROSS JOIN sc""".stripMargin
 
+  /** BFS reach profile from the top-degree part in the co-purchase
+    * graph, 4 hops — see [[graft.ops.Graph.bfsReach]].
+    */
+  private def liBfsReach(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.bfsReach(pairs, "pa", "pb", hops = 4)
+  }
+
+  private val liBfsReachSql = {
+    val hopCtes = (1 to 4).map { h =>
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT adj.t AS x
+         |  FROM adj JOIN f${h - 1} ON f${h - 1}.x = adj.s
+         |  WHERE adj.t NOT IN (SELECT x FROM r${h - 1})),
+         |r$h AS MATERIALIZED (SELECT x FROM r${h - 1}
+         |  UNION ALL SELECT x FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val stats = (1 to 4).map { h =>
+      s"""SELECT $h AS hop,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM f$h) AS frontier,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM r$h) AS reached"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |canon AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |adj AS MATERIALIZED (SELECT u AS s, v AS t FROM canon
+       |  UNION ALL SELECT v, u FROM canon),
+       |deg AS (SELECT s, count(*) AS d FROM adj GROUP BY 1),
+       |seed AS (SELECT s AS x FROM (
+       |  SELECT s, row_number() OVER (ORDER BY d DESC, s ASC) AS rn
+       |  FROM deg) t WHERE rn = 1),
+       |r0 AS MATERIALIZED (SELECT x FROM seed),
+       |f0 AS MATERIALIZED (SELECT x FROM seed),
+       |$hopCtes
+       |$stats""".stripMargin
+  }
+
   private def evTypePagerank(s: SparkSession, dir: String): DataFrame =
     Graph.pagerank(
       Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
@@ -1325,6 +1368,7 @@ object AnalyticsQueries {
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),
     QueryDef("ev_chain_entropy_rate", evChainEntropy,
       Some(evChainEntropySql)),
+    QueryDef("li_bfs_reach", liBfsReach, Some(liBfsReachSql)),
     QueryDef("ev_assoc_rules", evAssocRules, Some(evAssocRulesSql)),
     QueryDef("ev_time_to_conversion", evTimeToConversion,
       Some(evTimeToConversionSql)),

@@ -89,6 +89,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((4L, 4L), (3L, 3L), (3L, 3L), (3L, 3L)))
   }
 
+  test("bfsReach: path graph from the hub, saturation tail goes flat") {
+    import spark.implicits._
+    // star center 1 (deg 3) + chain 2-5-6: seed = 1;
+    // hop1 {2,3,4}, hop2 {5}, hop3 {6}, hop4 {} (saturated)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (5L, 6L))
+      .toDF("s", "t")
+    val got = Graph.bfsReach(edges, "s", "t", hops = 4)
+      .orderBy("hop").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 4L), (1L, 5L), (1L, 6L), (0L, 6L)))
+  }
+
   test("triangleStats: triangle-free graph has zero count, zero cc") {
     import spark.implicits._
     // a path 1-2-3-4: wedges exist but no triangle
