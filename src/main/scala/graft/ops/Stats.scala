@@ -656,6 +656,49 @@ object Stats {
             col("k_a").cast("double") / col("n_a"), 6)).as("uplift"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test: D = max |F̂₁ − F̂₂| over
+    * the pooled observed support, plus the large-sample α = 0.05
+    * critical value 1.358·√((n₁+n₂)/(n₁n₂)) and the reject flag — the
+    * whole-distribution complement of [[psiDrift]]: PSI grades binned
+    * mass movement against a pinned baseline, KS catches ANY CDF gap
+    * (shape, tail, median shift) with a distribution-free null.
+    *
+    * Distributed shape: the same histogram decomposition as
+    * [[giniConcentration]] — per-(rounded value) side counts are one
+    * combinable aggregate; the CDFs are cumulative window sums over
+    * the DISTINCT-VALUE domain (bounded by value cardinality, not row
+    * count). Determinism: counts exact, F̂ are exact-int ratios, the
+    * max is over identical doubles; D and the decision are 6dp-pinned
+    * (the flag compares the ROUNDED D to the rounded critical value,
+    * so both engines flip together).
+    */
+  def ksDrift(df: DataFrame, valueCol: Column,
+              isBaseline: Column): DataFrame = {
+    val h = df.groupBy(round(valueCol, 6).as("v"))
+      .agg(coalesce(sum(when(isBaseline, 1L).otherwise(0L)), lit(0L))
+          .as("c1"),
+        coalesce(sum(when(!isBaseline, 1L).otherwise(0L)), lit(0L))
+          .as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val gaps = h
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("f1").cast("double") / col("n1") -
+        col("f2").cast("double") / col("n2")).as("gap"),
+        col("n1"), col("n2"))
+    gaps.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("gap")).as("d"))
+      .select(col("n1"), col("n2"), round(col("d"), 6).as("ks_d"),
+        round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1") * col("n2"))), 6).as("crit_05"),
+        (round(col("d"), 6) >
+          round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2"))), 6)).as("reject_05"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

@@ -559,6 +559,35 @@ object StatsQueries {
       |                       CAST(k_a AS DOUBLE) / n_a, 6) END AS uplift
       |FROM c""".stripMargin
 
+  /** Two-sample KS drift of the event `value` distribution across the
+    * same pre/post pivot as PSI — see [[graft.ops.Stats.ksDrift]].
+    */
+  private def evKsDrift(s: SparkSession, dir: String): DataFrame =
+    Stats.ksDrift(Tables.events(s, dir), col("value"),
+      col("ts") < lit("2024-01-15").cast("timestamp"))
+
+  private val evKsDriftSql =
+    """WITH h AS (SELECT round(value, 6) AS v,
+      |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+      |         CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP
+      |           '2024-01-15') THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2
+      |       FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      |g AS (SELECT abs(CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) / n1 -
+      |             CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) / n2)
+      |        AS gap, n1, n2
+      |      FROM h CROSS JOIN t),
+      |m AS (SELECT max(n1) AS n1, max(n2) AS n2, max(gap) AS d FROM g)
+      |SELECT n1, n2, round(d, 6) AS ks_d,
+      |       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+      |         AS crit_05,
+      |       round(d, 6) >
+      |         round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+      |         AS reject_05
+      |FROM m""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -593,6 +622,7 @@ object StatsQueries {
       Some(evSprtMonitorSql)),
     QueryDef("ev_uplift_daypart", evUpliftDaypart,
       Some(evUpliftDaypartSql)),
+    QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),

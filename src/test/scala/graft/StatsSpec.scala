@@ -188,6 +188,28 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("b", "c")) == -1.0)
   }
 
+  test("ksDrift: hand CDF gap, identical samples D=0, shifted rejects") {
+    // base {1,2,3,4}, cur {3,4,5,6}: D at v=2: |2/4 - 0| = 0.5
+    val df = Seq((1.0, true), (2.0, true), (3.0, true), (4.0, true),
+      (3.0, false), (4.0, false), (5.0, false), (6.0, false))
+      .toDF("v", "isb")
+    val r = Stats.ksDrift(df, col("v"), col("isb")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 4L, 0.5)))
+    val crit = BigDecimal(1.358 * math.sqrt(8.0 / 16.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == crit && !r.getBoolean(4)) // 0.5 < 0.96
+    // identical samples: D exactly 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "isb")
+    assert(Stats.ksDrift(same, col("v"), col("isb"))
+      .collect().head.getDouble(2) == 0.0)
+    // disjoint supports at n=200: D=1 must reject
+    val far = ((1 to 100).map(i => (i.toDouble, true)) ++
+      (1 to 100).map(i => (1000.0 + i, false))).toDF("v", "isb")
+    val rf = Stats.ksDrift(far, col("v"), col("isb")).collect().head
+    assert(rf.getDouble(2) == 1.0 && rf.getBoolean(4))
+  }
+
   test("upliftBySegment: exact conditional counts vs recomputed arm split") {
     val df = (0L until 400L).map(i => (i, (i % 2).toInt, i % 5 == 0))
       .toDF("id", "seg", "succ")
