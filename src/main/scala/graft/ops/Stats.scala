@@ -699,6 +699,46 @@ object Stats {
             (col("n1") * col("n2"))), 6)).as("reject_05"))
   }
 
+  /** Cramér's V association between two categorical columns: V =
+    * √(χ²/(N·(min(r,c)−1))) ∈ [0,1] — the effect-size companion the
+    * raw χ² lacks (χ² grows with N; V answers "is this association
+    * STRONG, not just detectable", the pairwise-categorical entry of
+    * the same audit family as [[mutualInformation]]). Expected cells
+    * come from the margins; absent (x,y) combos contribute their full
+    * expected mass via the margin-pair domain, not just observed
+    * cells.
+    *
+    * Determinism: all margins exact integers; each cell's χ² term is
+    * a fixed-order double pinned to a ×10⁹ BIGINT before the
+    * cross-cell sum. Scale: one (x,y) aggregate, margins broadcast,
+    * the term table is the r×c DOMAIN.
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("o"))
+    val cellsC = graft.data.ScopedCaches.track(cells)
+    val rx = cellsC.groupBy(col("x")).agg(sum(col("o")).as("nx"))
+    val cy = cellsC.groupBy(col("y")).agg(sum(col("o")).as("ny"))
+    val tot = cellsC.agg(sum(col("o")).as("nn"))
+    val dims = rx.agg(count(lit(1)).as("r"))
+      .crossJoin(cy.agg(count(lit(1)).as("c")))
+    // full margin-pair domain so empty observed cells still pay e
+    val grid = broadcast(rx).crossJoin(broadcast(cy))
+      .join(cellsC, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    val e = col("nx").cast("double") * col("ny") / col("nn")
+    val term = (col("o") - e) * (col("o") - e) / e
+    grid.select(round(term * 1e9).cast("long").as("t9"))
+      .agg(sum(col("t9")).as("s9"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(col("nn").as("n"), col("r"), col("c"),
+        round(col("s9").cast("double") / lit(1e9), 6).as("chi2"),
+        round(sqrt(col("s9").cast("double") / lit(1e9) /
+          (col("nn") * (least(col("r"), col("c")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

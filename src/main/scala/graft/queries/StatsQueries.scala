@@ -588,6 +588,45 @@ object StatsQueries {
       |         AS reject_05
       |FROM m""".stripMargin
 
+  /** Cramér's V between event type and day-of-week — see
+    * [[graft.ops.Stats.cramersV]]. Day-of-week via integer epoch-day
+    * mod 7 (0 = Thursday), never engine week functions.
+    */
+  private def evCramersV(s: SparkSession, dir: String): DataFrame =
+    Stats.cramersV(Tables.events(s, dir), col("event_type"),
+      pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(7)))
+
+  private val evCramersVSql =
+    """WITH cells AS (
+      |  SELECT event_type AS x,
+      |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |           AS y,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rx AS (SELECT x, CAST(sum(o) AS BIGINT) AS nx
+      |       FROM cells GROUP BY 1),
+      |cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS ny
+      |       FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rx) AS r,
+      |                (SELECT CAST(count(*) AS BIGINT) FROM cy) AS c),
+      |grid AS (SELECT rx.x, cy.y, rx.nx, cy.ny,
+      |           coalesce(cells.o, 0) AS o, tt.nn
+      |         FROM rx CROSS JOIN cy
+      |         LEFT JOIN cells USING (x, y) CROSS JOIN tt),
+      |s AS (SELECT CAST(sum(CAST(round(
+      |        (o - CAST(nx AS DOUBLE) * ny / nn) *
+      |        (o - CAST(nx AS DOUBLE) * ny / nn) /
+      |        (CAST(nx AS DOUBLE) * ny / nn) * 1e9) AS BIGINT))
+      |        AS BIGINT) AS s9
+      |      FROM grid)
+      |SELECT tt.nn AS n, dims.r, dims.c,
+      |       round(CAST(s9 AS DOUBLE) / 1e9, 6) AS chi2,
+      |       round(sqrt(CAST(s9 AS DOUBLE) / 1e9 /
+      |         (tt.nn * (least(dims.r, dims.c) - 1))), 6) AS cramers_v
+      |FROM s CROSS JOIN tt CROSS JOIN dims""".stripMargin
+
   /** Pairwise Pearson correlation matrix over the four lineitem
     * numeric measures — one combinable pass, exact decimal moments.
     */
@@ -623,6 +662,7 @@ object StatsQueries {
     QueryDef("ev_uplift_daypart", evUpliftDaypart,
       Some(evUpliftDaypartSql)),
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
+    QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),
     QueryDef("doc_bootstrap_ci", docBootstrapCi, Some(docBootstrapCiSql)),

@@ -188,6 +188,18 @@ class StatsSpec extends AnyFunSuite {
     assert(m(("b", "c")) == -1.0)
   }
 
+  test("cramersV: perfect association V=1, independence V=0, empty cells pay e") {
+    val perfect = (Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("b", 1)))
+      .toDF("x", "y")
+    val r1 = Stats.cramersV(perfect, col("x"), col("y")).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((20L, 2L, 2L)))
+    assert(r1.getDouble(3) == 20.0 && r1.getDouble(4) == 1.0)
+    val indep = (for { x <- Seq("a", "b"); y <- 0 to 2; _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r2 = Stats.cramersV(indep, col("x"), col("y")).collect().head
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
   test("ksDrift: hand CDF gap, identical samples D=0, shifted rejects") {
     // base {1,2,3,4}, cur {3,4,5,6}: D at v=2: |2/4 - 0| = 0.5
     val df = Seq((1.0, true), (2.0, true), (3.0, true), (4.0, true),
