@@ -739,6 +739,44 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Exact ROC-AUC of a score against a binary label, with Gini
+    * (2·AUC−1): the threshold-free ranking quality of any scorer —
+    * the eval the confusion-matrix family ([[graft.ops.Embeddings
+    * .centroidClassifierEval]]) can't give, since accuracy moves with
+    * the cut while AUC grades the whole ranking. Mann-Whitney
+    * formulation with the standard tie treatment (a tied pos/neg pair
+    * counts ½): AUC = Σ_g [p_g·n_below(g) + ½·p_g·n_g] / (P·N) over
+    * SCORE GROUPS g, never row pairs.
+    *
+    * Distributed shape: same histogram decomposition as [[ksDrift]] —
+    * one combinable (6dp-rounded score → pos/neg count) aggregate
+    * collapses the stream to the distinct-score domain, then one
+    * cumulative window over that domain. The window is
+    * single-partition but bounded by score cardinality (≤ 2·10⁶+1 for
+    * any [-1,1] score at 6dp), not row count. Determinism: the
+    * pair-count numerator is an exact BIGINT (doubled to keep the ½
+    * integral); only the final two divisions are floating, in a
+    * pinned order.
+    */
+  def rocAuc(df: DataFrame, scoreCol: Column, isPositive: Column): DataFrame = {
+    val g = df.groupBy(round(scoreCol, 6).as("s"))
+      .agg(coalesce(sum(when(isPositive, 1L).otherwise(0L)), lit(0L))
+          .as("p"),
+        coalesce(sum(when(!isPositive, 1L).otherwise(0L)), lit(0L))
+          .as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cn", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cn") + col("n"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+        round(col("num2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg")) - lit(1.0), 6)
+          .as("gini"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

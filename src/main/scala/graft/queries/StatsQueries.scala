@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Analytics, Stats}
+import graft.ops.{Analytics, Embeddings, Stats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -652,6 +652,68 @@ object StatsQueries {
     s"WITH b AS (SELECT $b FROM lineitem),\nm AS (SELECT $moms FROM b)\n$rows"
   }
 
+  /** ROC-AUC of "cosine to the label-0 centroid" as a one-vs-rest
+    * label-0 detector — the threshold-free companion of the
+    * confusion-matrix evals (`emb_centroid_classifier`, `emb_knn_*`):
+    * does the geometric score RANK label-0 vectors above the rest,
+    * regardless of any cut? See [[graft.ops.Stats.rocAuc]]. The
+    * centroid is the 6dp-rounded label-0 dimension means collected as
+    * a literal (the pinned-IVF bounded-collect pattern), so the score
+    * is scan-side codegen (`cosine_sim`) and the AUC itself is the
+    * distinct-score-domain fold.
+    */
+  private def embCentroidAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val df = Tables.embeddings(s, dir)
+    val c0: Array[Double] =
+      Embeddings.labelCentroids(df, "vec_id", "embedding", "label")
+        .filter(col("label") === 0).collect()
+        .map(r => (r.getInt(1), r.getDouble(3))).sortBy(_._1).map(_._2)
+    require(c0.nonEmpty, "no label-0 vectors in corpus")
+    val scored = df.select(
+      round(call_function("cosine_sim",
+        transform(col("embedding"), x => x.cast("double")),
+        typedLit(c0)), 6).as("score"),
+      (col("label") === 0).as("isp"))
+    Stats.rocAuc(scored, col("score"), col("isp"))
+  }
+
+  private val embCentroidAucSql =
+    """WITH v AS (SELECT embedding::DOUBLE[] AS v, label = 0 AS isp
+      |           FROM embeddings),
+      |cm AS (SELECT CAST(i - 1 AS INT) AS pos,
+      |         round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+      |           AS c
+      |       FROM (SELECT embedding,
+      |               unnest(generate_series(1, length(embedding))) AS i
+      |             FROM embeddings WHERE label = 0) u
+      |       GROUP BY 1),
+      |cent AS (SELECT list(c ORDER BY pos) AS cv FROM cm),
+      |sc AS (SELECT round(list_cosine_similarity(v.v, cent.cv), 6) AS s,
+      |              isp
+      |       FROM v CROSS JOIN cent),
+      |g AS (SELECT s,
+      |        CAST(coalesce(sum(CASE WHEN isp THEN 1 ELSE 0 END), 0)
+      |          AS BIGINT) AS p,
+      |        CAST(coalesce(sum(CASE WHEN isp THEN 0 ELSE 1 END), 0)
+      |          AS BIGINT) AS n
+      |      FROM sc GROUP BY 1),
+      |c AS (SELECT p, n,
+      |        CAST(coalesce(sum(n) OVER (ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS cn
+      |      FROM g),
+      |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+      |             CAST(sum(n) AS BIGINT) AS n_neg,
+      |             CAST(sum(p * (2 * cn + n)) AS BIGINT) AS num2
+      |      FROM c)
+      |SELECT n_pos, n_neg,
+      |       round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+      |         AS auc,
+      |       round(CAST(num2 AS DOUBLE)
+      |         / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
+      |FROM a""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
@@ -674,5 +736,6 @@ object StatsQueries {
       Some(docSourceLooQualitySql)),
     QueryDef("dq_profile_drift_events", dqProfileDriftEvents,
       Some(dqProfileDriftEventsSql)),
+    QueryDef("emb_centroid_auc", embCentroidAuc, Some(embCentroidAucSql)),
   )
 }

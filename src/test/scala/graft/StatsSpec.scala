@@ -326,4 +326,29 @@ class StatsSpec extends AnyFunSuite {
     assert(se > 0.1 && se < 0.4, s"se_boot $se out of band")
     assert(hi - lo < 4 * 0.4 && hi - lo > 0.3)
   }
+
+  test("rocAuc: perfect ranking 1, reversed 0, random-ish 0.5, ties pay half") {
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double, Double) = {
+      val r = Stats.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // every positive above every negative
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      == (2L, 2L, 1.0, 1.0))
+    // fully reversed
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)))
+      == (2L, 2L, 0.0, -1.0))
+    // all scores tied: every pos/neg pair counts half
+    assert(auc(Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false)))
+      == (2L, 2L, 0.5, 0.0))
+    // hand case: pos {0.8, 0.4}, neg {0.6, 0.4, 0.2}
+    // pairs: 0.8 beats all 3; 0.4 beats 0.2, ties 0.4 (half), loses 0.6
+    // AUC = (3 + 1.5) / 6 = 0.75
+    val (p, n, a, g) = auc(Seq((0.8, true), (0.4, true),
+      (0.6, false), (0.4, false), (0.2, false)))
+    assert((p, n, a) == (2L, 3L, 0.75) && g == 0.5)
+    // 6dp rounding groups near-equal scores before ranking
+    assert(auc(Seq((0.5000000001, true), (0.5, false)))._3 == 0.5)
+  }
 }
