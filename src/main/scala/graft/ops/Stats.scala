@@ -777,6 +777,54 @@ object Stats {
           .as("gini"))
   }
 
+  /** Expected Calibration Error audit of a probabilistic classifier:
+    * per-row (confidence, was-it-correct) pairs bucketed into `bins`
+    * equal-width confidence bands, each band reporting its size, mean
+    * confidence, and accuracy; ECE = Σ_b (n_b/N)·|acc_b − conf_b| —
+    * "when the model says 80%, is it right 80% of the time?", the
+    * trust audit [[rocAuc]] (pure ranking) deliberately ignores.
+    *
+    * Determinism: confidence is 6dp-pinned, then scaled to an exact
+    * ×10⁶ BIGINT — band assignment is pure integer division (no float
+    * boundary can flip between engines) and per-band mean confidence
+    * sums integers. Accuracy is an exact int ratio; each band's ECE
+    * term is pinned to a ×10⁹ BIGINT before the cross-band sum (the
+    * [[cramersV]] discipline). Empty bands are kept via a bins-sized
+    * spine and contribute zero. Scale: one combinable aggregate over
+    * `bins` groups; everything after is domain-sized.
+    */
+  def calibrationEce(df: DataFrame, confCol: Column, isCorrect: Column,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    val b = df.select(
+      round(round(confCol, 6) * lit(1e6), 0).cast("long").as("c6"),
+      when(isCorrect, 1L).otherwise(0L).as("ok"))
+      .select(least(expr(s"(c6 * $bins) div 1000000"),
+        lit(bins - 1L)).cast("int").as("bin"), col("c6"), col("ok"))
+    val g = b.groupBy(col("bin")).agg(count(lit(1)).as("cnt"),
+      sum(col("c6")).as("sc6"), sum(col("ok")).as("nok"))
+    val sp = df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val cells = sp.join(g, Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt", "sc6", "nok"))
+    val tot = cells.agg(sum(col("cnt")).as("nn"))
+    val x = cells.select(col("bin"), col("cnt"),
+      when(col("cnt") > 0,
+        (col("sc6").cast("double") / lit(1e6)) / col("cnt"))
+        .otherwise(lit(0.0)).as("ac"),
+      when(col("cnt") > 0, col("nok").cast("double") / col("cnt"))
+        .otherwise(lit(0.0)).as("aa"))
+    val x2 = x.withColumn("t9",
+      round(col("cnt") * abs(col("aa") - col("ac")) * lit(1e9), 0)
+        .cast("long"))
+    val e = x2.agg(sum(col("t9")).as("e9")).crossJoin(broadcast(tot))
+    x2.crossJoin(broadcast(e))
+      .select(col("bin"), col("cnt"), round(col("ac"), 6).as("avg_conf"),
+        round(col("aa"), 6).as("accuracy"),
+        round(col("e9").cast("double") / lit(1e9) / col("nn"), 6)
+          .as("ece"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

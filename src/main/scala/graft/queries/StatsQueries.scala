@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Analytics, Embeddings, Stats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-statistics governance queries: PSI drift, Gini/Lorenz
@@ -714,6 +714,94 @@ object StatsQueries {
       |         / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
       |FROM a""".stripMargin
 
+  /** ECE calibration audit of the softmax-over-centroid-cosines
+    * classifier (temperature 10, the sharpening that turns [-1,1]
+    * cosines into a usable confidence spread): per-row confidence =
+    * softmax probability of the argmax label, correctness against the
+    * true label, folded through [[graft.ops.Stats.calibrationEce]].
+    * Scale shape: centroids are a bounded collect (labels × dims);
+    * score + softmax + argmax are all scan-side over centroid
+    * literals (the `greatest`-struct argmin trick of
+    * `emb_centroid_classifier`); the audit itself is a 10-group
+    * aggregate.
+    */
+  private def embCalibrationEce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val df = Tables.embeddings(s, dir)
+    val cents: Seq[(Int, Array[Double])] =
+      Embeddings.labelCentroids(df, "vec_id", "embedding", "label")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (lb, rows) => lb -> rows.sortBy(_._2).map(_._3).toArray }
+        .toSeq.sortBy(_._1)
+    require(cents.nonEmpty, "no labels in corpus")
+    val v = df.select(col("label").cast("int").as("tl"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def sim(c: Array[Double]): Column =
+      round(call_function("cosine_sim", col("v"), typedLit(c)), 6)
+    // argmax by (rounded cosine, then smallest label)
+    val best = greatest(cents.map { case (lb, c) =>
+      struct(sim(c).as("s"), lit(-lb).as("nl"))
+    }: _*)
+    // denominator summed in ascending-label order on both engines
+    val denom = cents.map { case (_, c) => exp(lit(10.0) * sim(c)) }
+      .reduce(_ + _)
+    val scored = v.select(
+      (exp(lit(10.0) * best.getField("s")) / denom).as("conf"),
+      ((-best.getField("nl")) === col("tl")).as("okp"))
+    Stats.calibrationEce(scored, col("conf"), col("okp"))
+  }
+
+  private val embCalibrationEceSql =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |                  CAST(label AS INT) AS tl FROM embeddings),
+      |cm AS (SELECT label AS cl, CAST(i - 1 AS INT) AS pos,
+      |         round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+      |           AS c
+      |       FROM (SELECT label, embedding,
+      |               unnest(generate_series(1, length(embedding))) AS i
+      |             FROM embeddings) u
+      |       GROUP BY 1, 2),
+      |cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cm GROUP BY 1),
+      |sc AS (SELECT v.id, v.tl, cent.cl,
+      |         round(list_cosine_similarity(v.v, cent.cv), 6) AS s
+      |       FROM v CROSS JOIN cent),
+      |den AS (SELECT id, list_sum(list_transform(list(s ORDER BY cl),
+      |          x -> exp(10.0 * x))) AS d
+      |        FROM sc GROUP BY 1),
+      |p AS (SELECT id, tl, cl AS pl, s AS smax FROM (
+      |        SELECT id, tl, cl, s, row_number() OVER (
+      |          PARTITION BY id ORDER BY s DESC, cl) AS rn FROM sc) t
+      |      WHERE rn = 1),
+      |rowconf AS (SELECT CAST(round(round(exp(10.0 * p.smax) / den.d, 6)
+      |              * 1e6, 0) AS BIGINT) AS c6,
+      |              CASE WHEN p.pl = p.tl THEN 1 ELSE 0 END AS ok
+      |            FROM p JOIN den USING (id)),
+      |g AS (SELECT CAST(least((c6 * 10) // 1000000, 9) AS INT) AS bin,
+      |        CAST(count(*) AS BIGINT) AS cnt,
+      |        CAST(sum(c6) AS BIGINT) AS sc6,
+      |        CAST(sum(ok) AS BIGINT) AS nok
+      |      FROM rowconf GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+      |cells AS (SELECT sp.bin, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+      |            CAST(coalesce(sc6, 0) AS BIGINT) AS sc6,
+      |            CAST(coalesce(nok, 0) AS BIGINT) AS nok
+      |          FROM sp LEFT JOIN g USING (bin)),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM cells),
+      |x AS (SELECT bin, cnt,
+      |        CASE WHEN cnt > 0
+      |          THEN (CAST(sc6 AS DOUBLE) / 1e6) / cnt ELSE 0.0 END AS ac,
+      |        CASE WHEN cnt > 0
+      |          THEN CAST(nok AS DOUBLE) / cnt ELSE 0.0 END AS aa
+      |      FROM cells),
+      |x2 AS (SELECT bin, cnt, ac, aa,
+      |         CAST(round(cnt * abs(aa - ac) * 1e9, 0) AS BIGINT) AS t9
+      |       FROM x),
+      |e AS (SELECT CAST(sum(t9) AS BIGINT) AS e9 FROM x2)
+      |SELECT bin, cnt, round(ac, 6) AS avg_conf, round(aa, 6) AS accuracy,
+      |       round(CAST(e9 AS DOUBLE) / 1e9 / t.nn, 6) AS ece
+      |FROM x2 CROSS JOIN e CROSS JOIN t""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
@@ -737,5 +825,7 @@ object StatsQueries {
     QueryDef("dq_profile_drift_events", dqProfileDriftEvents,
       Some(dqProfileDriftEventsSql)),
     QueryDef("emb_centroid_auc", embCentroidAuc, Some(embCentroidAucSql)),
+    QueryDef("emb_calibration_ece", embCalibrationEce,
+      Some(embCalibrationEceSql)),
   )
 }

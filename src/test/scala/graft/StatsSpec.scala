@@ -351,4 +351,33 @@ class StatsSpec extends AnyFunSuite {
     // 6dp rounding groups near-equal scores before ranking
     assert(auc(Seq((0.5000000001, true), (0.5, false)))._3 == 0.5)
   }
+
+  test("calibrationEce: hand bins, perfect calibration 0, empty bins kept") {
+    // bin 7: two rows conf 0.75, one correct -> acc 0.5, gap 0.25
+    // bin 9: one row conf 0.95, correct -> acc 1.0, gap 0.05
+    // ece = (2*0.25 + 1*0.05)/3
+    val df = Seq((0.75, true), (0.75, false), (0.95, true)).toDF("c", "y")
+    val rows = Stats.calibrationEce(df, col("c"), col("y"))
+      .orderBy("bin").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == 3L)
+    val b7 = rows(7); val b9 = rows(9)
+    assert(b7.getLong(1) == 2L && b7.getDouble(2) == 0.75 &&
+      b7.getDouble(3) == 0.5)
+    assert(b9.getLong(1) == 1L && b9.getDouble(2) == 0.95 &&
+      b9.getDouble(3) == 1.0)
+    val want = BigDecimal((2 * 0.25 + 0.05) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_.getDouble(4) == want))
+    // conf exactly at a band edge goes to the upper band (integer div),
+    // conf 1.0 clamps into the top band
+    val edge = Seq((0.8, true), (1.0, true)).toDF("c", "y")
+    val er = Stats.calibrationEce(edge, col("c"), col("y"))
+      .orderBy("bin").collect()
+    assert(er(8).getLong(1) == 1L && er(9).getLong(1) == 1L)
+    // perfectly calibrated: conf 1.0 always right
+    val perf = Seq((1.0, true), (1.0, true)).toDF("c", "y")
+    assert(Stats.calibrationEce(perf, col("c"), col("y"))
+      .collect().forall(_.getDouble(4) == 0.0))
+  }
 }
