@@ -134,6 +134,37 @@ object Analytics {
       .filter(col("cnt") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala 2007) — the attribute-disclosure
+    * complement of [[kAnonymity]]: a quasi-identifier group can be
+    * k-anonymous yet leak its sensitive attribute outright when every
+    * member shares one value (the "homogeneity attack"). Returns each
+    * QI group holding fewer than `l` DISTINCT values of `sensitiveCol`,
+    * with its row count, distinct-sensitive count, and the Shannon
+    * entropy (base 2, 6dp) of the group's sensitive distribution — the
+    * graded signal behind the binary distinct-l verdict (entropy
+    * l-diversity asks H ≥ log2 l).
+    *
+    * Scale shape: one map-side-combinable (QI × sensitive) cell count,
+    * then a second combinable aggregate over cells — output bounded by
+    * the QI domain. The sensitive column never leaves the aggregate as
+    * values, only as counts, so the audit itself discloses nothing.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column],
+                 sensitiveCol: Column, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l=1 flags nothing), got $l")
+    val cells = df.groupBy(quasiCols :+ sensitiveCol.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val qNames = cells.columns.filterNot(Set("__s", "__c"))
+    cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__c")).as("cnt"),
+        count(lit(1)).as("n_sensitive"),
+        round(log2(sum(col("__c")).cast("double")) -
+          sum(col("__c") * log2(col("__c").cast("double"))) /
+            sum(col("__c")).cast("double"), 6).as("sens_entropy"))
+      .filter(col("n_sensitive") < l)
+  }
+
   /** Daily time series with gap-filling and a running total: aggregate
     * `df` to per-day counts, left-join onto a generated date spine from
     * the observed min to max day (absent days are explicit zeros — the

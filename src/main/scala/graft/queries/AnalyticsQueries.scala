@@ -708,6 +708,31 @@ object AnalyticsQueries {
     """SELECT lang, source, n_chars // 256 AS len_band, count(*) AS cnt
       |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
 
+  /** l-diversity audit with the same release quasi-identifiers as
+    * `gov_k_anonymity` minus source — source IS the sensitive
+    * attribute here (which provider contributed a document): any
+    * (lang, length-band) group drawing on fewer than 10 of the
+    * corpus's 20 sources leans too hard on too few providers — the
+    * low-diversity tail where the homogeneity attack (and single-
+    * provider bias) lives even when the group is k-anonymous. See
+    * [[graft.ops.Analytics.lDiversity]].
+    */
+  private def govLDiversity(s: SparkSession, dir: String): DataFrame =
+    Analytics.lDiversity(Tables.documents(s, dir),
+      Seq(col("lang"), floor(col("n_chars") / 256).as("len_band")),
+      col("source"), l = 10)
+
+  private val govLDiversitySql =
+    """WITH cells AS (SELECT lang, n_chars // 256 AS len_band, source,
+      |                      CAST(count(*) AS BIGINT) AS c
+      |               FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, len_band, CAST(sum(c) AS BIGINT) AS cnt,
+      |       CAST(count(*) AS BIGINT) AS n_sensitive,
+      |       round(log2(CAST(sum(c) AS DOUBLE)) -
+      |         sum(c * log2(CAST(c AS DOUBLE)))
+      |           / CAST(sum(c) AS DOUBLE), 6) AS sens_entropy
+      |FROM cells GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin
+
   /** Winsorize event values at the exact [p01, p99] band; every row's
     * clipped value and verdict replay (values and thresholds rounded to
     * 6dp; `percentile` == `quantile_cont` linear interpolation). See
@@ -1376,6 +1401,7 @@ object AnalyticsQueries {
       Some(evSlidingActiveUsersSql)),
     QueryDef("ev_mad_outliers", evMadOutliers, Some(evMadOutliersSql)),
     QueryDef("gov_k_anonymity", govKAnonymity, Some(govKAnonymitySql)),
+    QueryDef("gov_l_diversity", govLDiversity, Some(govLDiversitySql)),
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),

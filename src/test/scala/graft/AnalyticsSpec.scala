@@ -224,6 +224,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity flags homogeneous groups a k-anonymity pass misses") {
+    import spark.implicits._
+    // (en, 0): 4 rows but ALL from web -> k-anonymous at k=4, yet
+    // 1-diverse; (fr, 0): two sources -> still < l=3; (de, 0): three
+    // sources -> safe
+    val rows = Seq.fill(4)(("en", 0L, "web")) ++
+      Seq(("fr", 0L, "web"), ("fr", 0L, "books")) ++
+      Seq(("de", 0L, "web"), ("de", 0L, "books"), ("de", 0L, "wiki"))
+    val got = Analytics.lDiversity(rows.toDF("lang", "band", "src"),
+        Seq(col("lang"), col("band")), col("src"), l = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // en: H = 0 (homogeneous); fr: H = 1 bit (50/50 over two sources)
+    assert(got == Set(("en", 4L, 1L, 0.0), ("fr", 2L, 2L, 1.0)))
+    assertThrows[IllegalArgumentException] {
+      Analytics.lDiversity(rows.toDF("lang", "band", "src"),
+        Seq(col("lang")), col("src"), l = 1)
+    }
+  }
+
   test("rollingByKey includes the window boundary and splits by key") {
     val day = 24L * 3600 * 1000000
     val rows = Seq(
