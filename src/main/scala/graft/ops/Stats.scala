@@ -825,6 +825,57 @@ object Stats {
           .as("ece"))
   }
 
+  /** Cross-group quantile normalization: replace each row's value with
+    * the GLOBAL value at the row's within-group percentile, so every
+    * group's distribution is mapped onto the corpus distribution —
+    * the standard fix when per-source scores aren't comparable (one
+    * source's "0.8 quality" is another's 0.5) and a shared threshold
+    * would silently over-select the generous scorer.
+    *
+    * Within-group percentile is the MIDRANK of the row's value over
+    * the group's value histogram, p = (rank_lo + (c_v+1)/2 − 1) /
+    * (n_g − 1) (ties share one p; a singleton group pins p = 0.5);
+    * the global map is linear interpolation over a 1001-point exact
+    * percentile grid — Spark `percentile` and DuckDB `quantile_cont`
+    * interpolate identically, and the grid lookup arithmetic is the
+    * same fixed-order double expression on both engines.
+    *
+    * Scale shape: one (group × distinct value) histogram aggregate,
+    * a cumulative window over that DOMAIN (partitioned by group), the
+    * single-row grid broadcast, and a broadcast join back onto the
+    * stream by (group, value) — no corpus-sized sort anywhere.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
+                        outCols: Seq[String]): DataFrame = {
+    val base = df.select(outCols.map(col) :+ groupCol.as("__g") :+
+      round(valueCol, 6).as("__v"): _*)
+    val h = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("__g"))
+    val ranked = h
+      .withColumn("__lo", coalesce(sum(col("__c")).over(wg), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .withColumn("__p", when(col("__n") > 1,
+        (col("__lo").cast("double") + (col("__c") + 1L) / lit(2.0) -
+          lit(1.0)) / (col("__n") - 1L)).otherwise(lit(0.5)))
+    val grid = base.agg(percentile(col("__v"),
+      typedLit((0 to 1000).map(_ / 1000.0).toArray)).as("__grid"))
+    val pos = col("__p") * lit(1000.0)
+    val i0 = floor(pos).cast("int")
+    val frac = pos - i0
+    val mapped = ranked.crossJoin(broadcast(grid))
+      .withColumn("__norm",
+        element_at(col("__grid"), i0 + 1) * (lit(1.0) - frac) +
+          element_at(col("__grid"), least(i0 + 1, lit(1000)) + 1) * frac)
+      .select(col("__g"), col("__v"), round(col("__p"), 6).as("pctile"),
+        round(col("__norm"), 6).as("value_norm"))
+    base.join(broadcast(mapped), Seq("__g", "__v"))
+      .select(outCols.map(col) :+ col("__g").as("group_key") :+
+        col("__v").as("value") :+ col("pctile") :+ col("value_norm"): _*)
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     // (18,6), not (38,6): the squares must fit a DuckDB 38-digit

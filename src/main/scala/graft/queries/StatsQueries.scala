@@ -802,6 +802,46 @@ object StatsQueries {
       |       round(CAST(e9 AS DOUBLE) / 1e9 / t.nn, 6) AS ece
       |FROM x2 CROSS JOIN e CROSS JOIN t""".stripMargin
 
+  /** Quantile-normalize document length across sources: each doc's
+    * n_chars is replaced by the GLOBAL length at its within-source
+    * percentile, making length-based curation thresholds comparable
+    * across sources with very different length profiles. See
+    * [[graft.ops.Stats.quantileNormalize]].
+    */
+  private def docQuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    Stats.quantileNormalize(Tables.documents(s, dir), col("source"),
+      col("n_chars").cast("double"), outCols = Seq("doc_id"))
+
+  private val docQuantileNormalizeSql =
+    """WITH base AS (SELECT doc_id, source AS g,
+      |                     round(CAST(n_chars AS DOUBLE), 6) AS v
+      |              FROM documents),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM base GROUP BY 1, 2),
+      |r AS (SELECT g, v, c,
+      |        CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS lo,
+      |        CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      |      FROM h),
+      |pp AS (SELECT g, v, CASE WHEN n > 1
+      |         THEN (CAST(lo AS DOUBLE) + (c + 1) / 2.0 - 1.0) / (n - 1)
+      |         ELSE 0.5 END AS p
+      |       FROM r),
+      |gr AS (SELECT quantile_cont(v, list_transform(range(0, 1001),
+      |         i -> i / 1000.0)) AS grid FROM base),
+      |m AS (SELECT g, v, p, p * 1000.0 AS pos FROM pp),
+      |m2 AS (SELECT g, v, p, CAST(floor(pos) AS INT) AS i0,
+      |              pos - CAST(floor(pos) AS INT) AS frac
+      |       FROM m),
+      |m3 AS (SELECT g, v, round(p, 6) AS pctile,
+      |         round(grid[i0 + 1] * (1.0 - frac)
+      |           + grid[least(i0 + 1, 1000) + 1] * frac, 6) AS value_norm
+      |       FROM m2 CROSS JOIN gr)
+      |SELECT base.doc_id, base.g AS group_key, base.v AS value,
+      |       m3.pctile, m3.value_norm
+      |FROM base JOIN m3 ON base.g = m3.g AND base.v = m3.v""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
@@ -827,5 +867,7 @@ object StatsQueries {
     QueryDef("emb_centroid_auc", embCentroidAuc, Some(embCentroidAucSql)),
     QueryDef("emb_calibration_ece", embCalibrationEce,
       Some(embCalibrationEceSql)),
+    QueryDef("doc_quantile_normalize", docQuantileNormalize,
+      Some(docQuantileNormalizeSql)),
   )
 }

@@ -380,4 +380,35 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.calibrationEce(perf, col("c"), col("y"))
       .collect().forall(_.getDouble(4) == 0.0))
   }
+
+  test("quantileNormalize maps group extremes to global extremes, ties share p") {
+    // group a: 10,20,30; group b: 100,200,300 — same shape, shifted.
+    // After normalization both groups' minima map to the global min
+    // and maxima to the global max.
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0), (5L, "b", 200.0), (6L, "b", 300.0))
+      .toDF("id", "g", "v")
+    val got = Stats.quantileNormalize(df, col("g"), col("v"), Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == (0.0, 10.0) && got(4L) == (0.0, 10.0))
+    assert(got(3L) == (1.0, 300.0) && got(6L) == (1.0, 300.0))
+    // midpoints land on the global median
+    assert(got(2L)._1 == 0.5 && got(5L)._1 == 0.5)
+    assert(got(2L)._2 == got(5L)._2)
+    // ties within a group share one midrank percentile
+    val t = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 9.0))
+      .toDF("id", "g", "v")
+    val tp = Stats.quantileNormalize(t, col("g"), col("v"), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // values {5,5,9}: the tied pair's midrank is (1+2)/2 = 1.5 of 3
+    // -> p = 0.25; the top value p = 1.0
+    assert(tp(1L) == 0.25 && tp(2L) == 0.25 && tp(3L) == 1.0)
+    // a singleton group pins p = 0.5
+    val s1 = Seq((1L, "a", 7.0), (2L, "b", 1.0), (3L, "b", 2.0))
+      .toDF("id", "g", "v")
+    val sp = Stats.quantileNormalize(s1, col("g"), col("v"), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sp(1L) == 0.5)
+  }
 }
