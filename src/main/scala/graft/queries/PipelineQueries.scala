@@ -35,6 +35,28 @@ object PipelineQueries {
       |       CAST(levenshtein(name1, name2) AS INT) AS dist
       |FROM p WHERE levenshtein(name1, name2) <= 3""".stripMargin
 
+  /** Sorted-neighborhood blocking over the customer-name dictionary:
+    * rank-window candidates + levenshtein verification — the
+    * sort-adjacency complement of `dedup_fuzzy_parts`' token blocks.
+    * See [[graft.ops.Dedup.sortedNeighborhoodPairs]].
+    */
+  private def erSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.customer(s, dir), "c_name",
+      window = 4, maxDist = 2)
+
+  private val erSortedNeighborhoodSql =
+    """WITH d AS (SELECT c_name AS name, CAST(count(*) AS BIGINT)
+      |             AS support
+      |           FROM customer GROUP BY 1),
+      |r AS (SELECT name, support,
+      |             row_number() OVER (ORDER BY name) AS rn FROM d)
+      |SELECT a.name AS name1, b.name AS name2,
+      |       a.support AS support1, b.support AS support2,
+      |       CAST(b.rn - a.rn AS INT) AS rank_gap,
+      |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+      |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
       .select("fp", "keep_id", "dup_cnt")
@@ -3523,6 +3545,8 @@ object PipelineQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("er_sorted_neighborhood", erSortedNeighborhood,
+      Some(erSortedNeighborhoodSql)),
     QueryDef("dedup_fuzzy_parts", dedupFuzzyParts,
       Some(dedupFuzzyPartsSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource,

@@ -1904,6 +1904,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == "red widget" && p._2 == "ted widgit"))
   }
 
+  test("sortedNeighborhoodPairs: window bounds candidates, lev verifies") {
+    import spark.implicits._
+    // sorted dictionary: acme co, acme inc, acme co (dup), zzz corp
+    val df = Seq("acme co", "acme inc", "acme co", "zzz corp")
+      .toDF("name")
+    val got = Dedup.sortedNeighborhoodPairs(df, "name",
+        window = 2, maxDist = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5))).toSet
+    // dict sorts to [acme co(2), acme inc, zzz corp]; window 2 only
+    // pairs rank-adjacent entries; (acme inc, zzz corp) is adjacent
+    // but lev 8 > 4
+    assert(got == Set(("acme co", "acme inc", 2L, 1L, 1, 3)))
+    // widening the window alone never adds pairs the verifier rejects
+    val wide = Dedup.sortedNeighborhoodPairs(df, "name",
+      window = 3, maxDist = 4).collect()
+    assert(wide.length == 1)
+    assertThrows[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(df, "name", window = 1, maxDist = 4)
+    }
+  }
+
   test("maxSimTopK: per-sub-vector max is order-invariant, full cosine is not") {
     import spark.implicits._
     // query 0 = [e1 | e2]; doc 1 identical; doc 2 has the SAME
