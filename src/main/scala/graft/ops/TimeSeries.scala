@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{aggregate => foldAgg, _}
 
 /** Time-series diagnostics over event streams: EWMA smoothing, CUSUM
@@ -465,6 +466,67 @@ object TimeSeries {
     * last-train-day value is a max-of-struct per group; everything
     * after runs on the (groups × days) DOMAIN table.
     */
+  /** Split-conformal prediction intervals around the seasonal-naive
+    * forecaster, per group: residuals |x − x_lag| on a held-out
+    * CALIBRATION window (the `calib` days before the test horizon)
+    * give the interval half-width as their ⌈(1−α)(n+1)⌉-th order
+    * statistic — the distribution-free guarantee (coverage ≥ 1−α on
+    * exchangeable data) that [[forecastBacktest]]'s point-error MAE
+    * deliberately doesn't claim. The test horizon then reports the
+    * interval's EMPIRICAL coverage: a group far below target has
+    * non-exchangeable errors (drift, regime change) and its forecast
+    * intervals can't be trusted.
+    *
+    * Determinism: daily counts and residuals are exact integers; the
+    * conformal rank k = ⌈(100−alphaPct)(n+1)/100⌉ is pure integer
+    * ceiling division (never a float quantile), clamped to n when the
+    * calibration window is too small for the target level. Scale
+    * shape: one daily aggregate; everything after (lag join, per-group
+    * rank over `calib` rows, coverage count) runs on the
+    * (groups × days) DOMAIN table.
+    */
+  def conformalSnaiveIntervals(df: DataFrame, groupCol: String,
+                               tsCol: String, horizon: Int, season: Int,
+                               calib: Int, alphaPct: Int): DataFrame = {
+    require(horizon >= 1 && season >= 1 && calib >= 2,
+      "horizon, season >= 1 and calib >= 2")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"alphaPct in [1, 50], got $alphaPct")
+    val daily = df.groupBy(col(groupCol).as("g"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dailyC = graft.data.ScopedCaches.track(daily)
+    val bounds = dailyC.agg(date_sub(max(col("day")), horizon).as("tcut"),
+      date_sub(max(col("day")), horizon + calib).as("ccut"))
+    val withCut = dailyC.crossJoin(broadcast(bounds))
+    val lagged = dailyC.select(col("g"),
+      date_add(col("day"), season).as("day"), col("x").as("xlag"))
+    val cal = withCut.filter(col("day") > col("ccut") &&
+        col("day") <= col("tcut"))
+      .join(lagged, Seq("g", "day"))
+      .select(col("g"), col("day"), abs(col("x") - col("xlag")).as("r"))
+    val wr = Window.partitionBy(col("g")).orderBy(col("r"), col("day"))
+    val wn = Window.partitionBy(col("g"))
+    val q = cal.withColumn("__rk", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("__k", least(col("__n"),
+        expr(s"((100 - $alphaPct) * (__n + 1) + 99) div 100")))
+      .filter(col("__rk") === col("__k"))
+      .select(col("g"), col("__n").as("n_cal"), col("r").as("q_resid"))
+    val test = withCut.filter(col("day") > col("tcut"))
+      .join(lagged, Seq("g", "day"))
+    test.join(broadcast(q), Seq("g"))
+      .groupBy(col("g"), col("n_cal"), col("q_resid"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("x") - col("xlag")) <= col("q_resid"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("g").as(groupCol), col("n_cal"), col("q_resid"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"),
+        round(lit((100 - alphaPct) / 100.0), 6).as("target"))
+  }
+
   def forecastBacktest(df: DataFrame, groupCol: String, tsCol: String,
                        horizon: Int, season: Int): DataFrame = {
     require(horizon >= 1 && season >= 1, "horizon and season must be >= 1")

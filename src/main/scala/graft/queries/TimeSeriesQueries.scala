@@ -351,7 +351,48 @@ object TimeSeriesQueries {
       |         AS mase_snaive
       |FROM mt JOIN mi USING (g)""".stripMargin
 
+  /** Split-conformal 80% intervals around the seasonal-naive daily
+    * forecast, per event type: 14-day calibration window, 7-day test
+    * horizon, weekly season — see
+    * [[graft.ops.TimeSeries.conformalSnaiveIntervals]].
+    */
+  private def evForecastConformal(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.conformalSnaiveIntervals(Tables.events(s, dir),
+      "event_type", "ts", horizon = 7, season = 7, calib = 14,
+      alphaPct = 20)
+
+  private val evForecastConformalSql =
+    """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |cut AS (SELECT max(day) - 7 AS tcut, max(day) - 21 AS ccut
+      |        FROM daily),
+      |lg AS (SELECT g, day + 7 AS day, x AS xlag FROM daily),
+      |cal AS (SELECT daily.g, daily.day, abs(daily.x - lg.xlag) AS r
+      |        FROM daily CROSS JOIN cut JOIN lg USING (g, day)
+      |        WHERE daily.day > ccut AND daily.day <= tcut),
+      |rk AS (SELECT g, r,
+      |         row_number() OVER (PARTITION BY g ORDER BY r, day) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |       FROM cal),
+      |q AS (SELECT g, n AS n_cal, r AS q_resid FROM rk
+      |      WHERE rk = least(n, (80 * (n + 1) + 99) // 100)),
+      |te AS (SELECT daily.g, daily.x, lg.xlag
+      |       FROM daily CROSS JOIN cut JOIN lg USING (g, day)
+      |       WHERE daily.day > tcut)
+      |SELECT te.g AS event_type, q.n_cal, q.q_resid,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       CAST(sum(CASE WHEN abs(te.x - te.xlag) <= q.q_resid
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |       round(CAST(sum(CASE WHEN abs(te.x - te.xlag) <= q.q_resid
+      |         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+      |       round(CAST(0.8 AS DOUBLE), 6) AS target
+      |FROM te JOIN q USING (g)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_forecast_conformal", evForecastConformal,
+      Some(evForecastConformalSql)),
     QueryDef("ev_holt_winters_daily", evHoltWinters,
       Some(evHoltWintersSql)),
     QueryDef("ev_seasonal_decompose", evSeasonal, Some(evSeasonalSql)),

@@ -240,4 +240,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 7.0)
     assert(r.getDouble(5) == 1.0)  // 7 / 7
   }
+
+  test("conformalSnaiveIntervals: ramp residuals are constant, coverage 1") {
+    import org.apache.spark.sql.functions.lit
+    // counts 1..28: every seasonal residual is exactly 7, so the
+    // conformal half-width is 7 and every test day is covered
+    val df = seriesDf(1 to 28).withColumn("g", lit("A"))
+    val r = TimeSeries.conformalSnaiveIntervals(df, "g", "ts",
+      horizon = 7, season = 7, calib = 14, alphaPct = 20).collect().head
+    assert(r.getString(0) == "A")
+    assert(r.getLong(1) == 14L)       // calibration days
+    assert(r.getLong(2) == 7L)        // q = the constant residual
+    assert(r.getLong(3) == 7L && r.getLong(4) == 7L)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 0.8)
+    // a level EXPLOSION in the test week blows coverage to 0: the
+    // distribution-free guarantee only holds under exchangeability
+    val shifted = seriesDf((1 to 21) ++ Seq.fill(7)(1000))
+      .withColumn("g", lit("A"))
+    val rs = TimeSeries.conformalSnaiveIntervals(shifted, "g", "ts",
+      horizon = 7, season = 7, calib = 14, alphaPct = 20).collect().head
+    assert(rs.getLong(2) == 7L && rs.getDouble(5) == 0.0)
+    // conformal rank: 14 calib residuals at 80% -> k = ceil(0.8*15) = 12
+    // (exercised implicitly; with distinct residuals q would be the
+    // 12th smallest — check via a strictly increasing residual series)
+    val inc = seriesDf((1 to 14) ++ (15 to 28).map(i => i * i))
+      .withColumn("g", lit("A"))
+    val ri = TimeSeries.conformalSnaiveIntervals(inc, "g", "ts",
+      horizon = 7, season = 7, calib = 14, alphaPct = 20).collect().head
+    assert(ri.getLong(1) == 14L && ri.getLong(3) == 7L)
+  }
 }
