@@ -746,6 +746,78 @@ object Dedup {
     * Returns (`name1`, `name2`, `support1`, `support2`, `dist`) with
     * `name1 < name2`, `dist` ≤ `maxDist`.
     */
+  /** Exact-substring overlap between document pairs (the
+    * RefinedWeb/Gopher dedup criterion): the longest run of
+    * consecutive tokens two documents share, found as maximal ALIGNED
+    * runs of matching `w`-token grams — positions (pa, pb) matching at
+    * constant offset pb−pa and consecutive in pa form one run of
+    * `len + w − 1` tokens. Jaccard-style set overlap
+    * ([[jaccardClusters]]) can't see this: a doc quoting one long
+    * passage from another shares few distinct shingles but has a
+    * 100-token exact run — the plagiarism/quotation/mirror signal, and
+    * the criterion substring-level corpus dedup removes on.
+    *
+    * Candidate generation is the inverted-index discipline of the
+    * file's other ops: positional `w`-gram postings, stop-grams with
+    * document frequency > `maxDf` dropped (bounding any posting list,
+    * so the gram join is a shuffle on small keys, never quadratic in a
+    * hot gram), pairs formed only on shared grams. The island step
+    * (run = consecutive pa at fixed (pair, offset)) is a window
+    * PARTITIONED by (pair, offset) — per-candidate-pair state, never a
+    * global sort. Returns one row per pair with `longest_run` (tokens,
+    * ≥ `minRunTokens`), `n_runs` (maximal runs ≥ threshold), and
+    * `aligned_grams` (total matching positions across all offsets).
+    *
+    * A true cross-engine caveat, accepted and documented: a gram
+    * repeated INSIDE a document yields one posting per position, so a
+    * doc-internal repeat matched by the partner at several offsets
+    * contributes to several (offset) islands — aligned_grams counts
+    * (pa, pb) pairs, not distinct pa.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    w: Int, minRunTokens: Int, maxDf: Int): DataFrame = {
+    require(w >= 2, s"need w >= 2, got $w")
+    require(minRunTokens >= w,
+      s"minRunTokens ($minRunTokens) must be >= w ($w)")
+    require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // positional postings formed scan-side: one tokenize, slices via
+    // transform over the position sequence, then ONE posexplode
+    val post = df.select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("__t")) - (w - 1)),
+        i => array_join(slice(col("__t"), i, lit(w)), " ")))
+        .as(Seq("pos", "gram")))
+    val postC = graft.data.ScopedCaches.track(post)
+    val stop = postC.groupBy(col("gram"))
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDf).select(col("gram"))
+    val live = postC.join(broadcast(stop), Seq("gram"), "left_anti")
+    val cand = live.select(col("gram"), col("id").as("id1"),
+        col("pos").as("pa"))
+      .join(live.select(col("gram"), col("id").as("id2"),
+        col("pos").as("pb")), Seq("gram"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("pa"), col("pb"),
+        (col("pb") - col("pa")).as("delta"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"), col("delta"))
+      .orderBy(col("pa"))
+    val runs = cand
+      .withColumn("__isl", col("pa") - row_number().over(wi))
+      .groupBy(col("id1"), col("id2"), col("delta"), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .select(col("id1"), col("id2"),
+        (col("__len") + (w - 1)).as("run_tokens"))
+    runs.groupBy(col("id1"), col("id2"))
+      .agg(max(col("run_tokens")).as("longest_run"),
+        sum(when(col("run_tokens") >= minRunTokens, 1L).otherwise(0L))
+          .as("n_runs"),
+        sum(col("run_tokens") - (w - 1)).as("aligned_grams"))
+      .filter(col("longest_run") >= minRunTokens)
+  }
+
   /** Sorted-neighborhood record-linkage blocking (Hernández-Stolfo):
     * sort the distinct-value dictionary by the value itself and
     * compare each entry only to its `window − 1` successors, then

@@ -35,6 +35,45 @@ object PipelineQueries {
       |       CAST(levenshtein(name1, name2) AS INT) AS dist
       |FROM p WHERE levenshtein(name1, name2) <= 3""".stripMargin
 
+  /** Exact-substring (aligned w-gram run) overlap pairs over the
+    * document corpus: 8-token grams, stop-grams above df 10 dropped,
+    * pairs reported when the longest shared token run reaches 12 —
+    * see [[graft.ops.Dedup.substringRuns]].
+    */
+  private def dedupSubstringRuns(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringRuns(Tables.documents(s, dir), "doc_id", "text",
+      w = 8, minRunTokens = 12, maxDf = 10)
+
+  private val dedupSubstringRunsSql =
+    """WITH toks AS (SELECT doc_id AS id,
+      |         string_split_regex(lower(trim(text)), '\s+') AS t
+      |       FROM documents),
+      |po AS (SELECT id, CAST(i - 1 AS INT) AS pos,
+      |         array_to_string(t[i:i+7], ' ') AS gram
+      |       FROM (SELECT id, t,
+      |               unnest(generate_series(1, len(t) - 7)) AS i
+      |             FROM toks WHERE len(t) >= 8) u),
+      |stop AS (SELECT gram FROM po GROUP BY gram
+      |         HAVING count(DISTINCT id) > 10),
+      |live AS (SELECT po.* FROM po ANTI JOIN stop USING (gram)),
+      |cand AS (SELECT a.id AS id1, b.id AS id2, a.pos AS pa,
+      |                b.pos AS pb, b.pos - a.pos AS delta
+      |         FROM live a JOIN live b USING (gram)
+      |         WHERE a.id < b.id),
+      |isl AS (SELECT id1, id2, delta,
+      |          pa - row_number() OVER (PARTITION BY id1, id2, delta
+      |            ORDER BY pa) AS grp
+      |        FROM cand),
+      |runs AS (SELECT id1, id2,
+      |           CAST(count(*) + 7 AS BIGINT) AS run_tokens
+      |         FROM isl GROUP BY id1, id2, delta, grp)
+      |SELECT id1, id2,
+      |       CAST(max(run_tokens) AS BIGINT) AS longest_run,
+      |       CAST(sum(CASE WHEN run_tokens >= 12 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_runs,
+      |       CAST(sum(run_tokens - 7) AS BIGINT) AS aligned_grams
+      |FROM runs GROUP BY 1, 2 HAVING max(run_tokens) >= 12""".stripMargin
+
   /** Sorted-neighborhood blocking over the customer-name dictionary:
     * rank-window candidates + levenshtein verification — the
     * sort-adjacency complement of `dedup_fuzzy_parts`' token blocks.
@@ -3545,6 +3584,8 @@ object PipelineQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_substring_runs", dedupSubstringRuns,
+      Some(dedupSubstringRunsSql)),
     QueryDef("er_sorted_neighborhood", erSortedNeighborhood,
       Some(erSortedNeighborhoodSql)),
     QueryDef("dedup_fuzzy_parts", dedupFuzzyParts,

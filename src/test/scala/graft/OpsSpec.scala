@@ -1904,6 +1904,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == "red widget" && p._2 == "ted widgit"))
   }
 
+  test("substringRuns finds the planted passage, ignores set-only overlap") {
+    import spark.implicits._
+    // a 14-token passage planted in docs 1 and 2 at different offsets;
+    // doc 3 shares VOCABULARY with 1 but no 8-token run; doc 4 disjoint
+    val passage = (1 to 14).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"x1 x2 x3 x4 x5 $passage"),
+      // same words as the passage but shuffled: no aligned run
+      (3L, (14 to 1 by -1).map(i => s"p$i").mkString(" ") + " alpha beta"),
+      (4L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringRuns(docs, "doc_id", "text",
+        w = 8, minRunTokens = 12, maxDf = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the (1,2) pair, longest run exactly the 14-token passage
+    assert(got.toSeq == Seq((1L, 2L, 14L, 1L)))
+    // run of exactly minRunTokens-1 is rejected: shorten the overlap
+    val short = Seq(
+      (1L, "a b " + (1 to 11).map(i => s"q$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"q$i").mkString(" ") + " zz"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringRuns(short, "doc_id", "text",
+      w = 8, minRunTokens = 12, maxDf = 10).count() == 0L)
+    // ...but passes at minRunTokens = 11
+    assert(Dedup.substringRuns(short, "doc_id", "text",
+      w = 8, minRunTokens = 11, maxDf = 10).count() == 1L)
+  }
+
   test("sortedNeighborhoodPairs: window bounds candidates, lev verifies") {
     import spark.implicits._
     // sorted dictionary: acme co, acme inc, acme co (dup), zzz corp
