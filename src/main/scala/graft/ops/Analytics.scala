@@ -165,6 +165,52 @@ object Analytics {
       .filter(col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li 2007) — the distributional complement of
+    * [[lDiversity]]: a group can hold many distinct sensitive values
+    * yet still leak by *skew* (90% of one source inside a group that is
+    * 5% of it globally). Flags each quasi-identifier group whose
+    * sensitive-value distribution sits farther than `t` from the global
+    * distribution in total variation distance
+    * (TVD = ½ Σ_s |p_group(s) − p_global(s)|).
+    *
+    * The TVD numerator is computed in exact integer arithmetic —
+    * ½ Σ |c·N − g·cnt| / (cnt·N) with c,g,cnt,N all counts — so the
+    * result is order-independent and replayable bit-for-bit; a naive
+    * float sum would vary with partition merge order.
+    *
+    * Scale shape: one (QI × sensitive) cell count over the corpus, one
+    * global sensitive count, then joins bounded by QI-domain ×
+    * sensitive-domain — the global 1-row total and the sensitive-domain
+    * table are broadcast. The corpus is scanned twice (cells + global);
+    * at 100 TB fold both from one cached cell count if the QI domain is
+    * small enough to re-aggregate.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[Column],
+                 sensitiveCol: Column, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val cells = df.groupBy(quasiCols :+ sensitiveCol.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val qNames = cells.columns.filterNot(Set("__s", "__c")).toSeq
+    val groups = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__c")).as("cnt"))
+    val global = cells.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__g"))
+    val total = global.agg(sum(col("__g")).as("__n"))
+    // QI-groups × full sensitive domain (so absent values contribute
+    // |0·N − g·cnt|), then the observed cell count where one exists.
+    groups.crossJoin(broadcast(global)).crossJoin(broadcast(total))
+      .join(cells, qNames :+ "__s", "left")
+      .na.fill(0L, Seq("__c"))
+      .groupBy((qNames.map(col) :+ col("cnt") :+ col("__n")): _*)
+      .agg(sum(abs(col("__c") * col("__n") - col("__g") * col("cnt")))
+        .as("__num"))
+      .withColumn("tvd", round(col("__num").cast("double") /
+        (lit(2.0) * col("cnt") * col("__n")), 6))
+      .filter(col("tvd") > t)
+      .select((qNames.map(col) :+ col("cnt") :+ col("tvd")): _*)
+  }
+
   /** Daily time series with gap-filling and a running total: aggregate
     * `df` to per-day counts, left-join onto a generated date spine from
     * the observed min to max day (absent days are explicit zeros — the

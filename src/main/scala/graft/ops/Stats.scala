@@ -699,6 +699,54 @@ object Stats {
             (col("n1") * col("n2"))), 6)).as("reject_05"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) test between two samples — the
+    * nonparametric companion to the Welch t: compares the full value
+    * RANKINGS, so it detects shifts the mean-based test misses under
+    * heavy tails or outliers (exactly the distributions event values
+    * have). Average-rank tie handling with the standard tie-corrected
+    * normal approximation:
+    * U₁ = R₁ − n₁(n₁+1)/2, σ² = n₁n₂/12·[(n+1) − Σ(t³−t)/(n(n−1))].
+    *
+    * Distributed shape: the same histogram decomposition as [[ksDrift]]
+    * / [[rocAuc]] — one combinable (6dp value → per-group count)
+    * aggregate collapses the stream to the distinct-value domain; the
+    * single cumulative window after it runs over that bounded domain,
+    * never rows. Determinism: the doubled rank sum 2R₁ = Σ c₁(2·below
+    * + t + 1) and the tie term Σ(t³−t) are exact DECIMAL(38,0) (rank
+    * sums are O(n²), past BIGINT at petabyte row counts); only the
+    * final scalar z arithmetic is floating, in a pinned order.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column,
+                   isGroup1: Column): DataFrame = {
+    val h = df.groupBy(round(valueCol, 6).as("v"))
+      .agg(coalesce(sum(when(isGroup1, 1L).otherwise(0L)), lit(0L))
+          .as("c1"),
+        coalesce(sum(when(!isGroup1, 1L).otherwise(0L)), lit(0L))
+          .as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("t", col("c1") + col("c2"))
+      .withColumn("below", sum(col("t")).over(w) - col("t"))
+    val dec = "decimal(38,0)"
+    val a = cum.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum((col("c1") * (lit(2) * col("below") + col("t") + 1))
+        .cast(dec)).as("r1x2"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast(dec))
+        .as("ties3"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val u1 = (col("r1x2").cast("double") -
+      col("n1").cast("double") * (col("n1") + lit(1)) -
+      col("n1").cast("double") * col("n2")) / 2 // 2U₁ − n₁n₂, halved → U₁ − μ
+    val muU = col("n1").cast("double") * col("n2") / 2
+    val sigma = sqrt(col("n1").cast("double") * col("n2") / 12 *
+      (n + 1 - col("ties3").cast("double") / (n * (n - 1))))
+    a.select(col("n1"), col("n2"),
+      round((col("r1x2").cast("double") -
+        col("n1").cast("double") * (col("n1") + lit(1))) / 2, 6).as("u1"),
+      round(muU, 6).as("mu_u"), round(sigma, 6).as("sigma_u"),
+      round(u1 / sigma, 6).as("z"))
+  }
+
   /** Cramér's V association between two categorical columns: V =
     * √(χ²/(N·(min(r,c)−1))) ∈ [0,1] — the effect-size companion the
     * raw χ² lacks (χ² grows with N; V answers "is this association

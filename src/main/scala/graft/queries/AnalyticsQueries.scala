@@ -733,6 +733,41 @@ object AnalyticsQueries {
       |           / CAST(sum(c) AS DOUBLE), 6) AS sens_entropy
       |FROM cells GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin
 
+  /** t-closeness audit with the same release frame as `gov_l_diversity`
+    * (QI = language × 256-char length band, sensitive = source): flags
+    * groups whose source mix deviates from the corpus-wide source
+    * distribution by more than 0.2 in total variation distance — the
+    * skew leak that k-anonymity and l-diversity both miss. The TVD sum
+    * runs on integer numerators, so Spark and the oracle agree exactly.
+    * See [[graft.ops.Analytics.tCloseness]].
+    */
+  private def govTCloseness(s: SparkSession, dir: String): DataFrame =
+    Analytics.tCloseness(Tables.documents(s, dir),
+      Seq(col("lang"), floor(col("n_chars") / 256).as("len_band")),
+      col("source"), t = 0.2)
+
+  private val govTClosenessSql =
+    """WITH cells AS (SELECT lang, n_chars // 256 AS len_band, source,
+      |                      CAST(count(*) AS BIGINT) AS c
+      |               FROM documents GROUP BY 1, 2, 3),
+      |grp AS (SELECT lang, len_band, CAST(sum(c) AS BIGINT) AS cnt
+      |        FROM cells GROUP BY 1, 2),
+      |gsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS g
+      |         FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gsrc),
+      |j AS (SELECT grp.lang, grp.len_band, grp.cnt, tot.n, gsrc.g,
+      |             COALESCE(cells.c, 0) AS c
+      |      FROM grp CROSS JOIN gsrc CROSS JOIN tot
+      |      LEFT JOIN cells ON cells.lang = grp.lang
+      |        AND cells.len_band = grp.len_band
+      |        AND cells.source = gsrc.source)
+      |SELECT lang, len_band, cnt,
+      |       round(CAST(sum(abs(c * n - g * cnt)) AS DOUBLE)
+      |             / (2.0 * cnt * n), 6) AS tvd
+      |FROM j GROUP BY 1, 2, 3, n
+      |HAVING round(CAST(sum(abs(c * n - g * cnt)) AS DOUBLE)
+      |             / (2.0 * cnt * n), 6) > 0.2""".stripMargin
+
   /** Winsorize event values at the exact [p01, p99] band; every row's
     * clipped value and verdict replay (values and thresholds rounded to
     * 6dp; `percentile` == `quantile_cont` linear interpolation). See
@@ -1402,6 +1437,7 @@ object AnalyticsQueries {
     QueryDef("ev_mad_outliers", evMadOutliers, Some(evMadOutliersSql)),
     QueryDef("gov_k_anonymity", govKAnonymity, Some(govKAnonymitySql)),
     QueryDef("gov_l_diversity", govLDiversity, Some(govLDiversitySql)),
+    QueryDef("gov_t_closeness", govTCloseness, Some(govTClosenessSql)),
     QueryDef("ev_pivot_day_type", evPivotDayType, Some(evPivotDayTypeSql)),
     QueryDef("ev_user_rolling_7d", evUserRolling7d, Some(evUserRolling7dSql)),
     QueryDef("ev_anomaly_zscore", evAnomalyZscore, Some(evAnomalyZscoreSql)),

@@ -588,6 +588,53 @@ object StatsQueries {
       |         AS reject_05
       |FROM m""".stripMargin
 
+  /** Mann-Whitney U comparing the `value` distribution of click vs view
+    * events — the rank-based two-sample test beside `ev_impact_welch`'s
+    * mean-based one: robust to the heavy tails event values carry. The
+    * oracle replays the identical histogram decomposition (doubled
+    * integer rank sums, tie-corrected σ), so agreement is exact up to
+    * the shared 6dp output rounding. See
+    * [[graft.ops.Stats.mannWhitneyU]].
+    */
+  private def evMannWhitneyU(s: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitneyU(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view")),
+      col("value"), col("event_type") === "click")
+
+  private val evMannWhitneyUSql =
+    """WITH h AS (SELECT round(value, 6) AS v,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'click'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'view'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2
+      |       FROM events WHERE event_type IN ('click', 'view')
+      |       GROUP BY 1),
+      |c AS (SELECT c1, c1 + c2 AS t,
+      |             sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS below
+      |      FROM h),
+      |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(t - c1) AS BIGINT) AS n2,
+      |             CAST(sum(c1 * (2 * below + t + 1)) AS HUGEINT) AS r1x2,
+      |             CAST(sum(t * t * t - t) AS HUGEINT) AS ties3
+      |      FROM c)
+      |SELECT n1, n2,
+      |  round((CAST(r1x2 AS DOUBLE) -
+      |    CAST(n1 AS DOUBLE) * (n1 + 1)) / 2, 6) AS u1,
+      |  round(CAST(n1 AS DOUBLE) * n2 / 2, 6) AS mu_u,
+      |  round(sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+      |    (CAST(n1 + n2 AS DOUBLE) + 1 - CAST(ties3 AS DOUBLE) /
+      |      (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))),
+      |    6) AS sigma_u,
+      |  round(((CAST(r1x2 AS DOUBLE) -
+      |      CAST(n1 AS DOUBLE) * (n1 + 1) -
+      |      CAST(n1 AS DOUBLE) * n2) / 2) /
+      |    sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+      |      (CAST(n1 + n2 AS DOUBLE) + 1 - CAST(ties3 AS DOUBLE) /
+      |        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))),
+      |    6) AS z
+      |FROM a""".stripMargin
+
   /** Cramér's V between event type and day-of-week — see
     * [[graft.ops.Stats.cramersV]]. Day-of-week via integer epoch-day
     * mod 7 (0 = Thursday), never engine week functions.
@@ -852,6 +899,7 @@ object StatsQueries {
     QueryDef("ev_uplift_daypart", evUpliftDaypart,
       Some(evUpliftDaypartSql)),
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
+    QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),

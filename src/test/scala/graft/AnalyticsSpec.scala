@@ -245,6 +245,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("tCloseness flags skewed groups an l-diversity pass misses") {
+    import spark.implicits._
+    // global source mix: web 5 / books 5. en and fr are each pure
+    // (TVD 0.5 from global); de mirrors the global mix (TVD 0).
+    val rows = Seq.fill(4)(("en", "web")) ++ Seq.fill(4)(("fr", "books")) ++
+      Seq(("de", "web"), ("de", "books"))
+    val got = Analytics.tCloseness(rows.toDF("lang", "src"),
+        Seq(col("lang")), col("src"), t = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("en", 4L, 0.5), ("fr", 4L, 0.5)))
+    assertThrows[IllegalArgumentException] {
+      Analytics.tCloseness(rows.toDF("lang", "src"),
+        Seq(col("lang")), col("src"), t = 0.0)
+    }
+  }
+
   test("rollingByKey includes the window boundary and splits by key") {
     val day = 24L * 3600 * 1000000
     val rows = Seq(

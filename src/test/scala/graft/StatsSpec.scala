@@ -222,6 +222,28 @@ class StatsSpec extends AnyFunSuite {
     assert(rf.getDouble(2) == 1.0 && rf.getBoolean(4))
   }
 
+  test("mannWhitneyU: hand ranks with ties, symmetric samples give z=0") {
+    // g1 {1,2,2}, g2 {2,3}: ranks 1, avg(2,3,4)=3 ×2, 5
+    // R1 = 1+3+3 = 7, U1 = 7 - 3·4/2 = 1, μ = 3,
+    // σ² = (3·2/12)·(6 - 24/20) = 2.4, z = -2/√2.4
+    val df = Seq((1.0, true), (2.0, true), (2.0, true),
+      (2.0, false), (3.0, false)).toDF("v", "g1")
+    val r = Stats.mannWhitneyU(df, col("v"), col("g1")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0)
+    val sig = BigDecimal(math.sqrt(2.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == sig)
+    val z = BigDecimal(-2.0 / math.sqrt(2.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == z)
+    // same distribution in both groups → U1 = μ, z = 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "g1")
+    val rs = Stats.mannWhitneyU(same, col("v"), col("g1")).collect().head
+    assert(rs.getDouble(2) == rs.getDouble(3) && rs.getDouble(5) == 0.0)
+  }
+
   test("upliftBySegment: exact conditional counts vs recomputed arm split") {
     val df = (0L until 400L).map(i => (i, (i % 2).toInt, i % 5 == 0))
       .toDF("id", "seg", "succ")
