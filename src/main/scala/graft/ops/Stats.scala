@@ -747,6 +747,44 @@ object Stats {
       round(u1 / sigma, 6).as("z"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association companion to [[corrMatrix]]'s Pearson: ranks
+    * are immune to the outliers and nonlinear (but monotone) links
+    * that deflate r. Average-rank ties via the doubled-rank identity
+    * 2·r̄(v) = 2·rank_min(v) + t(v) − 1, so every rank is an exact
+    * integer; Pearson on the doubled ranks equals Pearson on ranks.
+    *
+    * Intended for DOMAIN-BOUNDED frames (daily aggregates, group
+    * stats): the two ranking windows are global sorts over the input,
+    * so aggregate first — ranking 10¹² raw rows on one partition is
+    * the anti-pattern; ranking the 366-row daily rollup is free.
+    * Determinism: all five moment sums are DECIMAL(38,0) over integer
+    * doubled ranks; only the final ρ division is floating.
+    */
+  def spearmanCorr(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.as("x"), yCol.as("y"))
+    val rx = lit(2) * rank().over(Window.orderBy(col("x"))) +
+      count(lit(1)).over(Window.partitionBy(col("x"))) - 1
+    val ry = lit(2) * rank().over(Window.orderBy(col("y"))) +
+      count(lit(1)).over(Window.partitionBy(col("y"))) - 1
+    val dec = "decimal(38,0)"
+    val a = base.select(rx.cast("long").as("rx"), ry.cast("long").as("ry"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+        sum(col("rx").cast(dec)).as("sx"),
+        sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+    a.select(col("n"),
+      round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+         sqrt(col("n").cast("double") * col("syy").cast("double") -
+           col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("rho"))
+  }
+
   /** Cramér's V association between two categorical columns: V =
     * √(χ²/(N·(min(r,c)−1))) ∈ [0,1] — the effect-size companion the
     * raw χ² lacks (χ² grows with N; V answers "is this association

@@ -635,6 +635,54 @@ object StatsQueries {
       |    6) AS z
       |FROM a""".stripMargin
 
+  /** Spearman rank correlation between daily click volume and daily
+    * purchase volume — "do high-click days rank as high-purchase
+    * days", robust to the volume spikes that drive Pearson. Aggregate-
+    * first: the corpus collapses to per-day counts before the ranking
+    * windows, so the global sorts run over the calendar, never rows.
+    * See [[graft.ops.Stats.spearmanCorr]].
+    */
+  private def evSpearmanDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    Stats.spearmanCorr(daily, col("x"), col("y"))
+  }
+
+  private val evSpearmanDailySql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |r AS (SELECT
+      |    2 * rank() OVER (ORDER BY x) +
+      |      count(*) OVER (PARTITION BY x) - 1 AS rx,
+      |    2 * rank() OVER (ORDER BY y) +
+      |      count(*) OVER (PARTITION BY y) - 1 AS ry
+      |  FROM d),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+      |    CAST(sum(rx) AS HUGEINT) AS sx,
+      |    CAST(sum(ry) AS HUGEINT) AS sy,
+      |    CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+      |    CAST(sum(ry * ry) AS HUGEINT) AS syy
+      |  FROM r)
+      |SELECT n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      |FROM a""".stripMargin
+
   /** Cramér's V between event type and day-of-week — see
     * [[graft.ops.Stats.cramersV]]. Day-of-week via integer epoch-day
     * mod 7 (0 = Thursday), never engine week functions.
@@ -900,6 +948,7 @@ object StatsQueries {
       Some(evUpliftDaypartSql)),
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
+    QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),

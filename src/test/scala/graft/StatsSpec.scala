@@ -244,6 +244,19 @@ class StatsSpec extends AnyFunSuite {
     assert(rs.getDouble(2) == rs.getDouble(3) && rs.getDouble(5) == 0.0)
   }
 
+  test("spearmanCorr: monotone ±1, tie-averaged ranks cancel to 0") {
+    val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0)).toDF("x", "y")
+    assert(Stats.spearmanCorr(up, col("x"), col("y"))
+      .collect().head.getDouble(1) == 1.0)
+    val down = Seq((1.0, 6.0), (2.0, 5.0), (3.0, 4.0)).toDF("x", "y")
+    assert(Stats.spearmanCorr(down, col("x"), col("y"))
+      .collect().head.getDouble(1) == -1.0)
+    // x ranks (1.5, 1.5, 3) vs y ranks (1, 3, 2): rank covariance 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("x", "y")
+    val r = Stats.spearmanCorr(tied, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 0.0)
+  }
+
   test("upliftBySegment: exact conditional counts vs recomputed arm split") {
     val df = (0L until 400L).map(i => (i, (i % 2).toInt, i % 5 == 0))
       .toDF("id", "seg", "succ")
