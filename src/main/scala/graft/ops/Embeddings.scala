@@ -374,4 +374,69 @@ object Embeddings {
       .select(col("pos"), round(col("w"), 6).as("loading"),
         round(col("__ev"), 6).as("eigval"))
   }
+
+  /** Histogram-based best-split finding — the inner loop of every
+    * gradient-boosted-tree / decision-tree trainer (LightGBM's
+    * histogram algorithm), run once per embedding dimension against a
+    * binary target: bucket each dimension into `bins` equal-width bins
+    * between its observed min/max, accumulate per-bin (count, positive)
+    * cells, and scan the B−1 candidate thresholds per dimension for
+    * the largest exact Gini-impurity decrease. Returns one row per
+    * dimension: its best threshold, child counts, and gain.
+    *
+    * Scale shape: the classic two-pass histogram build. Pass 1 is a
+    * per-dim min/max (combinable, d cells); pass 2 posexplodes each
+    * vector but aggregates map-side into (dim, bin) cells, so only
+    * d×B partials per task hit the shuffle — the explode itself never
+    * does. The split scan is a cumulative window PER DIM over the
+    * d×B-bounded cell table. Determinism: cells are exact integers;
+    * the gain expression is a fixed-order double formula over them,
+    * and per-dim argmax ties break on the lower bin.
+    */
+  def histSplitFinding(df: DataFrame, idCol: String, vecCol: String,
+                       isPositive: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")),
+      when(isPositive, 1L).otherwise(0L).as("pos"))
+    val stats = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = x.join(broadcast(stats), Seq("dim"))
+      .select(col("dim"), col("pos"),
+        when(col("mx") > col("mn"),
+          least(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+            * bins).cast("int"), lit(bins - 1)))
+          .otherwise(0).as("bin"))
+    val cells = binned.groupBy(col("dim"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val wCum = Window.partitionBy(col("dim")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("dim"))
+    val cum = cells
+      .withColumn("nl", sum(col("n")).over(wCum))
+      .withColumn("pl", sum(col("np")).over(wCum))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("np")).over(wAll))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+    def g(p: Column, n: Column, tot: Column): Column =
+      lit(2.0) * p * (n - p) / (n.cast("double") * tot)
+    val gain = g(col("pt"), col("nt"), col("nt")) -
+      g(col("pl"), col("nl"), col("nt")) -
+      g(col("pr"), col("nr"), col("nt"))
+    val wBest = Window.partitionBy(col("dim"))
+      .orderBy(col("gain").desc, col("bin"))
+    cum.join(broadcast(stats), Seq("dim"))
+      .withColumn("gain", gain)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("dim"),
+        round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn"))
+          / bins, 6).as("split_x"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        round(col("gain"), 6).as("gain"))
+  }
 }

@@ -635,6 +635,52 @@ object StatsQueries {
       |    6) AS z
       |FROM a""".stripMargin
 
+  /** Histogram-based split finding (the LightGBM inner loop) over
+    * every embedding dimension against the one-vs-rest target
+    * label == 3, 32 equal-width bins: per dimension, the threshold
+    * with the largest exact Gini-impurity decrease — which dimensions
+    * carry label signal, and where to cut them. See
+    * [[graft.ops.Embeddings.histSplitFinding]].
+    */
+  private def embHistSplit(s: SparkSession, dir: String): DataFrame =
+    Embeddings.histSplitFinding(Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("label") === 3, bins = 32)
+
+  private val embHistSplitSql =
+    """WITH v AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    unnest(embedding)::DOUBLE AS x,
+      |    CASE WHEN label = 3 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings),
+      |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY 1),
+      |b AS (SELECT v.dim, v.pos,
+      |    CASE WHEN st.mx > st.mn THEN least(CAST(floor(
+      |        (v.x - st.mn) / (st.mx - st.mn) * 32) AS INT), 31)
+      |      ELSE 0 END AS bin
+      |  FROM v JOIN st USING (dim)),
+      |cells AS (SELECT dim, bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS np
+      |  FROM b GROUP BY 1, 2),
+      |cum AS (SELECT dim, bin,
+      |    sum(n) OVER (PARTITION BY dim ORDER BY bin) AS nl,
+      |    sum(np) OVER (PARTITION BY dim ORDER BY bin) AS pl,
+      |    sum(n) OVER (PARTITION BY dim) AS nt,
+      |    sum(np) OVER (PARTITION BY dim) AS pt
+      |  FROM cells),
+      |cand AS (SELECT dim, bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+      |    nt, pt,
+      |    2.0 * pt * (nt - pt) / (CAST(nt AS DOUBLE) * nt) -
+      |    2.0 * pl * (nl - pl) / (CAST(nl AS DOUBLE) * nt) -
+      |    2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) /
+      |      (CAST(nt - nl AS DOUBLE) * nt) AS gain
+      |  FROM cum WHERE nl > 0 AND nt - nl > 0),
+      |best AS (SELECT *, row_number() OVER
+      |    (PARTITION BY dim ORDER BY gain DESC, bin) AS rn FROM cand)
+      |SELECT best.dim,
+      |  round(st.mn + (bin + 1) * (st.mx - st.mn) / 32, 6) AS split_x,
+      |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+      |  round(gain, 6) AS gain
+      |FROM best JOIN st ON best.dim = st.dim WHERE rn = 1""".stripMargin
+
   /** Spearman rank correlation between daily click volume and daily
     * purchase volume — "do high-click days rank as high-purchase
     * days", robust to the volume spikes that drive Pearson. Aggregate-
@@ -949,6 +995,7 @@ object StatsQueries {
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
+    QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),
     QueryDef("doc_shrunk_source_means", docShrunkSourceMeans,
       Some(docShrunkSourceMeansSql)),

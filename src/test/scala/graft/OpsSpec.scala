@@ -876,6 +876,26 @@ class OpsSpec extends AnyFunSuite {
       (1, 0) -> (1L, 10.0), (1, 1) -> (1L, -2.0)))
   }
 
+  test("histSplitFinding: hand Gini gain, clean split wins the bin scan") {
+    import graft.ops.Embeddings
+    // 1-dim vectors x = 0..7, positive iff x >= 4, 4 bins over [0,7]:
+    // bins (0,1|2,3|4,5|6,7) -> cut after bin 1 separates perfectly.
+    // gain = gini(4/8) - 0 - 0 = 0.5 at split_x = 0 + 2*(7-0)/4 = 3.5
+    val rows = (0 until 8).map(i => Row(i.toLong, Seq(i.toFloat), i >= 4))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("p", BooleanType, nullable = false))))
+    val r = Embeddings.histSplitFinding(df, "vec_id", "embedding",
+      col("p"), bins = 4).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getInt(0) == 0 && h.getDouble(1) == 3.5)
+    assert((h.getLong(2), h.getLong(3), h.getLong(4), h.getLong(5)) ==
+      ((4L, 0L, 4L, 4L)))
+    assert(h.getDouble(6) == 0.5)
+  }
+
   test("int8 quantization spans the full range and round-trips closely") {
     import graft.ops.Embeddings
     val rows = Seq(
