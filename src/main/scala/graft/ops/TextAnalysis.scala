@@ -956,6 +956,22 @@ object TextAnalysis {
                          textCol: String, labelCol: String,
                          testMod: Int = 5,
                          salt: String = "nbsplit"):
+      org.apache.spark.sql.DataFrame =
+    naiveBayesLangPredictions(df, idCol, textCol, labelCol, testMod, salt)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document predictions behind [[naiveBayesLangEval]]: one row
+    * per held-out (md5-bucket 0 of `testMod`) document — (`id`,
+    * `true_lang`, `pred_lang`) under the add-one-smoothed multinomial
+    * NB trained on the other buckets. Exposed separately so paired
+    * classifier comparisons ([[mcnemarPaired]]) can join per-document
+    * verdicts instead of re-deriving them.
+    */
+  def naiveBayesLangPredictions(df: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                labelCol: String, testMod: Int = 5,
+                                salt: String = "nbsplit"):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(testMod >= 2, "testMod must be >= 2")
@@ -998,8 +1014,35 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("lang").asc)
     docLang.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("id"), col("true_lang"), col("lang").as("pred_lang"))
+  }
+
+  /** McNemar's paired test between two classifiers evaluated on the
+    * SAME examples — the right comparison when both saw identical
+    * inputs: accuracy deltas ignore the pairing, McNemar conditions on
+    * the discordant pairs only. Returns the 2×2 agreement cells
+    * (both-right, both-wrong, A-only-right = b, B-only-right = c) and
+    * the continuity-corrected statistic (|b−c|−1)²/(b+c) (null when
+    * b = c = 0; χ²₁-distributed, 3.841 ≈ p 0.05). One combinable
+    * aggregate over the joined verdicts; all cells exact integers.
+    */
+  def mcnemarPaired(df: org.apache.spark.sql.DataFrame, truthCol: Column,
+                    predACol: Column, predBCol: Column):
+      org.apache.spark.sql.DataFrame = {
+    val aOk = predACol === truthCol
+    val bOk = predBCol === truthCol
+    df.agg(count(lit(1)).as("n"),
+        sum(when(aOk && bOk, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!aOk && !bOk, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("b_only"))
+      .select(col("n"), col("both_right"), col("both_wrong"),
+        col("a_only"), col("b_only"),
+        when(col("a_only") + col("b_only") > 0,
+          round((abs(col("a_only") - col("b_only")) - 1) *
+            (abs(col("a_only") - col("b_only")) - 1) /
+            (col("a_only") + col("b_only")).cast("double"), 6))
+          .as("chi2_cc"))
   }
 
   def rakeKeyphrases(df: org.apache.spark.sql.DataFrame, idCol: String,

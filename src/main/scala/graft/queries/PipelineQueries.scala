@@ -3520,6 +3520,101 @@ object PipelineQueries {
       |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
       |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  /** McNemar's paired test between the stopword-profile heuristic
+    * langid (classifier A) and the trained Naive Bayes (classifier B)
+    * on the NB's held-out bucket, both judged against the declared
+    * `lang`: does the trained model beat the heuristic *on the same
+    * documents*, conditioning on discordant pairs only. See
+    * [[graft.ops.TextAnalysis.mcnemarPaired]].
+    */
+  private def mcnemarLangidNb(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nb = TextAnalysis.naiveBayesLangPredictions(docs, "doc_id",
+      "text", "lang", testMod = 5)
+    val heur = docs.select(col("doc_id").as("id"),
+      TextAnalysis.langId(col("text")).as("pred_h"))
+    TextAnalysis.mcnemarPaired(nb.join(heur, "id"),
+      col("true_lang"), col("pred_h"), col("pred_lang"))
+  }
+
+  private val mcnemarLangidNbSql = {
+    val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, lang,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |         CAST(CAST('0x' || substr(md5('nbsplit:' ||
+       |           CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT)
+       |           AS h
+       |  FROM documents),
+       |tt AS (SELECT lang, unnest(toks) AS w FROM base WHERE h <> 0),
+       |cw AS (SELECT lang, w, count(*) AS c FROM tt GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+       |vo AS (SELECT count(DISTINCT w) AS v FROM cw),
+       |pr AS (SELECT lang, count(*) AS nd FROM base WHERE h <> 0
+       |       GROUP BY 1),
+       |nt AS (SELECT count(*) AS ndt FROM base WHERE h <> 0),
+       |ls AS (SELECT tl.lang,
+       |         CAST(round(ln(1.0 / CAST(t + vo.v AS DOUBLE)) * 1e6)
+       |           AS BIGINT) AS dflt,
+       |         CAST(round(ln(CAST(nd AS DOUBLE) / nt.ndt) * 1e6)
+       |           AS BIGINT) AS prior
+       |       FROM tl JOIN pr USING (lang) CROSS JOIN vo CROSS JOIN nt),
+       |ll AS (SELECT cw.lang, cw.w,
+       |         CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+       |           CAST(t + vo.v AS DOUBLE)) * 1e6) AS BIGINT) AS ll
+       |       FROM cw JOIN tl USING (lang) CROSS JOIN vo),
+       |dt AS (SELECT id, lang AS true_lang, unnest(toks) AS w
+       |       FROM base WHERE h = 0),
+       |scn AS (SELECT dt.id, dt.true_lang, ls.lang,
+       |         coalesce(ll.ll, ls.dflt) AS s, ls.prior
+       |       FROM dt CROSS JOIN ls
+       |       LEFT JOIN ll ON ll.lang = ls.lang AND ll.w = dt.w),
+       |ds AS (SELECT id, true_lang, lang,
+       |         CAST(sum(s) AS BIGINT) + max(prior) AS score
+       |       FROM scn GROUP BY 1, 2, 3),
+       |nbp AS (SELECT id, true_lang, lang AS pred_nb
+       |       FROM (SELECT id, true_lang, lang,
+       |               row_number() OVER (PARTITION BY id
+       |                 ORDER BY score DESC, lang ASC) AS rn
+       |             FROM ds) WHERE rn = 1),
+       |hb AS (SELECT doc_id AS id,
+       |         list_distinct(string_split_regex(lower(trim(text)),
+       |           '\\s+')) AS dtoks
+       |       FROM documents),
+       |hsc AS (SELECT id, $scores FROM hb),
+       |hp AS (SELECT id, CASE $cases ELSE '${langs.last}' END AS pred_h
+       |       FROM hsc),
+       |j AS (SELECT nbp.true_lang, nbp.pred_nb, hp.pred_h
+       |      FROM nbp JOIN hp USING (id)),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN pred_h = true_lang AND
+       |          pred_nb = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS both_right,
+       |        CAST(sum(CASE WHEN pred_h <> true_lang AND
+       |          pred_nb <> true_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS both_wrong,
+       |        CAST(sum(CASE WHEN pred_h = true_lang AND
+       |          pred_nb <> true_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS a_only,
+       |        CAST(sum(CASE WHEN pred_h <> true_lang AND
+       |          pred_nb = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS b_only
+       |      FROM j)
+       |SELECT n, both_right, both_wrong, a_only, b_only,
+       |  CASE WHEN a_only + b_only > 0 THEN
+       |    round((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+       |      / CAST(a_only + b_only AS DOUBLE), 6) END AS chi2_cc
+       |FROM m""".stripMargin
+  }
+
   private def rakeKeyphrasesQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
       "text", maxLen = 3, topN = 25)
@@ -3691,6 +3786,8 @@ object PipelineQueries {
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,
       Some(nbLangConfusionSql)),
+    QueryDef("text_mcnemar_langid_nb", mcnemarLangidNb,
+      Some(mcnemarLangidNbSql)),
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
     QueryDef("text_chi2_terms", chi2TermsQ, Some(chi2TermsSql)),

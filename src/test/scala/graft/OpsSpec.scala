@@ -2216,4 +2216,21 @@ class OpsSpec extends AnyFunSuite {
     assert(testCounts.values.sum > 0, "fixture must yield test docs")
     assert(got == testCounts.map { case (l, n) => (l, l) -> n })
   }
+
+  test("mcnemarPaired: hand 2x2 cells, degenerate concordant-only null") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val df = Seq(("x", "x", "x"), ("x", "x", "y"), ("x", "x", "y"),
+      ("x", "x", "z"), ("x", "y", "y")).toDF("t", "a", "b")
+    val r = TextAnalysis.mcnemarPaired(df, col("t"), col("a"), col("b"))
+      .collect().head
+    // both_right 1, both_wrong 1, a_only 3, b_only 0:
+    // chi2_cc = (|3-0|-1)^2 / 3 = 4/3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 1L, 1L, 3L, 0L)))
+    assert(r.getDouble(5) == 1.333333)
+    val conc = Seq(("x", "x", "x"), ("y", "y", "y")).toDF("t", "a", "b")
+    assert(TextAnalysis.mcnemarPaired(conc, col("t"), col("a"), col("b"))
+      .collect().head.isNullAt(5))
+  }
 }
