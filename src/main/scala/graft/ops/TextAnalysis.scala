@@ -1026,6 +1026,36 @@ object TextAnalysis {
     * b = c = 0; χ²₁-distributed, 3.841 ≈ p 0.05). One combinable
     * aggregate over the joined verdicts; all cells exact integers.
     */
+  /** Hapax / Good-Turing profile per group: token count N, vocabulary
+    * V, hapax count V₁, dis legomena V₂, the Good-Turing unseen-mass
+    * estimate p₀ = V₁/N (the probability the NEXT token drawn is a
+    * word never seen — the quantity every smoothed LM needs), and the
+    * GT-adjusted count for hapaxes r* = 2·V₂/V₁. High p₀ = the corpus
+    * slice is still vocabulary-hungry; near 0 = saturated (the
+    * derivative view of `text_heaps_law`'s growth curve).
+    *
+    * Scale: explode → one combinable (group, word) count, then a
+    * combinable count-of-counts per group. All cells exact integers;
+    * two final divisions, 6dp.
+    */
+  def hapaxProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, groupCol: String):
+      org.apache.spark.sql.DataFrame = {
+    val cw = df.select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    cw.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("v1"),
+        col("v2"),
+        round(col("v1").cast("double") / col("n_tokens"), 6)
+          .as("p_unseen"),
+        when(col("v1") > 0,
+          round(lit(2.0) * col("v2") / col("v1"), 6)).as("gt_singleton"))
+  }
+
   def mcnemarPaired(df: org.apache.spark.sql.DataFrame, truthCol: Column,
                     predACol: Column, predBCol: Column):
       org.apache.spark.sql.DataFrame = {

@@ -193,6 +193,55 @@ object TimeSeries {
           .otherwise(col("__num") / col("__den")), 6).as("acf"))
   }
 
+  /** Lead-lag cross-correlation between the daily count series of two
+    * event types: Pearson r between x_t and y_{t+lag} for every lag in
+    * [−maxLag, maxLag] — "do clicks lead purchases, and by how many
+    * days" (the peak's lag is the lead time; lag 0 is plain
+    * contemporaneous correlation). Unlike [[autocorrDaily]]'s shared-μ
+    * deviations, each lag re-estimates both means over ITS overlap
+    * window via the five exact integer moment sums, so a lag never
+    * borrows mass from days outside its own alignment.
+    *
+    * Scale shape: one combinable daily count collapses the corpus to
+    * the calendar; the lag join and moment sums run on |days| × lags
+    * rows. Determinism: all sums are integers (DECIMAL(38,0) for the
+    * products); each r is one fixed-order double expression; zero
+    * variance on either side yields null.
+    */
+  def crossCorrDaily(df: DataFrame, tsCol: String, typeCol: String,
+                     typeX: String, typeY: String,
+                     maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val daily = df.filter(col(typeCol).isin(typeX, typeY))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(col(typeCol) === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === typeY, 1L).otherwise(0L)).as("y"))
+    val dailyC = graft.data.ScopedCaches.track(daily)
+    val lags = dailyC.sparkSession.range(1)
+      .select(explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select(col("lag").cast("int").as("lag"))
+    val a = dailyC.select(col("day").as("da"), col("x"))
+    val b = dailyC.select(col("day").as("db"), col("y"))
+    val dec = "decimal(38,0)"
+    val m = a.crossJoin(broadcast(lags))
+      .join(b, col("db") === date_add(col("da"), col("lag")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val vx = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("lag"), col("n"),
+      when(vx > 0 && vy > 0,
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(vx) * sqrt(vy)), 6)).as("r"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing of the daily
     * count series — the one-step-ahead forecaster EWMA can't be once a
     * series trends (EWMA lags a ramp forever; Holt's trend term closes

@@ -3520,6 +3520,34 @@ object PipelineQueries {
       |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
       |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  /** Hapax / Good-Turing vocabulary profile per language: unseen-mass
+    * estimate p₀ = V₁/N and the GT-adjusted hapax count — how
+    * vocabulary-hungry each language slice still is (the derivative
+    * companion to `text_heaps_law`'s growth fit). See
+    * [[graft.ops.TextAnalysis.hapaxProfile]].
+    */
+  private def hapaxGtQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hapaxProfile(Tables.documents(s, dir), "doc_id",
+      "text", "lang")
+
+  private val hapaxGtSql =
+    """WITH tt AS (SELECT lang,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      |       FROM tt GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(c), 6) AS p_unseen,
+      |  CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+      |    round(2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) /
+      |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6) END
+      |    AS gt_singleton
+      |FROM cw GROUP BY 1""".stripMargin
+
   /** McNemar's paired test between the stopword-profile heuristic
     * langid (classifier A) and the trained Naive Bayes (classifier B)
     * on the NB's held-out bucket, both judged against the declared
@@ -3788,6 +3816,7 @@ object PipelineQueries {
       Some(nbLangConfusionSql)),
     QueryDef("text_mcnemar_langid_nb", mcnemarLangidNb,
       Some(mcnemarLangidNbSql)),
+    QueryDef("text_hapax_gt", hapaxGtQ, Some(hapaxGtSql)),
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
     QueryDef("text_chi2_terms", chi2TermsQ, Some(chi2TermsSql)),

@@ -66,6 +66,44 @@ object TimeSeriesQueries {
   private def evAutocorr(s: SparkSession, dir: String): DataFrame =
     TimeSeries.autocorrDaily(Tables.events(s, dir), "ts", maxLag = 7)
 
+  /** Lead-lag cross-correlation between daily click and purchase
+    * volumes at lags −7..7 — which side leads, and by how many days.
+    * See [[graft.ops.TimeSeries.crossCorrDaily]].
+    */
+  private def evCrossCorr(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.crossCorrDaily(Tables.events(s, dir), "ts", "event_type",
+      "click", "purchase", maxLag = 7)
+
+  private val evCrossCorrSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |l AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag),
+      |m AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+      |    CAST(sum(a.x * a.x) AS HUGEINT) AS sxx,
+      |    CAST(sum(b.y * b.y) AS HUGEINT) AS syy,
+      |    CAST(sum(a.x * b.y) AS HUGEINT) AS sxy
+      |  FROM d a CROSS JOIN l JOIN d b
+      |    ON datediff('day', a.day, b.day) = l.lag
+      |  GROUP BY 1)
+      |SELECT lag, n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r
+      |FROM m""".stripMargin
+
   private val evAutocorrSql =
     """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
       |           FROM events GROUP BY 1),
@@ -408,5 +446,6 @@ object TimeSeriesQueries {
     QueryDef("ev_ewma_daily", evEwmaDaily, Some(evEwmaDailySql)),
     QueryDef("ev_cusum_changepoint", evCusum, Some(evCusumSql)),
     QueryDef("ev_autocorr_daily", evAutocorr, Some(evAutocorrSql)),
+    QueryDef("ev_crosscorr_leadlag", evCrossCorr, Some(evCrossCorrSql)),
   )
 }

@@ -2217,6 +2217,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == testCounts.map { case (l, n) => (l, l) -> n })
   }
 
+  test("hapaxProfile: hand count-of-counts, no-hapax group nulls GT") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val df = Seq((1L, "a a b c", "aa"), (2L, "z z", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.hapaxProfile(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+    // aa: a×2 b×1 c×1 -> N=4 V=3 V1=2 V2=1, p0=0.5, r* = 2·1/2 = 1
+    assert(got("aa") == ((4L, 3L, 2L, 1L, 0.5, Some(1.0))))
+    // bb: z×2 -> no hapaxes, unseen mass 0, GT undefined
+    assert(got("bb") == ((2L, 1L, 0L, 1L, 0.0, None)))
+  }
+
   test("mcnemarPaired: hand 2x2 cells, degenerate concordant-only null") {
     import graft.ops.TextAnalysis
     import spark.implicits._

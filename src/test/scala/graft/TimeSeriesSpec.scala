@@ -25,6 +25,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10d, 10d), (20d, 15d), (10d, 12.5), (40d, 26.25)))
   }
 
+  test("crossCorrDaily: a planted one-day lead peaks exactly at lag 1") {
+    import spark.implicits._
+    // clicks count i on day i (1..5); purchases = previous day's clicks
+    // on days 2..6 -> y_{t+1} == x_t exactly: r(lag=1) = 1
+    val clicks = (1 to 5).flatMap(i => Seq.fill(i)(
+      (java.sql.Timestamp.valueOf(f"2024-01-0$i 10:00:00"), "click")))
+    val buys = (1 to 5).flatMap(i => Seq.fill(i)(
+      (java.sql.Timestamp.valueOf(f"2024-01-0${i + 1} 10:00:00"),
+        "purchase")))
+    val df = (clicks ++ buys).toDF("ts", "event_type")
+    val got = TimeSeries.crossCorrDaily(df, "ts", "event_type",
+        "click", "purchase", maxLag = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got(1) == ((5L, Some(1.0))))
+    // daily spine covers days 1..6 (x=0 on day 6, y=0 on day 1), so
+    // lag -1 pairs days 2..6 against 1..5: misaligned ramps, r < 1
+    assert(got(-1)._1 == 5L && got(-1)._2.exists(_ < 1.0))
+    assert(got.keySet == (-2 to 2).toSet)
+  }
+
   test("cusumChangepoint flags a planted level shift and resets at zero") {
     // 8 calm days at 10, then 4 days at 30: mu ~ 16.67, a clear upward
     // drift the positive CUSUM accumulates; the calm prefix stays clamped
