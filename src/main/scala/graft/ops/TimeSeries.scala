@@ -193,6 +193,46 @@ object TimeSeries {
           .otherwise(col("__num") / col("__den")), 6).as("acf"))
   }
 
+  /** Pettitt change-point test on the daily count series — the
+    * nonparametric companion to [[cusumChangepoint]]: rank-based, so a
+    * single spike day can't fake (or mask) a shift the way it can in
+    * the mean/σ-based CUSUM. U_t = Σ_{i≤t,j>t} sgn(x_i − x_j); the
+    * change point is the t maximizing |U_t|, with the standard
+    * approximate significance p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Computed via the row-sum recurrence U_t = U_{t−1} + V_t with
+    * V_t = Σ_{j≠t} sgn(x_t − x_j), so the pair join is one
+    * |days|²-bounded self-join (the corpus itself is touched once, by
+    * the daily count). All U_t are exact integers; ties in |U_t| break
+    * on the earlier day; only the final p is floating, fixed-order.
+    */
+  def pettittTest(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = graft.data.ScopedCaches.track(
+      dailySeries(df, tsCol).select(col("day"), col("x").cast("long").as("x")))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"))
+    val v = a.join(b, col("da") =!= col("db"))
+      .groupBy(col("da").as("day"))
+      .agg(sum(signum((col("xa") - col("xb")).cast("double"))
+        .cast("long")).as("v"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = v.withColumn("u", sum(col("v")).over(wCum))
+    val n = daily.agg(count(lit(1)).as("n"))
+    // last day's U is 0 by antisymmetry; argmax over t < n is safe to
+    // run over all rows. Ties break on the earlier day.
+    val wBest = Window.orderBy(abs(col("u")).desc, col("day").asc)
+    u.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("day").as("cp_day"), col("u").as("u_at_cp"),
+        abs(col("u")).as("k"),
+        round(lit(2.0) * exp((lit(-6.0) * abs(col("u")) * abs(col("u")))
+          .cast("double") /
+          (col("n").cast("double") * col("n") * col("n") +
+            col("n").cast("double") * col("n"))), 6).as("p_approx"))
+  }
+
   /** Lead-lag cross-correlation between the daily count series of two
     * event types: Pearson r between x_t and y_{t+lag} for every lag in
     * [−maxLag, maxLag] — "do clicks lead purchases, and by how many

@@ -62,6 +62,30 @@ object TimeSeriesQueries {
       |       (round(c.sp, 6) > st.h OR round(c.sn, 6) < -st.h) AS flag
       |FROM c CROSS JOIN st""".stripMargin
 
+  /** Pettitt rank-based change-point over daily counts — the
+    * nonparametric twin of `ev_cusum_changepoint`. See
+    * [[graft.ops.TimeSeries.pettittTest]].
+    */
+  private def evPettitt(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.pettittTest(Tables.events(s, dir), "ts")
+
+  private val evPettittSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |v AS (SELECT a.day, CAST(sum(CASE WHEN a.x > b.x THEN 1
+      |        WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS v
+      |      FROM d a JOIN d b ON a.day <> b.day GROUP BY 1),
+      |u AS (SELECT day, CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS u
+      |      FROM v),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |best AS (SELECT *, row_number() OVER
+      |    (ORDER BY abs(u) DESC, day) AS rn FROM u)
+      |SELECT nn.n, day AS cp_day, u AS u_at_cp, abs(u) AS k,
+      |  round(2.0 * exp((-6.0 * abs(u) * abs(u)) /
+      |    (CAST(nn.n AS DOUBLE) * nn.n * nn.n +
+      |     CAST(nn.n AS DOUBLE) * nn.n)), 6) AS p_approx
+      |FROM best CROSS JOIN nn WHERE rn = 1""".stripMargin
+
   /** ACF of daily counts at lags 1..7. */
   private def evAutocorr(s: SparkSession, dir: String): DataFrame =
     TimeSeries.autocorrDaily(Tables.events(s, dir), "ts", maxLag = 7)
@@ -447,5 +471,6 @@ object TimeSeriesQueries {
     QueryDef("ev_cusum_changepoint", evCusum, Some(evCusumSql)),
     QueryDef("ev_autocorr_daily", evAutocorr, Some(evAutocorrSql)),
     QueryDef("ev_crosscorr_leadlag", evCrossCorr, Some(evCrossCorrSql)),
+    QueryDef("ev_pettitt_changepoint", evPettitt, Some(evPettittSql)),
   )
 }

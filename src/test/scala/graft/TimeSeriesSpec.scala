@@ -47,6 +47,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.keySet == (-2 to 2).toSet)
   }
 
+  test("pettittTest: planted level shift, U peaks at the boundary day") {
+    // 4 days at 10 then 4 days at 30: V = -4 per low day, +4 per high
+    // day -> U = (-4,-8,-12,-16,-12,-8,-4,0), K = 16 at day 4
+    val counts = Seq(10, 10, 10, 10, 30, 30, 30, 30)
+    val r = TimeSeries.pettittTest(seriesDf(counts), "ts").collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDate(1).toString == "2024-01-04")
+    assert(r.getLong(2) == -16L && r.getLong(3) == 16L)
+    val p = BigDecimal(2.0 * math.exp(-6.0 * 16 * 16 /
+        (8.0 * 8 * 8 + 8.0 * 8)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == p)
+  }
+
   test("cusumChangepoint flags a planted level shift and resets at zero") {
     // 8 calm days at 10, then 4 days at 30: mu ~ 16.67, a clear upward
     // drift the positive CUSUM accumulates; the calm prefix stays clamped
