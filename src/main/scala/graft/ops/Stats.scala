@@ -911,6 +911,56 @@ object Stats {
           .as("ece"))
   }
 
+  /** Isotonic (PAV) calibration of a confidence score against observed
+    * correctness — the standard post-hoc calibrator: [[calibrationEce]]
+    * MEASURES miscalibration, this FIXES it, fitting the best
+    * monotone-non-decreasing accuracy-vs-confidence map. Same 1e6-
+    * pinned confidence binning as the ECE; the fit uses the exact
+    * minimax characterization of isotonic regression,
+    * iso(i) = max_{j≤i} min_{k≥j} pooled-rate(j..k), instead of the
+    * sequential pool-adjacent-violators loop — identical result, but
+    * each pooled rate reads off two prefix-sum differences, so the
+    * whole fit is three joins over the BIN domain (B² pairs for B
+    * bins), embarrassingly parallel and replayable in plain SQL where
+    * a PAV stack machine isn't.
+    *
+    * Scale: one combinable bin aggregate over the corpus; everything
+    * after runs on ≤B rows. Determinism: pooled rates are exact-int
+    * ratios evaluated once per (j,k) in a fixed expression; min/max
+    * over doubles are order-independent.
+    */
+  def isotonicCalibration(df: DataFrame, confCol: Column,
+                          isCorrect: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    val b = df.select(
+      round(round(confCol, 6) * lit(1e6), 0).cast("long").as("c6"),
+      when(isCorrect, 1L).otherwise(0L).as("ok"))
+      .select(least(expr(s"(c6 * $bins) div 1000000"),
+        lit(bins - 1L)).cast("int").as("bin"), col("ok"))
+    val g = b.groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ok")).as("nok"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = graft.data.ScopedCaches.track(
+      g.withColumn("cn", sum(col("cnt")).over(w))
+        .withColumn("cc", sum(col("nok")).over(w))
+        .withColumn("pn", col("cn") - col("cnt"))
+        .withColumn("pc", col("cc") - col("nok")))
+    val pj = pre.select(col("bin").as("jb"), col("pn"), col("pc"))
+    val pk = pre.select(col("bin").as("kb"), col("cn"), col("cc"))
+    val minK = pj.join(pk, col("kb") >= col("jb"))
+      .select(col("jb"), ((col("cc") - col("pc")).cast("double") /
+        (col("cn") - col("pn"))).as("r"))
+      .groupBy(col("jb")).agg(min(col("r")).as("mr"))
+    pre.select(col("bin"), col("cnt"), col("nok"))
+      .join(minK, col("jb") <= col("bin"))
+      .groupBy(col("bin"), col("cnt"), col("nok"))
+      .agg(max(col("mr")).as("iso"))
+      .select(col("bin"), col("cnt"), col("nok"),
+        round(col("nok").cast("double") / col("cnt"), 6).as("emp_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
+
   /** Cross-group quantile normalization: replace each row's value with
     * the GLOBAL value at the row's within-group percentile, so every
     * group's distribution is mapped onto the corpus distribution —

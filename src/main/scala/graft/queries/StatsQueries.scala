@@ -866,7 +866,11 @@ object StatsQueries {
     * `emb_centroid_classifier`); the audit itself is a 10-group
     * aggregate.
     */
-  private def embCalibrationEce(s: SparkSession, dir: String): DataFrame = {
+  /** (conf, okp) per embedding row under the centroid softmax
+    * classifier — the shared scored input of `emb_calibration_ece` and
+    * `emb_isotonic_calibration`.
+    */
+  private def centroidScored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{call_function, typedLit}
     val df = Tables.embeddings(s, dir)
     val cents: Seq[(Int, Array[Double])] =
@@ -887,13 +891,27 @@ object StatsQueries {
     // denominator summed in ascending-label order on both engines
     val denom = cents.map { case (_, c) => exp(lit(10.0) * sim(c)) }
       .reduce(_ + _)
-    val scored = v.select(
+    v.select(
       (exp(lit(10.0) * best.getField("s")) / denom).as("conf"),
       ((-best.getField("nl")) === col("tl")).as("okp"))
-    Stats.calibrationEce(scored, col("conf"), col("okp"))
   }
 
-  private val embCalibrationEceSql =
+  private def embCalibrationEce(s: SparkSession, dir: String): DataFrame =
+    Stats.calibrationEce(centroidScored(s, dir), col("conf"), col("okp"))
+
+  /** Isotonic (PAV) calibration of the centroid-softmax confidence
+    * against observed correctness, over the same 10 pinned bins as
+    * `emb_calibration_ece` — the fitted monotone map that repairs the
+    * miscalibration the ECE measures. See
+    * [[graft.ops.Stats.isotonicCalibration]].
+    */
+  private def embIsotonic(s: SparkSession, dir: String): DataFrame =
+    Stats.isotonicCalibration(centroidScored(s, dir), col("conf"),
+      col("okp"))
+
+  /** Shared oracle prefix: per-row (c6-pinned confidence, ok) under
+    * the centroid softmax classifier, CTEs `v`..`rowconf`. */
+  private val centroidScoredSqlPrefix =
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
       |                  CAST(label AS INT) AS tl FROM embeddings),
       |cm AS (SELECT label AS cl, CAST(i - 1 AS INT) AS pos,
@@ -918,7 +936,10 @@ object StatsQueries {
       |              * 1e6, 0) AS BIGINT) AS c6,
       |              CASE WHEN p.pl = p.tl THEN 1 ELSE 0 END AS ok
       |            FROM p JOIN den USING (id)),
-      |g AS (SELECT CAST(least((c6 * 10) // 1000000, 9) AS INT) AS bin,
+      |""".stripMargin
+
+  private val embCalibrationEceSql = centroidScoredSqlPrefix +
+    """      |g AS (SELECT CAST(least((c6 * 10) // 1000000, 9) AS INT) AS bin,
       |        CAST(count(*) AS BIGINT) AS cnt,
       |        CAST(sum(c6) AS BIGINT) AS sc6,
       |        CAST(sum(ok) AS BIGINT) AS nok
@@ -942,6 +963,27 @@ object StatsQueries {
       |SELECT bin, cnt, round(ac, 6) AS avg_conf, round(aa, 6) AS accuracy,
       |       round(CAST(e9 AS DOUBLE) / 1e9 / t.nn, 6) AS ece
       |FROM x2 CROSS JOIN e CROSS JOIN t""".stripMargin
+
+  private val embIsotonicSql = centroidScoredSqlPrefix +
+    """g AS (SELECT CAST(least((c6 * 10) // 1000000, 9) AS INT) AS bin,
+      |        CAST(count(*) AS BIGINT) AS cnt,
+      |        CAST(sum(ok) AS BIGINT) AS nok
+      |      FROM rowconf GROUP BY 1),
+      |pre AS (SELECT bin, cnt, nok,
+      |          CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cn,
+      |          CAST(sum(nok) OVER (ORDER BY bin) AS BIGINT) AS cc
+      |        FROM g),
+      |p2 AS (SELECT bin, cnt, nok, cn, cc, cn - cnt AS pn,
+      |         cc - nok AS pc FROM pre),
+      |mk AS (SELECT j.bin AS jb,
+      |         min(CAST(k.cc - j.pc AS DOUBLE) / (k.cn - j.pn)) AS mr
+      |       FROM p2 j JOIN p2 k ON k.bin >= j.bin GROUP BY 1),
+      |iso AS (SELECT i.bin, i.cnt, i.nok, max(mk.mr) AS iso
+      |        FROM p2 i JOIN mk ON mk.jb <= i.bin GROUP BY 1, 2, 3)
+      |SELECT bin, cnt, nok,
+      |  round(CAST(nok AS DOUBLE) / cnt, 6) AS emp_rate,
+      |  round(iso, 6) AS iso_rate
+      |FROM iso""".stripMargin
 
   /** Quantile-normalize document length across sources: each doc's
     * n_chars is replaced by the GLOBAL length at its within-source
@@ -1009,6 +1051,7 @@ object StatsQueries {
     QueryDef("dq_profile_drift_events", dqProfileDriftEvents,
       Some(dqProfileDriftEventsSql)),
     QueryDef("emb_centroid_auc", embCentroidAuc, Some(embCentroidAucSql)),
+    QueryDef("emb_isotonic_calibration", embIsotonic, Some(embIsotonicSql)),
     QueryDef("emb_calibration_ece", embCalibrationEce,
       Some(embCalibrationEceSql)),
     QueryDef("doc_quantile_normalize", docQuantileNormalize,

@@ -244,6 +244,20 @@ class StatsSpec extends AnyFunSuite {
     assert(rs.getDouble(2) == rs.getDouble(3) && rs.getDouble(5) == 0.0)
   }
 
+  test("isotonicCalibration: PAV pools the violating pair, keeps the rest") {
+    // bin rates (0.5, 0.0, 1.0): PAV pools bins 0-1 to 1/4, leaves bin 2
+    val df = Seq((0.05, true), (0.05, false), (0.15, false),
+      (0.15, false), (0.25, true), (0.25, true)).toDF("conf", "ok")
+    val got = Stats.isotonicCalibration(df, col("conf"), col("ok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set((0, 2L, 1L, 0.5, 0.25), (1, 2L, 0L, 0.0, 0.25),
+      (2, 2L, 2L, 1.0, 1.0)))
+    // fitted rates must be non-decreasing in bin for any input
+    val iso = got.toSeq.sortBy(_._1).map(_._5)
+    assert(iso == iso.sorted)
+  }
+
   test("spearmanCorr: monotone ±1, tie-averaged ranks cancel to 0") {
     val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0)).toDF("x", "y")
     assert(Stats.spearmanCorr(up, col("x"), col("y"))
