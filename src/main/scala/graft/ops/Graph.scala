@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics expressed as iterative DataFrame joins — the shape
@@ -65,6 +66,47 @@ object Graph {
             lit(damping) * coalesce(col("__mass"), lit(0d))).as("pr"))
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan 2007)
+    * over an undirected graph, `rounds` pinned iterations: every node
+    * starts as its own community and each round adopts the most
+    * frequent label among its neighbors (ties → smallest label — the
+    * determinism the classic random-order LPA gives up; synchronous
+    * updates can oscillate on bipartite structures, which pinned
+    * rounds render harmless and replayable). Returns the community
+    * SIZE HISTOGRAM (size, n_communities) — the shape a corpus-level
+    * community audit reads (one giant component? thousands of pairs?),
+    * stable under label renaming.
+    *
+    * Scale shape: each round is one edge⋈label join, one combinable
+    * (node, label) count, and a per-node top-1 window (partitioned by
+    * node, never global), MATERIALIZED between rounds to truncate
+    * lineage exactly like [[pagerank]]. All counts exact integers.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    // simple graph: duplicate and reversed input pairs collapse, so a
+    // pair co-occurring in many baskets still casts ONE vote
+    val und = graft.data.ScopedCaches.materialize(
+      edges.select(col(aCol).as("n"), col(bCol).as("m"))
+        .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
+        .distinct())
+    var lab = und.select(col("n").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = und.join(lab.withColumnRenamed("node", "m"), "m")
+        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      lab = graft.data.ScopedCaches.materialize(
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("n").as("node"), col("lbl")))
+    }
+    lab.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
   }
 
   /** k-core peeling profile: `rounds` pinned iterations of "drop every

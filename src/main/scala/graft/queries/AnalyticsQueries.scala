@@ -1056,6 +1056,47 @@ object AnalyticsQueries {
        |$stats""".stripMargin
   }
 
+  /** Synchronous label-propagation communities over the part
+    * co-purchase graph (3 pinned rounds, smallest-label ties),
+    * reported as the community size histogram — the mesoscale
+    * structure readout between `li_triangle_census` (local) and
+    * `li_bfs_reach` (global). See
+    * [[graft.ops.Graph.labelPropagation]].
+    */
+  private def liLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.labelPropagation(pairs, "pa", "pb", rounds = 3)
+  }
+
+  private val liLabelPropSql = {
+    val rounds = (1 to 3).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM (SELECT u.n AS node, l.lbl,
+         |          CAST(count(*) AS BIGINT) AS c
+         |        FROM u JOIN l${r - 1} l ON l.node = u.m
+         |        GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |u AS (SELECT a AS n, b AS m FROM e
+       |      UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM u),
+       |$rounds
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_communities
+       |FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS size
+       |      FROM l3 GROUP BY 1)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Entropy rate of the event-type chain vs the marginal next-event
     * entropy — see [[graft.ops.Analytics.chainEntropyRate]].
     */
@@ -1426,6 +1467,7 @@ object AnalyticsQueries {
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),
+    QueryDef("li_label_prop_communities", liLabelProp, Some(liLabelPropSql)),
     QueryDef("ev_chain_entropy_rate", evChainEntropy,
       Some(evChainEntropySql)),
     QueryDef("li_bfs_reach", liBfsReach, Some(liBfsReachSql)),

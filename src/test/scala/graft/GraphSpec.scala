@@ -24,6 +24,25 @@ class GraphSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
   }
 
+  test("labelPropagation: disjoint triangles collapse to two size-3 communities") {
+    import spark.implicits._
+    // two triangles; by round 3 each settles on its min node label
+    // (hand trace: (2,1,1) after r1, (1,1,1) after r2, stable r3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 2L)))
+    // a single edge: both endpoints adopt each other every round ->
+    // with an odd round count they hold swapped labels (still 2 nodes,
+    // 2 singleton communities after r1? no: a adopts b, b adopts a ->
+    // labels {b, a}: two communities of size 1... histogram (1, 2))
+    val pair = Seq((10L, 11L)).toDF("a", "b")
+    val g2 = Graph.labelPropagation(pair, "a", "b", rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g2 == Set((1L, 2L)))
+  }
+
   test("pagerank matches the dense reference on an asymmetric graph") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0),
