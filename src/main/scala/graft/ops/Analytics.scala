@@ -400,6 +400,74 @@ object Analytics {
           .as("share"))
   }
 
+  /** Exact Shapley-value attribution over exposure coalitions (the
+    * data-driven attribution the position heuristics approximate —
+    * Shapley is the unique credit split satisfying efficiency/symmetry/
+    * dummy): each user's exposure set S ⊆ touchTypes and conversion
+    * flag define the coalition value v(S) = P(convert | exposure = S);
+    * channel i earns φ_i = Σ_{S∌i} |S|!(n−1−|S|)!/n!·[v(S∪i) − v(S)].
+    *
+    * Computable EXACTLY because the coalition domain is 2^|channels|,
+    * not users: one combinable per-user aggregate collapses the corpus
+    * to a (mask → users, conversions) table of ≤2ⁿ rows; the Shapley
+    * sum is a self-join on that domain. Unobserved coalitions take
+    * v = 0 via an explicit mask spine. Determinism: v is pinned to a
+    * ×10⁹ BIGINT per mask; the factorial weights are scaled to
+    * integers (×n!), so the φ numerator is an exact integer sum —
+    * only the single final division is floating.
+    */
+  def shapleyAttribution(df: DataFrame, keyCol: String, typeCol: String,
+                         conversionType: String,
+                         touchTypes: Seq[String]): DataFrame = {
+    val n = touchTypes.size
+    require(n >= 1 && n <= 10, s"need 1..10 touch types, got $n")
+    require(!touchTypes.contains(conversionType),
+      "touchTypes must exclude the conversion type")
+    val bits = touchTypes.sorted.zipWithIndex.map { case (t, i) =>
+      (t, 1 << i)
+    }
+    val mask = bits.map { case (t, b) =>
+      max(when(col(typeCol) === t, b).otherwise(0))
+    }.reduce(_ + _)
+    val users = df.groupBy(col(keyCol))
+      .agg(mask.as("mask"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("conv"))
+    val vt = users.groupBy(col("mask"))
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+    val spine = df.sparkSession.range(1 << n)
+      .select(col("id").cast("int").as("mask"))
+    // v(S) pinned to an exact ×1e9 integer per coalition
+    val v9 = spine.join(vt, Seq("mask"), "left")
+      .select(col("mask"), coalesce(col("nu"), lit(0L)).as("n_users"),
+        round(coalesce(col("nc").cast("double") / col("nu"), lit(0.0))
+          * 1e9).cast("long").as("v9"))
+    val v9C = graft.data.ScopedCaches.track(v9)
+    // integer weights m(k) = k!·(n−1−k)!, denominator n!
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val mW = (0 until n).map(k => fact(k) * fact(n - 1 - k))
+    val wCase = mW.zipWithIndex.tail.foldLeft(
+      when(bit_count(col("mask")) === 0, mW.head)) { case (acc, (m, k)) =>
+      acc.when(bit_count(col("mask")) === k, m)
+    }
+    val chSession = df.sparkSession
+    import chSession.implicits._
+    val ch = bits.toDF("channel", "bit")
+    // join v(S ∪ {i}) by mask identity: S ∪ i has mask S + bit
+    val phi = broadcast(ch).crossJoin(v9C.select(col("mask"),
+        col("v9").as("vs")))
+      .filter((col("mask").bitwiseAND(col("bit"))) === 0)
+      .withColumn("m_with", col("mask") + col("bit"))
+      .join(v9C.select(col("mask").as("m_with"), col("v9").as("vsi")),
+        Seq("m_with"))
+      .groupBy(col("channel"))
+      .agg(sum(wCase.cast("long") * (col("vsi") - col("vs")))
+        .as("phi_num"))
+    phi.select(col("channel"),
+      round(col("phi_num").cast("double") / (fact(n) * 1e9), 6)
+        .as("phi"))
+  }
+
   /** Cohort LTV triangle: users cohorted by FIRST-signup epoch-week,
     * purchase revenue accumulated by weeks-since-signup — the
     * lifetime-value report behind "does week-N monetization improve

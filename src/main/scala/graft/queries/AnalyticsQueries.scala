@@ -1056,6 +1056,46 @@ object AnalyticsQueries {
        |$stats""".stripMargin
   }
 
+  /** Exact Shapley-value attribution over the four touch channels
+    * (click/error/signup/view; conversion = purchase): the coalition
+    * domain is 2⁴ masks, so the axiomatic credit split is computed
+    * exactly, no sampling — the data-driven complement to the
+    * position-heuristic attribution family. See
+    * [[graft.ops.Analytics.shapleyAttribution]].
+    */
+  private def evShapley(s: SparkSession, dir: String): DataFrame =
+    Analytics.shapleyAttribution(Tables.events(s, dir), "user_id",
+      "event_type", "purchase", Seq("click", "view", "signup", "error"))
+
+  private val evShapleySql =
+    """WITH users AS (SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) +
+      |         max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END) +
+      |         max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) +
+      |         max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END)
+      |      AS INT) AS mask,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY 1),
+      |vt AS (SELECT mask, CAST(count(*) AS BIGINT) AS nu,
+      |         CAST(sum(conv) AS BIGINT) AS nc FROM users GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS mask),
+      |v9 AS (SELECT sp.mask,
+      |         CAST(round(coalesce(CAST(nc AS DOUBLE) / nu, 0.0) * 1e9,
+      |           0) AS BIGINT) AS v9
+      |       FROM sp LEFT JOIN vt USING (mask)),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |         ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |pairs AS (SELECT ch.channel, s.v9 AS vs, si.v9 AS vsi,
+      |            CASE bit_count(s.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |              WHEN 2 THEN 2 WHEN 3 THEN 6 END AS m
+      |          FROM ch JOIN v9 s ON (s.mask & ch.bit) = 0
+      |          JOIN v9 si ON si.mask = s.mask + ch.bit)
+      |SELECT channel,
+      |  round(CAST(sum(m * (vsi - vs)) AS DOUBLE) / (24 * 1e9), 6)
+      |    AS phi
+      |FROM pairs GROUP BY 1""".stripMargin
+
   /** Synchronous label-propagation communities over the part
     * co-purchase graph (3 pinned rounds, smallest-label ties),
     * reported as the community size histogram — the mesoscale
@@ -1490,6 +1530,7 @@ object AnalyticsQueries {
       Some(evAttributionSql)),
     QueryDef("ev_attribution_linear", evAttributionLinear,
       Some(evAttributionLinearSql)),
+    QueryDef("ev_attribution_shapley", evShapley, Some(evShapleySql)),
     QueryDef("ev_attribution_ushape", evAttributionUshape,
       Some(evAttributionUshapeSql)),
     QueryDef("ev_attribution_timedecay", evAttributionTimeDecay,

@@ -262,6 +262,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("shapleyAttribution: hand 2-channel coalition values") {
+    import spark.implicits._
+    // v(∅)=1 (u5), v(a)=0.5 (u1,u2), v(b)=0 (u4), v(ab)=1 (u3)
+    // φ_a = ½[(0.5−1)+(1−0)] = 0.25; φ_b = ½[(0−1)+(1−0.5)] = −0.25
+    val ev = Seq((1L, "a"), (1L, "z"), (2L, "a"), (3L, "a"), (3L, "b"),
+      (3L, "z"), (4L, "b"), (5L, "z")).toDF("uid", "t")
+    val got = Analytics.shapleyAttribution(ev, "uid", "t", "z",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.25, "b" -> -0.25))
+    // efficiency check on a fully-converting corpus: φ sums to
+    // v(full) − v(∅) = 0 when conversion is unconditional
+    val all = Seq((1L, "a"), (1L, "b"), (1L, "z"), (2L, "a"), (2L, "b"),
+      (2L, "z")).toDF("uid", "t")
+    val phis = Analytics.shapleyAttribution(all, "uid", "t", "z",
+      Seq("a", "b")).collect().map(_.getDouble(1))
+    // only mask 3 observed: v(ab)=1, everything else 0 ->
+    // φ_a = φ_b = ½·[(0−0)+(1−0)] = 0.5
+    assert(phis.sorted.toSeq == Seq(0.5, 0.5))
+  }
+
   test("rollingByKey includes the window boundary and splits by key") {
     val day = 24L * 3600 * 1000000
     val rows = Seq(
