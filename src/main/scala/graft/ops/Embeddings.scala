@@ -375,6 +375,52 @@ object Embeddings {
         round(col("__ev"), 6).as("eigval"))
   }
 
+  /** Greedy k-center coreset (farthest-first traversal, Gonzalez
+    * 1985): pick the lowest-id vector, then k−1 times the point
+    * farthest (6dp squared Euclidean, ties → lowest id) from every
+    * center chosen so far — the diversity sampler whose selections
+    * 2-approximate the optimal k-center cover. The returned
+    * `d_at_selection` sequence is non-increasing and IS the coverage
+    * radius curve: stop where it elbows. The diversity complement to
+    * frequency-weighted selection ([[graft.ops.Selection]] DSIR):
+    * rare-region documents get picked FIRST here.
+    *
+    * Scale shape: each of the k rounds is one scan-side fold against
+    * the newest center literal (the running min-distance column
+    * carries forward, so round r compares against ONE new center, not
+    * r), a MATERIALIZE to truncate lineage, and a driver collect of
+    * exactly one (id, vector) row — k·dims doubles total, the bounded
+    * pinned-centroid pattern. No corpus-sized sort: the argmax is a
+    * TakeOrdered(1).
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val v = graft.data.ScopedCaches.materialize(
+      df.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
+    def sqd(c: Array[Double]): Column =
+      round(aggregate(
+        zip_with(col("v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0d), _ + _), 6)
+    val first = v.orderBy(col("vid").asc).limit(1).collect().head
+    var picked = Vector((1, first.getLong(0), 0.0))
+    var dmin = v.select(col("vid"), col("v"),
+      sqd(first.getSeq[Double](1).toArray).as("dmin"))
+    for (r <- 2 to k) {
+      val dC = graft.data.ScopedCaches.materialize(dmin)
+      val sel = dC.orderBy(col("dmin").desc, col("vid").asc)
+        .limit(1).collect().head
+      picked :+= ((r, sel.getLong(0), sel.getDouble(2)))
+      dmin = dC.select(col("vid"), col("v"),
+        least(col("dmin"), sqd(sel.getSeq[Double](1).toArray))
+          .as("dmin"))
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    picked.toDF("sel_rank", "vec_id", "d_at_selection")
+  }
+
   /** Histogram-based best-split finding — the inner loop of every
     * gradient-boosted-tree / decision-tree trainer (LightGBM's
     * histogram algorithm), run once per embedding dimension against a

@@ -1919,6 +1919,47 @@ object PipelineQueries {
       |       round(lam.lam / nr.nr, 6) AS eigval
       |FROM v3 CROSS JOIN lam CROSS JOIN nr""".stripMargin
 
+  /** Greedy farthest-first k-center coreset over the embedding table,
+    * k = 8 from the lowest vec_id — the diversity sample plus its
+    * coverage-radius curve. See
+    * [[graft.ops.Embeddings.kCenterCoreset]].
+    */
+  private def embKcenter(s: SparkSession, dir: String): DataFrame =
+    Embeddings.kCenterCoreset(Tables.embeddings(s, dir), "vec_id",
+      "embedding", k = 8)
+
+  private val embKcenterSql = {
+    val k = 8
+    def sqd(p: String, c: String) =
+      s"""round(list_sum(list_transform(
+         |          generate_series(1, length($p)),
+         |          i -> ($p[i] - $c[i]) * ($p[i] - $c[i]))), 6)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val tail =
+        if (r == k) ""
+        else s""",
+           |d$r AS MATERIALIZED (SELECT d.vid, d.v,
+           |  least(d.dmin, ${sqd("d.v", s"s$r.v")}) AS dmin
+           |  FROM d${r - 1} d CROSS JOIN s$r)""".stripMargin
+      s"""s$r AS (SELECT vid, v, dmin FROM d${r - 1}
+         |  ORDER BY dmin DESC, vid ASC LIMIT 1)$tail""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map { r =>
+      s"UNION ALL SELECT $r, vid, dmin FROM s$r"
+    }.mkString("\n")
+    s"""WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |s1 AS (SELECT vid, v FROM v
+       |       WHERE vid = (SELECT min(vid) FROM v)),
+       |d1 AS MATERIALIZED (SELECT p.vid, p.v,
+       |  ${sqd("p.v", "s1.v")} AS dmin
+       |  FROM v p CROSS JOIN s1),
+       |$rounds
+       |SELECT 1 AS sel_rank, vid AS vec_id, 0.0 AS d_at_selection
+       |FROM s1
+       |$out""".stripMargin
+  }
+
   private val embKmeansUpdateSql = {
     val cids = (0 until 16).map(_ * 31L).mkString(", ")
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -3767,6 +3808,7 @@ object PipelineQueries {
     QueryDef("emb_int8_quantize", embInt8Quantize, Some(embInt8QuantizeSql)),
     QueryDef("emb_int8_snr", embInt8Snr, Some(embInt8SnrSql)),
     QueryDef("emb_kmeans_update", embKmeansUpdate, Some(embKmeansUpdateSql)),
+    QueryDef("emb_kcenter_coreset", embKcenter, Some(embKcenterSql)),
     QueryDef("sim_maxsim_topk", simMaxsim, Some(simMaxsimSql)),
     QueryDef("search_mmr_rerank", searchMmr, Some(searchMmrSql)),
     QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),

@@ -876,6 +876,23 @@ class OpsSpec extends AnyFunSuite {
       (1, 0) -> (1L, 10.0), (1, 1) -> (1L, -2.0)))
   }
 
+  test("kCenterCoreset: farthest-first picks in hand-checked order") {
+    import graft.ops.Embeddings
+    // 1-dim points: id1 at 0, id2 at 1, id3 at 10, id4 at 4.
+    // start id1; farthest id3 (d=100); then id4 (min(16,36)=16 beats
+    // id2's min(1,81)=1)
+    val rows = Seq(Row(1L, Seq(0.0f)), Row(2L, Seq(1.0f)),
+      Row(3L, Seq(10.0f)), Row(4L, Seq(4.0f)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType,
+          containsNull = false)))))
+    val got = Embeddings.kCenterCoreset(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq((1, 1L, 0.0), (2, 3L, 100.0), (3, 4L, 16.0)))
+  }
+
   test("histSplitFinding: hand Gini gain, clean split wins the bin scan") {
     import graft.ops.Embeddings
     // 1-dim vectors x = 0..7, positive iff x >= 4, 4 bins over [0,7]:
