@@ -1026,6 +1026,37 @@ object TextAnalysis {
     * b = c = 0; χ²₁-distributed, 3.841 ≈ p 0.05). One combinable
     * aggregate over the joined verdicts; all cells exact integers.
     */
+  /** N-gram novelty score per document against everything EARLIER in
+    * the corpus (doc_id order): the fraction of the doc's distinct
+    * character 8-shingles whose first corpus occurrence is this doc —
+    * 1.0 = entirely new material, near 0 = re-hash of what's already
+    * ingested. The streaming-curation cousin of pairwise dedup: one
+    * scalar per doc, no pair enumeration, and the natural priority
+    * signal for "which crawl snapshot actually added information".
+    *
+    * Scale shape: one (shingle → min doc_id) combinable aggregate over
+    * the exploded distinct shingles, one join back on shingle, one
+    * per-doc combinable count. The shingle table is the big
+    * intermediate — identical shape (and cost) to the MinHash shingle
+    * stage; all counts exact.
+    */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, k: Int = 8):
+      org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(charShingles(col(textCol), k)).as("s"))
+    val shC = graft.data.ScopedCaches.track(sh)
+    val firsts = shC.groupBy(col("s")).agg(min(col("doc_id")).as("fdoc"))
+    shC.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Hapax / Good-Turing profile per group: token count N, vocabulary
     * V, hapax count V₁, dis legomena V₂, the Good-Turing unseen-mass
     * estimate p₀ = V₁/N (the probability the NEXT token drawn is a

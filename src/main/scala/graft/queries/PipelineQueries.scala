@@ -3561,6 +3561,28 @@ object PipelineQueries {
       |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
       |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  /** Per-document n-gram novelty against all earlier doc_ids — which
+    * documents actually add new material. See
+    * [[graft.ops.TextAnalysis.ngramNovelty]].
+    */
+  private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text")
+
+  private val ngramNoveltySql =
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT doc_id, txt,
+      |               unnest(generate_series(1,
+      |                 greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |f AS (SELECT s, min(doc_id) AS fdoc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.fdoc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN f.fdoc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS novelty
+      |FROM sh JOIN f USING (s) GROUP BY 1""".stripMargin
+
   /** Hapax / Good-Turing vocabulary profile per language: unseen-mass
     * estimate p₀ = V₁/N and the GT-adjusted hapax count — how
     * vocabulary-hungry each language slice still is (the derivative
@@ -3862,6 +3884,7 @@ object PipelineQueries {
     QueryDef("text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("text_heaps_law", heapsLawQ, Some(heapsLawSql)),
     QueryDef("text_chi2_terms", chi2TermsQ, Some(chi2TermsSql)),
+    QueryDef("text_ngram_novelty", ngramNoveltyQ, Some(ngramNoveltySql)),
     QueryDef("doc_neyman_sample", neymanSampleQ, Some(neymanSampleSql)),
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
