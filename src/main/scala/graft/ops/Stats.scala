@@ -1040,4 +1040,107 @@ object Stats {
     mom.select(explode(array(rows: _*)).as("p"))
       .select(col("p.col_x"), col("p.col_y"), col("p.pearson_r"))
   }
+
+  /** Kendall τ-b rank correlation between two columns — the
+    * pair-concordance companion to [[spearmanCorr]]: robust to the
+    * same monotone transforms, but built from pairwise order
+    * agreement, so its value reads directly as P(concordant) −
+    * P(discordant) with a principled tie correction:
+    *   τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y)),  n₀ = n(n−1)/2.
+    *
+    * Intended for DOMAIN-sized inputs (a daily rollup, a per-group
+    * summary): the O(n²) pair self-join is bounded by the calendar,
+    * never the corpus. C, D, and the tie counts are exact integer
+    * sums over sign products; only the final τ division is floating
+    * and fixed-order.
+    */
+  def kendallTau(df: DataFrame, keyCol: Column, xCol: Column,
+                 yCol: Column): DataFrame = {
+    val base = graft.data.ScopedCaches.track(
+      df.select(keyCol.as("k"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y")))
+    val a = base.select(col("k").as("ka"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("k").as("kb"), col("x").as("xb"),
+      col("y").as("yb"))
+    val sp = signum((col("xb") - col("xa")).cast("double")) *
+      signum((col("yb") - col("ya")).cast("double"))
+    val pairs = a.join(b, col("ka") < col("kb"))
+      .agg(sum(when(sp === 1.0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sp === -1.0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ties_y"))
+    val n = base.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n").cast("double") * (col("n") - 1L) / 2.0 -
+              col("ties_x")) *
+            (col("n").cast("double") * (col("n") - 1L) / 2.0 -
+              col("ties_y"))), 6).as("tau_b"))
+  }
+
+  /** Benjamini–Hochberg FDR screen across per-group association tests:
+    * for every value of `groupCol`, the 2×2 χ² (1 df) of membership in
+    * that group vs the boolean `contrast` (e.g. weekend), converted to
+    * a two-sided normal p-value, then the BH step-up at level `alpha`
+    * across the m groups — the multiple-testing-honest version of "which
+    * event types skew toward weekends", where testing every type at raw
+    * α would drown in false positives.
+    *
+    * p-values use the Abramowitz–Stegun 7.1.26 erfc polynomial (max
+    * abs error 1.5e-7 — far below any sane α), a fixed-order double
+    * expression both engines evaluate identically up to libm's exp.
+    * BH: sort p ascending, crit_i = i·α/m, reject every rank ≤ the
+    * largest i with p_(i) ≤ crit_i. All 2×2 cells are exact integer
+    * counts from ONE combinable aggregate; the test table is
+    * m-group-sized.
+    */
+  def bhFdrScreen(df: DataFrame, groupCol: Column, contrast: Column,
+                  alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val cells = df.groupBy(groupCol.as("g"))
+      .agg(sum(when(contrast, 1L).otherwise(0L)).as("a"),
+        sum(when(contrast, 0L).otherwise(1L)).as("b"))
+    val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("m"))
+    val withTot = cells.crossJoin(broadcast(tot))
+      .select(col("g"), col("a"), col("b"),
+        (col("ta") - col("a")).as("c"), (col("tb") - col("b")).as("d"),
+        col("m"))
+    val nD = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val det = col("a").cast("double") * col("d").cast("double") -
+      col("b").cast("double") * col("c").cast("double")
+    val chi2 = nD * det * det /
+      ((col("a") + col("b")).cast("double") *
+        (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") *
+        (col("b") + col("d")).cast("double"))
+    // two-sided normal p for z = sqrt(chi2): p = erfc(z/sqrt(2)), via
+    // A&S 7.1.26 with t = 1/(1 + 0.3275911*x), x = z/sqrt(2).
+    val x = sqrt(chi2 / 2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    val scored = withTot.select(col("g"), col("a").as("n_yes"),
+      col("b").as("n_no"), col("m"),
+      round(chi2, 6).as("chi2"),
+      round(poly * exp(-(x * x)), 6).as("p_value"))
+    val w = Window.orderBy(col("p_value").asc, col("g").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bh_crit",
+        round(col("rank").cast("double") * lit(alpha) /
+          col("m").cast("double"), 6))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("cutoff", max(when(col("p_value") <= col("bh_crit"),
+        col("rank"))).over(wAll))
+      .select(col("g"), col("n_yes"), col("n_no"), col("chi2"),
+        col("p_value"), col("rank"), col("bh_crit"),
+        when(col("cutoff").isNotNull && col("rank") <= col("cutoff"),
+          lit(1L)).otherwise(lit(0L)).as("reject"))
+  }
 }

@@ -653,4 +653,63 @@ object TimeSeries {
             (col("saei").cast("double") / col("n_in")), 6))
           .as("mase_snaive"))
   }
+
+  /** Periodogram of the daily count series — the Fourier power at each
+    * candidate frequency k/N, k = 1..⌊N/2⌋, answering "what is the
+    * dominant seasonality period" without assuming weekly up front
+    * (the spectral generalization of [[dowSeasonality]]). Reports the
+    * `topK` frequencies by power with their implied period in days.
+    *
+    * Exactness recipe: the DFT weights cos/sin(2π·((k·t) mod N)/N) are
+    * rounded to 6dp and scaled to ×10⁶ BIGINTs, and the series is
+    * mean-centered in scaled integers (y_t = N·x_t − Σx), so each
+    * coefficient c_k = Σ y_t·w_t is an EXACT integer sum — immune to
+    * summation order, the one thing a distributed engine cannot pin.
+    * The only floating steps are the shared weight table (both engines
+    * evaluate libm cos on bit-identical arguments; a flip needs the
+    * true value within ~1 ulp of a 0.5e-6 rounding boundary) and the
+    * final fixed-order power expression I(k) = (ĉ² + ŝ²)/N with
+    * ĉ = c/(N·10⁶).
+    *
+    * Scale shape: one map-side-combinable daily count collapses the
+    * corpus to the calendar; the k×t weight grid is |days|²/2 rows —
+    * bounded by the calendar squared, independent of corpus size.
+    */
+  def periodogram(df: DataFrame, tsCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val daily = dailySeries(df, tsCol)
+    val idx = sortedSeries(daily)
+      .select(posexplode(col("s")).as(Seq("t", "e")))
+      .select(col("t").cast("long").as("t"),
+        col("e.x").cast("long").as("x"))
+    val idxC = graft.data.ScopedCaches.track(idx)
+    val tot = idxC.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val ks = tot.select(col("n"), col("sx"),
+      explode(sequence(lit(1L), (col("n") / 2L).cast("long"))).as("k"))
+    val arg = lit(2.0 * math.Pi) *
+      (pmod(col("k") * col("t"), col("n")).cast("double") /
+        col("n").cast("double"))
+    val coef = idxC.crossJoin(broadcast(ks))
+      .select(col("k"), col("n"),
+        (col("n") * col("x") - col("sx")).as("y"),
+        round(cos(arg) * lit(1000000.0)).cast("long").as("wc"),
+        round(sin(arg) * lit(1000000.0)).cast("long").as("ws"))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"),
+        sum(col("y") * col("wc")).as("c"),
+        sum(col("y") * col("ws")).as("s"))
+    val scale = col("n").cast("double") * lit(1000000.0)
+    val power =
+      (col("c").cast("double") / scale) * (col("c").cast("double") / scale) +
+        (col("s").cast("double") / scale) * (col("s").cast("double") / scale)
+    val scored = coef.select(col("k"), col("n"),
+      round(col("n").cast("double") / col("k").cast("double"), 6)
+        .as("period_days"),
+      round(power / col("n").cast("double"), 6).as("power"))
+    val w = Window.orderBy(col("power").desc, col("k").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("k"), col("period_days"), col("power"),
+        col("rn").cast("long").as("rank"))
+  }
 }

@@ -1025,7 +1025,106 @@ object StatsQueries {
       |       m3.pctile, m3.value_norm
       |FROM base JOIN m3 ON base.g = m3.g AND base.v = m3.v""".stripMargin
 
+  /** Kendall τ-b between daily click and purchase volumes — the
+    * pair-concordance twin of `ev_spearman_daily`. The O(days²) pair
+    * join runs on the calendar-sized daily rollup. See
+    * [[graft.ops.Stats.kendallTau]].
+    */
+  private def evKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    Stats.kendallTau(daily, col("day"), col("x"), col("y"))
+  }
+
+  private val evKendallTauSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |p AS (SELECT
+      |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = -1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_x,
+      |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_y
+      |  FROM d a JOIN d b ON a.day < b.day),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      |SELECT n, concordant, discordant, ties_x, ties_y,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0 - ties_x) *
+      |         (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ties_y)), 6) AS tau_b
+      |FROM p CROSS JOIN n""".stripMargin
+
+  /** Benjamini–Hochberg FDR screen (α = 0.05) over per-event-type
+    * weekend-association χ² tests — which event types significantly
+    * skew toward weekends, honest under multiple testing. Weekend =
+    * epoch-day mod 7 ∈ {2, 3} (day 0 = Thursday → Sat, Sun), the same
+    * engine-free day-of-week arithmetic as `ev_cramers_v_dow`. See
+    * [[graft.ops.Stats.bhFdrScreen]].
+    */
+  private def evBhFdrWeekend(s: SparkSession, dir: String): DataFrame =
+    Stats.bhFdrScreen(Tables.events(s, dir), col("event_type"),
+      pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(7)).isin(2, 3), alpha = 0.05)
+
+  private val evBhFdrWeekendSql =
+    """WITH cells AS (SELECT event_type AS g,
+      |    CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+      |        CAST(ts AS DATE)) % 7 IN (2, 3) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+      |        CAST(ts AS DATE)) % 7 IN (2, 3) THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS b
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+      |    CAST(sum(b) AS BIGINT) AS tb,
+      |    CAST(count(*) AS BIGINT) AS m FROM cells),
+      |t2 AS (SELECT g, a, b, ta - a AS c, tb - b AS d, m
+      |       FROM cells CROSS JOIN tot),
+      |chi AS (SELECT g, a AS n_yes, b AS n_no, m,
+      |    CAST(a + b + c + d AS DOUBLE) *
+      |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+      |       CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+      |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+      |       CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+      |      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+      |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+      |  FROM t2),
+      |pv AS (SELECT g, n_yes, n_no, m, round(chi2, 6) AS chi2,
+      |    round((1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0))) *
+      |      (0.254829592 + (1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0))) *
+      |      (-0.284496736 + (1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0))) *
+      |      (1.421413741 + (1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0))) *
+      |      (-1.453152027 + (1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0))) *
+      |        1.061405429)))) *
+      |      exp(-(sqrt(chi2 / 2.0) * sqrt(chi2 / 2.0))), 6) AS p_value
+      |  FROM chi),
+      |rk AS (SELECT *, CAST(row_number() OVER
+      |      (ORDER BY p_value, g) AS BIGINT) AS rank,
+      |    round(CAST(row_number() OVER (ORDER BY p_value, g) AS DOUBLE)
+      |      * 0.05 / m, 6) AS bh_crit
+      |  FROM pv),
+      |cut AS (SELECT max(CASE WHEN p_value <= bh_crit THEN rank END)
+      |    AS cutoff FROM rk)
+      |SELECT g, n_yes, n_no, chi2, p_value, rank, bh_crit,
+      |  CAST(CASE WHEN cutoff IS NOT NULL AND rank <= cutoff
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject
+      |FROM rk CROSS JOIN cut""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_kendall_tau", evKendallTau, Some(evKendallTauSql)),
+    QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
     QueryDef("li_corr_matrix", liCorrMatrix, Some(liCorrMatrixSql)),

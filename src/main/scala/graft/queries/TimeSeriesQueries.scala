@@ -452,7 +452,47 @@ object TimeSeriesQueries {
       |FROM te JOIN q USING (g)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Top-5 periodogram frequencies of the daily count series — the
+    * dominant seasonality periods in days. See
+    * [[graft.ops.TimeSeries.periodogram]] for the integer-exact DFT
+    * recipe (×10⁶ BIGINT weights, N-scaled centering).
+    */
+  private def evPeriodogram(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.periodogram(Tables.events(s, dir), "ts", topK = 5)
+
+  private val evPeriodogramSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |i AS (SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT)
+      |    AS t, x FROM d),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx FROM i),
+      |ks AS (SELECT n, sx, CAST(unnest(generate_series(1,
+      |    CAST(n // 2 AS BIGINT))) AS BIGINT) AS k FROM tot),
+      |terms AS (SELECT ks.k, ks.n, ks.n * i.x - ks.sx AS y,
+      |    CAST(round(cos(2 * pi() * (CAST((ks.k * i.t) % ks.n AS DOUBLE)
+      |      / CAST(ks.n AS DOUBLE))) * 1000000.0) AS BIGINT) AS wc,
+      |    CAST(round(sin(2 * pi() * (CAST((ks.k * i.t) % ks.n AS DOUBLE)
+      |      / CAST(ks.n AS DOUBLE))) * 1000000.0) AS BIGINT) AS ws
+      |  FROM ks CROSS JOIN i),
+      |coef AS (SELECT k, max(n) AS n,
+      |    CAST(sum(y * wc) AS BIGINT) AS c,
+      |    CAST(sum(y * ws) AS BIGINT) AS s
+      |  FROM terms GROUP BY 1),
+      |sc AS (SELECT k, n,
+      |    round(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6) AS period_days,
+      |    round(((CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) *
+      |           (CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) +
+      |           (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) *
+      |           (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)))
+      |          / CAST(n AS DOUBLE), 6) AS power
+      |  FROM coef)
+      |SELECT k, period_days, power,
+      |  CAST(row_number() OVER (ORDER BY power DESC, k) AS BIGINT) AS rank
+      |FROM sc QUALIFY rank <= 5""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_periodogram", evPeriodogram, Some(evPeriodogramSql)),
     QueryDef("ev_forecast_conformal", evForecastConformal,
       Some(evForecastConformalSql)),
     QueryDef("ev_holt_winters_daily", evHoltWinters,
