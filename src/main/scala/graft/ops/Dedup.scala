@@ -350,6 +350,41 @@ object Dedup {
         col("max_len"))
   }
 
+  /** Jaro–Winkler-verified near-duplicate pairs — the same
+    * LSH-candidates-then-exact-verify shape as [[editVerifiedPairs]],
+    * with the verification metric swapped for the native
+    * `jaro_winkler` expression ([[graft.functions.JaroWinkler]]): JW
+    * is O(len·window) per pair vs Levenshtein's O(len²), and its
+    * prefix boost matches how near-dup web documents actually differ
+    * (shared head, divergent tail — boilerplate edits, truncation).
+    * Pairs keep when the 6dp-ROUNDED similarity ≥ `minSim` (both
+    * engines compare the rounded value, so no verdict sits on an ulp).
+    *
+    * Scale shape: the quadratic-ish kernel only ever runs on the
+    * banded, Jaccard-passed candidate list; the corpus is touched by
+    * the shingle/signature stages alone.
+    */
+  def jwVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8, k: Int = 8,
+                      tau: Double = 0.3,
+                      minSim: Double = 0.9): DataFrame = {
+    require(minSim > 0.0 && minSim < 1.0,
+      s"minSim must be in (0,1), got $minSim")
+    import org.apache.spark.sql.functions.call_function
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, k, tau)
+    val t = df.select(col(idCol).as("__jid"),
+      lower(trim(col(textCol))).as("__jtxt"))
+    pairs
+      .join(t.select(col("__jid").as("id1"), col("__jtxt").as("t1")),
+        Seq("id1"))
+      .join(t.select(col("__jid").as("id2"), col("__jtxt").as("t2")),
+        Seq("id2"))
+      .withColumn("jw", round(call_function("jaro_winkler",
+        col("t1"), col("t2")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("id1"), col("id2"), col("jaccard"), col("jw"))
+  }
+
   /** Connected components over an undirected pair graph — the step after
     * candidate-pair generation in a dedup pipeline: near-dup PAIRS become
     * duplicate CLUSTERS, each labeled by its minimum member id (the

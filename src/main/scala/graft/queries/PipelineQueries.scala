@@ -686,6 +686,57 @@ object PipelineQueries {
        |      0.3::DOUBLE * greatest(length(t1.txt), length(t2.txt))""".stripMargin
   }
 
+  private def dedupJwVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.jwVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, tau = 0.3, minSim = 0.9)
+
+  /** Oracle for the Jaro–Winkler-verified pairs: the same MinHash
+    * candidate re-derivation as `dedup_edit_verified`, verified with
+    * DuckDB's `jaro_winkler_similarity` — byte-level JW with the same
+    * window/prefix/boost-threshold parameterization as the native
+    * [[graft.functions.JaroWinkler]] kernel, so the 6dp-rounded scores
+    * (and therefore the verified pair SET) match.
+    */
+  private val dedupJwVerifiedSql = {
+    val vals = Dedup.minhashConstants(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH cs(j, a, b) AS (VALUES $vals),
+       |t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |       FROM (SELECT doc_id, txt,
+       |               unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |             FROM t) u),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 2147483647 AS x
+       |       FROM sh),
+       |sigs AS (SELECT doc_id, j,
+       |           min((a * x + b) % ${Dedup.MinhashP}) AS sig
+       |         FROM hs CROSS JOIN cs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band, list(sig ORDER BY j) AS key
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id1, c.id2, count(*) AS cnt
+       |           FROM cand c
+       |           JOIN sh p1 ON p1.doc_id = c.id1
+       |           JOIN sh p2 ON p2.doc_id = c.id2 AND p2.s = p1.s
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2,
+       |            round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) AS jaccard
+       |          FROM common
+       |          JOIN sizes n1 ON n1.doc_id = id1
+       |          JOIN sizes n2 ON n2.doc_id = id2
+       |          WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.3)
+       |SELECT p.id1, p.id2, p.jaccard,
+       |       round(jaro_winkler_similarity(t1.txt, t2.txt), 6) AS jw
+       |FROM pairs p
+       |JOIN t t1 ON t1.doc_id = p.id1
+       |JOIN t t2 ON t2.doc_id = p.id2
+       |WHERE round(jaro_winkler_similarity(t1.txt, t2.txt), 6) >= 0.9""".stripMargin
+  }
+
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
 
@@ -3796,6 +3847,8 @@ object PipelineQueries {
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_lsh_recall_audit", lshRecallAudit,
       Some(lshRecallAuditSql)),
+    QueryDef("dedup_jw_verified", dedupJwVerified,
+      Some(dedupJwVerifiedSql)),
     QueryDef("dedup_edit_verified", dedupEditVerified,
       Some(dedupEditVerifiedSql)),
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),

@@ -807,6 +807,39 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"row $r"))
   }
 
+  test("jaro_winkler matches the published values and DuckDB's semantics") {
+    import graft.functions.StringKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      StringKernels.jaroWinkler(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    // canonical textbook pairs
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("crimson", "clemson") - 0.8285714285714287) < 1e-12)
+    // boost threshold: jaro <= 0.7 gets NO prefix boost (DuckDB probe)
+    assert(math.abs(jw("abcdefgh", "abcdzzzz") - 0.6666666666666666) < 1e-12)
+    assert(math.abs(jw("abcdef", "abcdXX") - 0.8666666666666666) < 1e-12)
+    // window floor: max/2-1 = 0 means adjacent swaps never match
+    assert(jw("ab", "ba") == 0.0)
+    // empties score 0 (both engines), equal strings 1
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("a", "a") == 1.0 && jw("aaaa", "aaaa") == 1.0)
+    // byte-level semantics on multibyte code points (DuckDB probe:
+    // 'café' vs 'cafe' = 0.8483... over BYTES, not code points)
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    // expression form agrees with the kernel and survives codegen
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "martha", "marhta"), Row(2L, "dixon", "dicksonx")),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("a", StringType), StructField("b", StringType))))
+    val got = df.select(col("id"),
+      call_function("jaro_winkler", col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(got(2L) - 0.8133333333333332) < 1e-12)
+  }
+
   test("IVF-PQ prunes the ADC scan to probed cells with recall >= plain PQ") {
     val rng = new Lcg(11)
     val vecs = (0L until 100L).map { i =>
