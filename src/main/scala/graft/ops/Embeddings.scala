@@ -485,4 +485,64 @@ object Embeddings {
         col("nr").as("n_right"), col("pr").as("pos_right"),
         round(col("gain"), 6).as("gain"))
   }
+
+  /** Unbiased MMD² between two deterministic hash-halves of an
+    * embedding table, under the QUADRATIC kernel k(x,y) = (1 + x·y)²
+    * — a two-sample distribution-drift test over the vector space
+    * itself ("did this snapshot's embedding distribution move"), the
+    * multivariate companion to scalar PSI/KS drift. Zero in
+    * expectation when both halves draw from the same distribution;
+    * the poly-2 kernel matches all first and second moments (mean
+    * vector + covariance), which is what embedding drift in practice
+    * perturbs first.
+    *
+    * The quadratic kernel (not the RBF) is deliberate: k is then a
+    * fixed-order polynomial of `vec_dot` — bit-identical across
+    * engines — where exp() would put a libm ulp under every ×10⁹
+    * pinning of the million-term sum. Each pinned term is an exact
+    * BIGINT; the three pair-class sums are therefore summation-order-
+    * free, and the final MMD² is one fixed-order double expression.
+    *
+    * Scale shape: the all-pairs join is the EXACT estimator, bounded
+    * here by the embeddings table (n ≤ thousands per snapshot slice);
+    * at 100 TB run it on [[Sampling.hashSample]]'d halves — the
+    * estimator stays unbiased under uniform subsampling, plumbing
+    * unchanged.
+    */
+  def mmdQuadraticSplit(df: DataFrame, idCol: String, vecCol: String,
+                        salt: String = "mmd"): DataFrame = {
+    val labeled = graft.data.ScopedCaches.track(
+      Sampling.splitAssign(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", Seq("a" -> 0.5, "b" -> 0.5), salt))
+    val l = labeled.select(col("id").as("id1"), col("v").as("v1"),
+      col("split").as("s1"))
+    val r = labeled.select(col("id").as("id2"), col("v").as("v2"),
+      col("split").as("s2"))
+    val dot = call_function("vec_dot", col("v1"), col("v2"))
+    val kp = round((lit(1.0) + dot) * (lit(1.0) + dot) * lit(1.0e9))
+      .cast("long")
+    val sums = l.join(r, col("id1") < col("id2"))
+      .select(col("s1"), col("s2"), kp.as("kp"))
+      .agg(
+        sum(when(col("s1") === "a" && col("s2") === "a", col("kp"))
+          .otherwise(0L)).as("saa"),
+        sum(when(col("s1") === "b" && col("s2") === "b", col("kp"))
+          .otherwise(0L)).as("sbb"),
+        sum(when(col("s1") =!= col("s2"), col("kp")).otherwise(0L))
+          .as("sab"))
+    val cnt = labeled.groupBy(col("split")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("split") === "a", col("c")).otherwise(0L)).as("m"),
+        sum(when(col("split") === "b", col("c")).otherwise(0L)).as("n"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    sums.crossJoin(broadcast(cnt))
+      .select(col("m"), col("n"),
+        round(lit(2.0) * (col("saa").cast("double") / 1.0e9) /
+            (mD * (mD - 1.0)) +
+          lit(2.0) * (col("sbb").cast("double") / 1.0e9) /
+            (nD * (nD - 1.0)) -
+          lit(2.0) * (col("sab").cast("double") / 1.0e9) / (mD * nD), 6)
+          .as("mmd2"))
+  }
 }

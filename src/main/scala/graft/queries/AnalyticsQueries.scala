@@ -957,6 +957,53 @@ object AnalyticsQueries {
       |         AS global_clustering
       |FROM s CROSS JOIN t""".stripMargin
 
+  /** Per-node local clustering of the top-50 co-purchase hubs — broker
+    * vs community hubs. See [[graft.ops.Graph.localClustering]].
+    */
+  private def liLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.localClustering(pairs, "pa", "pb", topK = 50)
+  }
+
+  private val liLocalClusteringSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN e.u ELSE e.v END AS a,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN e.v ELSE e.u END AS b,
+      |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |               THEN dv.d ELSE du.d END AS db
+      |      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      |w AS (SELECT w1.a AS a, w1.b AS x1, w2.b AS x2
+      |      FROM o w1 JOIN o w2 ON w1.a = w2.a
+      |        AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))),
+      |tn AS (SELECT x, CAST(count(*) AS BIGINT) AS t
+      |       FROM (SELECT unnest([w.a, w.x1, w.x2]) AS x
+      |             FROM w JOIN o ON o.a = w.x1 AND o.b = w.x2)
+      |       GROUP BY 1),
+      |r AS (SELECT deg.x AS node, deg.d AS degree,
+      |        coalesce(tn.t, 0) AS n_triangles,
+      |        CAST(row_number() OVER (ORDER BY deg.d DESC, deg.x)
+      |          AS BIGINT) AS degree_rank
+      |      FROM deg LEFT JOIN tn ON tn.x = deg.x)
+      |SELECT node, degree, n_triangles, degree_rank,
+      |  CASE WHEN degree < 2 THEN 0.0
+      |       ELSE round(2.0 * n_triangles /
+      |         (CAST(degree AS DOUBLE) * (degree - 1)), 6) END
+      |    AS local_clustering
+      |FROM r WHERE degree_rank <= 50""".stripMargin
+
   /** ε-DP Laplace release of the (event_type × day) histogram — see
     * [[graft.ops.Forget.dpLaplaceHistogram]], ε = 1.
     */
@@ -1504,6 +1551,8 @@ object AnalyticsQueries {
     QueryDef("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     QueryDef("ev_type_pagerank", evTypePagerank, Some(evTypePagerankSql)),
     QueryDef("li_triangle_census", liTriangles, Some(liTrianglesSql)),
+    QueryDef("li_local_clustering", liLocalClustering,
+      Some(liLocalClusteringSql)),
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),

@@ -1025,6 +1025,49 @@ object StatsQueries {
       |       m3.pctile, m3.value_norm
       |FROM base JOIN m3 ON base.g = m3.g AND base.v = m3.v""".stripMargin
 
+  /** Unbiased quadratic-kernel MMD² between two deterministic
+    * hash-halves of the embeddings table — multivariate embedding-
+    * distribution drift. See [[graft.ops.Embeddings.mmdQuadraticSplit]]
+    * for why the kernel is poly-2 (fixed-order `vec_dot` polynomial →
+    * exact ×10⁹ BIGINT pinning) rather than RBF.
+    */
+  private def embMmdSplit(s: SparkSession, dir: String): DataFrame =
+    Embeddings.mmdQuadraticSplit(Tables.embeddings(s, dir), "vec_id",
+      "embedding", salt = "mmd")
+
+  private val embMmdSplitSql = {
+    val t = graft.ops.Sampling.hexThreshold(0.5)
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+       |    CASE WHEN md5('mmd:' || CAST(vec_id AS VARCHAR)) < '$t'
+       |      THEN 'a' ELSE 'b' END AS s
+       |  FROM embeddings),
+       |p AS (SELECT l.s AS s1, r.s AS s2,
+       |    CAST(round((1.0 + list_dot_product(l.v, r.v)) *
+       |      (1.0 + list_dot_product(l.v, r.v)) * 1000000000.0)
+       |      AS BIGINT) AS kp
+       |  FROM e l JOIN e r ON l.id < r.id),
+       |sums AS (SELECT
+       |    CAST(sum(CASE WHEN s1 = 'a' AND s2 = 'a' THEN kp ELSE 0 END)
+       |      AS BIGINT) AS saa,
+       |    CAST(sum(CASE WHEN s1 = 'b' AND s2 = 'b' THEN kp ELSE 0 END)
+       |      AS BIGINT) AS sbb,
+       |    CAST(sum(CASE WHEN s1 <> s2 THEN kp ELSE 0 END) AS BIGINT)
+       |      AS sab
+       |  FROM p),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM e)
+       |SELECT m, n,
+       |  round(2.0 * (CAST(saa AS DOUBLE) / 1000000000.0) /
+       |      (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) +
+       |    2.0 * (CAST(sbb AS DOUBLE) / 1000000000.0) /
+       |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) -
+       |    2.0 * (CAST(sab AS DOUBLE) / 1000000000.0) /
+       |      (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS mmd2
+       |FROM sums CROSS JOIN cnt""".stripMargin
+  }
+
   /** Kendall τ-b between daily click and purchase volumes — the
     * pair-concordance twin of `ev_spearman_daily`. The O(days²) pair
     * join runs on the calendar-sized daily rollup. See
@@ -1124,6 +1167,7 @@ object StatsQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_kendall_tau", evKendallTau, Some(evKendallTauSql)),
+    QueryDef("emb_mmd_split", embMmdSplit, Some(embMmdSplitSql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),
