@@ -281,4 +281,29 @@ object Sampling {
           .otherwise(round(col("ssum").cast("double") /
             col("n_sampled"), 6)).as("sample_mean"))
   }
+
+  /** Kish effective sample size of a weighting scheme:
+    * ESS = (Σw)² / Σw² — how many EQUAL-weight samples the weighted
+    * corpus is statistically worth. The standard one-number audit of a
+    * mixture/quality weighting before training on it: efficiency
+    * (= ESS/n) near 1 means the weights are mild; a heavy-tailed
+    * weight column collapses ESS toward the few dominant rows.
+    *
+    * One combinable aggregate; weights taken as integers (cast) so
+    * both moment sums are exact (DECIMAL(38,0) for Σw², which
+    * overflows BIGINT long before the data stops fitting a cluster);
+    * ESS is one fixed-order double division.
+    */
+  def kishEss(df: DataFrame, weightCol: Column): DataFrame = {
+    val agg = df.select(weightCol.cast("long").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum((col("w") * col("w")).cast("decimal(38,0)")).as("sww"))
+    agg.select(col("n"), col("sw").cast("long").as("sum_w"),
+      round(col("sw").cast("double") * col("sw").cast("double") /
+        col("sww").cast("double"), 6).as("ess"),
+      round(col("sw").cast("double") * col("sw").cast("double") /
+        col("sww").cast("double") / col("n").cast("double"), 6)
+        .as("efficiency"))
+  }
 }

@@ -1041,6 +1041,35 @@ object Stats {
       .select(col("p.col_x"), col("p.col_y"), col("p.pearson_r"))
   }
 
+  /** Simpson diversity profile per group: λ = Σ nᵢ(nᵢ−1)/(N(N−1)) —
+    * the probability two draws WITHOUT replacement share a category —
+    * plus the Gini–Simpson index 1−λ. The concentration companion to
+    * entropy-based diversity ([[mutualInformation]] et al.): λ weights
+    * dominant categories quadratically, so a creeping monoculture in a
+    * source shows up here before it moves Shannon entropy.
+    *
+    * One (group, category) combinable count, one group-level fold;
+    * all numerators/denominators exact integers (DECIMAL(38,0) for
+    * the pair sums), one fixed-order division each.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: Column,
+                       catCol: Column): DataFrame = {
+    val cells = df.groupBy(groupCol.as("g"), catCol.as("c"))
+      .agg(count(lit(1)).as("o"))
+    cells.groupBy(col("g"))
+      .agg(sum(col("o")).as("n"), count(lit(1)).as("n_cats"),
+        sum((col("o") * (col("o") - 1L)).cast("decimal(38,0)")).as("pp"))
+      .select(col("g"), col("n"), col("n_cats"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(col("pp").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)),
+            6)).as("simpson_lambda"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("pp").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)),
+            6)).as("gini_simpson"))
+  }
+
   /** Kendall τ-b rank correlation between two columns — the
     * pair-concordance companion to [[spearmanCorr]]: robust to the
     * same monotone transforms, but built from pairwise order

@@ -712,4 +712,78 @@ object TimeSeries {
       .select(col("k"), col("period_days"), col("power"),
         col("rn").cast("long").as("rank"))
   }
+
+  /** Hurst exponent of the daily count series via rescaled-range (R/S)
+    * analysis over dyadic windows w ∈ {4, 8, 16, 32} (those with ≥ 2
+    * full blocks): H ≈ 0.5 for memoryless traffic, H > 0.5 for
+    * long-range-dependent load (bursts cluster across days — the
+    * capacity-planning regime where naive Poisson sizing fails).
+    * Output: one row per window (w, n_blocks, avg R/S) with the
+    * fitted log–log OLS slope `hurst` repeated on each row.
+    *
+    * Exactness recipe, same playbook as [[periodogram]]: per block the
+    * deviations are w-scaled integers d_t = w·x_t − Σx, so the
+    * cumulative range R and the squared-deviation sum are EXACT
+    * integers; each block's R/S is one fixed-order double pinned to a
+    * ×10⁹ BIGINT (pinning is boundary-free — both engines round the
+    * same double), so the per-window averages are summation-order-
+    * free. The OLS slope runs over the ≤ 4 (ln w, ln avgRS) points
+    * with each coordinate pinned to ×10⁹ and the moment sums in
+    * DECIMAL(38,0) — the only libm calls are those four logs.
+    *
+    * Scale shape: one daily count collapses the corpus; everything
+    * after is calendar-sized.
+    */
+  def hurstRs(df: DataFrame, tsCol: String): DataFrame = {
+    val idx = sortedSeries(dailySeries(df, tsCol))
+      .select(posexplode(col("s")).as(Seq("t", "e")))
+      .select(col("t").cast("long").as("t"),
+        col("e.x").cast("long").as("x"))
+    val n = idx.agg(count(lit(1)).as("n"))
+    val ws = n.select(col("n"),
+        explode(typedLit(Seq(4L, 8L, 16L, 32L))).as("w"))
+      .filter(col("w") * 2 <= col("n"))
+    val blocks = idx.crossJoin(broadcast(ws))
+      .filter(col("t") < col("w") * (col("n") / col("w")).cast("long"))
+      .select(col("w"), (col("t") / col("w")).cast("long").as("b"),
+        col("t"), col("x"))
+    val blocksC = graft.data.ScopedCaches.track(blocks)
+    val bSums = blocksC.groupBy(col("w"), col("b"))
+      .agg(sum(col("x")).as("sx"))
+    val dev = blocksC.join(bSums, Seq("w", "b"))
+      .select(col("w"), col("b"), col("t"),
+        (col("w") * col("x") - col("sx")).as("dd"))
+    val wCum = Window.partitionBy(col("w"), col("b")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dev.withColumn("cy", sum(col("dd")).over(wCum))
+    val perBlock = cum.groupBy(col("w"), col("b"))
+      .agg((max(col("cy")) - min(col("cy"))).as("rsc"),
+        sum(col("dd") * col("dd")).as("ssd"))
+    val wD = col("w").cast("double")
+    val rsPinned = perBlock.filter(col("ssd") > 0)
+      .select(col("w"),
+        round(((col("rsc").cast("double") / wD) /
+          sqrt(col("ssd").cast("double") / (wD * wD * wD))) *
+          lit(1.0e9)).cast("long").as("rsp"))
+    val perW = rsPinned.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rsp")).as("srs"))
+    val avgRs = (col("srs").cast("double") / lit(1.0e9)) /
+      col("n_blocks").cast("double")
+    val pts = perW.select(col("w"), col("n_blocks"),
+      round(avgRs, 6).as("avg_rs"),
+      round(log(col("w").cast("double")) * lit(1.0e9))
+        .cast("decimal(38,0)").as("lx"),
+      round(log(avgRs) * lit(1.0e9)).cast("decimal(38,0)").as("ly"))
+    val ptsC = graft.data.ScopedCaches.track(pts)
+    val dec = "decimal(38,0)"
+    val mom = ptsC.agg(count(lit(1)).cast(dec).as("np"),
+      sum(col("lx")).as("slx"), sum(col("ly")).as("sly"),
+      sum(col("lx") * col("lx")).as("slxx"),
+      sum(col("lx") * col("ly")).as("slxy"))
+    val slope = (col("np") * col("slxy") - col("slx") * col("sly"))
+      .cast("double") /
+      (col("np") * col("slxx") - col("slx") * col("slx")).cast("double")
+    ptsC.select(col("w"), col("n_blocks"), col("avg_rs"))
+      .crossJoin(broadcast(mom.select(round(slope, 6).as("hurst"))))
+  }
 }

@@ -3353,6 +3353,28 @@ object PipelineQueries {
       .select(col("doc_id"), col("wt"), round(col("pri"), 6).as("pri"))
   }
 
+  /** Kish effective sample size of the length-weighting scheme used by
+    * `doc_weighted_sample` — how many equal-weight docs the weighted
+    * corpus is worth. See [[graft.ops.Sampling.kishEss]].
+    */
+  private def docKishEss(s: SparkSession, dir: String): DataFrame =
+    Sampling.kishEss(Tables.documents(s, dir),
+      greatest(length(col("text")), lit(1)).cast("long"))
+
+  private val docKishEssSql =
+    """WITH w AS (SELECT CAST(greatest(length(text), 1) AS BIGINT) AS w
+      |           FROM documents),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(w) AS HUGEINT) AS sw,
+      |        CAST(sum(w * w) AS HUGEINT) AS sww
+      |      FROM w)
+      |SELECT n, CAST(sw AS BIGINT) AS sum_w,
+      |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+      |    CAST(sww AS DOUBLE), 6) AS ess,
+      |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+      |    CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6) AS efficiency
+      |FROM a""".stripMargin
+
   private val docWeightedSampleSql =
     """WITH w AS (
       |  SELECT doc_id, greatest(length(text), 1) AS wt,
@@ -3952,6 +3974,7 @@ object PipelineQueries {
       Some(stratifiedSampleSql)),
     QueryDef("doc_split_assign", docSplitAssign, Some(docSplitAssignSql)),
     QueryDef("split_leakage_check", splitLeakage, Some(splitLeakageSql)),
+    QueryDef("doc_kish_ess", docKishEss, Some(docKishEssSql)),
     QueryDef("doc_weighted_sample", docWeightedSample,
       Some(docWeightedSampleSql)),
     QueryDef("doc_dsir_select", docDsirSelect, Some(docDsirSelectSql)),

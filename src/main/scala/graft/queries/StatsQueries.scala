@@ -1025,6 +1025,30 @@ object StatsQueries {
       |       m3.pctile, m3.value_norm
       |FROM base JOIN m3 ON base.g = m3.g AND base.v = m3.v""".stripMargin
 
+  /** Simpson diversity of the language mix per source — quadratic
+    * concentration, the monoculture early-warning the Shannon-based
+    * audits smooth over. See [[graft.ops.Stats.simpsonDiversity]].
+    */
+  private def docSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    Stats.simpsonDiversity(Tables.documents(s, dir), col("source"),
+      col("lang"))
+
+  private val docSimpsonDiversitySql =
+    """WITH cells AS (SELECT source AS g, lang AS c,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT g, CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_cats,
+      |  CASE WHEN sum(o) < 2 THEN NULL
+      |       ELSE round(CAST(sum(o * (o - 1)) AS DOUBLE) /
+      |         (CAST(sum(o) AS DOUBLE) * (CAST(sum(o) AS DOUBLE) - 1.0)),
+      |         6) END AS simpson_lambda,
+      |  CASE WHEN sum(o) < 2 THEN NULL
+      |       ELSE round(1.0 - CAST(sum(o * (o - 1)) AS DOUBLE) /
+      |         (CAST(sum(o) AS DOUBLE) * (CAST(sum(o) AS DOUBLE) - 1.0)),
+      |         6) END AS gini_simpson
+      |FROM cells GROUP BY 1""".stripMargin
+
   /** Unbiased quadratic-kernel MMD² between two deterministic
     * hash-halves of the embeddings table — multivariate embedding-
     * distribution drift. See [[graft.ops.Embeddings.mmdQuadraticSplit]]
@@ -1168,6 +1192,8 @@ object StatsQueries {
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_kendall_tau", evKendallTau, Some(evKendallTauSql)),
     QueryDef("emb_mmd_split", embMmdSplit, Some(embMmdSplitSql)),
+    QueryDef("doc_simpson_diversity", docSimpsonDiversity,
+      Some(docSimpsonDiversitySql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),

@@ -491,8 +491,66 @@ object TimeSeriesQueries {
       |  CAST(row_number() OVER (ORDER BY power DESC, k) AS BIGINT) AS rank
       |FROM sc QUALIFY rank <= 5""".stripMargin
 
+  /** Hurst exponent (R/S over dyadic windows) of daily event counts —
+    * long-range dependence in traffic. See
+    * [[graft.ops.TimeSeries.hurstRs]].
+    */
+  private def evHurst(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.hurstRs(Tables.events(s, dir), "ts")
+
+  private val evHurstSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |i AS (SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT)
+      |    AS t, x FROM d),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM i),
+      |ws AS (SELECT CAST(u.w AS BIGINT) AS w, tot.n
+      |       FROM (SELECT unnest([4, 8, 16, 32]) AS w) u CROSS JOIN tot
+      |       WHERE u.w * 2 <= tot.n),
+      |bl AS (SELECT ws.w, i.t // ws.w AS b, i.t, i.x
+      |       FROM ws CROSS JOIN i WHERE i.t < ws.w * (ws.n // ws.w)),
+      |bs AS (SELECT w, b, CAST(sum(x) AS BIGINT) AS sx
+      |       FROM bl GROUP BY 1, 2),
+      |dv AS (SELECT bl.w, bl.b, bl.t, bl.w * bl.x - bs.sx AS dd
+      |       FROM bl JOIN bs USING (w, b)),
+      |cm AS (SELECT w, b, dd,
+      |         CAST(sum(dd) OVER (PARTITION BY w, b ORDER BY t)
+      |           AS BIGINT) AS cy
+      |       FROM dv),
+      |pb AS (SELECT w, b, CAST(max(cy) - min(cy) AS BIGINT) AS rsc,
+      |         CAST(sum(dd * dd) AS BIGINT) AS ssd
+      |       FROM cm GROUP BY 1, 2),
+      |rs AS (SELECT w, CAST(round(((CAST(rsc AS DOUBLE) /
+      |           CAST(w AS DOUBLE)) /
+      |         sqrt(CAST(ssd AS DOUBLE) / (CAST(w AS DOUBLE) *
+      |           CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))) *
+      |         1000000000.0) AS BIGINT) AS rsp
+      |       FROM pb WHERE ssd > 0),
+      |aw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+      |         CAST(sum(rsp) AS BIGINT) AS srs
+      |       FROM rs GROUP BY 1),
+      |pts AS (SELECT w, n_blocks,
+      |    round((CAST(srs AS DOUBLE) / 1000000000.0) /
+      |      CAST(n_blocks AS DOUBLE), 6) AS avg_rs,
+      |    CAST(round(ln(CAST(w AS DOUBLE)) * 1000000000.0) AS HUGEINT)
+      |      AS lx,
+      |    CAST(round(ln((CAST(srs AS DOUBLE) / 1000000000.0) /
+      |      CAST(n_blocks AS DOUBLE)) * 1000000000.0) AS HUGEINT) AS ly
+      |  FROM aw),
+      |mom AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+      |    CAST(sum(lx) AS HUGEINT) AS slx,
+      |    CAST(sum(ly) AS HUGEINT) AS sly,
+      |    CAST(sum(lx * lx) AS HUGEINT) AS slxx,
+      |    CAST(sum(lx * ly) AS HUGEINT) AS slxy
+      |  FROM pts),
+      |h AS (SELECT round(CAST(np * slxy - slx * sly AS DOUBLE) /
+      |    CAST(np * slxx - slx * slx AS DOUBLE), 6) AS hurst FROM mom)
+      |SELECT pts.w, pts.n_blocks, pts.avg_rs, h.hurst
+      |FROM pts CROSS JOIN h""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_periodogram", evPeriodogram, Some(evPeriodogramSql)),
+    QueryDef("ev_hurst_rs", evHurst, Some(evHurstSql)),
     QueryDef("ev_forecast_conformal", evForecastConformal,
       Some(evForecastConformalSql)),
     QueryDef("ev_holt_winters_daily", evHoltWinters,
