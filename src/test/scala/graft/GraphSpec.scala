@@ -24,6 +24,26 @@ class GraphSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
   }
 
+  test("localClustering: triangle+pendant hand values survive dirty input") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 on node 1; dirty: dup edge,
+    // reversed edge, self-loop — all must be canonicalized away
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (1L, 2L), (3L, 3L)).toDF("a", "b")
+    val got = Graph.localClustering(edges, "a", "b", topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // node 1: d=3, one triangle -> c = 2/(3*2) = 0.333333, top by degree
+    assert(got(1L) == ((3L, 1L, 1L, 0.333333)))
+    // nodes 2,3: d=2 inside the triangle -> c = 1; rank ties by id
+    assert(got(2L) == ((2L, 1L, 2L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 3L, 1.0)))
+    // pendant: degree 1 -> coefficient 0 by convention
+    assert(got(4L) == ((1L, 0L, 4L, 0.0)))
+    // topK truncates by degree rank
+    assert(Graph.localClustering(edges, "a", "b", topK = 2).count() == 2L)
+  }
+
   test("labelPropagation: disjoint triangles collapse to two size-3 communities") {
     import spark.implicits._
     // two triangles; by round 3 each settles on its min node label

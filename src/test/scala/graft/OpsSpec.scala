@@ -807,6 +807,77 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"row $r"))
   }
 
+  test("kishEss: equal weights give ESS = n, skew collapses it") {
+    import graft.ops.Sampling
+    val eq = spark.range(10).select(lit(7L).as("w"))
+    val r = Sampling.kishEss(eq, col("w")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((10L, 70L, 10.0, 1.0)))
+    // weights (3,1): ESS = 16/10 = 1.6, efficiency 0.8
+    val skew = spark.createDataFrame(java.util.Arrays.asList(
+      Row(3L), Row(1L)),
+      StructType(Seq(StructField("w", LongType, nullable = false))))
+    val s = Sampling.kishEss(skew, col("w")).collect().head
+    assert(s.getDouble(2) == 1.6 && s.getDouble(3) == 0.8)
+  }
+
+  test("mmdQuadraticSplit: identical point mass gives mmd2 = 0; shifted mass > 0") {
+    import graft.ops.Embeddings
+    // every vector identical -> all kernel terms equal -> unbiased
+    // MMD^2 is exactly 0 regardless of which half each id hashes to
+    val same = spark.createDataFrame(java.util.Arrays.asList(
+      (0L until 20L).map(i => Row(i, Seq(1.0f, 0.0f))): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false)))))
+    val r = Embeddings.mmdQuadraticSplit(same, "id", "v").collect().head
+    assert(r.getLong(0) + r.getLong(1) == 20L)
+    assert(r.getDouble(2) == 0.0, s"same-distribution MMD^2 must be 0: $r")
+    // recompute a mixed fixture naively with the op's own split
+    val mixed = spark.createDataFrame(java.util.Arrays.asList(
+      (0L until 16L).map(i =>
+        Row(i, if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f))): _*),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false)))))
+    val assign = graft.ops.Sampling
+      .splitAssign(mixed.select(col("id"), col("v")), "id",
+        Seq("a" -> 0.5, "b" -> 0.5), "mmd")
+      .collect().map(r2 => (r2.getLong(0),
+        r2.getSeq[Float](1).map(_.toDouble), r2.getString(2)))
+    def kq(x: Seq[Double], y: Seq[Double]): Double = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      math.round((1.0 + d) * (1.0 + d) * 1e9).toDouble / 1e9
+    }
+    val m = assign.count(_._3 == "a").toDouble
+    val nB = assign.count(_._3 == "b").toDouble
+    val pairs = for {
+      i <- assign.indices; j <- assign.indices if assign(i)._1 < assign(j)._1
+    } yield (assign(i)._3, assign(j)._3, kq(assign(i)._2, assign(j)._2))
+    val saa = pairs.collect { case ("a", "a", k) => k }.sum
+    val sbb = pairs.collect { case ("b", "b", k) => k }.sum
+    val sab = pairs.collect { case (s1, s2, k) if s1 != s2 => k }.sum
+    val want = BigDecimal(2.0 * saa / (m * (m - 1)) +
+        2.0 * sbb / (nB * (nB - 1)) - 2.0 * sab / (m * nB))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Embeddings.mmdQuadraticSplit(mixed, "id", "v")
+      .collect().head.getDouble(2)
+    assert(math.abs(got - want) <= 1e-6, s"got $got want $want")
+  }
+
+  test("ngramNovelty: first doc fully novel, exact dup fully stale") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "abcdefghij"), Row(2L, "abcdefghij"),
+      Row(3L, "0123456789")),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType))))
+    val got = TextAnalysis.ngramNovelty(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 10 chars -> 3 distinct 8-shingles each
+    assert(got(1L) == ((3L, 3L, 1.0)), "first occurrence owns its shingles")
+    assert(got(2L) == ((3L, 0L, 0.0)), "exact dup adds nothing")
+    assert(got(3L) == ((3L, 3L, 1.0)), "disjoint content fully novel")
+  }
+
   test("jaro_winkler matches the published values and DuckDB's semantics") {
     import graft.functions.StringKernels
     import org.apache.spark.unsafe.types.UTF8String

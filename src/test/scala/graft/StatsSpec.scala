@@ -258,6 +258,66 @@ class StatsSpec extends AnyFunSuite {
     assert(iso == iso.sorted)
   }
 
+  test("kendallTau: monotone ±1, hand-counted ties") {
+    import spark.implicits._
+    val up = Seq((1L, 1L, 10L), (2L, 2L, 40L), (3L, 3L, 90L))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTau(up, col("k"), col("x"), col("y"))
+      .collect().head.getDouble(5) == 1.0)
+    val down = Seq((1L, 1L, 9L), (2L, 2L, 8L), (3L, 3L, 7L))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTau(down, col("k"), col("x"), col("y"))
+      .collect().head.getDouble(5) == -1.0)
+    // x = (1,1,2), y = (3,5,4): pairs (1,2) tied-x, (1,3) concordant,
+    // (2,3) discordant -> C=1 D=1 tx=1 ty=0, n0=3 ->
+    // tau_b = 0 / sqrt(2*3) = 0
+    val tied = Seq((1L, 1L, 3L), (2L, 1L, 5L), (3L, 2L, 4L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTau(tied, col("k"), col("x"), col("y"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((3L, 1L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("bhFdrScreen: null groups get p=1 and survive; planted pair rejects") {
+    import spark.implicits._
+    // identical rates -> chi2 exactly 0 -> p = erfc(0) rounds to 1.0
+    val nullDf = (Seq.fill(10)(("g1", true)) ++ Seq.fill(10)(("g1", false)) ++
+      Seq.fill(10)(("g2", true)) ++ Seq.fill(10)(("g2", false))).toDF("g", "c")
+    val n = Stats.bhFdrScreen(nullDf, col("g"), col("c"), alpha = 0.05)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getLong(7)))
+    assert(n.forall(x => x._1 == 0.0 && x._2 == 1.0 && x._3 == 0L), n.toSeq)
+    // one hot (40/2) and one cold (2/40) group: strong two-sided
+    // association both ways; both must clear the step-up
+    val alt = (Seq.fill(40)(("hot", true)) ++ Seq.fill(2)(("hot", false)) ++
+      Seq.fill(2)(("cold", true)) ++ Seq.fill(40)(("cold", false)))
+      .toDF("g", "c")
+    val a = Stats.bhFdrScreen(alt, col("g"), col("c"), alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(4), r.getLong(5), r.getLong(7)))).toMap
+    assert(a("hot")._3 == 1L && a("cold")._3 == 1L, a.toString)
+    assert(a.values.map(_._2).toSeq.sorted == Seq(1L, 2L))
+    assert(a.values.forall(v => v._1 >= 0.0 && v._1 <= 1.0))
+  }
+
+  test("simpsonDiversity: hand lambda, singleton group is null") {
+    import spark.implicits._
+    // A: {a,a,b,b}: lambda = (2+2)/(4*3) = 0.333333; B: one row -> null
+    val df = Seq(("A", "a"), ("A", "a"), ("A", "b"), ("A", "b"),
+      ("B", "z")).toDF("g", "c")
+    val got = Stats.simpsonDiversity(df, col("g"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(got("A") == ((4L, 2L, Some(0.333333), Some(0.666667))))
+    assert(got("B") == ((1L, 1L, None, None)))
+    // all-one-category: lambda exactly 1, gini-simpson exactly 0
+    val mono = Seq.fill(5)(("M", "x")).toDF("g", "c")
+    val m = Stats.simpsonDiversity(mono, col("g"), col("c"))
+      .collect().head
+    assert(m.getDouble(3) == 1.0 && m.getDouble(4) == 0.0)
+  }
+
   test("spearmanCorr: monotone ±1, tie-averaged ranks cancel to 0") {
     val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0)).toDF("x", "y")
     assert(Stats.spearmanCorr(up, col("x"), col("y"))

@@ -17,6 +17,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     }.toDF("ts")
   }
 
+  test("periodogram: a planted period-4 cycle dominates; flat series is powerless") {
+    // x = 10 + 5*cos(2*pi*t/4): period 4 over 16 days -> k = N/4 = 4
+    val cyc = Seq.tabulate(16)(t =>
+      10 + math.round(5 * math.cos(2 * math.Pi * t / 4)).toInt)
+    val top = TimeSeries.periodogram(seriesDf(cyc), "ts", topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(top.head._1 == 4L && top.head._2 == 4.0,
+      s"dominant frequency should be k=4 (period 4), got ${top.head}")
+    // all remaining spectral mass is zero for an exact sinusoid on-grid
+    assert(top.tail.forall(_._3 == 0.0), s"leakage: ${top.toSeq}")
+    // constant series: every coefficient exactly 0 after centering
+    val flat = TimeSeries.periodogram(seriesDf(Seq.fill(12)(7)), "ts", 3)
+      .collect().map(_.getDouble(2))
+    assert(flat.forall(_ == 0.0))
+  }
+
+  test("hurstRs: exact-alternation blocks give R/S = 1 and slope 0; constants vanish") {
+    // x alternates 5,15: every w-block has mean 10, cum-dev range R = 5,
+    // population sigma = 5 -> R/S exactly 1 at every window -> slope 0
+    val alt = Seq.tabulate(16)(t => if (t % 2 == 0) 5 else 15)
+    val got = TimeSeries.hurstRs(seriesDf(alt), "ts")
+      .orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((4L, 4L), (8L, 2L)))
+    assert(got.forall(g => g._3 == 1.0 && g._4 == 0.0), got.toSeq.toString)
+    // constant series: every block has zero variance -> no usable
+    // blocks at any window -> empty profile, not a divide-by-zero
+    assert(TimeSeries.hurstRs(seriesDf(Seq.fill(16)(9)), "ts").count() == 0L)
+  }
+
   test("ewmaDaily matches the hand-rolled recurrence") {
     val counts = Seq(10, 20, 10, 40)
     val got = TimeSeries.ewmaDaily(seriesDf(counts), "ts", alpha = 0.5)
