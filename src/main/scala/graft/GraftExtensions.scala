@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler, L2Squared, LshBuckets, PqAdc, PqEncode}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, JaroWinkler, L2Squared, LshBuckets, PqAdc, PqEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DamerauLevenshtein(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),

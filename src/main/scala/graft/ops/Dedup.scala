@@ -908,4 +908,40 @@ object Dedup {
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** [[fuzzyBlockedPairs]] with the UNRESTRICTED Damerau–Levenshtein
+    * metric (native [[graft.functions.DamerauLevenshtein]]): adjacent
+    * transpositions — THE dominant human typo class (Damerau 1964
+    * measured >80% of misspellings as single insert/delete/substitute/
+    * transpose) — cost 1 edit instead of plain Levenshtein's 2, so a
+    * budget of `maxDist` catches swapped-letter variants that the
+    * Levenshtein version has to either miss or buy with a looser (and
+    * noisier) threshold. Emits BOTH distances, so the pairs where they
+    * disagree are exactly the transposition typos.
+    *
+    * Same dictionary-bounded blocking and scale shape as the
+    * Levenshtein form; the O(len²)-space kernel only ever sees the
+    * blocked dictionary pairs.
+    */
+  def damerauBlockedPairs(df: DataFrame, nameCol: String,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    import org.apache.spark.sql.functions.call_function
+    val dict = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("support"))
+    val keyed = dict.select(col("name"), col("support"),
+      explode(array(
+        concat(lit("F"), split(col("name"), " ").getItem(0)),
+        concat(lit("L"), element_at(split(col("name"), " "), -1))))
+        .as("bkey"))
+    val k1 = keyed.toDF("name1", "support1", "bkey")
+    val k2 = keyed.toDF("name2", "support2", "bkey2")
+    k1.join(k2, col("bkey") === col("bkey2") && col("name1") < col("name2"))
+      .select("name1", "name2", "support1", "support2")
+      .distinct()
+      .withColumn("dist_dl", call_function("damerau_levenshtein",
+        col("name1"), col("name2")))
+      .withColumn("dist_lev", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist_dl") <= maxDist)
+  }
 }

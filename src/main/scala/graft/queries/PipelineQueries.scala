@@ -35,6 +35,30 @@ object PipelineQueries {
       |       CAST(levenshtein(name1, name2) AS INT) AS dist
       |FROM p WHERE levenshtein(name1, name2) <= 3""".stripMargin
 
+  /** The same token-blocked value matching under the unrestricted
+    * Damerau–Levenshtein metric — transposition typos cost 1, and the
+    * emitted (dist_dl, dist_lev) pair isolates exactly them. See
+    * [[graft.ops.Dedup.damerauBlockedPairs]].
+    */
+  private def dedupFuzzyPartsDl(s: SparkSession, dir: String): DataFrame =
+    Dedup.damerauBlockedPairs(Tables.part(s, dir), "p_name", maxDist = 3)
+
+  private val dedupFuzzyPartsDlSql =
+    """WITH d AS (SELECT p_name AS name, count(*) AS support
+      |           FROM part GROUP BY 1),
+      |k AS (SELECT name, support,
+      |             'F' || string_split(name, ' ')[1] AS bkey FROM d
+      |      UNION ALL
+      |      SELECT name, support,
+      |             'L' || string_split(name, ' ')[-1] FROM d),
+      |p AS (SELECT DISTINCT a.name AS name1, b.name AS name2,
+      |             a.support AS support1, b.support AS support2
+      |      FROM k a JOIN k b ON a.bkey = b.bkey AND a.name < b.name)
+      |SELECT name1, name2, support1, support2,
+      |       CAST(damerau_levenshtein(name1, name2) AS INT) AS dist_dl,
+      |       CAST(levenshtein(name1, name2) AS INT) AS dist_lev
+      |FROM p WHERE damerau_levenshtein(name1, name2) <= 3""".stripMargin
+
   /** Exact-substring (aligned w-gram run) overlap pairs over the
     * document corpus: 8-token grams, stop-grams above df 10 dropped,
     * pairs reported when the longest shared token run reaches 12 —
@@ -3847,6 +3871,8 @@ object PipelineQueries {
       Some(dedupSubstringRunsSql)),
     QueryDef("er_sorted_neighborhood", erSortedNeighborhood,
       Some(erSortedNeighborhoodSql)),
+    QueryDef("dedup_fuzzy_parts_dl", dedupFuzzyPartsDl,
+      Some(dedupFuzzyPartsDlSql)),
     QueryDef("dedup_fuzzy_parts", dedupFuzzyParts,
       Some(dedupFuzzyPartsSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource,

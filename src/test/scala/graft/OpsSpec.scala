@@ -878,6 +878,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 3L, 1.0)), "disjoint content fully novel")
   }
 
+  test("damerau_levenshtein is the unrestricted variant, matching DuckDB") {
+    import graft.functions.StringKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def dl(a: String, b: String): Int =
+      StringKernels.damerauLevenshtein(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    // the OSA-vs-unrestricted witness: ca -> ac -> abc is 2 edits
+    // (OSA forbids editing across a transposition and returns 3;
+    // DuckDB probe returns 2)
+    assert(dl("ca", "abc") == 2)
+    // adjacent transposition costs 1 where levenshtein pays 2
+    assert(dl("abcdef", "abdcef") == 1)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+    // expression form through codegen
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "abcdef", "abdcef")),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("a", StringType), StructField("b", StringType))))
+    val got = df.select(
+      call_function("damerau_levenshtein", col("a"), col("b")).as("d"),
+      levenshtein(col("a"), col("b")).as("l")).collect().head
+    assert(got.getInt(0) == 1 && got.getInt(1) == 2)
+  }
+
   test("jaro_winkler matches the published values and DuckDB's semantics") {
     import graft.functions.StringKernels
     import org.apache.spark.unsafe.types.UTF8String
