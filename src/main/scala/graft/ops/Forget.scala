@@ -55,6 +55,37 @@ object Forget {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Subject-access report (the DSAR read counterpart of
+    * [[cascadeCounts]]): for every seed subject, the per-table row
+    * count along the same FK chain — "what do we hold about this
+    * person", the manifest an access-request export is built from and
+    * audited against. One row per (subject, table) actually holding
+    * data; the seed table itself reports its (0 or 1) row, so a
+    * requester absent everywhere still gets an explicit empty
+    * manifest.
+    *
+    * Scale shape: the seed key set broadcasts (erasure/access request
+    * lists are small); each level is one semi/inner join against it
+    * plus a per-subject combinable count — the subject column rides
+    * the join key, so no row payload travels. Levels must carry the
+    * subject: tables keyed indirectly (lineitem) join through their
+    * parent's (subject, childKey) projection, which is itself
+    * count-aggregated before the child join when the fan-out warrants
+    * it.
+    */
+  def subjectAccessReport(seedKeys: DataFrame, subjectTables:
+      Seq[(String, DataFrame, String)]): DataFrame = {
+    require(subjectTables.nonEmpty, "need at least one table")
+    val seed = broadcast(
+      seedKeys.toDF("__subj").select(col("__subj").cast("long")).distinct())
+    subjectTables.map { case (name, df, subjCol) =>
+      df.join(seed, df(subjCol) === col("__subj"))
+        .groupBy(col("__subj").as("subject"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("subject"), lit(name).as("table"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ε-differentially-private histogram release (Dwork et al. 2006):
     * per-key counts plus Laplace(1/ε) noise — the count histogram has
     * global sensitivity 1 under add/remove-one-row adjacency, so

@@ -206,6 +206,47 @@ object AnalyticsQueries {
        |          (SELECT o_orderkey FROM od))""".stripMargin
   }
 
+  /** Subject-access (DSAR) manifest for the same pinned 2% seed set as
+    * `gdpr_forget_cascade`: per subject, the row count held in each
+    * table along the FK chain — the read counterpart of the erasure
+    * audit. See [[graft.ops.Forget.subjectAccessReport]].
+    */
+  private def gdprSubjectAccess(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Forget, Sampling}
+    val cust = Tables.customer(s, dir)
+    val seed = cust
+      .filter(Sampling.keepExpr(col("c_custkey"), 0.02, "gdpr"))
+      .select("c_custkey")
+    val orders = Tables.orders(s, dir)
+    // lineitem is keyed by orderkey; carry the subject through the
+    // parent's (subject, orderkey) projection
+    val liWithSubject = Tables.lineitem(s, dir)
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("li_subject"))
+    Forget.subjectAccessReport(seed, Seq(
+      ("customer", cust, "c_custkey"),
+      ("orders", orders, "o_custkey"),
+      ("lineitem", liWithSubject, "li_subject")))
+  }
+
+  private val gdprSubjectAccessSql = {
+    val thr = graft.ops.Sampling.hexThreshold(0.02)
+    s"""WITH f AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE md5('gdpr:' || CAST(c_custkey AS VARCHAR)) < '$thr')
+       |SELECT c_custkey AS subject, 'customer' AS "table",
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM customer JOIN f USING (c_custkey) GROUP BY 1
+       |UNION ALL
+       |SELECT o_custkey, 'orders', CAST(count(*) AS BIGINT)
+       |FROM orders JOIN f ON o_custkey = c_custkey GROUP BY 1
+       |UNION ALL
+       |SELECT o_custkey, 'lineitem', CAST(count(*) AS BIGINT)
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN f ON o_custkey = c_custkey GROUP BY 1""".stripMargin
+  }
+
   /** Rebalance the document corpus to a uniform language mixture (the
     * synthetic corpus is en-heavy ~3.4:1): data-derived per-language
     * rates, pinned md5 keep decision — see
@@ -1597,6 +1638,8 @@ object AnalyticsQueries {
       Some(docCurriculumBinsSql)),
     QueryDef("gdpr_forget_cascade", gdprForgetCascade,
       Some(gdprForgetCascadeSql)),
+    QueryDef("gdpr_subject_access", gdprSubjectAccess,
+      Some(gdprSubjectAccessSql)),
     QueryDef("doc_lang_rebalance", docLangRebalance,
       Some(docLangRebalanceSql)),
     QueryDef("doc_temperature_resample", docTemperatureResample,

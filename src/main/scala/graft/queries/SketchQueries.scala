@@ -548,6 +548,103 @@ object SketchQueries {
       |    AS n_full_funnel
       |FROM f""".stripMargin
 
+  /** The funnel's step-conversion rates with 95% Wilson score
+    * intervals — the uncertainty-honest readout: a 3-of-7 step is NOT
+    * "43%", it is "10–82%", and Wilson (unlike the Wald interval)
+    * stays inside [0,1] and behaves at small counts and extreme
+    * rates. z is pinned to the 6dp literal 1.959964 on both engines;
+    * the interval is one fixed-order double expression over the exact
+    * integer step counts, so the bounds replay bit-for-bit. Same
+    * single-pass two-level aggregate as `ev_funnel`; the interval math
+    * runs on the 3-row step domain.
+    */
+  private def evFunnelWilson(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts"))))
+    val base = ev.groupBy("user_id")
+      .agg(firstTs("signup").as("t_signup"), firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_signup") < col("t_click"), 1))
+          .as("n_signup_then_click"),
+        count(when(col("t_signup") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+    val steps = base.select(explode(array(
+      struct(lit("1_signup").as("step"), col("n_users").as("n_prev"),
+        col("n_signup").as("n_conv")),
+      struct(lit("2_click_after_signup").as("step"),
+        col("n_signup").as("n_prev"),
+        col("n_signup_then_click").as("n_conv")),
+      struct(lit("3_purchase_after_click").as("step"),
+        col("n_signup_then_click").as("n_prev"),
+        col("n_full_funnel").as("n_conv")))).as("s"))
+      .select(col("s.step").as("step"), col("s.n_prev").as("n_prev"),
+        col("s.n_conv").as("n_conv"))
+    val z = lit(1.959964)
+    val nD = col("n_prev").cast("double")
+    val p = col("n_conv").cast("double") / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = p + z * z / (lit(2.0) * nD)
+    val rad = z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * nD)) / nD)
+    steps.select(col("step"), col("n_prev"), col("n_conv"),
+      when(col("n_prev") === 0, lit(null).cast("double"))
+        .otherwise(round(p, 6)).as("rate"),
+      when(col("n_prev") === 0, lit(null).cast("double"))
+        .otherwise(round((center - rad) / denom, 6)).as("wilson_lo"),
+      when(col("n_prev") === 0, lit(null).cast("double"))
+        .otherwise(round((center + rad) / denom, 6)).as("wilson_hi"))
+  }
+
+  private val evFunnelWilsonSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT count(*) AS n_users,
+      |    count(t_signup) AS n_signup,
+      |    count(CASE WHEN t_signup < t_click THEN 1 END)
+      |      AS n_signup_then_click,
+      |    count(CASE WHEN t_signup < t_click AND t_click < t_purchase
+      |      THEN 1 END) AS n_full_funnel
+      |  FROM f),
+      |st AS (SELECT '1_signup' AS step,
+      |         CAST(n_users AS BIGINT) AS n_prev,
+      |         CAST(n_signup AS BIGINT) AS n_conv FROM a
+      |  UNION ALL SELECT '2_click_after_signup',
+      |         CAST(n_signup AS BIGINT), CAST(n_signup_then_click AS BIGINT)
+      |    FROM a
+      |  UNION ALL SELECT '3_purchase_after_click',
+      |         CAST(n_signup_then_click AS BIGINT),
+      |         CAST(n_full_funnel AS BIGINT) FROM a)
+      |SELECT step, n_prev, n_conv,
+      |  CASE WHEN n_prev = 0 THEN NULL ELSE
+      |    round(CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) END
+      |    AS rate,
+      |  CASE WHEN n_prev = 0 THEN NULL ELSE
+      |    round(((CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE)
+      |        + 1.959964 * 1.959964 / (2.0 * CAST(n_prev AS DOUBLE)))
+      |      - 1.959964 * sqrt(((CAST(n_conv AS DOUBLE) /
+      |          CAST(n_prev AS DOUBLE)) * (1.0 - CAST(n_conv AS DOUBLE) /
+      |          CAST(n_prev AS DOUBLE)) + 1.959964 * 1.959964 /
+      |          (4.0 * CAST(n_prev AS DOUBLE))) / CAST(n_prev AS DOUBLE)))
+      |      / (1.0 + 1.959964 * 1.959964 / CAST(n_prev AS DOUBLE)), 6) END
+      |    AS wilson_lo,
+      |  CASE WHEN n_prev = 0 THEN NULL ELSE
+      |    round(((CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE)
+      |        + 1.959964 * 1.959964 / (2.0 * CAST(n_prev AS DOUBLE)))
+      |      + 1.959964 * sqrt(((CAST(n_conv AS DOUBLE) /
+      |          CAST(n_prev AS DOUBLE)) * (1.0 - CAST(n_conv AS DOUBLE) /
+      |          CAST(n_prev AS DOUBLE)) + 1.959964 * 1.959964 /
+      |          (4.0 * CAST(n_prev AS DOUBLE))) / CAST(n_prev AS DOUBLE)))
+      |      / (1.0 + 1.959964 * 1.959964 / CAST(n_prev AS DOUBLE)), 6) END
+      |    AS wilson_hi
+      |FROM st""".stripMargin
+
   /** Conversion-window funnel signup → click (≤7d) → purchase (≤7d
     * after the bound click): greedy earliest-qualifying chaining, the
     * product-analytics semantics where a conversion must happen inside
@@ -650,6 +747,7 @@ object SketchQueries {
     QueryDef("ev_type_stats", evTypeStats, Some(evTypeStatsSql)),
     QueryDef("ev_json_extract", evJsonExtract, Some(evJsonExtractSql)),
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),
+    QueryDef("ev_funnel_wilson", evFunnelWilson, Some(evFunnelWilsonSql)),
     QueryDef("ev_funnel_windowed", evFunnelWindowed,
       Some(evFunnelWindowedSql)),
     QueryDef("ev_retention_cohorts", evRetention, Some(evRetentionSql)),
