@@ -59,6 +59,65 @@ object PipelineQueries {
       |       CAST(levenshtein(name1, name2) AS INT) AS dist_lev
       |FROM p WHERE damerau_levenshtein(name1, name2) <= 3""".stripMargin
 
+  /** End-to-end entity resolution over the part-name dictionary:
+    * token-blocked candidate pairs, scored by the native
+    * [[graft.functions.JaroWinkler]] at 6dp-rounded ≥ 0.9, clustered
+    * by [[graft.ops.Dedup.connectedComponents]], each name labeled
+    * with its cluster's canonical (minimum) name and cluster size —
+    * the block → score → cluster → canonicalize pipeline every MDM /
+    * record-linkage deployment composes from exactly these stages.
+    * Every stage is dictionary-bounded; the corpus is touched once by
+    * the support count.
+    */
+  private def erNameClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val dict = graft.data.ScopedCaches.track(
+      Tables.part(s, dir).groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("support")))
+    val keyed = dict.select(col("name"), explode(array(
+      concat(lit("F"), split(col("name"), " ").getItem(0)),
+      concat(lit("L"), element_at(split(col("name"), " "), -1))))
+      .as("bkey"))
+    val k1 = keyed.toDF("name1", "bkey")
+    val k2 = keyed.toDF("name2", "bkey2")
+    val pairs = k1.join(k2,
+        col("bkey") === col("bkey2") && col("name1") < col("name2"))
+      .select("name1", "name2").distinct()
+      .filter(round(call_function("jaro_winkler",
+        col("name1"), col("name2")), 6) >= 0.9)
+      .select(col("name1").as("id1"), col("name2").as("id2"))
+    val cc = Dedup.connectedComponents(pairs,
+      dict.select(col("name").as("id")))
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(dict, cc("id") === dict("name"))
+      .join(sizes, "cluster")
+      .select(col("name"), col("support"), col("cluster").as("canonical"),
+        col("cluster_size"))
+  }
+
+  private val erNameClustersSql =
+    """WITH RECURSIVE d AS (SELECT p_name AS name,
+      |         CAST(count(*) AS BIGINT) AS support FROM part GROUP BY 1),
+      |k AS (SELECT name, 'F' || string_split(name, ' ')[1] AS bkey FROM d
+      |      UNION ALL
+      |      SELECT name, 'L' || string_split(name, ' ')[-1] FROM d),
+      |p AS (SELECT DISTINCT a.name AS n1, b.name AS n2
+      |      FROM k a JOIN k b ON a.bkey = b.bkey AND a.name < b.name),
+      |pj AS (SELECT n1, n2 FROM p
+      |       WHERE round(jaro_winkler_similarity(n1, n2), 6) >= 0.9),
+      |edges AS (SELECT n1 AS a, n2 AS b FROM pj
+      |          UNION SELECT n2 AS a, n1 AS b FROM pj),
+      |reach(id, lbl) AS (
+      |  SELECT name, name FROM d
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      |cl AS (SELECT id AS name, min(lbl) AS canonical FROM reach
+      |       GROUP BY 1),
+      |cs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM cl GROUP BY 1)
+      |SELECT cl.name, d.support, cl.canonical, cs.cluster_size
+      |FROM cl JOIN d USING (name) JOIN cs USING (canonical)""".stripMargin
+
   /** Exact-substring (aligned w-gram run) overlap pairs over the
     * document corpus: 8-token grams, stop-grams above df 10 dropped,
     * pairs reported when the longest shared token run reaches 12 —
@@ -3871,6 +3930,7 @@ object PipelineQueries {
       Some(dedupSubstringRunsSql)),
     QueryDef("er_sorted_neighborhood", erSortedNeighborhood,
       Some(erSortedNeighborhoodSql)),
+    QueryDef("er_name_clusters", erNameClusters, Some(erNameClustersSql)),
     QueryDef("dedup_fuzzy_parts_dl", dedupFuzzyPartsDl,
       Some(dedupFuzzyPartsDlSql)),
     QueryDef("dedup_fuzzy_parts", dedupFuzzyParts,
