@@ -275,6 +275,57 @@ object Graph {
             col("n_wedges"), 6)).as("global_clustering"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive means
+    * hubs attach to hubs (social-network shape), negative means hubs
+    * fan out to leaves (infrastructure/star shape). One number that
+    * predicts how the graph responds to hub removal and how fast
+    * label-prop/PageRank mix.
+    *
+    * All five moment sums are exact integers (DECIMAL(38,0) for the
+    * products — degree² × edges overflows BIGINT on dense graphs); the
+    * final r is one fixed-order double expression. One combinable
+    * degree aggregate + two node-keyed joins; moments over the edge
+    * list, no window.
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val canonC = graft.data.ScopedCaches.track(canon)
+    val deg = canonC.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val degC = graft.data.ScopedCaches.track(deg)
+    // symmetrize: each undirected edge contributes (du,dv) and (dv,du)
+    val ends = canonC
+      .join(degC.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(degC.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(explode(array(struct(col("du").as("x"), col("dv").as("y")),
+        struct(col("dv").as("x"), col("du").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val dec = "decimal(38,0)"
+    val mom = ends.agg(count(lit(1)).as("m"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val stats = degC.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"))
+    stats.crossJoin(broadcast(mom))
+      .select(col("n_nodes"), col("n_edges"),
+        round((col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("m").cast("double") * col("syy").cast("double") -
+             col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   /** Per-node local clustering coefficient — c(v) = 2·T(v)/(d(v)·(d(v)−1)),
     * the fraction of v's neighbor pairs that are themselves connected —
     * for the `topK` highest-degree nodes (tie → lower id). The node-level

@@ -1022,4 +1022,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    * d̂ = n_valid / Σ ln(d₂/d₁) over each point's ratio of 2nd- to
+    * 1st-nearest-neighbor distance — how many dimensions the
+    * embedding cloud ACTUALLY occupies, which is what decides whether
+    * IVF/LSH/PQ recall targets are achievable at a given probe budget
+    * (a 64-dim table with intrinsic dim 9 indexes like 9, not 64).
+    * Points whose nearest neighbor is an exact duplicate (d₁ = 0) are
+    * excluded and reported.
+    *
+    * This is the labeled EXACT all-pairs baseline (like
+    * `cosinePairsExact`): an O(n²) pair scan through the codegen
+    * `vec_l2sq` kernel, then a per-point top-2 window. ln(d₂/d₁) =
+    * ½·ln(l2sq₂/l2sq₁) is pinned to a ×10⁹ BIGINT per point (both
+    * engines round the same double), so the cross-point sum is
+    * summation-order-free; the estimate is one fixed-order division.
+    * At corpus scale run it on a [[Sampling.hashSample]] — the
+    * estimator is a per-point local quantity, unbiased under uniform
+    * subsampling of the cloud only insofar as density is preserved, so
+    * sample whole shards, not per-point.
+    */
+  def intrinsicDimTwoNN(df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val base = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val a = base.select(col("id").as("id1"), col("v").as("v1"))
+    val b = base.select(col("id").as("id2"), col("v").as("v2"))
+    val l2 = call_function("vec_l2sq", col("v1"), col("v2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(col("l2").asc, col("id2").asc)
+    val top2 = a.join(b, col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), l2.as("l2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val nn = top2.groupBy(col("id1"))
+      .agg(min(when(col("rn") === 1, col("l2"))).as("l1"),
+        min(when(col("rn") === 2, col("l2"))).as("l2nd"))
+    val lnr = round(lit(0.5) * log(col("l2nd") / col("l1")) * lit(1.0e9))
+      .cast("long")
+    nn.select(col("id1"),
+        when(col("l1") > 0, lnr).otherwise(lit(null)).as("lnr"))
+      .agg(count(lit(1)).as("n"), count(col("lnr")).as("n_valid"),
+        sum(col("lnr")).as("slnr"))
+      .select(col("n"), col("n_valid"),
+        when(col("slnr") > 0,
+          round(col("n_valid").cast("double") /
+            (col("slnr").cast("double") / 1.0e9), 6))
+          .otherwise(lit(null).cast("double")).as("id_mle"))
+  }
 }

@@ -1057,6 +1057,50 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Pairwise cross-entropy matrix between per-group unigram language
+    * models: H(s→t) = −Σ_w p̂_s(w)·ln p_t(w) with add-one smoothing
+    * over the global vocabulary — "how well does source t's
+    * distribution explain source s's text". The data-mixing readout:
+    * a row of uniformly low off-diagonals marks a redundant source; a
+    * high H(s→t) with low H(t→s) marks t as a superset register of s.
+    *
+    * Scaled-integer determinism (the `naiveBayesLangEval` recipe):
+    * each model log ln((c+1)/(tot+V)) is rounded to a ×10⁶ BIGINT once
+    * at the (target, word) grain, so every H is an exact integer
+    * weighted sum in any accumulation order, divided once. The model
+    * grid is vocab × groups (domain-sized); the corpus is touched by
+    * ONE combinable (group, word) count.
+    */
+  def sourceCrossEntropy(df: org.apache.spark.sql.DataFrame,
+                         groupCol: String, textCol: String):
+      org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    val cnt = graft.data.ScopedCaches.track(
+      toks.groupBy(col("g"), col("w")).agg(count(lit(1)).as("c")))
+    val tot = cnt.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val vocabSize = cnt.select(col("w")).distinct()
+      .agg(count(lit(1)).as("vsz"))
+    val grid = cnt.select(col("w")).distinct()
+      .crossJoin(tot.select(col("g").as("tgt"), col("tot").as("ttot")))
+      .crossJoin(broadcast(vocabSize))
+    val model = grid
+      .join(cnt.select(col("g").as("tgt"), col("w"), col("c")),
+        Seq("tgt", "w"), "left")
+      .select(col("tgt"), col("w"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("ttot") + col("vsz")).cast("double")) * lit(1.0e6))
+          .cast("long").as("l6"))
+    cnt.select(col("g").as("src"), col("w"), col("c"))
+      .join(model, "w")
+      .groupBy(col("src"), col("tgt"))
+      .agg(sum(col("c") * col("l6")).as("sl"))
+      .join(tot.select(col("g").as("src"), col("tot").as("stot")), "src")
+      .select(col("src"), col("tgt"), col("stot").as("n_tokens_src"),
+        round(-(col("sl").cast("double")) /
+          (col("stot").cast("double") * 1.0e6), 6).as("h_nats"))
+  }
+
   /** Hapax / Good-Turing profile per group: token count N, vocabulary
     * V, hapax count V₁, dis legomena V₂, the Good-Turing unseen-mass
     * estimate p₀ = V₁/N (the probability the NEXT token drawn is a

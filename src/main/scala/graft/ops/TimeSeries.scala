@@ -713,6 +713,43 @@ object TimeSeries {
         col("rn").cast("long").as("rank"))
   }
 
+  /** Per-(group, day) Poisson burst surprise: the exact KL/Chernoff
+    * exponent x·ln(x/λ) − (x − λ) for days where the group's count x
+    * exceeds its calendar-wide mean rate λ — the principled "how
+    * surprising is this spike" score (the bound P(X ≥ x) ≤ e^{−surprise}
+    * holds exactly for Poisson, no gamma-function tail needed), ranked
+    * top-`topK`. Complements [[cusumChangepoint]] (which finds level
+    * SHIFTS) by scoring individual burst days, per group.
+    *
+    * λ = group total / calendar days — two combinable integer
+    * aggregates; the score is one fixed-order double expression per
+    * (group, day) DOMAIN row, ranked on its 6dp rounding (ties → group,
+    * day).
+    */
+  def burstSurprise(df: DataFrame, tsCol: String, groupCol: String,
+                    topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val daily = df.groupBy(col(groupCol).as("g"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dailyC = graft.data.ScopedCaches.track(daily)
+    val cal = df.agg((datediff(max(to_date(col(tsCol))),
+      min(to_date(col(tsCol)))) + 1).cast("long").as("n_days"))
+    val tot = dailyC.groupBy(col("g")).agg(sum(col("x")).as("tx"))
+    val lam = col("tx").cast("double") / col("n_days").cast("double")
+    val xD = col("x").cast("double")
+    val scored = dailyC.join(tot, "g").crossJoin(broadcast(cal))
+      .select(col("g"), col("day"), col("x"),
+        round(lam, 6).as("lambda"),
+        when(xD > lam,
+          round(xD * log(xD / lam) - (xD - lam), 6)).otherwise(lit(0.0))
+          .as("surprise"))
+    val w = Window.orderBy(col("surprise").desc, col("g").asc,
+      col("day").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Hurst exponent of the daily count series via rescaled-range (R/S)
     * analysis over dyadic windows w ∈ {4, 8, 16, 32} (those with ≥ 2
     * full blocks): H ≈ 0.5 for memoryless traffic, H > 0.5 for

@@ -1045,6 +1045,53 @@ object AnalyticsQueries {
       |    AS local_clustering
       |FROM r WHERE degree_rank <= 50""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — do hub parts
+    * co-occur with other hubs (social shape) or with leaves
+    * (star/infrastructure shape). See
+    * [[graft.ops.Graph.degreeAssortativity]].
+    */
+  private def liAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.degreeAssortativity(pairs, "pa", "pb")
+  }
+
+  private val liAssortativitySql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |ends AS (SELECT du.d AS x, dv.d AS y
+      |         FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+      |         UNION ALL
+      |         SELECT dv.d, du.d
+      |         FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      |mom AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM ends),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d) / 2 AS BIGINT) AS n_edges FROM deg)
+      |SELECT n_nodes, n_edges,
+      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM st CROSS JOIN mom""".stripMargin
+
   /** ε-DP Laplace release of the (event_type × day) histogram — see
     * [[graft.ops.Forget.dpLaplaceHistogram]], ε = 1.
     */
@@ -1594,6 +1641,8 @@ object AnalyticsQueries {
     QueryDef("li_triangle_census", liTriangles, Some(liTrianglesSql)),
     QueryDef("li_local_clustering", liLocalClustering,
       Some(liLocalClusteringSql)),
+    QueryDef("li_degree_assortativity", liAssortativity,
+      Some(liAssortativitySql)),
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),

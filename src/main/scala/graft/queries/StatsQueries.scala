@@ -1025,6 +1025,73 @@ object StatsQueries {
       |       m3.pctile, m3.value_norm
       |FROM base JOIN m3 ON base.g = m3.g AND base.v = m3.v""".stripMargin
 
+  /** Pairwise unigram cross-entropy matrix between sources — which
+    * sources are redundant registers of each other. See
+    * [[graft.ops.TextAnalysis.sourceCrossEntropy]].
+    */
+  private def docSourceCrossEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.sourceCrossEntropy(
+      Tables.documents(s, dir), "source", "text")
+
+  private val docSourceCrossEntropySql =
+    """WITH toks AS (SELECT source AS g,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+      |        FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot
+      |        FROM cnt GROUP BY 1),
+      |vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM cnt),
+      |grid AS (SELECT DISTINCT w FROM cnt),
+      |model AS (SELECT t.g AS tgt, grid.w,
+      |    CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+      |      CAST(t.tot + vs.vsz AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS l6
+      |  FROM grid CROSS JOIN tot t CROSS JOIN vs
+      |  LEFT JOIN cnt c ON c.g = t.g AND c.w = grid.w),
+      |h AS (SELECT s.g AS src, m.tgt,
+      |    CAST(sum(s.c * m.l6) AS BIGINT) AS sl
+      |  FROM cnt s JOIN model m ON m.w = s.w GROUP BY 1, 2)
+      |SELECT src, tgt, tot.tot AS n_tokens_src,
+      |  round(-(CAST(sl AS DOUBLE)) /
+      |    (CAST(tot.tot AS DOUBLE) * 1000000.0), 6) AS h_nats
+      |FROM h JOIN tot ON tot.g = src""".stripMargin
+
+  /** TwoNN intrinsic dimension of the embedding cloud — the exact
+    * all-pairs baseline. See
+    * [[graft.ops.Similarity.intrinsicDimTwoNN]].
+    */
+  private def embIntrinsicDim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.intrinsicDimTwoNN(Tables.embeddings(s, dir),
+      "vec_id", "embedding")
+
+  private val embIntrinsicDimSql =
+    """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |p AS (SELECT id1, id2, list_dot_product(dv, dv) AS l2
+      |      FROM (SELECT a.id AS id1, b.id AS id2,
+      |              [CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)
+      |                for z in list_zip(a.v, b.v)] AS dv
+      |            FROM v a JOIN v b ON a.id <> b.id)),
+      |r AS (SELECT id1, id2, l2,
+      |        row_number() OVER (PARTITION BY id1 ORDER BY l2, id2)
+      |          AS rn
+      |      FROM p),
+      |nn AS (SELECT id1, min(CASE WHEN rn = 1 THEN l2 END) AS l1,
+      |         min(CASE WHEN rn = 2 THEN l2 END) AS l2nd
+      |       FROM r WHERE rn <= 2 GROUP BY 1),
+      |x AS (SELECT id1, CASE WHEN l1 > 0 THEN
+      |        CAST(round(0.5 * ln(l2nd / l1) * 1000000000.0) AS BIGINT)
+      |        END AS lnr
+      |      FROM nn),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(lnr) AS BIGINT) AS n_valid,
+      |        CAST(sum(lnr) AS BIGINT) AS slnr FROM x)
+      |SELECT n, n_valid,
+      |  CASE WHEN slnr > 0 THEN
+      |    round(CAST(n_valid AS DOUBLE) /
+      |      (CAST(slnr AS DOUBLE) / 1000000000.0), 6) END AS id_mle
+      |FROM a""".stripMargin
+
   /** Simpson diversity of the language mix per source — quadratic
     * concentration, the monoculture early-warning the Shannon-based
     * audits smooth over. See [[graft.ops.Stats.simpsonDiversity]].
@@ -1194,6 +1261,10 @@ object StatsQueries {
     QueryDef("emb_mmd_split", embMmdSplit, Some(embMmdSplitSql)),
     QueryDef("doc_simpson_diversity", docSimpsonDiversity,
       Some(docSimpsonDiversitySql)),
+    QueryDef("doc_source_cross_entropy", docSourceCrossEntropy,
+      Some(docSourceCrossEntropySql)),
+    QueryDef("emb_intrinsic_dim", embIntrinsicDim,
+      Some(embIntrinsicDimSql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),

@@ -548,9 +548,41 @@ object TimeSeriesQueries {
       |SELECT pts.w, pts.n_blocks, pts.avg_rs, h.hurst
       |FROM pts CROSS JOIN h""".stripMargin
 
+  /** Top-20 Poisson burst-surprise days per event type — exact
+    * KL/Chernoff spike scores. See
+    * [[graft.ops.TimeSeries.burstSurprise]].
+    */
+  private def evBurstSurprise(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.burstSurprise(Tables.events(s, dir), "ts", "event_type",
+      topK = 20)
+
+  private val evBurstSurpriseSql =
+    """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |cal AS (SELECT CAST(datediff('day', min(CAST(ts AS DATE)),
+      |    max(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_days FROM events),
+      |t AS (SELECT g, CAST(sum(x) AS BIGINT) AS tx FROM d GROUP BY 1),
+      |s AS (SELECT d.g, d.day, d.x,
+      |    round(CAST(tx AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+      |      AS lambda,
+      |    CASE WHEN CAST(d.x AS DOUBLE) >
+      |        CAST(tx AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      THEN round(CAST(d.x AS DOUBLE) * ln(CAST(d.x AS DOUBLE) /
+      |          (CAST(tx AS DOUBLE) / CAST(n_days AS DOUBLE))) -
+      |        (CAST(d.x AS DOUBLE) -
+      |          CAST(tx AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+      |      ELSE 0.0 END AS surprise
+      |  FROM d JOIN t USING (g) CROSS JOIN cal)
+      |SELECT g, day, x, lambda, surprise,
+      |  CAST(row_number() OVER (ORDER BY surprise DESC, g, day)
+      |    AS BIGINT) AS rank
+      |FROM s QUALIFY rank <= 20""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_periodogram", evPeriodogram, Some(evPeriodogramSql)),
     QueryDef("ev_hurst_rs", evHurst, Some(evHurstSql)),
+    QueryDef("ev_burst_surprise", evBurstSurprise,
+      Some(evBurstSurpriseSql)),
     QueryDef("ev_forecast_conformal", evForecastConformal,
       Some(evForecastConformalSql)),
     QueryDef("ev_holt_winters_daily", evHoltWinters,
