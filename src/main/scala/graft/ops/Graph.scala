@@ -315,15 +315,20 @@ object Graph {
       sum((col("y") * col("y")).cast(dec)).as("syy"))
     val stats = degC.agg(count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("long").as("n_edges"))
+    val den =
+      sqrt(col("m").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+      sqrt(col("m").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
     stats.crossJoin(broadcast(mom))
       .select(col("n_nodes"), col("n_edges"),
-        round((col("m").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("m").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-           sqrt(col("m").cast("double") * col("syy").cast("double") -
-             col("sy").cast("double") * col("sy").cast("double"))), 6)
-          .as("assortativity"))
+        // zero degree variance (e.g. a perfect matching or a cycle)
+        // leaves the correlation undefined — null, not a zero-div
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("m").cast("double") *
+              col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) / den,
+            6)).as("assortativity"))
   }
 
   /** Per-node local clustering coefficient — c(v) = 2·T(v)/(d(v)·(d(v)−1)),

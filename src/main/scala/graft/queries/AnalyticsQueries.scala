@@ -1083,12 +1083,16 @@ object AnalyticsQueries {
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
       |    CAST(sum(d) / 2 AS BIGINT) AS n_edges FROM deg)
       |SELECT n_nodes, n_edges,
-      |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |  CASE WHEN sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |    sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN NULL
+      |  ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
       |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |    (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
       |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |     sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
-      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
       |    AS assortativity
       |FROM st CROSS JOIN mom""".stripMargin
 

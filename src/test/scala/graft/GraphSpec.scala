@@ -24,6 +24,18 @@ class GraphSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
   }
 
+  test("degreeAssortativity: a star is exactly -1") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 3L, -1.0)))
+    // two disjoint edges: all endpoint degrees 1 -> zero variance ->
+    // the correlation is undefined (null/NaN), never a crash
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val p = Graph.degreeAssortativity(pairs, "a", "b").collect().head
+    assert(p.isNullAt(2) || p.getDouble(2).isNaN)
+  }
+
   test("localClustering: triangle+pendant hand values survive dirty input") {
     import spark.implicits._
     // triangle {1,2,3} with pendant 4 on node 1; dirty: dup edge,

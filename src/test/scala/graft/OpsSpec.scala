@@ -878,6 +878,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 3L, 1.0)), "disjoint content fully novel")
   }
 
+  test("sourceCrossEntropy: hand-computed 2x2 matrix with add-one smoothing") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "A", "x x y"), Row(2L, "B", "x y y")),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType), StructField("text", StringType))))
+    val got = TextAnalysis.sourceCrossEntropy(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // vocab {x,y}, V=2; p_B(x)=(1+1)/(3+2)=0.4, p_B(y)=0.6
+    // H(A->B) = -(2*ln0.4 + 1*ln0.6)/3 with x1e6-pinned logs
+    def l6(p: Double): Long = math.round(math.log(p) * 1e6)
+    def h(cs: Seq[(Long, Double)], tot: Long): Double =
+      BigDecimal(-cs.map { case (c, p) => c * l6(p) }.sum.toDouble /
+        (tot * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("A", "B")) == ((3L, h(Seq(2L -> 0.4, 1L -> 0.6), 3L))))
+    assert(got(("B", "A")) == ((3L, h(Seq(1L -> 0.6, 2L -> 0.4), 3L))))
+    assert(got(("A", "A")) == ((3L, h(Seq(2L -> 0.6, 1L -> 0.4), 3L))))
+    // each row's own model explains it best (diagonal minimum)
+    assert(got(("A", "A"))._2 < got(("A", "B"))._2)
+    assert(got(("B", "B"))._2 < got(("B", "A"))._2)
+  }
+
+  test("intrinsicDimTwoNN: collinear points give the hand TwoNN estimate") {
+    import graft.ops.Similarity
+    // 1-D cloud embedded in 2-D: 0, 1, 3 -> mu ratios 3, 2, 1.5
+    val pts = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Seq(0.0f, 0.0f)), Row(1L, Seq(1.0f, 0.0f)),
+      Row(3L, Seq(3.0f, 0.0f))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false)))))
+    val r = Similarity.intrinsicDimTwoNN(pts, "id", "v").collect().head
+    val lnr = Seq(9.0 / 1.0, 4.0 / 1.0, 9.0 / 4.0)
+      .map(q => math.round(0.5 * math.log(q) * 1e9))
+    val want = BigDecimal(3.0 / (lnr.sum.toDouble / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 3L, want)))
+    // an exact duplicate pair is excluded from the estimate, not a crash
+    val dup = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Seq(0.0f, 0.0f)), Row(1L, Seq(0.0f, 0.0f)),
+      Row(2L, Seq(1.0f, 0.0f)), Row(5L, Seq(4.0f, 0.0f))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false)))))
+    val d = Similarity.intrinsicDimTwoNN(dup, "id", "v").collect().head
+    assert(d.getLong(0) == 4L && d.getLong(1) == 2L)
+  }
+
   test("damerau_levenshtein is the unrestricted variant, matching DuckDB") {
     import graft.functions.StringKernels
     import org.apache.spark.unsafe.types.UTF8String

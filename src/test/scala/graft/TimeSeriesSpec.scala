@@ -48,6 +48,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.hurstRs(seriesDf(Seq.fill(16)(9)), "ts").count() == 0L)
   }
 
+  test("burstSurprise: a planted spike day tops the ranking with the exact KL score") {
+    import spark.implicits._
+    // type A: 2,2,2,14 over 4 days (lambda = 5); type B: flat 3s
+    val rows =
+      Seq(2, 2, 2, 14).zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("A", java.sql.Timestamp.valueOf(
+          f"2024-01-${i + 1}%02d 12:00:00")))
+      } ++
+      Seq.fill(4 * 3)(0).zipWithIndex.map { case (_, j) =>
+        ("B", java.sql.Timestamp.valueOf(
+          f"2024-01-${j % 4 + 1}%02d 12:00:00"))
+      }
+    val df = rows.toDF("event_type", "ts")
+    val got = TimeSeries.burstSurprise(df, "ts", "event_type", topK = 3)
+      .orderBy("rank").collect()
+    val top = got.head
+    // surprise = 14*ln(14/5) - 9, rounded 6dp
+    val want = BigDecimal(14.0 * math.log(14.0 / 5.0) - 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getString(0) == "A" && top.getLong(2) == 14L)
+    assert(top.getDouble(4) == want, s"got ${top.getDouble(4)} want $want")
+    // flat type B never scores above 0
+    assert(got.filter(_.getString(0) == "B").forall(_.getDouble(4) == 0.0))
+  }
+
   test("ewmaDaily matches the hand-rolled recurrence") {
     val counts = Seq(10, 20, 10, 40)
     val got = TimeSeries.ewmaDaily(seriesDf(counts), "ts", alpha = 0.5)
