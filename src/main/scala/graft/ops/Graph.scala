@@ -389,4 +389,64 @@ object Graph {
             (col("degree").cast("double") * (col("degree") - 1L)), 6))
           .as("local_clustering"))
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): score every
+    * non-adjacent pair (u,v) by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — shared
+    * rare neighbors are strong evidence of a missing edge, shared hubs
+    * almost none — and return the `topK` predicted links. The standard
+    * "which parts will be bought together next" / "which entities are
+    * the same" readout over any co-occurrence graph.
+    *
+    * Execution: wedges through each center w (adjacency self-joined on
+    * w, spokes ordered u<v so each pair forms once per shared
+    * neighbor), weight 1/ln(deg w) pinned to a ×10⁹ integer at the
+    * center — the per-pair score is then an exact integer sum, so the
+    * ranking is total-order deterministic and replays exactly in SQL.
+    * Known edges leave by left-anti join on the canonical pair; the
+    * ranking is TakeOrdered (sort+limit), never a global window.
+    *
+    * Scale: wedge fan-out is Σ deg(w)² — quadratic ONLY at hub
+    * centers, which contribute the least score (1/ln d → 0) and the
+    * least signal. `maxCenterDegree` drops centers above the cap
+    * (default 10k: a 10k-degree hub still costs 10⁸ wedge rows but
+    * adds ≤0.1086 per pair); the cap is part of the operator's
+    * definition and is replayed identically by the oracle.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 topK: Int = 20, maxCenterDegree: Long = 10000L): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    require(maxCenterDegree >= 2, s"need maxCenterDegree >= 2")
+    val canon = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val canonC = graft.data.ScopedCaches.track(canon)
+    val deg = canonC.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // symmetrized adjacency with the center's pinned weight attached
+    val adj = canonC
+      .select(explode(array(struct(col("u").as("w"), col("v").as("n")),
+        struct(col("v").as("w"), col("u").as("n")))).as("e"))
+      .select(col("e.w").as("w"), col("e.n").as("n"))
+      .join(deg.select(col("x").as("w"), col("d")), "w")
+      .filter(col("d") >= 2L && col("d") <= maxCenterDegree)
+      .select(col("w"), col("n"),
+        round(lit(1e9) / log(col("d").cast("double"))).cast("long")
+          .as("w9"))
+    val s1 = adj.select(col("w"), col("n").as("u"), col("w9"))
+    val s2 = adj.select(col("w"), col("n").as("v"))
+    val scores = s1.join(s2, Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w9")).as("score9"))
+      .join(canonC, Seq("u", "v"), "left_anti")
+    val top = scores
+      .orderBy(col("score9").desc, col("u"), col("v")).limit(topK)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score9").desc, col("u"), col("v"))
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("u"), col("v"),
+        round(col("score9").cast("double") / lit(1e9), 6).as("aa_score"),
+        col("rank"))
+  }
 }

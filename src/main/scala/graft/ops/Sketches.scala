@@ -468,4 +468,59 @@ object Sketches {
           (col("bin") + (lit(q) * col("n") - (col("cum") - col("cnt"))) /
             col("cnt")), 6).as("hist_est"))
   }
+
+  /** AMS/tug-of-war second-moment sketch (Alon, Matias & Szegedy 1996):
+    * r independent counters Z_j = Σ_key f_key·s_j(key) with a ±1 sign
+    * hash per row; each Z_j² is an unbiased estimate of
+    * F2 = Σ f_key² — the self-join size on the key, the one number
+    * that prices every shuffle/join on that column (skew detection,
+    * join-size estimation) from O(r) state instead of a full per-key
+    * count table.
+    *
+    * Signs come from the same engine-portable pinned family as
+    * [[cmsBucket]] — the parity of the first-8-hex-chars md5 hash of
+    * "j:key" — so the whole sketch replays exactly in SQL. The cells
+    * are purely ADDITIVE (each row contributes ±1 to r counters), so
+    * like CMS the materialized sketch is arrival-order- and
+    * layout-invariant and mergeable by plain per-j addition; execution
+    * is one codegen'd r-way explode whose shuffle is capped at r cells
+    * per partition by map-side partial sums. NULL keys dropped (same
+    * policy and reason as [[cmsCells]]).
+    */
+  def amsF2Cells(df: DataFrame, keyCol: String, r: Int): DataFrame = {
+    require(r >= 4 && r % 4 == 0, s"need r >= 4 divisible by 4, got $r")
+    val h = conv(substring(md5(concat_ws(":", col("j"), col("key"))),
+      1, 8), 16, 10).cast("long")
+    df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .select(explode(array((0 until r).map(lit): _*)).as("j"), col("key"))
+      .groupBy("j").agg(sum(h % 2 * 2 - 1).as("z"))
+  }
+
+  /** Median-of-means estimate from an [[amsF2Cells]] summary (r/4
+    * groups of 4 — the textbook variance/confidence split), alongside
+    * the exact F2 for the audit. Every intermediate is exact: Z_j and
+    * Z_j² are integers, each group mean has a .25 grain (dyadic, exact
+    * in double), and the median of the r/4 means is (sum−min−max)/2
+    * for r=16 — no order-dependent float sum anywhere, so the estimate
+    * replays bit-for-bit in SQL. The exact side is one per-key count
+    * plus a DECIMAL(38,0) Σc² fold.
+    */
+  def amsF2Estimate(df: DataFrame, keyCol: String, r: Int = 16): DataFrame = {
+    require(r == 16, s"median-of-4-means form requires r = 16, got $r")
+    val means = amsF2Cells(df, keyCol, r)
+      .groupBy((col("j") / 4).cast("int").as("g"))
+      .agg(sum(col("z") * col("z")).as("s"))
+      .select((col("s") / 4.0).as("m"))
+    val est = means.agg(
+      ((sum("m") - min("m") - max("m")) / 2.0).as("f2_ams"))
+    val exact = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)"))
+        .cast("long").as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("f2_exact"), round(col("f2_ams"), 6).as("f2_ams"),
+        round(abs(col("f2_ams") - col("f2_exact")) / col("f2_exact"), 6)
+          .as("rel_err"))
+  }
 }

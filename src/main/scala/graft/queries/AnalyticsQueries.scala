@@ -1096,6 +1096,48 @@ object AnalyticsQueries {
       |    AS assortativity
       |FROM st CROSS JOIN mom""".stripMargin
 
+  /** Top-20 Adamic–Adar predicted links over the co-purchase graph —
+    * the part pairs most likely to be bought together NEXT, scored by
+    * shared rare co-purchase neighbors. See
+    * [[graft.ops.Graph.adamicAdar]].
+    */
+  private def liAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.adamicAdar(pairs, "pa", "pb", topK = 20)
+  }
+
+  private val liAdamicAdarSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |adj AS (SELECT w, n,
+      |          CAST(round(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w9
+      |        FROM (SELECT u AS w, v AS n FROM e
+      |              UNION ALL SELECT v, u FROM e) a
+      |        JOIN deg ON deg.x = a.w
+      |        WHERE d >= 2 AND d <= 10000),
+      |sc AS (SELECT s1.n AS u, s2.n AS v,
+      |         CAST(sum(s1.w9) AS BIGINT) AS score9
+      |       FROM adj s1 JOIN adj s2 ON s1.w = s2.w AND s1.n < s2.n
+      |       GROUP BY 1, 2),
+      |nonedge AS (SELECT sc.* FROM sc
+      |            ANTI JOIN e ON e.u = sc.u AND e.v = sc.v),
+      |top AS (SELECT *, CAST(row_number() OVER
+      |          (ORDER BY score9 DESC, u, v) AS BIGINT) AS rank
+      |        FROM nonedge)
+      |SELECT u, v, round(CAST(score9 AS DOUBLE) / 1e9, 6) AS aa_score,
+      |       rank
+      |FROM top WHERE rank <= 20""".stripMargin
+
   /** ε-DP Laplace release of the (event_type × day) histogram — see
     * [[graft.ops.Forget.dpLaplaceHistogram]], ε = 1.
     */
@@ -1647,6 +1689,7 @@ object AnalyticsQueries {
       Some(liLocalClusteringSql)),
     QueryDef("li_degree_assortativity", liAssortativity,
       Some(liAssortativitySql)),
+    QueryDef("li_adamic_adar", liAdamicAdar, Some(liAdamicAdarSql)),
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),

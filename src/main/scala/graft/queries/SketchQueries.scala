@@ -743,7 +743,40 @@ object SketchQueries {
       |  round(max(value) - min(value), 6) AS range_v
       |FROM events GROUP BY 1""".stripMargin
 
+  /** AMS tug-of-war F2 (self-join size on user_id) vs the exact fold:
+    * 16 signed counters price the user-key shuffle skew from O(1)
+    * state. Signs are the pinned md5 parity family, cells additive —
+    * the oracle replays the sketch AND the estimator exactly (group
+    * means have a .25 grain, median-of-4 is (sum−min−max)/2; no
+    * order-dependent float sum). See [[graft.ops.Sketches.amsF2Estimate]].
+    */
+  private def evF2Ams(s: SparkSession, dir: String): DataFrame =
+    Sketches.amsF2Estimate(Tables.events(s, dir), "user_id", r = 16)
+
+  private val evF2AmsSql =
+    """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+      |            WHERE user_id IS NOT NULL),
+      |js AS (SELECT unnest(range(16)) AS j),
+      |cells AS (
+      |  SELECT j, CAST(sum(
+      |      CAST('0x' || substr(md5(j || ':' || key), 1, 8) AS BIGINT)
+      |        % 2 * 2 - 1) AS BIGINT) AS z
+      |  FROM ev CROSS JOIN js GROUP BY 1),
+      |means AS (
+      |  SELECT CAST(j // 4 AS INT) AS g,
+      |         CAST(sum(z * z) AS BIGINT) / 4.0 AS m
+      |  FROM cells GROUP BY 1),
+      |est AS (SELECT (sum(m) - min(m) - max(m)) / 2.0 AS f2_ams
+      |        FROM means),
+      |exact AS (
+      |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact
+      |  FROM (SELECT count(*) AS c FROM ev GROUP BY key))
+      |SELECT f2_exact, round(f2_ams, 6) AS f2_ams,
+      |       round(abs(f2_ams - f2_exact) / f2_exact, 6) AS rel_err
+      |FROM exact CROSS JOIN est""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_f2_ams", evF2Ams, Some(evF2AmsSql)),
     QueryDef("ev_type_stats", evTypeStats, Some(evTypeStatsSql)),
     QueryDef("ev_json_extract", evJsonExtract, Some(evJsonExtractSql)),
     QueryDef("ev_funnel", evFunnel, Some(evFunnelSql)),

@@ -56,6 +56,33 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.localClustering(edges, "a", "b", topK = 2).count() == 2L)
   }
 
+  test("adamicAdar: hand scores on path and square, cap drops hub centers") {
+    import spark.implicits._
+    // path 1-2-3 (dirty: dup + reversed + self edges must canonicalize
+    // away): only non-edge is (1,3), one shared neighbor of degree 2
+    // -> score = round(1e9/ln 2)/1e9 = 1.442695
+    val path = Seq((1L, 2L), (2L, 3L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("a", "b")
+    val p = Graph.adamicAdar(path, "a", "b").collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).toSeq == Seq((1L, 3L, 1.442695, 1L)))
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+    // degree-2 neighbors -> 2*round(1e9/ln 2)/1e9 = 2.88539; equal
+    // scores rank by (u,v)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val sq = Graph.adamicAdar(square, "a", "b").collect()
+    assert(sq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, 3L, 2.88539, 1L), (2L, 4L, 2.88539, 2L)))
+    // a star center above the cap contributes nothing -> no candidates
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.adamicAdar(star, "a", "b",
+      maxCenterDegree = 2L).count() == 0L)
+    // below the cap the three leaf pairs tie at 1/ln 3
+    val leafs = Graph.adamicAdar(star, "a", "b").collect()
+    assert(leafs.length == 3 && leafs.forall(_.getDouble(2) == 0.910239))
+  }
+
   test("labelPropagation: disjoint triangles collapse to two size-3 communities") {
     import spark.implicits._
     // two triangles; by round 3 each settles on its min node label

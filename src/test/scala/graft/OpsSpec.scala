@@ -1406,6 +1406,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Sketches.cmsCells(keyedDf(mults, 5), "k", d, w).count() <= d * w)
   }
 
+  test("AMS F2: single-key degenerate is exact; cells additive and layout-invariant") {
+    import graft.ops.Sketches
+    // one key with multiplicity 7: every Z_j = ±7, every Z² = 49, so
+    // mean-of-4 and median-of-means are all exactly 49 = F2
+    val single = keyedDf(Seq("only" -> 7), 3)
+    val r = Sketches.amsF2Estimate(single, "k").collect().head
+    assert(r.getLong(0) == 49L && r.getDouble(1) == 49.0 &&
+      r.getDouble(2) == 0.0)
+    // additive cells: identical under any layout, and cells of a
+    // union = per-j sum of the parts' cells
+    val a = Seq("x" -> 5, "y" -> 3, "z" -> 2)
+    val b = Seq("x" -> 1, "w" -> 4)
+    def cells(m: Seq[(String, Int)], parts: Int): Map[Int, Long] =
+      Sketches.amsF2Cells(keyedDf(m, parts), "k", 16)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells(a, 1) == cells(a, 6))
+    val merged = cells(a ++ b, 4)
+    val summed = (cells(a, 2).toSeq ++ cells(b, 3).toSeq)
+      .groupBy(_._1).map { case (j, vs) => j -> vs.map(_._2).sum }
+    assert(merged == summed)
+    // estimator sanity on a skewed fixture: exact side is Σc² and the
+    // sketch lands within the r=16 median-of-means error band
+    val skew = Seq("g" -> 40) ++ (0 until 30).map(i => s"t$i" -> 2)
+    val f2 = 40L * 40 + 30L * 4
+    val row = Sketches.amsF2Estimate(keyedDf(skew, 5), "k").collect().head
+    assert(row.getLong(0) == f2)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(2) < 1.0)
+  }
+
   test("KMV summary is layout-invariant; estimate is exact below k and close above") {
     import graft.ops.Sketches
     // 5000 distinct keys, some repeated rows (dups must not perturb the set)
