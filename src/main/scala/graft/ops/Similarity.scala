@@ -1071,4 +1071,74 @@ object Similarity {
             (col("slnr").cast("double") / 1.0e9), 6))
           .otherwise(lit(null).cast("double")).as("id_mle"))
   }
+
+  /** Local Outlier Factor (Breunig et al. 2000) over an embedding
+    * column, on SQUARED L2 distances (monotone in L2, so the kNN sets
+    * are identical; the density ratios differ from the classical
+    * metric-distance LOF by a documented, fixed transform — the
+    * ordering-by-anomaly readout is what the operator is for).
+    * LOF ≈ 1 means the point sits at its neighbors' density; ≫ 1 means
+    * it is isolated relative to its own neighborhood — the curation
+    * signal that catches mislabeled/garbage embeddings a global
+    * z-score on any one coordinate cannot.
+    *
+    * Labeled EXACT all-pairs baseline (like [[intrinsicDimTwoNN]]):
+    * O(n²) pairs through the codegen `vec_l2sq` kernel, a per-point
+    * top-k window, then three domain-keyed joins (k-distance of the
+    * neighbor, lrd of the neighbor). Reachability distances and local
+    * reachability densities are pinned to ×10⁹ / ×10¹⁸-scaled BIGINTs,
+    * so every cross-row sum is an exact integer sum and the final
+    * ranking is total-order deterministic — the whole chain replays
+    * exactly in SQL. Points whose k neighbors are all exact duplicates
+    * (Σ reach = 0) have undefined density: their lrd is null and the
+    * null propagates out of any LOF it touches (count-guarded — never
+    * a silent skip). At corpus scale run it per [[Sampling.hashSample]]
+    * shard or over IVF-cell-local neighborhoods — LOF is a local
+    * quantity, the same subsampling argument as TwoNN.
+    */
+  def lofOutliers(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 5, topK: Int = 20): DataFrame = {
+    require(k >= 1 && topK >= 1, s"need k,topK >= 1; got k=$k topK=$topK")
+    val base = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val a = base.select(col("id").as("id1"), col("v").as("v1"))
+    val b = base.select(col("id").as("id2"), col("v").as("v2"))
+    val l2 = call_function("vec_l2sq", col("v1"), col("v2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(col("l2").asc, col("id2").asc)
+    val knn = graft.data.ScopedCaches.track(
+      a.join(b, col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), l2.as("l2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("id1"), col("id2"),
+          round(col("l2") * lit(1.0e9)).cast("long").as("d9")))
+    val kd = knn.groupBy(col("id1").as("id"))
+      .agg(max(col("d9")).as("kd9"))
+    // lrd(i) = k / Σ_{j∈kNN(i)} max(kdist(j), d(i,j)), ×1e9-pinned
+    val lrd = knn
+      .join(kd.select(col("id").as("id2"), col("kd9")), "id2")
+      .groupBy(col("id1").as("id"))
+      .agg(sum(greatest(col("kd9"), col("d9"))).as("srd9"))
+      .select(col("id"),
+        when(col("srd9") > 0,
+          round(lit(k.toDouble * 1.0e18) / col("srd9").cast("double"))
+            .cast("long")).as("lrd9"))
+    val lof = knn
+      .join(lrd.select(col("id").as("id2"), col("lrd9").as("nl9")), "id2")
+      .groupBy(col("id1"))
+      .agg(sum(col("nl9")).as("snl9"), count(col("nl9")).as("n_nl"))
+      .join(lrd.select(col("id").as("id1"), col("lrd9")), "id1")
+      .select(col("id1").as("id"),
+        when(col("n_nl") === k && col("lrd9").isNotNull,
+          round(col("snl9").cast("double") /
+            (lit(k.toDouble) * col("lrd9").cast("double")), 6))
+          .as("lof"))
+    val top = lof.filter(col("lof").isNotNull)
+      .orderBy(col("lof").desc, col("id")).limit(topK)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lof").desc, col("id"))
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("id"), col("lof"), col("rank"))
+  }
 }

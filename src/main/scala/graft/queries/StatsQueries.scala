@@ -1057,6 +1057,46 @@ object StatsQueries {
       |    (CAST(tot.tot AS DOUBLE) * 1000000.0), 6) AS h_nats
       |FROM h JOIN tot ON tot.g = src""".stripMargin
 
+  /** Top-20 LOF outliers of the embedding cloud (k=5, squared-L2
+    * variant) — the exact all-pairs baseline. See
+    * [[graft.ops.Similarity.lofOutliers]].
+    */
+  private def embLofOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lofOutliers(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5, topK = 20)
+
+  private val embLofOutliersSql =
+    """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |p AS (SELECT id1, id2, list_dot_product(dv, dv) AS l2
+      |      FROM (SELECT a.id AS id1, b.id AS id2,
+      |              [CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)
+      |                for z in list_zip(a.v, b.v)] AS dv
+      |            FROM v a JOIN v b ON a.id <> b.id)),
+      |knn AS (SELECT id1, id2,
+      |          CAST(round(l2 * 1000000000.0) AS BIGINT) AS d9
+      |        FROM (SELECT id1, id2, l2, row_number() OVER
+      |                (PARTITION BY id1 ORDER BY l2, id2) AS rn FROM p)
+      |        WHERE rn <= 5),
+      |kd AS (SELECT id1 AS id, max(d9) AS kd9 FROM knn GROUP BY 1),
+      |lrd AS (SELECT k.id1 AS id,
+      |          CASE WHEN CAST(sum(greatest(kd.kd9, k.d9)) AS BIGINT) > 0
+      |            THEN CAST(round(5e18 /
+      |              CAST(CAST(sum(greatest(kd.kd9, k.d9)) AS BIGINT)
+      |                AS DOUBLE)) AS BIGINT) END AS lrd9
+      |        FROM knn k JOIN kd ON kd.id = k.id2 GROUP BY 1),
+      |ag AS (SELECT k.id1 AS id, CAST(sum(nl.lrd9) AS BIGINT) AS snl9,
+      |         count(nl.lrd9) AS n_nl
+      |       FROM knn k JOIN lrd nl ON nl.id = k.id2 GROUP BY 1),
+      |lf AS (SELECT ag.id,
+      |         CASE WHEN ag.n_nl = 5 AND lrd.lrd9 IS NOT NULL THEN
+      |           round(CAST(ag.snl9 AS DOUBLE) /
+      |             (5.0 * CAST(lrd.lrd9 AS DOUBLE)), 6) END AS lof
+      |       FROM ag JOIN lrd ON lrd.id = ag.id),
+      |top AS (SELECT id, lof, CAST(row_number() OVER
+      |          (ORDER BY lof DESC, id) AS BIGINT) AS rank
+      |        FROM lf WHERE lof IS NOT NULL)
+      |SELECT id, lof, rank FROM top WHERE rank <= 20""".stripMargin
+
   /** TwoNN intrinsic dimension of the embedding cloud — the exact
     * all-pairs baseline. See
     * [[graft.ops.Similarity.intrinsicDimTwoNN]].
@@ -1265,6 +1305,8 @@ object StatsQueries {
       Some(docSourceCrossEntropySql)),
     QueryDef("emb_intrinsic_dim", embIntrinsicDim,
       Some(embIntrinsicDimSql)),
+    QueryDef("emb_lof_outliers", embLofOutliers,
+      Some(embLofOutliersSql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),

@@ -924,6 +924,37 @@ class OpsSpec extends AnyFunSuite {
     assert(d.getLong(0) == 4L && d.getLong(1) == 2L)
   }
 
+  test("lofOutliers: symmetric square is exactly 1.0, outlier tops, dups excluded") {
+    import graft.ops.Similarity
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // unit square, k=2: every corner's 2-NN are the adjacent corners at
+    // d²=1; full symmetry makes every pinned lrd equal -> LOF exactly 1
+    val square = Seq(Row(0L, Seq(0.0f, 0.0f)), Row(1L, Seq(0.0f, 1.0f)),
+      Row(2L, Seq(1.0f, 0.0f)), Row(3L, Seq(1.0f, 1.0f)))
+    val sq = Similarity.lofOutliers(df(square), "id", "v", k = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(sq.toSeq == Seq((0L, 1.0, 1L), (1L, 1.0, 2L),
+      (2L, 1.0, 3L), (3L, 1.0, 4L)))
+    // a far point is the clear top outlier; corners keep LOF = 1 (their
+    // kNN sets and their neighbors' densities are untouched by it)
+    val out = Similarity.lofOutliers(
+      df(square :+ Row(9L, Seq(10.0f, 10.0f))), "id", "v", k = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.head._1 == 9L && out.head._2 > 100.0 && out.head._3 == 1L)
+    assert(out.tail.forall(_._2 == 1.0))
+    // a triple of exact duplicates has zero reachability mass: its lrd
+    // is undefined and the nulls propagate out -> only corners report
+    val dups = Seq(Row(10L, Seq(50.0f, 50.0f)), Row(11L, Seq(50.0f, 50.0f)),
+      Row(12L, Seq(50.0f, 50.0f)))
+    val mixed = Similarity.lofOutliers(df(square ++ dups), "id", "v",
+      k = 2, topK = 10).collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(0L, 1L, 2L, 3L))
+  }
+
   test("damerau_levenshtein is the unrestricted variant, matching DuckDB") {
     import graft.functions.StringKernels
     import org.apache.spark.unsafe.types.UTF8String
