@@ -823,4 +823,70 @@ object TimeSeries {
     ptsC.select(col("w"), col("n_blocks"), col("avg_rs"))
       .crossJoin(broadcast(mom.select(round(slope, 6).as("hurst"))))
   }
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per group:
+    * Q = n(n+2)·Σ_{k=1..h} ρ̂_k²/(n−k) over the group's daily counts —
+    * is there ANY autocorrelation structure left, the one-number
+    * whiteness gate to run before trusting an i.i.d. assumption
+    * (Poisson capacity sizing, naive bootstrap CIs) on an event
+    * stream. Rejects at α=0.05 against the χ²(h) critical value,
+    * pinned as a literal (14.067140 for h=7 — Q is compared, never a
+    * p-value integral).
+    *
+    * Exactness: deviations use the w-scaled integer trick (d_t =
+    * n·x_t − Σx, an exact BIGINT), so each lag's Σ d_t·d_{t+k} and the
+    * denominator Σ d_t² are exact DECIMAL(38,0) sums — the scale
+    * cancels in ρ̂. Each ρ̂_k is pinned to a ×10⁶ integer (one double
+    * divide of two exact integers — identical in any engine), each
+    * Q-term to a ×10⁹ integer, so the cross-lag sum is order-free and
+    * the whole statistic replays exactly in SQL. The only corpus-sized
+    * work is the (group, day) count; everything else runs on the
+    * calendar-sized domain. Constant series (zero variance) → null Q,
+    * not a zero-divide; groups with ≤ h+1 days are excluded (the
+    * statistic needs n−k ≥ 1 at every lag).
+    */
+  def ljungBox(df: DataFrame, tsCol: String, grpCol: String,
+               maxLag: Int = 7, critValue: Double = 14.067140): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val dec = "decimal(38,0)"
+    val daily = df.groupBy(col(grpCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = daily.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .filter(col("n") > maxLag + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("day"))
+    val r = graft.data.ScopedCaches.track(
+      daily.join(st, "g")
+        .select(col("g"), col("n"),
+          row_number().over(w).as("rn"),
+          (col("n") * col("x") - col("s")).as("dev")))
+    val den = r.groupBy("g")
+      .agg(sum((col("dev") * col("dev")).cast(dec)).as("den"))
+    val a = r.select(col("g"), col("rn").as("rn_a"), col("dev").as("dev_a"))
+    val b = r.select(col("g"), col("rn").as("rn_b"), col("dev").as("dev_b"))
+    val rho = a.join(b, Seq("g"))
+      .filter(col("rn_b") - col("rn_a") >= 1 &&
+        col("rn_b") - col("rn_a") <= maxLag)
+      .groupBy(col("g"), (col("rn_b") - col("rn_a")).as("k"))
+      .agg(sum((col("dev_a") * col("dev_b")).cast(dec)).as("num"))
+      .join(den, "g")
+      .select(col("g"), col("k"),
+        when(col("den") > 0,
+          round(lit(1.0e6) * col("num").cast("double") /
+            col("den").cast("double")).cast("long")).as("rho6"))
+    val q = rho
+      .join(st.select(col("g"), col("n")), "g")
+      .select(col("g"), col("n"),
+        round((col("rho6") * col("rho6")).cast("double") /
+          (lit(1.0e3) * (col("n") - col("k")).cast("double")))
+          .cast("long").as("t9"))
+      .groupBy(col("g"), col("n"))
+      .agg(sum(col("t9")).as("s9"), count(col("t9")).as("n_t"))
+    q.select(col("g").as(grpCol), col("n").as("n_days"),
+        when(col("n_t") === maxLag,
+          round((col("n") * (col("n") + 2)).cast("double") *
+            (col("s9").cast("double") / lit(1.0e9)), 6)).as("q_stat"))
+      .withColumn("lb_reject", col("q_stat") > critValue)
+  }
 }

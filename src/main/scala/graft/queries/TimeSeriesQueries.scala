@@ -578,7 +578,55 @@ object TimeSeriesQueries {
       |    AS BIGINT) AS rank
       |FROM s QUALIFY rank <= 20""".stripMargin
 
+  /** Ljung–Box whiteness test on each type's daily counts (h=7,
+    * α=0.05) — which event streams can be treated as i.i.d. and which
+    * carry autocorrelation structure. See
+    * [[graft.ops.TimeSeries.ljungBox]].
+    */
+  private def evLjungBox(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ljungBox(Tables.events(s, dir), "ts", "event_type")
+
+  private val evLjungBoxSql =
+    """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS x
+      |           FROM events GROUP BY 1, 2),
+      |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |       FROM d GROUP BY 1 HAVING count(*) > 8),
+      |r AS (SELECT d.g, st.n,
+      |        row_number() OVER (PARTITION BY d.g ORDER BY day) AS rn,
+      |        st.n * d.x - st.s AS dev
+      |      FROM d JOIN st ON st.g = d.g),
+      |den AS (SELECT g, CAST(sum(CAST(dev AS HUGEINT) * dev) AS HUGEINT)
+      |          AS den
+      |        FROM r GROUP BY 1),
+      |rho AS (SELECT a.g, b.rn - a.rn AS k,
+      |          CASE WHEN den.den > 0 THEN CAST(round(1e6 *
+      |            CAST(sum(CAST(a.dev AS HUGEINT) * b.dev) AS DOUBLE) /
+      |            CAST(den.den AS DOUBLE)) AS BIGINT) END AS rho6
+      |        FROM r a JOIN r b ON a.g = b.g
+      |          AND b.rn - a.rn BETWEEN 1 AND 7
+      |        JOIN den ON den.g = a.g
+      |        GROUP BY a.g, b.rn - a.rn, den.den),
+      |t AS (SELECT rho.g, st.n,
+      |        CASE WHEN rho6 IS NOT NULL THEN
+      |          CAST(round(CAST(rho6 * rho6 AS DOUBLE) /
+      |            (1e3 * CAST(st.n - rho.k AS DOUBLE))) AS BIGINT)
+      |        END AS t9
+      |      FROM rho JOIN st ON st.g = rho.g),
+      |q AS (SELECT g, n, CAST(sum(t9) AS BIGINT) AS s9, count(t9) AS n_t
+      |      FROM t GROUP BY 1, 2),
+      |f AS (SELECT g AS event_type, n AS n_days,
+      |        CASE WHEN n_t = 7 THEN
+      |          round(CAST(n * (n + 2) AS DOUBLE) *
+      |            (CAST(s9 AS DOUBLE) / 1e9), 6) END AS q_stat
+      |      FROM q)
+      |SELECT event_type, n_days, q_stat,
+      |       q_stat > 14.067140 AS lb_reject
+      |FROM f""".stripMargin
+
   def qs: Seq[QueryDef] = Seq(
+    QueryDef("ev_ljung_box", evLjungBox, Some(evLjungBoxSql)),
     QueryDef("ev_periodogram", evPeriodogram, Some(evPeriodogramSql)),
     QueryDef("ev_hurst_rs", evHurst, Some(evHurstSql)),
     QueryDef("ev_burst_surprise", evBurstSurprise,

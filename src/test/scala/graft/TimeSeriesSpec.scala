@@ -243,6 +243,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Set(("P", 2L, 5.0, 2.0, 0.4), ("Q", 2L, 5.0, 50.0, 10.0)))
   }
 
+  test("ljungBox: exact alternation Q = 94.5, constants null, short series drop") {
+    import org.apache.spark.sql.functions.lit
+    // 5,15 alternation over 16 days: dev_t = ±80, rho_k = (-1)^k (16-k)/16
+    // -> every pin lands exactly, s9 = 328_125_000, Q = 288 * 0.328125
+    val alt = Seq.tabulate(16)(t => if (t % 2 == 0) 5 else 15)
+    val got = TimeSeries.ljungBox(
+      seriesDf(alt).withColumn("g", lit("a")), "ts", "g").collect().head
+    assert(got.getString(0) == "a" && got.getLong(1) == 16L)
+    assert(got.getDouble(2) == 94.5 && got.getBoolean(3))
+    // constant series: zero variance -> Q and the verdict are null
+    val const = TimeSeries.ljungBox(
+      seriesDf(Seq.fill(16)(9)).withColumn("g", lit("c")), "ts", "g")
+      .collect().head
+    assert(const.isNullAt(2) && const.isNullAt(3))
+    // n <= maxLag+1 days: statistic undefined at lag 7 -> excluded
+    assert(TimeSeries.ljungBox(
+      seriesDf(Seq(1, 2, 3, 4, 5, 6, 7, 8)).withColumn("g", lit("s")),
+      "ts", "g").count() == 0L)
+  }
+
   test("theilSenTrend: pairwise median shrugs off a planted outlier") {
     // days 1..5 with counts 10,12,14,16,100: 6 of the 10 pairwise
     // slopes are exactly 2, so the median is 2 (OLS would be dragged
