@@ -1141,4 +1141,52 @@ object Similarity {
     top.withColumn("rank", row_number().over(wRank).cast("long"))
       .select(col("id"), col("lof"), col("rank"))
   }
+
+  /** Alignment and uniformity (Wang & Isola, ICML 2020) — the two-axis
+    * quality readout for a contrastive embedding space: alignment =
+    * mean ‖x−y‖² over positive (same-label) pairs (should be small:
+    * same-class points land together), uniformity =
+    * log E[exp(−2‖x−y‖²)] over ALL pairs (should be very negative:
+    * the cloud spreads over the sphere instead of collapsing).
+    * Collapse shows up as great alignment AND terrible uniformity —
+    * neither number alone catches it, which is exactly why the pair is
+    * the standard diagnostic before training on an embedding table.
+    *
+    * Labeled EXACT all-pairs baseline (i<j once per pair) through the
+    * codegen `vec_l2sq` kernel — both statistics in ONE conditional
+    * aggregate over the same pair scan. Each pair's d² and exp(−2d²)
+    * are ×10⁹-pinned BIGINTs, so the cross-pair sums are exact integer
+    * sums in any order; the final ratios/log are fixed-order. (The
+    * exp pin tolerates libm last-ulp drift: ~1e−16 against a 5e−10
+    * rounding boundary — the same exposure the Pettitt p-value
+    * accepts.) At corpus scale run on a [[Sampling.hashSample]]:
+    * both are means over pairs, unbiased under uniform subsampling.
+    */
+  def alignmentUniformity(df: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val base = graft.data.ScopedCaches.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(labelCol).as("lbl")))
+    val a = base.select(col("id").as("id1"), col("v").as("v1"),
+      col("lbl").as("l1"))
+    val b = base.select(col("id").as("id2"), col("v").as("v2"),
+      col("lbl").as("l2"))
+    val d2 = call_function("vec_l2sq", col("v1"), col("v2"))
+    val pairs = a.join(b, col("id1") < col("id2"))
+      .select((col("l1") === col("l2")).as("pos"),
+        round(d2 * lit(1.0e9)).cast("long").as("d9"),
+        round(exp(d2 * lit(-2.0)) * lit(1.0e9)).cast("long").as("e9"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("e9").cast("decimal(38,0)")).as("se9"),
+        sum(when(col("pos"), lit(1L))).as("n_pos"),
+        sum(when(col("pos"), col("d9")).cast("decimal(38,0)")).as("sd9"))
+      .select(col("n_pairs"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("sd9").cast("double") / lit(1.0e9) /
+            col("n_pos").cast("double"), 6)).as("alignment"),
+        when(col("se9") > 0,
+          round(log(col("se9").cast("double") / lit(1.0e9) /
+            col("n_pairs").cast("double")), 6)).as("uniformity"))
+  }
 }

@@ -1097,6 +1097,40 @@ object StatsQueries {
       |        FROM lf WHERE lof IS NOT NULL)
       |SELECT id, lof, rank FROM top WHERE rank <= 20""".stripMargin
 
+  /** Alignment / uniformity of the embedding space against its labels
+    * — the collapse detector. See
+    * [[graft.ops.Similarity.alignmentUniformity]].
+    */
+  private def embAlignUniformity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.alignmentUniformity(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label")
+
+  private val embAlignUniformitySql =
+    """WITH v AS (SELECT vec_id AS id, embedding AS v, label
+      |           FROM embeddings),
+      |p AS (SELECT l1 = l2 AS pos,
+      |        CAST(round(list_dot_product(dv, dv) * 1000000000.0)
+      |          AS BIGINT) AS d9,
+      |        CAST(round(exp(list_dot_product(dv, dv) * -2.0)
+      |          * 1000000000.0) AS BIGINT) AS e9
+      |      FROM (SELECT a.label AS l1, b.label AS l2,
+      |              [CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)
+      |                for z in list_zip(a.v, b.v)] AS dv
+      |            FROM v a JOIN v b ON a.id < b.id)),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |        CAST(sum(e9) AS HUGEINT) AS se9,
+      |        CAST(sum(CASE WHEN pos THEN 1 END) AS BIGINT) AS n_pos,
+      |        CAST(sum(CASE WHEN pos THEN d9 END) AS HUGEINT) AS sd9
+      |      FROM p)
+      |SELECT n_pairs, n_pos,
+      |  CASE WHEN n_pos > 0 THEN
+      |    round(CAST(sd9 AS DOUBLE) / 1000000000.0 /
+      |      CAST(n_pos AS DOUBLE), 6) END AS alignment,
+      |  CASE WHEN se9 > 0 THEN
+      |    round(ln(CAST(se9 AS DOUBLE) / 1000000000.0 /
+      |      CAST(n_pairs AS DOUBLE)), 6) END AS uniformity
+      |FROM g""".stripMargin
+
   /** TwoNN intrinsic dimension of the embedding cloud — the exact
     * all-pairs baseline. See
     * [[graft.ops.Similarity.intrinsicDimTwoNN]].
@@ -1307,6 +1341,8 @@ object StatsQueries {
       Some(embIntrinsicDimSql)),
     QueryDef("emb_lof_outliers", embLofOutliers,
       Some(embLofOutliersSql)),
+    QueryDef("emb_alignment_uniformity", embAlignUniformity,
+      Some(embAlignUniformitySql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),

@@ -924,6 +924,35 @@ class OpsSpec extends AnyFunSuite {
     assert(d.getLong(0) == 4L && d.getLong(1) == 2L)
   }
 
+  test("alignmentUniformity: hand pins on two separated label pairs; collapse is 0/0") {
+    import graft.ops.Similarity
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = false)),
+      StructField("lbl", IntegerType, nullable = false)))
+    // labels A at x=0, B at x=3, each a vertical unit pair: positive
+    // pairs both have d²=1 -> alignment exactly 1.0; cross d² ∈ {9,10}
+    val pts = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Seq(0.0f, 0.0f), 0), Row(1L, Seq(0.0f, 1.0f), 0),
+      Row(2L, Seq(3.0f, 0.0f), 1), Row(3L, Seq(3.0f, 1.0f), 1)), schema)
+    val r = Similarity.alignmentUniformity(pts, "id", "v", "lbl")
+      .collect().head
+    val e9 = (d: Double) => math.round(math.exp(-2.0 * d) * 1e9)
+    val se9 = 2 * e9(1.0) + 2 * e9(9.0) + 2 * e9(10.0)
+    val wantU = BigDecimal(math.log(se9.toDouble / 1e9 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((6L, 2L, 1.0, wantU)))
+    // total collapse: perfect alignment (0) AND zero uniformity (ln 1)
+    // — the pathological corner the two-number readout exists to catch
+    val collapsed = spark.createDataFrame(java.util.Arrays.asList(
+      (0 until 4).map(i => Row(i.toLong, Seq(1.0f, 2.0f), i % 2)): _*),
+      schema)
+    val c = Similarity.alignmentUniformity(collapsed, "id", "v", "lbl")
+      .collect().head
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0)
+  }
+
   test("lofOutliers: symmetric square is exactly 1.0, outlier tops, dups excluded") {
     import graft.ops.Similarity
     val schema = StructType(Seq(
