@@ -530,6 +530,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batch)
   }
 
+  test("AMS F2 cells stream in complete mode and equal the batch sketch exactly") {
+    import spark.implicits._
+    val rng = new Lcg(41)
+    val keys = (0 until 3000).map(_ => s"u${rng.nextInt(400)}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ams").toString
+    spark.createDataset(keys).toDF("key").repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val batch = graft.ops.Sketches.amsF2Cells(
+      spark.read.parquet(tmp), "key", 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // additive cells are an ordinary streaming aggregation: the SAME
+    // operator code runs on the unbounded frame, no custom state op
+    val stream = spark.readStream.schema("key STRING")
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = graft.ops.Sketches.amsF2Cells(stream, "key", 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_ams_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_ams_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == batch && got.size == 16)
+  }
+
   test("late in-gap events lower session_start; rounding matches batch HALF_UP") {
     import spark.implicits._
     def ev(uid: Long, t: String, v: Double) =
