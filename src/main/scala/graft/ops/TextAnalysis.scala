@@ -1185,4 +1185,67 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(topN)
   }
+
+  /** Burrows' Delta (Burrows 2002; Argamon 2008 reformulation) between
+    * groups: z-score each group's relative frequency of the corpus's
+    * top-m words against the across-group mean/sd of that word, then
+    * Delta(s,t) = mean_w |z_s(w) − z_t(w)|. The standard stylometric
+    * register distance — where [[sourceCrossEntropy]] asks "does s's
+    * content predict t", Delta asks "do s and t USE the shared
+    * high-frequency (function) words the same way", which is what
+    * separates style/register mixes from topic mixes when balancing a
+    * corpus.
+    *
+    * Exactness: relative frequencies are ×10⁹-pinned BIGINTs on the
+    * group×top-m grid (absent words pin to 0, not null); per-word
+    * moments are exact integer sums (Σf, Σf² in DECIMAL(38,0)); each
+    * z is one fixed-shape double expression over those integers,
+    * pinned ×10⁶, so the per-pair |z−z| sum is an exact integer sum in
+    * any order. Zero-sd words (every group pins identically) carry no
+    * signal and are excluded; the surviving word count is reported.
+    * Corpus-sized work is ONE (group, word) count — selection of the
+    * top-m, the grid, the moments and the S²×m pair fold all run on
+    * group/vocab-domain tables.
+    */
+  def burrowsDelta(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                   textCol: String, m: Int = 50):
+      org.apache.spark.sql.DataFrame = {
+    require(m >= 2, s"need m >= 2 marker words, got $m")
+    val toks = df.select(col(groupCol).as("g"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    val cnt = graft.data.ScopedCaches.track(
+      toks.groupBy(col("g"), col("w")).agg(count(lit(1)).as("c")))
+    val tot = cnt.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val top = cnt.groupBy(col("w")).agg(sum(col("c")).as("gc"))
+      .orderBy(col("gc").desc, col("w")).limit(m)
+    val f = tot.crossJoin(broadcast(top.select(col("w"))))
+      .join(cnt, Seq("g", "w"), "left")
+      .select(col("g"), col("w"),
+        round(lit(1.0e9) * coalesce(col("c"), lit(0L)).cast("double") /
+          col("tot").cast("double")).cast("long").as("f9"))
+    val mom = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("s"), sum(col("f9")).as("sf"),
+        sum((col("f9") * col("f9")).cast("decimal(38,0)")).as("sf2"))
+    val sD = col("s").cast("double")
+    val vr = (col("sf2").cast("double") -
+      col("sf").cast("double") * col("sf").cast("double") / sD) /
+      (sD - 1.0)
+    val z = f.join(mom, "w")
+      .filter(col("s") > 1)
+      .select(col("g"), col("w"),
+        when(vr > 0.0,
+          round(lit(1.0e6) *
+            (col("f9").cast("double") - col("sf").cast("double") / sD) /
+            sqrt(vr)).cast("long")).as("z6"))
+      .filter(col("z6").isNotNull)
+    val za = z.select(col("g").as("src"), col("w"), col("z6").as("za"))
+    val zb = z.select(col("g").as("tgt"), col("w"), col("z6").as("zb"))
+    za.join(zb, "w")
+      .groupBy(col("src"), col("tgt"))
+      .agg(sum(abs(col("za") - col("zb"))).as("sz"),
+        count(lit(1)).as("n_words"))
+      .select(col("src"), col("tgt"), col("n_words"),
+        round(col("sz").cast("double") /
+          (col("n_words").cast("double") * 1.0e6), 6).as("delta"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Analytics, Embeddings, Stats}
+import graft.ops.{Analytics, Embeddings, Stats, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1033,6 +1033,55 @@ object StatsQueries {
     graft.ops.TextAnalysis.sourceCrossEntropy(
       Tables.documents(s, dir), "source", "text")
 
+  /** Burrows' Delta 20×20 register-distance matrix between sources over
+    * the corpus's top-50 words — see
+    * [[graft.ops.TextAnalysis.burrowsDelta]].
+    */
+  private def docBurrowsDelta(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.burrowsDelta(Tables.documents(s, dir), "source", "text",
+      m = 50)
+
+  private val docBurrowsDeltaSql =
+    """WITH toks AS (SELECT source AS g,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+      |        FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot
+      |        FROM cnt GROUP BY 1),
+      |top AS (SELECT w FROM (SELECT w, sum(c) AS gc FROM cnt GROUP BY 1)
+      |        ORDER BY gc DESC, w LIMIT 50),
+      |f AS (SELECT tot.g, top.w,
+      |        CAST(round(1e9 * CAST(coalesce(c.c, 0) AS DOUBLE) /
+      |          CAST(tot.tot AS DOUBLE)) AS BIGINT) AS f9
+      |      FROM tot CROSS JOIN top
+      |      LEFT JOIN cnt c ON c.g = tot.g AND c.w = top.w),
+      |mom AS (SELECT w, CAST(count(*) AS BIGINT) AS s,
+      |          CAST(sum(f9) AS BIGINT) AS sf,
+      |          CAST(sum(CAST(f9 AS HUGEINT) * f9) AS HUGEINT) AS sf2
+      |        FROM f GROUP BY 1),
+      |z AS (SELECT f.g, f.w,
+      |        CASE WHEN (CAST(sf2 AS DOUBLE) -
+      |            CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE) /
+      |              CAST(s AS DOUBLE)) / (CAST(s AS DOUBLE) - 1.0) > 0
+      |        THEN CAST(round(1e6 *
+      |          (CAST(f9 AS DOUBLE) - CAST(sf AS DOUBLE) /
+      |            CAST(s AS DOUBLE)) /
+      |          sqrt((CAST(sf2 AS DOUBLE) -
+      |            CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE) /
+      |              CAST(s AS DOUBLE)) / (CAST(s AS DOUBLE) - 1.0)))
+      |          AS BIGINT) END AS z6
+      |      FROM f JOIN mom ON mom.w = f.w WHERE mom.s > 1),
+      |zz AS (SELECT * FROM z WHERE z6 IS NOT NULL),
+      |d AS (SELECT a.g AS src, b.g AS tgt,
+      |        CAST(sum(abs(a.z6 - b.z6)) AS BIGINT) AS sz,
+      |        CAST(count(*) AS BIGINT) AS n_words
+      |      FROM zz a JOIN zz b ON a.w = b.w GROUP BY 1, 2)
+      |SELECT src, tgt, n_words,
+      |       round(CAST(sz AS DOUBLE) /
+      |         (CAST(n_words AS DOUBLE) * 1e6), 6) AS delta
+      |FROM d""".stripMargin
+
   private val docSourceCrossEntropySql =
     """WITH toks AS (SELECT source AS g,
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -1335,6 +1384,8 @@ object StatsQueries {
     QueryDef("emb_mmd_split", embMmdSplit, Some(embMmdSplitSql)),
     QueryDef("doc_simpson_diversity", docSimpsonDiversity,
       Some(docSimpsonDiversitySql)),
+    QueryDef("doc_burrows_delta", docBurrowsDelta,
+      Some(docBurrowsDeltaSql)),
     QueryDef("doc_source_cross_entropy", docSourceCrossEntropy,
       Some(docSourceCrossEntropySql)),
     QueryDef("emb_intrinsic_dim", embIntrinsicDim,

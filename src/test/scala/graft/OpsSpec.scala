@@ -900,6 +900,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "B"))._2 < got(("B", "A"))._2)
   }
 
+  test("burrowsDelta: hand z-scores on a 3-source fixture; flat words drop") {
+    val schema = StructType(Seq(StructField("doc_id", LongType,
+      nullable = false), StructField("source", StringType),
+      StructField("text", StringType)))
+    // vocab {x,y}, 4 tokens per source; pinned freqs of x are
+    // .75/.25/.5 -> z = +1/-1/0 exactly (sd = 2.5e8 on the 1e9 pins),
+    // y is complementary -> Delta(A,B) = 2, Delta(A,C) = 1, diag 0
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "A", "x x x y"), Row(2L, "B", "x y y y"),
+      Row(3L, "C", "x x y y")), schema)
+    val got = TextAnalysis.burrowsDelta(df, "source", "text", m = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("A", "B")) == ((2L, 2.0)) && got(("B", "A")) == ((2L, 2.0)))
+    assert(got(("A", "C")) == ((2L, 1.0)) && got(("B", "C")) == ((2L, 1.0)))
+    assert(got(("A", "A")) == ((2L, 0.0)) && got(("C", "C")) == ((2L, 0.0)))
+    // a word used identically everywhere has zero variance: it must
+    // drop from the marker set, not zero-divide (here "the")
+    val flat = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "A", "the x"), Row(2L, "B", "the y")), schema)
+    val f = TextAnalysis.burrowsDelta(flat, "source", "text", m = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // only x,y survive; with 2 groups every surviving word gives
+    // |z_a - z_b| = 2*round(1e6/sqrt 2)/1e6
+    assert(f(("A", "B")) == ((2L, 1.414214)))
+  }
+
   test("intrinsicDimTwoNN: collinear points give the hand TwoNN estimate") {
     import graft.ops.Similarity
     // 1-D cloud embedded in 2-D: 0, 1, 3 -> mu ratios 3, 2, 1.5
