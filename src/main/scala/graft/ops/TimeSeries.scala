@@ -845,6 +845,82 @@ object TimeSeries {
     * not a zero-divide; groups with ≤ h+1 days are excluded (the
     * statistic needs n−k ≥ 1 at every lag).
     */
+  /** Granger-causality screen (Granger 1969) between two event types'
+    * daily series, both directions, in the likelihood-ratio form:
+    * does adding x_{t−1} to an AR(1) model of y_t reduce the residual
+    * sum of squares more than chance — LR = m·ln(RSS_r/RSS_u),
+    * asymptotically χ²(1), rejected against the pinned 3.841459
+    * critical value. The step after [[crossCorrDaily]] says the series
+    * co-move: does the lead PREDICT, incrementally over y's own
+    * history. (Predictive precedence, not causation — the standard
+    * caveat.)
+    *
+    * Both OLS fits are closed-form over ten moment sums of the lagged
+    * daily series — exact BIGINT/DECIMAL(38,0) integers, since daily
+    * counts are integers. The restricted fit uses the simple-regression
+    * identities; the unrestricted 3×3 solve uses Cramer determinants in
+    * doubles (their 3-moment products overflow DECIMAL(38,0); doubles
+    * computed from identical exact integers are identical in any
+    * engine, same argument as every ×10⁹ pin). Corpus-sized work is
+    * ONE filtered (day) aggregate; every fit runs on calendar-domain
+    * moments. Degenerate fits (collinear regressors, zero residual)
+    * yield null, never a divide error.
+    */
+  def grangerLr(df: DataFrame, tsCol: String, typeCol: String,
+                typeA: String, typeB: String,
+                critValue: Double = 3.841459): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df.filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("b"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    // consecutive-rn lag pairs (autocorrDaily's total order); the
+    // window is over the calendar-sized daily table only
+    val rn = daily.select(row_number().over(wd).as("rn"),
+      col("a"), col("b"))
+    val cur = rn.select(col("rn"), col("a"), col("b"))
+    val prev = rn.select((col("rn") + 1).as("rn"),
+      col("a").as("ap"), col("b").as("bp"))
+    val lagged = graft.data.ScopedCaches.track(cur.join(prev, "rn"))
+    def fit(xp: String, yp: String, y: String, label: String) = {
+      val mom = lagged.agg(
+        count(lit(1)).as("m"),
+        sum(col(yp)).as("s1"), sum(col(xp)).as("s2"),
+        sum(col(y)).as("sy"),
+        sum((col(yp) * col(yp)).cast(dec)).as("s11"),
+        sum((col(xp) * col(xp)).cast(dec)).as("s22"),
+        sum((col(yp) * col(xp)).cast(dec)).as("s12"),
+        sum((col(yp) * col(y)).cast(dec)).as("s1y"),
+        sum((col(xp) * col(y)).cast(dec)).as("s2y"),
+        sum((col(y) * col(y)).cast(dec)).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      val m = d("m"); val s1 = d("s1"); val s2 = d("s2"); val sy = d("sy")
+      val s11 = d("s11"); val s22 = d("s22"); val s12 = d("s12")
+      val s1y = d("s1y"); val s2y = d("s2y"); val syy = d("syy")
+      val denR = m * s11 - s1 * s1
+      val bR = (m * s1y - s1 * sy) / denR
+      val aR = (sy - bR * s1) / m
+      val rssR = syy - aR * sy - bR * s1y
+      val det = m * (s11 * s22 - s12 * s12) -
+        s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val det0 = sy * (s11 * s22 - s12 * s12) -
+        s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+      val det1 = m * (s1y * s22 - s12 * s2y) -
+        sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+      val det2 = m * (s11 * s2y - s1y * s12) -
+        s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+      val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+      val rssU = syy - b0 * sy - b1 * s1y - b2 * s2y
+      mom.select(lit(label).as("direction"), col("m").as("n_obs"),
+        when(col("m") > 3 && denR =!= 0.0 && det =!= 0.0 && rssU > 0.0,
+          round(m * log(rssR / rssU), 6)).as("lr_stat"))
+    }
+    fit("ap", "bp", "b", s"$typeA->$typeB")
+      .unionAll(fit("bp", "ap", "a", s"$typeB->$typeA"))
+      .withColumn("reject", col("lr_stat") > critValue)
+  }
+
   def ljungBox(df: DataFrame, tsCol: String, grpCol: String,
                maxLag: Int = 7, critValue: Double = 14.067140): DataFrame = {
     require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")

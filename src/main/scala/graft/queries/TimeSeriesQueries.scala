@@ -578,6 +578,87 @@ object TimeSeriesQueries {
       |    AS BIGINT) AS rank
       |FROM s QUALIFY rank <= 20""".stripMargin
 
+  /** Granger LR screen between daily click and purchase volumes, both
+    * directions — does the lead PREDICT, incrementally over the
+    * target's own AR(1) history. See
+    * [[graft.ops.TimeSeries.grangerLr]].
+    */
+  private def evGranger(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.grangerLr(Tables.events(s, dir), "ts", "event_type",
+      "click", "purchase")
+
+  private val evGrangerSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |r AS (SELECT row_number() OVER (ORDER BY day) AS rn, a, b FROM d),
+      |l AS (SELECT c.a, c.b, p.a AS ap, p.b AS bp
+      |      FROM r c JOIN r p ON p.rn + 1 = c.rn),
+      |mom AS (
+      |  SELECT 'click->purchase' AS direction,
+      |    CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(bp) AS BIGINT) AS s1, CAST(sum(ap) AS BIGINT) AS s2,
+      |    CAST(sum(b) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(bp AS HUGEINT) * bp) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(ap AS HUGEINT) * ap) AS HUGEINT) AS s22,
+      |    CAST(sum(CAST(bp AS HUGEINT) * ap) AS HUGEINT) AS s12,
+      |    CAST(sum(CAST(bp AS HUGEINT) * b) AS HUGEINT) AS s1y,
+      |    CAST(sum(CAST(ap AS HUGEINT) * b) AS HUGEINT) AS s2y,
+      |    CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS syy
+      |  FROM l
+      |  UNION ALL
+      |  SELECT 'purchase->click',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(ap) AS BIGINT), CAST(sum(bp) AS BIGINT),
+      |    CAST(sum(a) AS BIGINT),
+      |    CAST(sum(CAST(ap AS HUGEINT) * ap) AS HUGEINT),
+      |    CAST(sum(CAST(bp AS HUGEINT) * bp) AS HUGEINT),
+      |    CAST(sum(CAST(ap AS HUGEINT) * bp) AS HUGEINT),
+      |    CAST(sum(CAST(ap AS HUGEINT) * a) AS HUGEINT),
+      |    CAST(sum(CAST(bp AS HUGEINT) * a) AS HUGEINT),
+      |    CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT)
+      |  FROM l),
+      |f1 AS (SELECT direction, m, CAST(m AS DOUBLE) AS md,
+      |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(s11 AS DOUBLE) AS s11d,
+      |    CAST(s22 AS DOUBLE) AS s22d, CAST(s12 AS DOUBLE) AS s12d,
+      |    CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+      |    CAST(syy AS DOUBLE) AS syyd
+      |  FROM mom),
+      |f2 AS (SELECT *,
+      |    md * s11d - s1d * s1d AS denr,
+      |    md * (s11d * s22d - s12d * s12d) -
+      |      s1d * (s1d * s22d - s12d * s2d) +
+      |      s2d * (s1d * s12d - s11d * s2d) AS det,
+      |    syd * (s11d * s22d - s12d * s12d) -
+      |      s1d * (s1yd * s22d - s12d * s2yd) +
+      |      s2d * (s1yd * s12d - s11d * s2yd) AS det0,
+      |    md * (s1yd * s22d - s12d * s2yd) -
+      |      syd * (s1d * s22d - s12d * s2d) +
+      |      s2d * (s1d * s2yd - s1yd * s2d) AS det1,
+      |    md * (s11d * s2yd - s1yd * s12d) -
+      |      s1d * (s1d * s2yd - s1yd * s2d) +
+      |      syd * (s1d * s12d - s11d * s2d) AS det2
+      |  FROM f1),
+      |f3 AS (SELECT *, (md * s1yd - s1d * syd) / denr AS br,
+      |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+      |  FROM f2),
+      |f4 AS (SELECT *, (syd - br * s1d) / md AS ar FROM f3),
+      |f5 AS (SELECT direction, m, md, denr, det,
+      |    syyd - ar * syd - br * s1yd AS rssr,
+      |    syyd - b0 * syd - b1 * s1yd - b2 * s2yd AS rssu
+      |  FROM f4),
+      |f6 AS (SELECT direction, m AS n_obs,
+      |    CASE WHEN m > 3 AND denr <> 0 AND det <> 0 AND rssu > 0
+      |      THEN round(md * ln(rssr / rssu), 6) END AS lr_stat
+      |  FROM f5)
+      |SELECT direction, n_obs, lr_stat, lr_stat > 3.841459 AS reject
+      |FROM f6""".stripMargin
+
   /** Ljung–Box whiteness test on each type's daily counts (h=7,
     * α=0.05) — which event streams can be treated as i.i.d. and which
     * carry autocorrelation structure. See
@@ -627,6 +708,7 @@ object TimeSeriesQueries {
 
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_ljung_box", evLjungBox, Some(evLjungBoxSql)),
+    QueryDef("ev_granger_leadlag", evGranger, Some(evGrangerSql)),
     QueryDef("ev_periodogram", evPeriodogram, Some(evPeriodogramSql)),
     QueryDef("ev_hurst_rs", evHurst, Some(evHurstSql)),
     QueryDef("ev_burst_surprise", evBurstSurprise,

@@ -243,6 +243,71 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Set(("P", 2L, 5.0, 2.0, 0.4), ("Q", 2L, 5.0, 50.0, 10.0)))
   }
 
+  test("grangerLr: planted x->y lead matches an independent OLS reference") {
+    import org.apache.spark.sql.functions.col
+    // y_t = x_{t-1} + parity wiggle: x Granger-predicts y, not vice versa
+    val xs = Seq(3, 7, 4, 9, 2, 8, 5, 10, 1, 6, 9, 4)
+    val ys = 5 +: xs.init.zipWithIndex.map { case (x, i) => x + (i % 2) }
+    val rows = xs.zip(ys).zipWithIndex.flatMap { case ((a, b), i) =>
+      val day = f"2024-02-${i + 1}%02d 12:00:00"
+      Seq.fill(a)(("click", day)) ++ Seq.fill(b)(("purchase", day))
+    }
+    import spark.implicits._
+    val ev = rows.toDF("event_type", "d")
+      .select(col("event_type"), col("d").cast("timestamp").as("ts"))
+    val got = TimeSeries.grangerLr(ev, "ts", "event_type",
+      "click", "purchase").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    // independent reference: OLS by Gaussian elimination on the lagged
+    // series, LR = m ln(RSS_r/RSS_u)
+    def ref(xp: Seq[Int], yp: Seq[Int], y: Seq[Int]): Double = {
+      val m = y.size.toDouble
+      def solve(a: Array[Array[Double]], c: Array[Double]): Array[Double] = {
+        val n = c.length
+        for (i <- 0 until n) {
+          val p = (i until n).maxBy(r => math.abs(a(r)(i)))
+          val t = a(i); a(i) = a(p); a(p) = t
+          val tc = c(i); c(i) = c(p); c(p) = tc
+          for (r <- i + 1 until n) {
+            val f = a(r)(i) / a(i)(i)
+            for (k <- i until n) a(r)(k) -= f * a(i)(k)
+            c(r) -= f * c(i)
+          }
+        }
+        val b = new Array[Double](n)
+        for (i <- n - 1 to 0 by -1)
+          b(i) = (c(i) - (i + 1 until n).map(k => a(i)(k) * b(k)).sum) /
+            a(i)(i)
+        b
+      }
+      def rss(cols: Seq[Seq[Double]]): Double = {
+        val k = cols.size
+        val a = Array.tabulate(k, k)((i, j) =>
+          cols(i).zip(cols(j)).map { case (p, q) => p * q }.sum)
+        val c = Array.tabulate(k)(i =>
+          cols(i).zip(y).map { case (p, q) => p * q }.sum)
+        val b = solve(a.map(_.clone), c.clone)
+        y.indices.map { t =>
+          val e = y(t) - cols.indices.map(i => b(i) * cols(i)(t)).sum
+          e * e
+        }.sum
+      }
+      val ones = Seq.fill(y.size)(1.0)
+      val rssR = rss(Seq(ones, yp.map(_.toDouble)))
+      val rssU = rss(Seq(ones, yp.map(_.toDouble), xp.map(_.toDouble)))
+      BigDecimal(m * math.log(rssR / rssU))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val fwd = ref(xs.init, ys.init, ys.tail)
+    val rev = ref(ys.init, xs.init, xs.tail)
+    val (nF, lrF, rejF) = got("click->purchase")
+    val (nR, lrR, _) = got("purchase->click")
+    assert(nF == 11L && nR == 11L)
+    assert(math.abs(lrF - fwd) < 2e-6 && math.abs(lrR - rev) < 2e-6)
+    assert(rejF && lrF > lrR, s"planted lead must dominate: $lrF vs $lrR")
+  }
+
   test("ljungBox: exact alternation Q = 94.5, constants null, short series drop") {
     import org.apache.spark.sql.functions.lit
     // 5,15 alternation over 16 days: dev_t = ±80, rho_k = (-1)^k (16-k)/16
