@@ -1096,6 +1096,60 @@ object AnalyticsQueries {
       |    AS assortativity
       |FROM st CROSS JOIN mom""".stripMargin
 
+  /** Modularity Q of the 3-round label-prop partition of the
+    * co-purchase graph — is the community structure real or noise.
+    * See [[graft.ops.Graph.modularity]].
+    */
+  private def liModularity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    Graph.modularity(pairs, "pa", "pb", rounds = 3)
+  }
+
+  private val liModularitySql = {
+    val rounds = (1 to 3).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM (SELECT u.n AS node, l.lbl,
+         |          CAST(count(*) AS BIGINT) AS c
+         |        FROM u JOIN l${r - 1} l ON l.node = u.m
+         |        GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |u AS (SELECT a AS n, b AS m FROM e
+       |      UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM u),
+       |$rounds,
+       |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+       |        FROM u GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |dc AS (SELECT l.lbl, CAST(sum(deg.d) AS BIGINT) AS d_c
+       |       FROM l3 l JOIN deg ON deg.node = l.node GROUP BY 1),
+       |ec AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_c
+       |       FROM e JOIN l3 la ON la.node = e.a
+       |              JOIN l3 lb ON lb.node = e.b
+       |       WHERE la.lbl = lb.lbl GROUP BY 1),
+       |t AS (SELECT CAST(4 * mm.m * coalesce(ec.e_c, 0) -
+       |               dc.d_c * dc.d_c AS HUGEINT) AS t
+       |      FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl CROSS JOIN mm),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |          CAST(sum(t) AS HUGEINT) AS num FROM t)
+       |SELECT n_communities, mm.m AS n_edges,
+       |  CASE WHEN mm.m > 0 THEN
+       |    round(CAST(num AS DOUBLE) /
+       |      (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)), 6) END
+       |    AS modularity
+       |FROM agg CROSS JOIN mm""".stripMargin
+  }
+
   /** Top-20 Adamic–Adar predicted links over the co-purchase graph —
     * the part pairs most likely to be bought together NEXT, scored by
     * shared rare co-purchase neighbors. See
@@ -1690,6 +1744,8 @@ object AnalyticsQueries {
     QueryDef("li_degree_assortativity", liAssortativity,
       Some(liAssortativitySql)),
     QueryDef("li_adamic_adar", liAdamicAdar, Some(liAdamicAdarSql)),
+    QueryDef("li_community_modularity", liModularity,
+      Some(liModularitySql)),
     QueryDef("gov_dp_histogram", govDpHistogram, Some(govDpHistogramSql)),
     QueryDef("li_item_item_cf", liItemItemCf, Some(liItemItemCfSql)),
     QueryDef("li_kcore_profile", liKcoreProfile, Some(liKcoreProfileSql)),

@@ -102,6 +102,20 @@ class GraphSpec extends AnyFunSuite {
     assert(g2 == Set((1L, 2L)))
   }
 
+  test("modularity: two triangles give exactly 0.5, one community gives 0") {
+    import spark.implicits._
+    // label prop finds the two triangles; per community e_c=3, d_c=6,
+    // m=6 -> Q = 2 * (3/6 - (6/12)^2) = 0.5 exactly
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val r = Graph.modularity(twoTri, "a", "b", rounds = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 6L, 0.5)))
+    // everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    val oneTri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val s = Graph.modularity(oneTri, "a", "b", rounds = 3).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2)) == ((1L, 3L, 0.0)))
+  }
+
   test("pagerank matches the dense reference on an asymmetric graph") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0),
