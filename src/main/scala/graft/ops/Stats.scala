@@ -672,6 +672,50 @@ object Stats {
     * (the flag compares the ROUNDED D to the rounded critical value,
     * so both engines flip together).
     */
+  /** Earth-mover (Wasserstein-1) drift between the baseline and
+    * comparison distributions of a value column:
+    * W1 = ∫|F₁(v) − F₂(v)|dv over the merged 6dp support — the
+    * magnitude-aware companion to [[ksDrift]] (KS says the CDFs
+    * differ; W1 says how much probability mass moved how FAR, in the
+    * value's own units — a whole-distribution 1-cent shift and a
+    * 10-dollar shift have the same KS but a 1000× different W1).
+    *
+    * Same support-table shape as [[ksDrift]]: one (value, side) count,
+    * cumulative sums over the support, then each support gap's
+    * |ΔCDF|·dv term is ×10⁹-pinned to a BIGINT (counts are exact
+    * integers, the 6dp support values identical doubles in any
+    * engine), so the cross-gap sum is order-free and the statistic
+    * replays exactly in SQL. The support-sized window is the accepted
+    * cost shape of the drift family; at 100 TB pre-bin the value
+    * (the [[graft.ops.Sketches.histCells]] grid) and run the same
+    * fold on bin edges.
+    */
+  def emdDrift(df: DataFrame, valueCol: Column,
+               isBaseline: Column): DataFrame = {
+    val h = df.groupBy(round(valueCol, 6).as("v"))
+      .agg(coalesce(sum(when(isBaseline, 1L).otherwise(0L)), lit(0L))
+          .as("c1"),
+        coalesce(sum(when(!isBaseline, 1L).otherwise(0L)), lit(0L))
+          .as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val terms = h
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .withColumn("dv", lead(col("v"), 1).over(wl) - col("v"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        round(abs(col("f1").cast("double") / col("n1") -
+          col("f2").cast("double") / col("n2")) * col("dv") * lit(1.0e9))
+          .cast("long").as("t9"))
+    terms.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("t9")).as("s9"))
+      .select(col("n1"), col("n2"),
+        round(col("s9").cast("double") / lit(1.0e9), 6).as("emd"))
+  }
+
   def ksDrift(df: DataFrame, valueCol: Column,
               isBaseline: Column): DataFrame = {
     val h = df.groupBy(round(valueCol, 6).as("v"))

@@ -562,6 +562,35 @@ object StatsQueries {
   /** Two-sample KS drift of the event `value` distribution across the
     * same pre/post pivot as PSI — see [[graft.ops.Stats.ksDrift]].
     */
+  /** Earth-mover drift of `value` across the same pre/post pivot as
+    * PSI and KS — mass moved × distance moved, in value units. See
+    * [[graft.ops.Stats.emdDrift]].
+    */
+  private def evEmdDrift(s: SparkSession, dir: String): DataFrame =
+    Stats.emdDrift(Tables.events(s, dir), col("value"),
+      col("ts") < lit("2024-01-15").cast("timestamp"))
+
+  private val evEmdDriftSql =
+    """WITH h AS (SELECT round(value, 6) AS v,
+      |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+      |         CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP
+      |           '2024-01-15') THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2
+      |       FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      |g AS (SELECT n1, n2,
+      |        CAST(round(abs(CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE)
+      |            / n1 -
+      |          CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) / n2) *
+      |          (lead(v) OVER (ORDER BY v) - v) * 1000000000.0)
+      |          AS BIGINT) AS t9
+      |      FROM h CROSS JOIN t),
+      |m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+      |        CAST(sum(t9) AS BIGINT) AS s9 FROM g)
+      |SELECT n1, n2, round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS emd
+      |FROM m""".stripMargin
+
   private def evKsDrift(s: SparkSession, dir: String): DataFrame =
     Stats.ksDrift(Tables.events(s, dir), col("value"),
       col("ts") < lit("2024-01-15").cast("timestamp"))
@@ -1404,6 +1433,7 @@ object StatsQueries {
     QueryDef("ev_uplift_daypart", evUpliftDaypart,
       Some(evUpliftDaypartSql)),
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
+    QueryDef("ev_emd_value_drift", evEmdDrift, Some(evEmdDriftSql)),
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),

@@ -31,6 +31,27 @@ class StatsSpec extends AnyFunSuite {
         .toDouble)
   }
 
+  test("emdDrift: point-mass collapse costs 0.5, unit shift costs exactly 1") {
+    // A uniform on {0,1}, B a point mass at 0.5: optimal transport
+    // moves each half of A's mass 0.5 -> W1 = 0.5 exactly
+    val df = Seq((0.0, true), (0.0, true), (1.0, true), (1.0, true),
+      (0.5, false), (0.5, false), (0.5, false), (0.5, false))
+      .toDF("v", "isb")
+    val r = Stats.emdDrift(df, col("v"), col("isb")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 4L, 0.5)))
+    // whole distribution shifted by +1: W1 = 1 (KS would read the same
+    // 1/3 gap for a +1 and a +100 shift; W1 scales with the distance)
+    val shift = Seq(0.0, 1.0, 2.0).map((_, true)) ++
+      Seq(1.0, 2.0, 3.0).map((_, false))
+    val s = Stats.emdDrift(shift.toDF("v", "isb"), col("v"), col("isb"))
+      .collect().head
+    assert(s.getDouble(2) == 1.0)
+    // identical populations: zero mass moves
+    val same = Seq(1.0, 2.0, 5.0).flatMap(v => Seq((v, true), (v, false)))
+    assert(Stats.emdDrift(same.toDF("v", "isb"), col("v"), col("isb"))
+      .collect().head.getDouble(2) == 0.0)
+  }
+
   test("psiDrift: identical populations score ~0 with all bands hit") {
     val df = (1 to 100).flatMap(i =>
       Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "isb")
