@@ -1127,6 +1127,38 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Recall@5 of the pinned IVF path against the exact brute-force
+    * top-5, per query — the accuracy-vs-cost audit number every ANN
+    * deployment is sized by, here fully hash-gated because BOTH sides
+    * are deterministic replays (the production KMeans path gets the
+    * same audit as an OpsSpec recall gate; this registry row keeps the
+    * number under the driver's oracle, not just the test suite).
+    */
+  private def annRecallPinned(s: SparkSession, dir: String): DataFrame = {
+    val brute = annBrute(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = annIvfPinned(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(5.0), 6).as("recall_at5"))
+  }
+
+  private val annRecallPinnedSql =
+    s"""WITH brute AS ($annBruteSql),
+       |ivf AS ($annIvfPinnedSql),
+       |h AS (SELECT b.query_id,
+       |        CAST(count(iv.neighbor_id) AS BIGINT) AS n_hits
+       |      FROM brute b LEFT JOIN ivf iv
+       |        ON iv.query_id = b.query_id
+       |       AND iv.neighbor_id = b.neighbor_id
+       |      GROUP BY 1)
+       |SELECT query_id, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / 5.0, 6) AS recall_at5
+       |FROM h""".stripMargin
+
   /** Hash-gated twin of [[annIvfSameLabel]]: the metadata-filtered IVF
     * search with pinned centroids, so the label-constrained probed-cell
     * scan replays exactly (constraint enforced INSIDE the scan, before
@@ -3979,6 +4011,8 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_ivf_pinned", annIvfPinned, Some(annIvfPinnedSql)),
+    QueryDef("sim_ann_recall_pinned", annRecallPinned,
+      Some(annRecallPinnedSql)),
     QueryDef("sim_ann_topk_ivf_filtered_pinned", annIvfFilteredPinned,
       Some(annIvfFilteredPinnedSql)),
     QueryDef("sim_ann_topk_pq", annPq, None),
