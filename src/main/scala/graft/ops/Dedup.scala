@@ -877,17 +877,24 @@ object Dedup {
     require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
     val dict = df.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("support"))
-    val ranked = dict.withColumn("__rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("name"))))
+    val ranked = graft.data.ScopedCaches.track(
+      dict.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("name")))))
     val r1 = ranked.toDF("name1", "support1", "rn1")
     val r2 = ranked.toDF("name2", "support2", "rn2")
-    r1.join(r2, col("rn2") > col("rn1") &&
-        col("rn2") <= col("rn1") + (window - 1))
+    // each entry probes its window-1 successors by EXACT rank — an
+    // exploded-offset equi-join, hash/merge-joinable and linear in
+    // |dict|×window. (The equivalent rn1 < rn2 <= rn1+w-1 range
+    // predicate is a non-equi join Spark can only nested-loop:
+    // measured 577 s vs ~1 s on a 15k-name dictionary.)
+    val probes = r1.select(col("name1"), col("support1"), col("rn1"),
+        explode(array((1 until window).map(lit): _*)).as("rank_gap"))
+      .withColumn("rn2", col("rn1") + col("rank_gap"))
+    probes.join(r2, "rn2")
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= maxDist)
       .select(col("name1"), col("name2"), col("support1"),
-        col("support2"), (col("rn2") - col("rn1")).as("rank_gap"),
-        col("dist"))
+        col("support2"), col("rank_gap"), col("dist"))
   }
 
   def fuzzyBlockedPairs(df: DataFrame, nameCol: String,
