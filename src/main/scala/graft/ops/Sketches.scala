@@ -469,6 +469,55 @@ object Sketches {
             col("cnt")), 6).as("hist_est"))
   }
 
+  /** Pairwise Jaccard similarity matrix between groups' key SETS from
+    * per-group KMV sketches (Beyer et al., SIGMOD 2007 §5): for each
+    * group keep the k smallest pinned 32-bit hashes of its distinct
+    * keys; for a pair, J ≈ |{k smallest of the union} ∩ A ∩ B| / k.
+    * Because the union's k smallest hashes are necessarily inside each
+    * side's own k smallest, the estimator needs ONLY the two sketches
+    * — which source corpora overlap, from k values of state per
+    * source, no cross-corpus join ever.
+    *
+    * Fully deterministic (the sketch is a set of pinned md5 hashes;
+    * ranking and membership are integer ops), so the whole matrix
+    * replays exactly in SQL. Corpus-sized work is ONE distinct
+    * (group, key) pass; the pair fold runs on groups² × k rows.
+    * Small unions (< k distinct hashes) divide by the union size —
+    * there the estimator is exact.
+    */
+  def kmvJaccardByGroup(df: DataFrame, grpCol: String, keyCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val wg = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sk = graft.data.ScopedCaches.track(
+      df.filter(col(keyCol).isNotNull)
+        .select(col(grpCol).as("g"), h.as("h")).distinct()
+        .withColumn("__rn", row_number().over(wg))
+        .filter(col("__rn") <= k)
+        .select(col("g"), col("h")))
+    val gs = sk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .join(gs.select(col("g").as("gb")), col("ga") < col("gb"))
+    val tagged = pairs.join(sk.select(col("g").as("ga"), col("h"),
+        lit(1).as("in_a")), Seq("ga"))
+      .unionByName(pairs.join(sk.select(col("g").as("gb"), col("h"),
+        lit(1).as("in_b")), Seq("gb")), allowMissingColumns = true)
+    val merged = tagged.groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(coalesce(col("in_a"), lit(0))).as("a"),
+        max(coalesce(col("in_b"), lit(0))).as("b"))
+    val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    merged.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k)
+      .groupBy(col("ga").as("src"), col("gb").as("tgt"))
+      .agg(count(lit(1)).as("union_used"),
+        sum(col("a") * col("b")).as("hits"))
+      .select(col("src"), col("tgt"), col("union_used"), col("hits"),
+        round(col("hits").cast("double") /
+          col("union_used").cast("double"), 6).as("jaccard_kmv"))
+  }
+
   /** AMS/tug-of-war second-moment sketch (Alon, Matias & Szegedy 1996):
     * r independent counters Z_j = Σ_key f_key·s_j(key) with a ±1 sign
     * hash per row; each Z_j² is an unbiased estimate of

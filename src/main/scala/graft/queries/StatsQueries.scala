@@ -1062,6 +1062,52 @@ object StatsQueries {
     graft.ops.TextAnalysis.sourceCrossEntropy(
       Tables.documents(s, dir), "source", "text")
 
+  /** Which sources share CONTENT: pairwise shingle-set Jaccard between
+    * sources, estimated from 128-value KMV sketches — see
+    * [[graft.ops.Sketches.kmvJaccardByGroup]].
+    */
+  private def docSourceOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), lower(trim(col("text"))).as("t"))
+      .select(col("source"), col("t"),
+        explode(sequence(lit(1),
+          greatest(length(col("t")) - 7, lit(1)))).as("i"))
+      .select(col("source"), col("t").substr(col("i"), lit(8)).as("s"))
+    graft.ops.Sketches.kmvJaccardByGroup(sh, "source", "s", k = 128)
+  }
+
+  private val docSourceOverlapKmvSql =
+    """WITH t AS (SELECT source, lower(trim(text)) AS txt FROM documents),
+      |sh AS (SELECT source AS g, substr(txt, CAST(i AS INT), 8) AS s
+      |       FROM (SELECT source, txt,
+      |               unnest(generate_series(1,
+      |                 greatest(length(txt) - 7, 1))) AS i
+      |             FROM t) u),
+      |hs AS (SELECT DISTINCT g,
+      |         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+      |       FROM sh),
+      |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER
+      |         (PARTITION BY g ORDER BY h) AS rn FROM hs)
+      |       WHERE rn <= 128),
+      |gs AS (SELECT DISTINCT g FROM sk),
+      |pairs AS (SELECT a.g AS ga, b.g AS gb
+      |          FROM gs a JOIN gs b ON a.g < b.g),
+      |tag AS (SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+      |        FROM pairs p JOIN sk s ON s.g = p.ga
+      |        UNION ALL
+      |        SELECT p.ga, p.gb, s.h, 0, 1
+      |        FROM pairs p JOIN sk s ON s.g = p.gb),
+      |m AS (SELECT ga, gb, h, max(in_a) AS a, max(in_b) AS b
+      |      FROM tag GROUP BY 1, 2, 3),
+      |r AS (SELECT ga, gb, a, b, row_number() OVER
+      |        (PARTITION BY ga, gb ORDER BY h) AS rn FROM m)
+      |SELECT ga AS src, gb AS tgt,
+      |       CAST(count(*) AS BIGINT) AS union_used,
+      |       CAST(sum(a * b) AS BIGINT) AS hits,
+      |       round(CAST(sum(a * b) AS DOUBLE) / count(*), 6)
+      |         AS jaccard_kmv
+      |FROM r WHERE rn <= 128 GROUP BY 1, 2""".stripMargin
+
   /** Burrows' Delta 20×20 register-distance matrix between sources over
     * the corpus's top-50 words — see
     * [[graft.ops.TextAnalysis.burrowsDelta]].
@@ -1415,6 +1461,8 @@ object StatsQueries {
       Some(docSimpsonDiversitySql)),
     QueryDef("doc_burrows_delta", docBurrowsDelta,
       Some(docBurrowsDeltaSql)),
+    QueryDef("doc_source_overlap_kmv", docSourceOverlapKmv,
+      Some(docSourceOverlapKmvSql)),
     QueryDef("doc_source_cross_entropy", docSourceCrossEntropy,
       Some(docSourceCrossEntropySql)),
     QueryDef("emb_intrinsic_dim", embIntrinsicDim,

@@ -1494,6 +1494,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Sketches.cmsCells(keyedDf(mults, 5), "k", d, w).count() <= d * w)
   }
 
+  test("kmvJaccardByGroup: below k the estimator is exact Jaccard") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    // sets fit inside k=64, so the union's k-smallest IS the union and
+    // the estimate collapses to exact Jaccard
+    val rows = Seq("A" -> "a", "A" -> "b", "A" -> "c",
+      "B" -> "b", "B" -> "c", "B" -> "d",
+      "C" -> "x", "C" -> "y",
+      "D" -> "a", "D" -> "b", "D" -> "c",
+      // duplicates must not perturb the set semantics
+      "A" -> "a", "B" -> "d")
+    val df = rows.toDF("g", "key")
+    val got = Sketches.kmvJaccardByGroup(df, "g", "key", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("A", "B")) == ((4L, 2L, 0.5)))   // {a,b,c} vs {b,c,d}
+    assert(got(("A", "C")) == ((5L, 0L, 0.0)))   // disjoint
+    assert(got(("A", "D")) == ((3L, 3L, 1.0)))   // identical sets
+    assert(got.size == 6)                        // all C(4,2) pairs
+  }
+
   test("AMS F2: single-key degenerate is exact; cells additive and layout-invariant") {
     import graft.ops.Sketches
     // one key with multiplicity 7: every Z_j = ±7, every Z² = 49, so
