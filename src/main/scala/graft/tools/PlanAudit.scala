@@ -1,0 +1,98 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+import scala.util.control.NonFatal
+
+/** Registry-wide physical-plan audit for quadratic join shapes — the
+  * structural guard for the bug class that cost `er_sorted_neighborhood`
+  * 577 s at sf0.1 (a rank-window RANGE predicate Spark could only
+  * execute as a BroadcastNestedLoopJoin over |dict|² row pairs; fixed
+  * to an exploded-offset equi-join, 485× faster, commit "Fix
+  * sorted-neighborhood window join").
+  *
+  * Rule: a `CartesianProduct`, or a `BroadcastNestedLoopJoin` carrying
+  * a join CONDITION, means Spark is filtering a quadratic candidate
+  * space row-by-row — either a bug, or a deliberate exact baseline /
+  * domain-bounded statistic that must be ON THE ALLOWLIST with its
+  * reason. Condition-free BNLJ cross joins are not flagged: they are
+  * the one-row broadcast folds (stats × totals) used throughout and
+  * carry no quadratic work.
+  *
+  * Exits non-zero if any query outside the allowlist plans a flagged
+  * node, so the round loop catches a regression the day it lands
+  * instead of at the closing campaign.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir]   (default sf0.001)
+  */
+object PlanAudit {
+
+  /** Reviewed quadratic-join shapes. Every entry is (query, why the
+    * nested loop is the intended plan).
+    */
+  val allowed: Map[String, String] = Map(
+    // labeled exact baselines (their scale paths are the LSH/sample
+    // variants; the quadratic IS the contract)
+    "sim_cosine_pairs" -> "exact all-pairs cosine baseline",
+    "emb_mmd_split" -> "exact quadratic-kernel MMD estimator",
+    "emb_alignment_uniformity" -> "exact all-pairs alignment/uniformity",
+    "dedup_signal_triage" ->
+      "exact multi-signal triage baseline (scale form: _lsh)",
+    // calendar/domain-bounded non-equi joins (≤ |days|² or grid rows)
+    "ev_kendall_tau" -> "O(days^2) pair join, calendar-bounded",
+    "ev_theilsen_trend" -> "O(days^2) pairwise slopes, calendar-bounded",
+    "ev_forecast_backtest" -> "fold x horizon grid, calendar-bounded",
+    "ev_forecast_conformal" -> "fold x horizon grid, calendar-bounded",
+    "doc_source_overlap_kmv" ->
+      "source-pair grid (groups^2 rows), sketch-sized inputs",
+    "emb_isotonic_calibration" ->
+      "PAVA block joins over the score-bin grid")
+
+  /** An attribute reference on each side of <, >, <= or >= inside one
+    * comparison (no crossing parentheses) — a range predicate over
+    * both inputs, the shape BNLJ can only evaluate per row pair.
+    */
+  private val rangeOnAttrs =
+    """[^()]*#\d+L?[^()]* (<|>|<=|>=) [^()]*#\d+L?[^()]*""".r
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Sessions.builder(graft.Env.cpus(default = 8)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = List.empty[(String, String)]
+    var reviewed = 0
+    for (q <- SparkEntry.registry) {
+      val hits: Seq[String] =
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+            .toString.linesIterator.map(_.trim).toSeq
+          plan.filter(l => l.contains("CartesianProduct")) ++
+            // the er_sorted_neighborhood bug class: a nested-loop join
+            // whose condition RANGE-compares attributes from both
+            // sides — Spark evaluates it per row pair, so unless a
+            // side is domain-bounded (the allowlist's job to attest),
+            // the work is quadratic. Equality conditions (NOT(id=q)
+            // probe joins) and pushed one-sided filters don't match.
+            plan.filter(l => l.contains("BroadcastNestedLoopJoin") &&
+              rangeOnAttrs.findFirstIn(l).isDefined)
+        } catch {
+          case NonFatal(e) => Seq(s"PLANNING FAILED: ${e.getMessage}")
+        }
+      if (hits.nonEmpty) {
+        if (allowed.contains(q.name)) {
+          reviewed += 1
+          println(s"[plan-audit] ok (allowlisted) ${q.name}: " +
+            allowed(q.name))
+        } else bad ::= (q.name, hits.mkString(" | ").take(300))
+      }
+    }
+    println(s"[plan-audit] ${SparkEntry.registry.size} queries, " +
+      s"$reviewed allowlisted quadratic shapes, ${bad.size} violations")
+    bad.reverse.foreach { case (n, h) => println(s"[plan-audit] BAD $n: $h") }
+    val stale = allowed.keySet -- SparkEntry.registry.map(_.name).toSet
+    if (stale.nonEmpty)
+      println(s"[plan-audit] stale allowlist entries: ${stale.mkString(", ")}")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
