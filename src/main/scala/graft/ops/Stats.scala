@@ -1216,4 +1216,78 @@ object Stats {
         when(col("cutoff").isNotNull && col("rank") <= col("cutoff"),
           lit(1L)).otherwise(lit(0L)).as("reject"))
   }
+
+  /** Two-component 1-D Gaussian mixture fit by `iters` EM steps from a
+    * pinned deterministic init (means at the ¼ and ¾ points of the
+    * value range, equal weights) — does the value column hide TWO
+    * populations (bot vs human spend, two pricing tiers) that every
+    * single-mode statistic averages away. The fitted (w, μ, σ) pairs
+    * are the readout; a near-degenerate fit (w→0 or μ₁≈μ₂) means one
+    * mode is enough.
+    *
+    * Determinism: parameters are re-pinned to 6dp after EVERY step
+    * (the CUSUM convention), per-row responsibilities are ×10⁶-pinned
+    * BIGINTs and the weighted moments are pinned-integer sums
+    * (r₆·x·10³ and r₆·x² rounded per row), so each step's aggregate is
+    * order-free and the whole trajectory replays exactly in SQL with
+    * unrolled CTEs. Rows where both component densities underflow get
+    * r = 0.5 in both engines. Execution: `iters`+1 corpus passes, each
+    * ONE map-side-combinable aggregate against broadcast one-row
+    * params — the EM working set is the parameter row, never the data.
+    * Zero-range input returns the degenerate single-point answer.
+    */
+  def gmm2Em(df: DataFrame, valueCol: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val dec = "decimal(38,0)"
+    val x = df.select(valueCol.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val xc = graft.data.ScopedCaches.track(x)
+    var params = xc.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(lit(0.5).as("w1"),
+        round(col("mn") + (col("mx") - col("mn")) / 4.0, 6).as("mu1"),
+        round(col("mn") + (col("mx") - col("mn")) * 3.0 / 4.0, 6)
+          .as("mu2"),
+        round(greatest((col("mx") - col("mn")) / 4.0 *
+          ((col("mx") - col("mn")) / 4.0), lit(1.0e-6)), 6).as("s1"),
+        round(greatest((col("mx") - col("mn")) / 4.0 *
+          ((col("mx") - col("mn")) / 4.0), lit(1.0e-6)), 6).as("s2"))
+    for (_ <- 1 to iters) {
+      val p1 = col("w1") *
+        exp((col("x") - col("mu1")) * (col("x") - col("mu1")) /
+          (lit(-2.0) * col("s1"))) / sqrt(col("s1"))
+      val p2 = (lit(1.0) - col("w1")) *
+        exp((col("x") - col("mu2")) * (col("x") - col("mu2")) /
+          (lit(-2.0) * col("s2"))) / sqrt(col("s2"))
+      val r6 = round(when(p1 + p2 > 0.0, p1 / (p1 + p2))
+        .otherwise(lit(0.5)) * lit(1.0e6)).cast("long")
+      val mom = xc.crossJoin(broadcast(params))
+        .select(col("x"), r6.as("r6"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r6").cast(dec)).as("sr"),
+          sum(round(col("r6") * col("x") * lit(1.0e3)).cast(dec)).as("sx1"),
+          sum(round(col("r6") * col("x") * col("x")).cast(dec)).as("sxx1"),
+          sum(round((lit(1000000L) - col("r6")) * col("x") * lit(1.0e3))
+            .cast(dec)).as("sx2"),
+          sum(round((lit(1000000L) - col("r6")) * col("x") * col("x"))
+            .cast(dec)).as("sxx2"))
+      def upd(sx: String, sxx: String, sr: Column) = {
+        val srG = greatest(sr.cast("double"), lit(1.0))
+        val mu = round(col(sx).cast("double") / (lit(1.0e3) * srG), 6)
+        (mu, round(greatest(col(sxx).cast("double") / srG - mu * mu,
+          lit(1.0e-6)), 6))
+      }
+      val sr1 = col("sr")
+      val sr2 = col("n").cast(dec) * lit(1000000L) - col("sr")
+      val (mu1n, s1n) = upd("sx1", "sxx1", sr1)
+      val (mu2n, s2n) = upd("sx2", "sxx2", sr2)
+      params = mom.select(
+        round(col("sr").cast("double") /
+          (col("n").cast("double") * 1.0e6), 6).as("w1"),
+        mu1n.as("mu1"), mu2n.as("mu2"), s1n.as("s1"), s2n.as("s2"))
+    }
+    params.select(col("w1"), col("mu1"),
+      round(sqrt(col("s1")), 6).as("sigma1"),
+      (lit(1.0) - col("w1")).as("w2"), col("mu2"),
+      round(sqrt(col("s2")), 6).as("sigma2"))
+  }
 }

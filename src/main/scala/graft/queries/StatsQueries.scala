@@ -562,6 +562,73 @@ object StatsQueries {
   /** Two-sample KS drift of the event `value` distribution across the
     * same pre/post pivot as PSI — see [[graft.ops.Stats.ksDrift]].
     */
+  /** Two-component Gaussian mixture fit of the event value
+    * distribution (3 EM steps, pinned init) — is there a second
+    * population hiding under the single-mode stats. See
+    * [[graft.ops.Stats.gmm2Em]].
+    */
+  private def evGmm2Value(s: SparkSession, dir: String): DataFrame =
+    Stats.gmm2Em(Tables.events(s, dir), col("value"), iters = 3)
+
+  private val evGmm2ValueSql = {
+    val iter = (i: Int) => {
+      val p = s"p${i - 1}"
+      s"""m$i AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(r6) AS HUGEINT) AS sr,
+         |    CAST(sum(CAST(round(r6 * x * 1e3) AS HUGEINT)) AS HUGEINT)
+         |      AS sx1,
+         |    CAST(sum(CAST(round(r6 * x * x) AS HUGEINT)) AS HUGEINT)
+         |      AS sxx1,
+         |    CAST(sum(CAST(round((1000000 - r6) * x * 1e3) AS HUGEINT))
+         |      AS HUGEINT) AS sx2,
+         |    CAST(sum(CAST(round((1000000 - r6) * x * x) AS HUGEINT))
+         |      AS HUGEINT) AS sxx2
+         |  FROM (SELECT x, CAST(round(CASE WHEN p1d + p2d > 0
+         |          THEN p1d / (p1d + p2d) ELSE 0.5 END * 1e6) AS BIGINT)
+         |          AS r6
+         |        FROM (SELECT x,
+         |                w1 * exp((x - mu1) * (x - mu1) / (-2.0 * s1)) /
+         |                  sqrt(s1) AS p1d,
+         |                (1.0 - w1) * exp((x - mu2) * (x - mu2) /
+         |                  (-2.0 * s2)) / sqrt(s2) AS p2d
+         |              FROM xs CROSS JOIN $p))),
+         |p$i AS (
+         |  SELECT round(CAST(sr AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 1e6), 6) AS w1,
+         |    round(CAST(sx1 AS DOUBLE) /
+         |      (1e3 * greatest(CAST(sr AS DOUBLE), 1.0)), 6) AS mu1,
+         |    round(CAST(sx2 AS DOUBLE) /
+         |      (1e3 * greatest(CAST(CAST(n AS HUGEINT) * 1000000 - sr
+         |        AS DOUBLE), 1.0)), 6) AS mu2,
+         |    round(greatest(CAST(sxx1 AS DOUBLE) /
+         |        greatest(CAST(sr AS DOUBLE), 1.0) - mu1 * mu1,
+         |      0.000001), 6) AS s1,
+         |    round(greatest(CAST(sxx2 AS DOUBLE) /
+         |        greatest(CAST(CAST(n AS HUGEINT) * 1000000 - sr
+         |          AS DOUBLE), 1.0) - mu2 * mu2,
+         |      0.000001), 6) AS s2
+         |  FROM m$i)""".stripMargin
+    }
+    s"""WITH xs AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+       |            WHERE value IS NOT NULL),
+       |p0 AS (
+       |  SELECT 0.5 AS w1,
+       |    round(mn + (mx - mn) / 4.0, 6) AS mu1,
+       |    round(mn + (mx - mn) * 3.0 / 4.0, 6) AS mu2,
+       |    round(greatest((mx - mn) / 4.0 * ((mx - mn) / 4.0),
+       |      0.000001), 6) AS s1,
+       |    round(greatest((mx - mn) / 4.0 * ((mx - mn) / 4.0),
+       |      0.000001), 6) AS s2
+       |  FROM (SELECT min(x) AS mn, max(x) AS mx FROM xs)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT w1, mu1, round(sqrt(s1), 6) AS sigma1,
+       |       1.0 - w1 AS w2, mu2, round(sqrt(s2), 6) AS sigma2
+       |FROM p3""".stripMargin
+  }
+
   /** Earth-mover drift of `value` across the same pre/post pivot as
     * PSI and KS — mass moved × distance moved, in value units. See
     * [[graft.ops.Stats.emdDrift]].
@@ -1482,6 +1549,7 @@ object StatsQueries {
       Some(evUpliftDaypartSql)),
     QueryDef("ev_ks_drift", evKsDrift, Some(evKsDriftSql)),
     QueryDef("ev_emd_value_drift", evEmdDrift, Some(evEmdDriftSql)),
+    QueryDef("ev_gmm2_value", evGmm2Value, Some(evGmm2ValueSql)),
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),

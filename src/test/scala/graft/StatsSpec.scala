@@ -31,6 +31,28 @@ class StatsSpec extends AnyFunSuite {
         .toDouble)
   }
 
+  test("gmm2Em: separates two planted populations; constant input degenerates") {
+    // two tight clusters at 0 and 10, equal mass: three EM steps from
+    // the quartile init must land the means on the clusters
+    val vals = (1 to 100).flatMap(_ => Seq(-1.0, 0.0, 1.0)) ++
+      (1 to 100).flatMap(_ => Seq(9.0, 10.0, 11.0))
+    val r = Stats.gmm2Em(vals.toDF("v"), col("v"), iters = 3)
+      .collect().head
+    val (w1, mu1, sg1, mu2, sg2) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(w1 - 0.5) < 0.05, s"w1=$w1")
+    assert(math.abs(mu1 - 0.0) < 0.2 && math.abs(mu2 - 10.0) < 0.2,
+      s"mu=$mu1/$mu2")
+    // each cluster's sd is sqrt(2/3) = 0.8165
+    assert(math.abs(sg1 - 0.8165) < 0.05 && math.abs(sg2 - 0.8165) < 0.05)
+    // constant column: responsibilities are 0.5 everywhere, both
+    // components sit on the point with the variance floor — no crash
+    val c = Stats.gmm2Em(Seq.fill(50)(7.0).toDF("v"), col("v"), iters = 3)
+      .collect().head
+    assert(c.getDouble(0) == 0.5 && c.getDouble(1) == 7.0 &&
+      c.getDouble(4) == 7.0 && c.getDouble(2) == 0.001)
+  }
+
   test("emdDrift: point-mass collapse costs 0.5, unit shift costs exactly 1") {
     // A uniform on {0,1}, B a point mass at 0.5: optimal transport
     // moves each half of A's mass 0.5 -> W1 = 0.5 exactly
