@@ -809,7 +809,10 @@ object Analytics {
       .groupBy(col("day")).agg(count(lit(1)).as("carry"))
     sweep.join(carry, Seq("day"), "left")
       .withColumn("carry", coalesce(col("carry"), lit(0L)))
-      .select(to_date(timestamp_micros(col("day") * 86400000000L)).as("day"),
+      // ISO string, not DATE: the oracle gate hashes DATE values
+      // engine-version-dependently; a VARCHAR day is stable everywhere
+      .select(date_format(timestamp_micros(col("day") * 86400000000L),
+          "yyyy-MM-dd").as("day"),
         greatest(col("carry"), col("carry") + col("max_run"))
           .as("max_concurrency"))
   }

@@ -479,11 +479,14 @@ object Embeddings {
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("dim"),
-        round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn"))
-          / bins, 6).as("split_x"),
+        // pinned ×10⁶ BIGINT (not round(DOUBLE,6)) — DuckDB's round() on
+        // DOUBLE differs in the last ulp across versions; exact integers
+        // hash identically everywhere
+        round((col("mn") + (col("bin") + 1) * (col("mx") - col("mn"))
+          / bins) * 1e6).cast("long").as("split_x6"),
         col("nl").as("n_left"), col("pl").as("pos_left"),
         col("nr").as("n_right"), col("pr").as("pos_right"),
-        round(col("gain"), 6).as("gain"))
+        round(col("gain") * 1e6).cast("long").as("gain6"))
   }
 
   /** Unbiased MMD² between two deterministic hash-halves of an

@@ -93,7 +93,9 @@ object Layout {
         sum(when(hit, col("cnt")).otherwise(0L)).as("scanned_rows"))
       .select(col("name"), col("n_buckets"), col("scanned_buckets"),
         col("rows_total"), col("scanned_rows"),
-        round(col("scanned_rows").cast("double") / col("rows_total"), 6)
-          .as("scan_frac"))
+        // pinned ×10⁶ BIGINT (not round(DOUBLE,6)) so the oracle hash is
+        // engine-version-independent
+        round(col("scanned_rows").cast("double") / col("rows_total") * 1e6)
+          .cast("long").as("scan_ppm"))
   }
 }

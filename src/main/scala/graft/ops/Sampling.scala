@@ -247,11 +247,15 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, "budget must be >= 1")
     val x = col(valueCol).cast("long")
+    // squares widen to DECIMAL(38,0) before the sum (kishEss's
+    // discipline) — raw BIGINT x*x overflows silently for large values
+    val xd = col(valueCol).cast("decimal(38,0)")
     val stats = df.groupBy(col(stratumCol).as("h"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"),
-        sum(x * x).as("sxx"))
+        sum(xd * xd).as("sxx"))
       .select(col("h"), col("n"),
-        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        (sqrt((col("n").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
           .cast("double")) / col("n")).as("sigma"))
       .select(col("h"), col("n"), col("sigma"),
         round(col("n").cast("double") * col("sigma") * 1e6).cast("long")
@@ -298,7 +302,10 @@ object Sampling {
     val agg = df.select(weightCol.cast("long").as("w"))
       .agg(count(lit(1)).as("n"),
         sum(col("w").cast("decimal(38,0)")).as("sw"),
-        sum((col("w") * col("w")).cast("decimal(38,0)")).as("sww"))
+        // widen BEFORE the multiply — long*long wraps silently; a
+        // long² always fits decimal(38,0) (max ≈ 8.5e37)
+        sum(col("w").cast("decimal(38,0)") *
+          col("w").cast("decimal(38,0)")).as("sww"))
     agg.select(col("n"), col("sw").cast("long").as("sum_w"),
       round(col("sw").cast("double") * col("sw").cast("double") /
         col("sww").cast("double"), 6).as("ess"),

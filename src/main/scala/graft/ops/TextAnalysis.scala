@@ -68,8 +68,10 @@ object TextAnalysis {
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),
         cap.as("pad_to"),
         (col("n_docs") * cap - col("sum_tokens")).as("pad_waste"),
+        // pinned ×10⁶ BIGINT (not round(DOUBLE,6)) so the DuckDB oracle
+        // hashes bit-identically across engines
         round((col("n_docs") * cap - col("sum_tokens")).cast("double") /
-          (col("n_docs") * cap), 6).as("waste_frac"))
+          (col("n_docs") * cap) * 1e6).cast("long").as("waste_ppm"))
   }
 
   /** Per-document character-unigram Shannon entropy (bits/char) — the

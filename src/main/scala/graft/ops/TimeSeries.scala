@@ -817,11 +817,16 @@ object TimeSeries {
       sum(col("lx")).as("slx"), sum(col("ly")).as("sly"),
       sum(col("lx") * col("lx")).as("slxx"),
       sum(col("lx") * col("ly")).as("slxy"))
+    val denom = col("np") * col("slxx") - col("slx") * col("slx")
     val slope = (col("np") * col("slxy") - col("slx") * col("sly"))
-      .cast("double") /
-      (col("np") * col("slxx") - col("slx") * col("slx")).cast("double")
+      .cast("double") / denom.cast("double")
+    // a single qualifying window (daily series < 16 days) makes the OLS
+    // denominator 0 — emit null like the file's other degenerate cases
+    // (Granger, Ljung-Box), never NaN/Infinity
     ptsC.select(col("w"), col("n_blocks"), col("avg_rs"))
-      .crossJoin(broadcast(mom.select(round(slope, 6).as("hurst"))))
+      .crossJoin(broadcast(mom.select(
+        when(col("np") >= 2 && denom =!= 0, round(slope, 6))
+          .otherwise(lit(null).cast("double")).as("hurst"))))
   }
 
   /** Ljung–Box portmanteau test (Ljung & Box 1978) per group:
@@ -839,8 +844,11 @@ object TimeSeries {
     * cancels in ρ̂. Each ρ̂_k is pinned to a ×10⁶ integer (one double
     * divide of two exact integers — identical in any engine), each
     * Q-term to a ×10⁹ integer, so the cross-lag sum is order-free and
-    * the whole statistic replays exactly in SQL. The only corpus-sized
-    * work is the (group, day) count; everything else runs on the
+    * the whole statistic replays exactly in SQL. Each group's series is
+    * zero-filled onto the corpus day spine (fanoFactor's pattern), so
+    * lag k always spans k calendar days — sparse groups' quiet days are
+    * observations, not gaps. The only corpus-sized work is the
+    * (group, day) count; everything else runs on the
     * calendar-sized domain. Constant series (zero variance) → null Q,
     * not a zero-divide; groups with ≤ h+1 days are excluded (the
     * statistic needs n−k ≥ 1 at every lag).
@@ -925,8 +933,17 @@ object TimeSeries {
                maxLag: Int = 7, critValue: Double = 14.067140): DataFrame = {
     require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
     val dec = "decimal(38,0)"
-    val daily = df.groupBy(col(grpCol).as("g"), to_date(col(tsCol)).as("day"))
+    val obs = df.groupBy(col(grpCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("x"))
+    // zero-fill onto the corpus day spine (fanoFactor's pattern): lag k
+    // must span k CALENDAR days — a sparse group's zero-count days are
+    // real observations of the documented "daily counts" series, not
+    // gaps to compact away
+    val days = df.select(to_date(col(tsCol)).as("day")).distinct()
+    val groups = obs.select(col("g")).distinct()
+    val daily = groups.crossJoin(broadcast(days))
+      .join(obs, Seq("g", "day"), "left")
+      .na.fill(0L, Seq("x"))
     val st = daily.groupBy("g")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
       .filter(col("n") > maxLag + 1)

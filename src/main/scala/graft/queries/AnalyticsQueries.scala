@@ -1690,7 +1690,8 @@ object AnalyticsQueries {
       |          AS day
       |        FROM sess),
       |cy AS (SELECT day, count(*) AS carry FROM cyd GROUP BY 1)
-      |SELECT make_timestamp(sw.day * 86400000000)::DATE AS day,
+      |SELECT strftime(make_timestamp(sw.day * 86400000000), '%Y-%m-%d')
+      |         AS day,
       |       greatest(coalesce(cy.carry, 0),
       |                coalesce(cy.carry, 0) + sw.max_run) AS max_concurrency
       |FROM sw LEFT JOIN cy USING (day)""".stripMargin

@@ -536,7 +536,8 @@ object CoreQueries {
        |             THEN b2.cnt ELSE 0 END) AS scanned_rows
        |  FROM bkt b2 CROSS JOIN probes p GROUP BY 1)
        |SELECT name, n_buckets, scanned_buckets, rows_total, scanned_rows,
-       |       round(scanned_rows * 1.0 / rows_total, 6) AS scan_frac
+       |       CAST(round(scanned_rows * 1.0 / rows_total * 1000000.0)
+       |         AS BIGINT) AS scan_ppm
        |FROM audit""".stripMargin
   }
 

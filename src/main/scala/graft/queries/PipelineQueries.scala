@@ -206,7 +206,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_keep").isNull, 1).otherwise(0)).as("n_dups"),
         round(sum(when(col("is_keep").isNull, 1).otherwise(0))
-          .cast("double") / count(lit(1)).cast("double"), 6).as("dup_rate"))
+            .cast("double") / count(lit(1)).cast("double") * 1e6)
+          .cast("long").as("dup_rate_ppm"))
   }
 
   private val dedupRateBySourceSql =
@@ -216,8 +217,9 @@ object PipelineQueries {
       |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
       |SELECT d.source, count(*) AS n_docs,
       |       sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END) AS n_dups,
-      |       round(CAST(sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END)
-      |               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+      |       CAST(round(CAST(sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END)
+      |               AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0)
+      |         AS BIGINT) AS dup_rate_ppm
       |FROM documents d LEFT JOIN g ON g.keep_id = d.doc_id
       |GROUP BY d.source""".stripMargin
 
@@ -1408,8 +1410,8 @@ object PipelineQueries {
        |       FROM agg)
        |SELECT bucket, n_docs, sum_tokens, pad_to,
        |       n_docs * pad_to - sum_tokens AS pad_waste,
-       |       round((n_docs * pad_to - sum_tokens) * 1.0 /
-       |             (n_docs * pad_to), 6) AS waste_frac
+       |       CAST(round((n_docs * pad_to - sum_tokens) * 1.0 /
+       |             (n_docs * pad_to) * 1000000.0) AS BIGINT) AS waste_ppm
        |FROM pt""".stripMargin
   }
 
@@ -1752,7 +1754,7 @@ object PipelineQueries {
     * fertility premium on other languages; this is the number that
     * quantifies it corpus-wide). One encode scan + one groupBy(lang);
     * the oracle composes the pinned encode replay with the whitespace
-    * counts and the same 6dp ratio.
+    * counts and the same ×10⁶-BIGINT-pinned ratio.
     */
   private def bpeFertilityByLang(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1766,7 +1768,8 @@ object PipelineQueries {
         sum(col("n_tokens")).as("subword_tokens"),
         sum(col("n_words")).as("words"),
         round(sum(col("n_tokens")).cast("double") /
-          sum(col("n_words")).cast("double"), 6).as("fertility"))
+          sum(col("n_words")).cast("double") * 1e6)
+          .cast("long").as("fertility_ppm"))
   }
 
   private lazy val bpeFertilityByLangSql =
@@ -1778,8 +1781,9 @@ object PipelineQueries {
        |SELECT ws.lang, count(*) AS n_docs,
        |       sum(bpe.n_tokens) AS subword_tokens,
        |       sum(ws.n_words) AS words,
-       |       round(CAST(sum(bpe.n_tokens) AS DOUBLE) /
-       |             CAST(sum(ws.n_words) AS DOUBLE), 6) AS fertility
+       |       CAST(round(CAST(sum(bpe.n_tokens) AS DOUBLE) /
+       |             CAST(sum(ws.n_words) AS DOUBLE) * 1000000.0)
+       |         AS BIGINT) AS fertility_ppm
        |FROM ws JOIN bpe USING (doc_id)
        |GROUP BY ws.lang""".stripMargin
 

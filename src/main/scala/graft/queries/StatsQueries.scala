@@ -772,9 +772,10 @@ object StatsQueries {
       |best AS (SELECT *, row_number() OVER
       |    (PARTITION BY dim ORDER BY gain DESC, bin) AS rn FROM cand)
       |SELECT best.dim,
-      |  round(st.mn + (bin + 1) * (st.mx - st.mn) / 32, 6) AS split_x,
+      |  CAST(round((st.mn + (bin + 1) * (st.mx - st.mn) / 32) * 1000000.0)
+      |    AS BIGINT) AS split_x6,
       |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
-      |  round(gain, 6) AS gain
+      |  CAST(round(gain * 1000000.0) AS BIGINT) AS gain6
       |FROM best JOIN st ON best.dim = st.dim WHERE rn = 1""".stripMargin
 
   /** Spearman rank correlation between daily click volume and daily
@@ -1248,6 +1249,22 @@ object StatsQueries {
       |    (CAST(tot.tot AS DOUBLE) * 1000000.0), 6) AS h_nats
       |FROM h JOIN tot ON tot.g = src""".stripMargin
 
+  /** The documented 100 TB form of the four exact all-pairs embedding
+    * diagnostics: run the same quadratic kernel on a deterministic
+    * [[graft.ops.Sampling.hashSample]] shard — |sample|² pairs by
+    * construction (the subsampling-unbiasedness argument is in each
+    * op's scaladoc). Registered as the `_sampled` twins below so the
+    * scale path is oracle-checked, not just documented.
+    */
+  private val embSampleRate = 0.25
+  private val embSampleSalt = "shard"
+  private def embSampled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSample(Tables.embeddings(s, dir), "vec_id",
+      embSampleRate, embSampleSalt)
+  private def embSampleWhere: String =
+    s"WHERE md5('$embSampleSalt:' || CAST(vec_id AS VARCHAR)) < " +
+      s"'${graft.ops.Sampling.hexThreshold(embSampleRate)}'"
+
   /** Top-20 LOF outliers of the embedding cloud (k=5, squared-L2
     * variant) — the exact all-pairs baseline. See
     * [[graft.ops.Similarity.lofOutliers]].
@@ -1256,8 +1273,13 @@ object StatsQueries {
     graft.ops.Similarity.lofOutliers(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 5, topK = 20)
 
-  private val embLofOutliersSql =
-    """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+  private def embLofOutliersSampled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lofOutliers(embSampled(s, dir),
+      "vec_id", "embedding", k = 5, topK = 20)
+
+  private def embLofOutliersSqlFor(where: String) =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+      |           $where),
       |p AS (SELECT id1, id2, list_dot_product(dv, dv) AS l2
       |      FROM (SELECT a.id AS id1, b.id AS id2,
       |              [CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)
@@ -1288,6 +1310,9 @@ object StatsQueries {
       |        FROM lf WHERE lof IS NOT NULL)
       |SELECT id, lof, rank FROM top WHERE rank <= 20""".stripMargin
 
+  private val embLofOutliersSql = embLofOutliersSqlFor("")
+  private def embLofOutliersSampledSql = embLofOutliersSqlFor(embSampleWhere)
+
   /** Alignment / uniformity of the embedding space against its labels
     * — the collapse detector. See
     * [[graft.ops.Similarity.alignmentUniformity]].
@@ -1296,9 +1321,14 @@ object StatsQueries {
     graft.ops.Similarity.alignmentUniformity(Tables.embeddings(s, dir),
       "vec_id", "embedding", "label")
 
-  private val embAlignUniformitySql =
-    """WITH v AS (SELECT vec_id AS id, embedding AS v, label
-      |           FROM embeddings),
+  private def embAlignUniformitySampled(s: SparkSession,
+                                        dir: String): DataFrame =
+    graft.ops.Similarity.alignmentUniformity(embSampled(s, dir),
+      "vec_id", "embedding", "label")
+
+  private def embAlignUniformitySqlFor(where: String) =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v, label
+      |           FROM embeddings $where),
       |p AS (SELECT l1 = l2 AS pos,
       |        CAST(round(list_dot_product(dv, dv) * 1000000000.0)
       |          AS BIGINT) AS d9,
@@ -1322,6 +1352,10 @@ object StatsQueries {
       |      CAST(n_pairs AS DOUBLE)), 6) END AS uniformity
       |FROM g""".stripMargin
 
+  private val embAlignUniformitySql = embAlignUniformitySqlFor("")
+  private def embAlignUniformitySampledSql =
+    embAlignUniformitySqlFor(embSampleWhere)
+
   /** TwoNN intrinsic dimension of the embedding cloud — the exact
     * all-pairs baseline. See
     * [[graft.ops.Similarity.intrinsicDimTwoNN]].
@@ -1330,8 +1364,13 @@ object StatsQueries {
     graft.ops.Similarity.intrinsicDimTwoNN(Tables.embeddings(s, dir),
       "vec_id", "embedding")
 
-  private val embIntrinsicDimSql =
-    """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+  private def embIntrinsicDimSampled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.intrinsicDimTwoNN(embSampled(s, dir),
+      "vec_id", "embedding")
+
+  private def embIntrinsicDimSqlFor(where: String) =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+      |           $where),
       |p AS (SELECT id1, id2, list_dot_product(dv, dv) AS l2
       |      FROM (SELECT a.id AS id1, b.id AS id2,
       |              [CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)
@@ -1356,6 +1395,9 @@ object StatsQueries {
       |    round(CAST(n_valid AS DOUBLE) /
       |      (CAST(slnr AS DOUBLE) / 1000000000.0), 6) END AS id_mle
       |FROM a""".stripMargin
+
+  private val embIntrinsicDimSql = embIntrinsicDimSqlFor("")
+  private def embIntrinsicDimSampledSql = embIntrinsicDimSqlFor(embSampleWhere)
 
   /** Simpson diversity of the language mix per source — quadratic
     * concentration, the monoculture early-warning the Shannon-based
@@ -1391,12 +1433,16 @@ object StatsQueries {
     Embeddings.mmdQuadraticSplit(Tables.embeddings(s, dir), "vec_id",
       "embedding", salt = "mmd")
 
-  private val embMmdSplitSql = {
+  private def embMmdSplitSampled(s: SparkSession, dir: String): DataFrame =
+    Embeddings.mmdQuadraticSplit(embSampled(s, dir), "vec_id",
+      "embedding", salt = "mmd")
+
+  private def embMmdSplitSqlFor(where: String) = {
     val t = graft.ops.Sampling.hexThreshold(0.5)
     s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
        |    CASE WHEN md5('mmd:' || CAST(vec_id AS VARCHAR)) < '$t'
        |      THEN 'a' ELSE 'b' END AS s
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |p AS (SELECT l.s AS s1, r.s AS s2,
        |    CAST(round((1.0 + list_dot_product(l.v, r.v)) *
        |      (1.0 + list_dot_product(l.v, r.v)) * 1000000000.0)
@@ -1423,6 +1469,9 @@ object StatsQueries {
        |      (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS mmd2
        |FROM sums CROSS JOIN cnt""".stripMargin
   }
+
+  private val embMmdSplitSql = embMmdSplitSqlFor("")
+  private def embMmdSplitSampledSql = embMmdSplitSqlFor(embSampleWhere)
 
   /** Kendall τ-b between daily click and purchase volumes — the
     * pair-concordance twin of `ev_spearman_daily`. The O(days²) pair
@@ -1538,6 +1587,14 @@ object StatsQueries {
       Some(embLofOutliersSql)),
     QueryDef("emb_alignment_uniformity", embAlignUniformity,
       Some(embAlignUniformitySql)),
+    QueryDef("emb_mmd_split_sampled", embMmdSplitSampled,
+      Some(embMmdSplitSampledSql)),
+    QueryDef("emb_intrinsic_dim_sampled", embIntrinsicDimSampled,
+      Some(embIntrinsicDimSampledSql)),
+    QueryDef("emb_lof_outliers_sampled", embLofOutliersSampled,
+      Some(embLofOutliersSampledSql)),
+    QueryDef("emb_alignment_uniformity_sampled", embAlignUniformitySampled,
+      Some(embAlignUniformitySampledSql)),
     QueryDef("ev_bh_fdr_weekend", evBhFdrWeekend, Some(evBhFdrWeekendSql)),
     QueryDef("ev_cuped_impact", evCupedImpact, Some(evCupedImpactSql)),
     QueryDef("ev_did_estimate", evDidEstimate, Some(evDidEstimateSql)),

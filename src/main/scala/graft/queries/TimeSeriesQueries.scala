@@ -543,8 +543,10 @@ object TimeSeriesQueries {
       |    CAST(sum(lx * lx) AS HUGEINT) AS slxx,
       |    CAST(sum(lx * ly) AS HUGEINT) AS slxy
       |  FROM pts),
-      |h AS (SELECT round(CAST(np * slxy - slx * sly AS DOUBLE) /
-      |    CAST(np * slxx - slx * slx AS DOUBLE), 6) AS hurst FROM mom)
+      |h AS (SELECT CASE WHEN np >= 2 AND np * slxx - slx * slx <> 0
+      |    THEN round(CAST(np * slxy - slx * sly AS DOUBLE) /
+      |      CAST(np * slxx - slx * slx AS DOUBLE), 6) END AS hurst
+      |  FROM mom)
       |SELECT pts.w, pts.n_blocks, pts.avg_rs, h.hurst
       |FROM pts CROSS JOIN h""".stripMargin
 
@@ -668,9 +670,14 @@ object TimeSeriesQueries {
     TimeSeries.ljungBox(Tables.events(s, dir), "ts", "event_type")
 
   private val evLjungBoxSql =
-    """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
-      |             CAST(count(*) AS BIGINT) AS x
-      |           FROM events GROUP BY 1, 2),
+    """WITH obs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |              CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |grp AS (SELECT DISTINCT g FROM obs),
+      |d AS (SELECT grp.g, days.day, coalesce(obs.x, 0) AS x
+      |      FROM grp CROSS JOIN days
+      |      LEFT JOIN obs ON obs.g = grp.g AND obs.day = days.day),
       |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(x) AS BIGINT) AS s
       |       FROM d GROUP BY 1 HAVING count(*) > 8),

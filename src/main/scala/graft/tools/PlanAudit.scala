@@ -36,8 +36,39 @@ object PlanAudit {
     "sim_cosine_pairs" -> "exact all-pairs cosine baseline",
     "emb_mmd_split" -> "exact quadratic-kernel MMD estimator",
     "emb_alignment_uniformity" -> "exact all-pairs alignment/uniformity",
+    "emb_lof_outliers" ->
+      "exact all-pairs LOF baseline (scale form: _sampled)",
+    "emb_intrinsic_dim" ->
+      "exact all-pairs TwoNN baseline (scale form: _sampled)",
+    // registered scale paths: the same quadratic kernel, bounded by a
+    // deterministic hash sample of the cloud — |sample|² pairs by
+    // construction, which is the documented 100 TB form
+    "emb_mmd_split_sampled" -> "quadratic bounded by hash sample",
+    "emb_alignment_uniformity_sampled" -> "quadratic bounded by hash sample",
+    "emb_lof_outliers_sampled" -> "quadratic bounded by hash sample",
+    "emb_intrinsic_dim_sampled" -> "quadratic bounded by hash sample",
     "dedup_signal_triage" ->
       "exact multi-signal triage baseline (scale form: _lsh)",
+    // probe-set-bounded NOT(id = query_id) nested loops: the build side
+    // is a literal handful of query ids (isin filter, broadcast), so
+    // the loop is O(corpus x |queries|) — linear in the corpus. The
+    // correct plan for brute-force top-k probes; the ANN variants are
+    // the corpus x corpus scale path.
+    "sim_ann_topk_brute" -> "probe-set-bounded (|queries| broadcast rows)",
+    "sim_ann_recall_pinned" -> "probe-set-bounded (|queries| broadcast rows)",
+    "sim_ann_topk_pq" -> "probe-set-bounded (|queries| broadcast rows)",
+    "sim_ann_topk_pq_pinned" ->
+      "probe-set-bounded (|queries| broadcast rows)",
+    "sim_maxsim_topk" -> "probe-set-bounded (|queries| broadcast rows)",
+    "search_mmr_rerank" -> "probe-set-bounded (|queries| broadcast rows)",
+    "emb_knn_classifier" -> "probe-set-bounded (|queries| broadcast rows)",
+    "emb_matryoshka_recall" ->
+      "probe-set-bounded (|queries| broadcast rows)",
+    "search_hybrid_rrf" -> "probe-set-bounded (|queries| broadcast rows)",
+    "mm_feature_ann_pipeline" ->
+      "probe-set-bounded (|queries| broadcast rows)",
+    "ev_pettitt_changepoint" ->
+      "O(days^2) U-statistic pair join, calendar-bounded",
     // calendar/domain-bounded non-equi joins (≤ |days|² or grid rows)
     "ev_kendall_tau" -> "O(days^2) pair join, calendar-bounded",
     "ev_theilsen_trend" -> "O(days^2) pairwise slopes, calendar-bounded",
@@ -55,6 +86,16 @@ object PlanAudit {
   private val rangeOnAttrs =
     """[^()]*#\d+L?[^()]* (<|>|<=|>=) [^()]*#\d+L?[^()]*""".r
 
+  /** `NOT (attr = attr)` — the all-pairs-except-self join shape
+    * (`a.join(b, col("id1") =!= col("id2"))`). Spark can only plan it
+    * as a nested loop over |a|×|b| row pairs, exactly as quadratic as
+    * a range condition; round 7's audit missed it and two all-pairs
+    * baselines planned BNLJ invisibly. `NOT (attr = literal)` probe
+    * filters don't match (no second `#ref`).
+    */
+  private val notEqualOnAttrs =
+    """NOT \([^()]*#\d+L?[^()]* = [^()]*#\d+L?[^()]*\)""".r
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Sessions.builder(graft.Env.cpus(default = 8)).getOrCreate()
@@ -68,13 +109,15 @@ object PlanAudit {
             .toString.linesIterator.map(_.trim).toSeq
           plan.filter(l => l.contains("CartesianProduct")) ++
             // the er_sorted_neighborhood bug class: a nested-loop join
-            // whose condition RANGE-compares attributes from both
-            // sides — Spark evaluates it per row pair, so unless a
-            // side is domain-bounded (the allowlist's job to attest),
-            // the work is quadratic. Equality conditions (NOT(id=q)
-            // probe joins) and pushed one-sided filters don't match.
+            // whose condition RANGE-compares — or NOT-EQUAL-compares —
+            // attributes from both sides. Spark evaluates either per
+            // row pair, so unless a side is domain-bounded (the
+            // allowlist's job to attest), the work is quadratic.
+            // NOT(attr = literal) probes and pushed one-sided filters
+            // don't match.
             plan.filter(l => l.contains("BroadcastNestedLoopJoin") &&
-              rangeOnAttrs.findFirstIn(l).isDefined)
+              (rangeOnAttrs.findFirstIn(l).isDefined ||
+                notEqualOnAttrs.findFirstIn(l).isDefined))
         } catch {
           case NonFatal(e) => Seq(s"PLANNING FAILED: ${e.getMessage}")
         }
@@ -91,8 +134,10 @@ object PlanAudit {
     bad.reverse.foreach { case (n, h) => println(s"[plan-audit] BAD $n: $h") }
     val stale = allowed.keySet -- SparkEntry.registry.map(_.name).toSet
     if (stale.nonEmpty)
-      println(s"[plan-audit] stale allowlist entries: ${stale.mkString(", ")}")
+      println(s"[plan-audit] STALE allowlist entries: ${stale.mkString(", ")}")
     spark.stop()
-    if (bad.nonEmpty) sys.exit(1)
+    // stale entries fail too: a dead entry can silently mask a future
+    // real violation under a reused query name
+    if (bad.nonEmpty || stale.nonEmpty) sys.exit(1)
   }
 }

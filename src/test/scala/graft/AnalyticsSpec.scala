@@ -57,7 +57,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r._1, r._2, r._3, r._4, null: java.lang.Double))
     val got = Analytics.maxConcurrencyDaily(evDf(rows), "user_id", "ts",
         gapMinutes = 30)
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("2024-01-01") == 2L)
     assert(got("2024-01-02") == 1L)
     assert(got("2024-01-03") == 1L) // carryover only: u4 still open

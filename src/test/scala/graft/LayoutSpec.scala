@@ -57,11 +57,11 @@ class LayoutSpec extends AnyFunSuite {
         Layout.Probe("corner", 6, 7, 6, 7),
         Layout.Probe("miss", 50, 60, 50, 60)))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
-    assert(got("all") == ((4L, 100L, 1.0)))
-    assert(got("x_low") == ((2L, 40L, 0.4)))     // buckets 0 and 2
-    assert(got("corner") == ((1L, 40L, 0.4)))    // only bucket 3
-    assert(got("miss") == ((0L, 0L, 0.0)))
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(got("all") == ((4L, 100L, 1000000L)))
+    assert(got("x_low") == ((2L, 40L, 400000L)))  // buckets 0 and 2
+    assert(got("corner") == ((1L, 40L, 400000L))) // only bucket 3
+    assert(got("miss") == ((0L, 0L, 0L)))
   }
 
   test("pcaTopComponent recovers an axis-aligned component exactly") {

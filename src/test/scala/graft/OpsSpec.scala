@@ -1171,10 +1171,10 @@ class OpsSpec extends AnyFunSuite {
       col("p"), bins = 4).collect()
     assert(r.length == 1)
     val h = r.head
-    assert(h.getInt(0) == 0 && h.getDouble(1) == 3.5)
+    assert(h.getInt(0) == 0 && h.getLong(1) == 3500000L) // split_x6 = 3.5e6
     assert((h.getLong(2), h.getLong(3), h.getLong(4), h.getLong(5)) ==
       ((4L, 0L, 4L, 4L)))
-    assert(h.getDouble(6) == 0.5)
+    assert(h.getLong(6) == 500000L) // gain6 = 0.5e6
   }
 
   test("int8 quantization spans the full range and round-trips closely") {
