@@ -453,20 +453,13 @@ object Graph {
     * "which parts will be bought together next" / "which entities are
     * the same" readout over any co-occurrence graph.
     *
-    * Execution: wedges through each center w from its SORTED neighbor
-    * array — one combinable collect per center (reusing the join's
-    * exchange on w), then a two-level explode (posexplode spoke u,
-    * explode of the array tail past u) that emits each u<v pair
-    * exactly once with no self-join and no post-hoc u<v filter: half
-    * the wedge rows of the postings self-join this replaced, and one
-    * fewer shuffle of the full adjacency. The intermediate generate
-    * rows carry at most a degree-sized array, so per-row memory is
-    * bounded by `maxCenterDegree`, never d². Weight 1/ln(deg w) is
-    * pinned to a ×10⁹ integer at the center — the per-pair score is an
-    * exact integer sum, so the ranking is total-order deterministic
-    * and replays exactly in SQL. Known edges leave by left-anti join
-    * on the canonical pair; the ranking is TakeOrdered (sort+limit),
-    * never a global window.
+    * Execution: wedges through each center w (adjacency self-joined on
+    * w, spokes ordered u<v so each pair forms once per shared
+    * neighbor), weight 1/ln(deg w) pinned to a ×10⁹ integer at the
+    * center — the per-pair score is then an exact integer sum, so the
+    * ranking is total-order deterministic and replays exactly in SQL.
+    * Known edges leave by left-anti join on the canonical pair; the
+    * ranking is TakeOrdered (sort+limit), never a global window.
     *
     * Scale: wedge fan-out is Σ deg(w)² — quadratic ONLY at hub
     * centers, which contribute the least score (1/ln d → 0) and the
@@ -474,6 +467,15 @@ object Graph {
     * (default 10k: a 10k-degree hub still costs 10⁸ wedge rows but
     * adds ≤0.1086 per pair); the cap is part of the operator's
     * definition and is replayed identically by the oracle.
+    *
+    * Shape note (measured, do not "optimize" back): a per-center
+    * sorted-neighbor-array + two-level-explode variant (collect_list →
+    * posexplode → explode(slice(tail))) was A/B'd at sf0.1 and read
+    * 26.1 s vs this join's 21.6 s min-of-3 — the object-hash
+    * collect_list aggregate and per-row slice copies cost more than
+    * the join saves, because the self-join stays in whole-stage
+    * codegen and its two inputs reuse one exchange. The groupBy(u,v)
+    * shuffle of the wedge set dominates either way.
     */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
                  topK: Int = 20, maxCenterDegree: Long = 10000L): DataFrame = {
@@ -497,15 +499,10 @@ object Graph {
       .select(col("w"), col("n"),
         round(lit(1e9) / log(col("d").cast("double"))).cast("long")
           .as("w9"))
-    val nbrs = adj.groupBy(col("w"), col("w9"))
-      .agg(sort_array(collect_list(col("n"))).as("ns"))
-    val spokes = nbrs.select(col("w9"), col("ns"),
-      posexplode(col("ns")).as(Seq("i", "u")))
-    // slice is 1-based; posexplode's i is 0-based, so the strictly-
-    // after-u tail starts at i+2 — u<v holds by the sort, no filter
-    val wedges = spokes.select(col("w9"), col("u"),
-      explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
-    val scores = wedges
+    val s1 = adj.select(col("w"), col("n").as("u"), col("w9"))
+    val s2 = adj.select(col("w"), col("n").as("v"))
+    val scores = s1.join(s2, Seq("w"))
+      .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w9")).as("score9"))
       .join(canonC, Seq("u", "v"), "left_anti")
     val top = scores
