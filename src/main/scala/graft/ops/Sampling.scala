@@ -38,6 +38,23 @@ object Sampling {
                  salt: String = "s"): DataFrame =
     df.filter(keepExpr(col(keyCol), rate, salt))
 
+  /** Fixed-BUDGET deterministic sample: keep ~`targetRows` rows
+    * regardless of corpus size, by deriving `rate = min(1, target/n)`
+    * from one count. This is the scale-safe front of the exact
+    * quadratic diagnostics: a fixed RATE merely delays an O(n²)
+    * stage (0.25²·n² is still quadratic), a fixed BUDGET caps it at
+    * O(target²) forever. Still fully oracle-replayable — the oracle
+    * derives the same 8-hex-digit threshold from its own count(*)
+    * (`printf('%08x', round(least(1, t/n)·2³²))`), so the selected SET
+    * replays engine-independently. Costs one count job.
+    */
+  def hashSampleBudget(df: DataFrame, keyCol: String, targetRows: Long,
+                       salt: String = "s"): DataFrame = {
+    require(targetRows >= 1, s"need targetRows >= 1, got $targetRows")
+    val n = df.count()
+    hashSample(df, keyCol, math.min(1.0, targetRows.toDouble / n), salt)
+  }
+
   /** Deterministic train/val/test split assignment: every row gets a
     * split label from consecutive hash bands — `fractions` are
     * (label, rate) in priority order, remainder goes to the last label.

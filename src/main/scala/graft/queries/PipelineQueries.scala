@@ -451,6 +451,32 @@ object PipelineQueries {
         (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
   }
 
+  /** PRODUCTION form of the LSH triage: the semantic leg auto-sizes
+    * its banding from the corpus count ([[Similarity.lshAutoParams]]
+    * via `numPlanes = 0`), so bucket occupancy — and with it the
+    * candidate stream — stays constant as the corpus grows, where the
+    * pinned twin's frozen (4-plane × 8-table) geometry super-scales
+    * past its sf0.1 design point (measured 15.4× at sf1). Rows-only at
+    * the gate (params depend on a runtime count); the hash-green twin
+    * is [[dedupSignalTriageLsh]], which at gate scale derives the
+    * identical geometry.
+    */
+  private def dedupSignalTriageLshAuto(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val fp = Dedup.shinglePostings(Tables.documents(s, dir), "doc_id",
+        "text", 8)
+      .groupBy(col("id")).agg(min(md5(col("s"))).as("fp"))
+    val lex = fp.toDF("id1", "fp").join(fp.toDF("id2", "fp"), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp").as("lexical_fp"))
+    val c = Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", tau = 0.45, dim = 64, numPlanes = 0, probes = 1)
+      .select(col("id1"), col("id2"), col("cosine"))
+    lex.join(c, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"), col("lexical_fp"), col("cosine"),
+        (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
+  }
+
   // lazy: composes embLshCosinePairsPinnedSql, declared later
   private lazy val dedupSignalTriageLshSql =
     s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
@@ -3998,6 +4024,8 @@ object PipelineQueries {
     QueryDef("dedup_simhash_sigs", simhashSigs, Some(simhashSigsSql)),
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("dedup_signal_triage_lsh_auto", dedupSignalTriageLshAuto,
+      None),
     QueryDef("dedup_signal_triage_lsh", dedupSignalTriageLsh,
       Some(dedupSignalTriageLshSql)),
     QueryDef("dedup_signal_triage", dedupSignalTriage,

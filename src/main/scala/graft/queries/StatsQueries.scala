@@ -1251,19 +1251,27 @@ object StatsQueries {
 
   /** The documented 100 TB form of the four exact all-pairs embedding
     * diagnostics: run the same quadratic kernel on a deterministic
-    * [[graft.ops.Sampling.hashSample]] shard — |sample|² pairs by
-    * construction (the subsampling-unbiasedness argument is in each
-    * op's scaladoc). Registered as the `_sampled` twins below so the
-    * scale path is oracle-checked, not just documented.
+    * fixed-BUDGET [[graft.ops.Sampling.hashSampleBudget]] shard —
+    * ~`embSampleTarget` rows at ANY corpus size, so the pair stage is
+    * capped at O(target²) forever where a fixed RATE would only delay
+    * the quadratic (the subsampling-unbiasedness argument is in each
+    * op's scaladoc). Registered as the `_sampled` twins below,
+    * oracle-checked: the oracle derives the identical md5 threshold
+    * from its own count(*), so the selected shard replays exactly
+    * (rate-1 corner uses hexThreshold's all-keep sentinel on both
+    * sides).
     */
-  private val embSampleRate = 0.25
+  private val embSampleTarget = 250L
   private val embSampleSalt = "shard"
   private def embSampled(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sampling.hashSample(Tables.embeddings(s, dir), "vec_id",
-      embSampleRate, embSampleSalt)
+    graft.ops.Sampling.hashSampleBudget(Tables.embeddings(s, dir), "vec_id",
+      embSampleTarget, embSampleSalt)
   private def embSampleWhere: String =
-    s"WHERE md5('$embSampleSalt:' || CAST(vec_id AS VARCHAR)) < " +
-      s"'${graft.ops.Sampling.hexThreshold(embSampleRate)}'"
+    s"""WHERE md5('$embSampleSalt:' || CAST(vec_id AS VARCHAR)) <
+       |  (SELECT CASE WHEN cnt <= $embSampleTarget THEN 'ffffffffg'
+       |     ELSE printf('%08x', CAST(round($embSampleTarget.0 / cnt
+       |       * 4294967296.0) AS BIGINT)) END
+       |   FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
 
   /** Top-20 LOF outliers of the embedding cloud (k=5, squared-L2
     * variant) — the exact all-pairs baseline. See
