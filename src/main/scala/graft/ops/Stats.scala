@@ -791,6 +791,65 @@ object Stats {
       round(u1 / sigma, 6).as("z"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-sample
+    * extension of [[mannWhitneyU]]: do ANY of the groups' value
+    * distributions sit at a different location, judged on ranks, so
+    * heavy tails and outliers (event values' natural shape) can't fake
+    * or mask a shift the way they do for one-way ANOVA's F. H =
+    * 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with average-rank ties and the
+    * standard correction H' = H / (1 − Σ(t³−t)/(N³−N)); H' ~ χ²(k−1)
+    * under the null. Reject flag against the caller-pinned critical
+    * value (e.g. 9.487729 for k=5, α=.05).
+    *
+    * Distributed shape: the same histogram decomposition as
+    * [[mannWhitneyU]]/[[ksDrift]] — ONE combinable (6dp value, group)
+    * count collapses the corpus; the rank window runs over the
+    * distinct-value domain, never rows. Determinism: doubled rank sums
+    * 2R_g = Σ c_g(2·below+t+1) and Σ(t³−t) are exact DECIMAL(38,0);
+    * each group's R_g²/n_g term is pinned to a ×10⁶ BIGINT before the
+    * cross-group sum, so the only float sums are over exact integers
+    * in a fixed order. Groups with no rows simply don't appear; k < 2
+    * yields null H (no test).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: Column, groupCol: Column,
+                    critValue: Double): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df.groupBy(round(valueCol, 6).as("v"), groupCol.as("g"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per distinct value: pooled count t and pooled count strictly below
+    val distinctV = h.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("below", sum(col("t")).over(w) - col("t"))
+    val ranked = h.join(distinctV, "v")
+    val perG = ranked.groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        // widen BEFORE the product: c x doubled-rank is O(N^2) per row
+        // on a hot value, past BIGINT at petabyte counts
+        sum(col("c").cast(dec) *
+          (lit(2) * col("below") + col("t") + 1).cast(dec)).as("r2x"))
+    val ties = distinctV.agg(
+      sum(col("t").cast(dec)).as("n"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("ties3"))
+    // group term R_g^2/n_g = (2R_g)^2 / (4 n_g), x1e6-pinned so the
+    // cross-group sum is an exact integer sum in any order
+    val term6 = round(col("r2x").cast("double") * col("r2x").cast("double") /
+      (lit(4.0) * col("ng").cast("double")) * 1e6).cast(dec)
+    val agg = perG.agg(count(lit(1)).as("n_groups"),
+      sum(term6).as("s6"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val hRaw = lit(12.0) / (nD * (nD + 1)) *
+      (col("s6").cast("double") / 1e6) - lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("ties3").cast("double") / (nD * nD * nD - nD)
+    val hAdj = round(hRaw / corr, 6)
+    agg.select(col("n_groups"), col("n").cast("long").as("n"),
+      when(col("n_groups") >= 2 && corr > 0, hAdj).as("h_stat"),
+      when(col("n_groups") >= 2 && corr > 0, hAdj > critValue)
+        .as("reject"))
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * monotone-association companion to [[corrMatrix]]'s Pearson: ranks
     * are immune to the outliers and nonlinear (but monotone) links

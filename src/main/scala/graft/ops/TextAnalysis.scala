@@ -1250,4 +1250,46 @@ object TextAnalysis {
         round(col("sz").cast("double") /
           (col("n_words").cast("double") * 1.0e6), 6).as("delta"))
   }
+
+  /** Per-group encoding-health audit — the crawl-ingest gate every
+    * web-scale corpus needs: counts of the three classic byte-level
+    * damage signatures per document, rolled up per `grpCol`.
+    *
+    *  - `repl_chars`: U+FFFD replacement characters (a decoder already
+    *    gave up on those bytes);
+    *  - `moji_seqs`: occurrences of "Ã" and "â€" — the lead sequences
+    *    UTF-8 text shows after being mis-decoded as Latin-1/cp1252
+    *    (Ã©, Ã¼, â€™ …), vanishingly rare in healthy text;
+    *  - `ctrl_chars`: C0 control characters other than tab/LF/CR —
+    *    binary junk that leaked into a text column.
+    *
+    * All three are exact INTEGER counts via length-difference /
+    * regexp-strip (no float anywhere): occurrences(s) =
+    * (len − len(replace(text, s, ''))) / len(s). Scan-side per doc +
+    * one combinable group rollup; the per-group rate is a ×10⁶-BIGINT
+    * ppm. Zero shuffle beyond the rollup.
+    */
+  def encodingAudit(df: org.apache.spark.sql.DataFrame, grpCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    def occ(s: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), java.util.regex.Pattern.quote(s),
+          ""))) / s.length
+    val ctrl = length(col(textCol)) - length(regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val perDoc = df.select(col(grpCol).as("g"),
+      occ("�").cast("long").as("repl"),
+      (occ("Ã") + occ("â€")).cast("long").as("moji"),
+      ctrl.cast("long").as("ctl"))
+    perDoc.groupBy(col("g").as(grpCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("repl") + col("moji") + col("ctl") > 0, 1L)
+          .otherwise(0L)).as("docs_flagged"),
+        sum(col("repl")).as("repl_chars"),
+        sum(col("moji")).as("moji_seqs"),
+        sum(col("ctl")).as("ctrl_chars"))
+      .withColumn("flagged_ppm",
+        round(col("docs_flagged").cast("double") /
+          col("n_docs").cast("double") * 1e6).cast("long"))
+  }
 }

@@ -1398,6 +1398,62 @@ object PipelineQueries {
       |    AS ttr
       |FROM documents""".stripMargin
 
+  /** Per-source encoding-health audit over a deterministically
+    * CORRUPTED view of the corpus (the synthetic docs are pure ASCII,
+    * so — like `dedup_lines`' fixed re-lining — a pinned corruption
+    * keeps every detector branch live and the oracle a pure SQL
+    * replay): docs with id%7=0 get the classic UTF-8-as-Latin-1
+    * mojibake (e→Ã©), id%11=0 a U+FFFD replacement char per 't',
+    * id%13=0 a trailing 0x01 control byte. See
+    * [[graft.ops.TextAnalysis.encodingAudit]] for the detector.
+    */
+  private def textEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = Tables.documents(s, dir)
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') " +
+          "ELSE text END"))
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 11 = 0 THEN replace(text, 't', '�') " +
+          "ELSE text END"))
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, chr(1)) " +
+          "ELSE text END"))
+    TextAnalysis.encodingAudit(corrupted, "source", "text")
+  }
+
+  private val textEncodingAuditSql =
+    """WITH c1 AS (SELECT doc_id, source,
+      |              CASE WHEN doc_id % 7 = 0
+      |                   THEN replace(text, 'e', 'Ã©') ELSE text END AS t
+      |            FROM documents),
+      |c2 AS (SELECT doc_id, source,
+      |         CASE WHEN doc_id % 11 = 0
+      |              THEN replace(t, 't', '�') ELSE t END AS t
+      |       FROM c1),
+      |c3 AS (SELECT doc_id, source,
+      |         CASE WHEN doc_id % 13 = 0 THEN t || chr(1) ELSE t END AS t
+      |       FROM c2),
+      |d AS (SELECT source,
+      |        CAST(length(t) - length(replace(t, '�', '')) AS BIGINT)
+      |          AS repl,
+      |        CAST((length(t) - length(replace(t, 'Ã', ''))) +
+      |          (length(t) - length(replace(t, 'â€', ''))) / 2 AS BIGINT)
+      |          AS moji,
+      |        CAST(length(t) - length(regexp_replace(t,
+      |          '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT)
+      |          AS ctl
+      |      FROM c3)
+      |SELECT source, count(*) AS n_docs,
+      |       sum(CASE WHEN repl + moji + ctl > 0 THEN 1 ELSE 0 END)
+      |         AS docs_flagged,
+      |       sum(repl) AS repl_chars, sum(moji) AS moji_seqs,
+      |       sum(ctl) AS ctrl_chars,
+      |       CAST(round(CAST(sum(CASE WHEN repl + moji + ctl > 0 THEN 1
+      |                ELSE 0 END) AS DOUBLE) /
+      |              CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+      |         AS flagged_ppm
+      |FROM d GROUP BY 1""".stripMargin
+
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -3335,6 +3391,86 @@ object PipelineQueries {
     s"""WITH $pngFeatureCtes
        |SELECT media_id, CAST(idx AS INT) AS idx, feature FROM feats""".stripMargin
 
+  /** Per-image perceptual dHash (4×4 = 16 bits) over the planted PNGs
+    * — the image-level near-dedup fingerprint. The oracle replays the
+    * planted pixels (same splitmix CTEs as `mm_decode_features`),
+    * pools EXACT integer luma sums over the (gw+1)×gh grid, and
+    * derives each bit by the same cross-multiplied mean comparison —
+    * so a codec that doesn't decode the actual pixels cannot produce
+    * the hash. See [[graft.ops.Multimodal.imageDHashes]].
+    */
+  private def mmImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHashes(
+      Multimodal.mediaWithImages(s, Tables.documents(s, dir)),
+      gw = 4, gh = 4).toDF()
+
+  /** CTE chain `dh(media_id, dhash)` + `imgs`: the dHash replay over
+    * the planted-PNG pixel CTEs (pngReplayCtes' `s4`); shared by the
+    * hash and pair oracles.
+    */
+  private lazy val dhashCtes: String = {
+    val px = pngReplayCtes(
+      """SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+        |                4 + doc_id % 11 AS h
+        |              FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+      Seq("media_id"), "CAST(media_id AS HUGEINT)")
+    s"""$px,
+       |cell AS (SELECT media_id,
+       |           least(y * 4 // h, 3) AS cy, least(x * 5 // w, 4) AS cx,
+       |           299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
+       |             + 114 * (rgb % 256) AS gray
+       |         FROM s4),
+       |cagg AS (SELECT media_id, cy, cx, CAST(count(*) AS HUGEINT) AS cnt,
+       |           CAST(sum(gray) AS HUGEINT) AS s
+       |         FROM cell GROUP BY ALL),
+       |grid AS (SELECT imgs.media_id, g.cy, g.cx FROM imgs
+       |         CROSS JOIN (SELECT a.a AS cy, b.b AS cx FROM range(4) a(a)
+       |                     CROSS JOIN range(5) b(b)) g),
+       |cfull AS (SELECT grid.media_id, grid.cy, grid.cx,
+       |            coalesce(cagg.cnt, 0) AS cnt, coalesce(cagg.s, 0) AS s
+       |          FROM grid LEFT JOIN cagg USING (media_id, cy, cx)),
+       |dbits AS (SELECT a.media_id, a.cy, a.cx,
+       |            CASE WHEN b.s * a.cnt > a.s * b.cnt THEN 1 ELSE 0 END
+       |              AS bit
+       |          FROM cfull a JOIN cfull b ON b.media_id = a.media_id
+       |            AND b.cy = a.cy AND b.cx = a.cx + 1
+       |          WHERE a.cx < 4),
+       |dh AS (SELECT media_id,
+       |         CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << (cy*4 + cx)))
+       |           AS BIGINT) AS dhash
+       |       FROM dbits GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val mmImageDhashSql =
+    s"""WITH $dhashCtes
+       |SELECT d.media_id, CAST(i.w AS INT) AS width,
+       |       CAST(i.h AS INT) AS height, d.dhash
+       |FROM dh d JOIN imgs i USING (media_id)""".stripMargin
+
+  /** Image near-dup pairs at Hamming ≤ 3 over the 16-bit dHash, found
+    * by pigeonhole banding (4 bands × 4 bits — recall 1 by
+    * construction), verified by exact popcount. See
+    * [[graft.ops.Multimodal.dhashNearDupPairs]].
+    */
+  private def mmImageNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dhashNearDupPairs(
+      Multimodal.imageDHashes(
+        Multimodal.mediaWithImages(s, Tables.documents(s, dir)),
+        gw = 4, gh = 4).toDF(),
+      bits = 16, maxDist = 3)
+
+  private lazy val mmImageNearDupPairsSql =
+    s"""WITH $dhashCtes,
+       |posts AS (SELECT media_id, dhash, b.b AS band,
+       |            (dhash >> CAST(b.b * 4 AS INT)) & 15 AS bv
+       |          FROM dh CROSS JOIN range(4) b(b)),
+       |cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+       |            a.dhash AS h1, b.dhash AS h2
+       |         FROM posts a JOIN posts b ON a.band = b.band
+       |           AND a.bv = b.bv AND a.media_id < b.media_id)
+       |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
+
   /** Video frame-sample gate: GMJ1 container walk + REAL `imageio`
     * decode of every 2nd frame of the planted videos — the "probe one
     * frame a second and embed it" ingestion shape; see
@@ -4071,6 +4207,8 @@ object PipelineQueries {
     QueryDef("text_ttr", textTtr, Some(textTtrSql)),
     QueryDef("doc_length_buckets", docLengthBuckets,
       Some(docLengthBucketsSql)),
+    QueryDef("text_encoding_audit", textEncodingAudit,
+      Some(textEncodingAuditSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),
@@ -4135,6 +4273,9 @@ object PipelineQueries {
       Some(mmVideoFramesSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_decode_audio_frames", mmAudioFrames, Some(mmAudioFramesSql)),
+    QueryDef("mm_image_dhash", mmImageDhash, Some(mmImageDhashSql)),
+    QueryDef("mm_image_neardup_pairs", mmImageNearDupPairs,
+      Some(mmImageNearDupPairsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
   )
 }

@@ -684,6 +684,59 @@ object StatsQueries {
       |         AS reject_05
       |FROM m""".stripMargin
 
+  /** Kruskal–Wallis H across ALL event types' value distributions —
+    * the k-sample rank test beside `ev_mannwhitney_u`'s two-sample one:
+    * "does ANY event type's value distribution sit elsewhere", robust
+    * to heavy tails. χ²(k−1) critical at α=.05 for the 5-type events
+    * table = 9.487729 (pinned literal — H is compared, never a p-value
+    * integral). See [[graft.ops.Stats.kruskalWallis]].
+    */
+  private def evKruskalWallis(s: SparkSession, dir: String): DataFrame =
+    Stats.kruskalWallis(Tables.events(s, dir), col("value"),
+      col("event_type"), critValue = 9.487729)
+
+  private val evKruskalWallisSql =
+    """WITH h AS (SELECT round(value, 6) AS v, event_type AS g,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |dv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY 1),
+      |db AS (SELECT v, t,
+      |         CAST(coalesce(sum(t) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS below
+      |       FROM dv),
+      |pg AS (SELECT h.g, CAST(sum(h.c) AS BIGINT) AS ng,
+      |         CAST(sum(CAST(h.c AS HUGEINT) * (2 * db.below + db.t + 1))
+      |           AS HUGEINT) AS r2x
+      |       FROM h JOIN db ON db.v = h.v GROUP BY 1),
+      |ties AS (SELECT CAST(sum(t) AS HUGEINT) AS n,
+      |           CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+      |             AS ties3
+      |         FROM dv),
+      |terms AS (SELECT count(*) AS n_groups,
+      |            CAST(sum(CAST(round(CAST(r2x AS DOUBLE) *
+      |              CAST(r2x AS DOUBLE) / (4.0 * CAST(ng AS DOUBLE))
+      |              * 1000000.0) AS HUGEINT)) AS HUGEINT) AS s6
+      |          FROM pg),
+      |f AS (SELECT n_groups, CAST(ties.n AS BIGINT) AS n,
+      |        (12.0 / (CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE)
+      |           + 1)) * (CAST(s6 AS DOUBLE) / 1000000.0)
+      |         - 3.0 * (CAST(ties.n AS DOUBLE) + 1)) /
+      |        (1.0 - CAST(ties3 AS DOUBLE) /
+      |          (CAST(ties.n AS DOUBLE) * CAST(ties.n AS DOUBLE) *
+      |           CAST(ties.n AS DOUBLE) - CAST(ties.n AS DOUBLE)))
+      |          AS h_raw,
+      |        1.0 - CAST(ties3 AS DOUBLE) /
+      |          (CAST(ties.n AS DOUBLE) * CAST(ties.n AS DOUBLE) *
+      |           CAST(ties.n AS DOUBLE) - CAST(ties.n AS DOUBLE)) AS corr
+      |      FROM terms CROSS JOIN ties)
+      |SELECT n_groups, n,
+      |       CASE WHEN n_groups >= 2 AND corr > 0
+      |            THEN round(h_raw, 6) END AS h_stat,
+      |       CASE WHEN n_groups >= 2 AND corr > 0
+      |            THEN round(h_raw, 6) > 9.487729 END AS reject
+      |FROM f""".stripMargin
+
   /** Mann-Whitney U comparing the `value` distribution of click vs view
     * events — the rank-based two-sample test beside `ev_impact_welch`'s
     * mean-based one: robust to the heavy tails event values carry. The
@@ -1616,6 +1669,8 @@ object StatsQueries {
     QueryDef("ev_emd_value_drift", evEmdDrift, Some(evEmdDriftSql)),
     QueryDef("ev_gmm2_value", evGmm2Value, Some(evGmm2ValueSql)),
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
+    QueryDef("ev_kruskal_wallis", evKruskalWallis,
+      Some(evKruskalWallisSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),

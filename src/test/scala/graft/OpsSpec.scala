@@ -1311,6 +1311,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: hand-computed bits on a gradient, identical images pair at 0") {
+    import java.awt.image.BufferedImage
+    // 5x1 image, gray values strictly increasing left to right, 4x1
+    // grid (5 columns of 1 px each): every adjacent mean rises -> all
+    // 4 bits set = 15; reversed gradient -> 0
+    def strip(vals: Seq[Int]): BufferedImage = {
+      val img = new BufferedImage(vals.size, 1, BufferedImage.TYPE_INT_RGB)
+      vals.zipWithIndex.foreach { case (v, x) =>
+        img.setRGB(x, 0, (v << 16) | (v << 8) | v) }
+      img
+    }
+    assert(Multimodal.dHashOf(strip(Seq(10, 20, 30, 40, 50)), 4, 1) == 15L)
+    assert(Multimodal.dHashOf(strip(Seq(50, 40, 30, 20, 10)), 4, 1) == 0L)
+    // flat image: no mean exceeds its neighbor -> 0
+    assert(Multimodal.dHashOf(strip(Seq(7, 7, 7, 7, 7)), 4, 1) == 0L)
+    // banded pair search: two identical planted PNGs hash identically
+    // and surface at hamming 0; a random third does not pair with them
+    // at maxDist 1
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(42L, 8, 8)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/png", png),
+      Multimodal.MediaRow(3L, "image/png", Multimodal.syntheticPng(7L, 8, 8)),
+      Multimodal.MediaRow(4L, "text/plain", "not an image".getBytes("UTF-8")))
+      .toDS()
+    val hashes = Multimodal.imageDHashes(media, gw = 4, gh = 4).toDF()
+    assert(hashes.count() == 3L) // the text row is skipped, not faked
+    val pairs = Multimodal.dhashNearDupPairs(hashes, bits = 16, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("encodingAudit: counts each damage signature exactly, clean text zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "clean ascii text"),                     // nothing
+      ("s1", "bad \ufffd twice \ufffd here"),         // 2 replacement chars
+      // caf<A-tilde><copy> + two <a-circ><euro> mojibake leads = 1 + 2 = 3
+      ("s2", "caf\u00c3\u00a9 and \u00e2\u20ac\u0099quote\u00e2\u20ac"),
+      ("s2", "ctrl\u0001\u0002 but tab\tand\nnewline ok")) // 2 ctrl
+      .toDF("source", "text")
+    val got = TextAnalysis.encodingAudit(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("s1") == ((2L, 1L, 2L, 0L, 0L, 500000L)))
+    assert(got("s2") == ((2L, 2L, 0L, 3L, 2L, 1000000L)))
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(

@@ -287,6 +287,31 @@ class StatsSpec extends AnyFunSuite {
     assert(rs.getDouble(2) == rs.getDouble(3) && rs.getDouble(5) == 0.0)
   }
 
+  test("kruskalWallis: hand-computed H with ties, identical groups accept") {
+    // a {1,2,3}, b {2,3,4}, c {10,11,12}: N=9, ties at 2 and 3 (t=2
+    // each, ties3 = 12), avg ranks 1, 2.5, 2.5, 4.5, 4.5, 6, 7, 8, 9
+    // -> R_a = 8, R_b = 15, R_c = 24; H = 12/90*(64/3+225/3+576/3)-30
+    // = 5.9555..., corr = 1-12/720, H' = 6.056497 > chi2_.05(2)=5.991465
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (3.0, "b"), (4.0, "b"),
+      (10.0, "c"), (11.0, "c"), (12.0, "c")).toDF("v", "g")
+    val r = Stats.kruskalWallis(df, col("v"), col("g"),
+      critValue = 5.991465).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 6.056497 && r.getBoolean(3))
+    // identical distributions in k=3 groups: H small, accept
+    val same = (1 to 3).flatMap(g =>
+      (1 to 5).map(i => (i.toDouble, s"g$g"))).toDF("v", "g")
+    val rs = Stats.kruskalWallis(same, col("v"), col("g"),
+      critValue = 5.991465).collect().head
+    assert(rs.getDouble(2) == 0.0 && !rs.getBoolean(3))
+    // one group only: no test, nulls
+    val one = Seq((1.0, "a"), (2.0, "a")).toDF("v", "g")
+    val r1 = Stats.kruskalWallis(one, col("v"), col("g"),
+      critValue = 5.991465).collect().head
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+  }
+
   test("isotonicCalibration: PAV pools the violating pair, keeps the rest") {
     // bin rates (0.5, 0.0, 1.0): PAV pools bins 0-1 to 1/4, leaves bin 2
     val df = Seq((0.05, true), (0.05, false), (0.15, false),
