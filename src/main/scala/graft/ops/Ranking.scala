@@ -118,4 +118,65 @@ object Ranking {
       .filter(col("rank") <= k)
       .select("item_id", "rec_id", "rank", "co", "score")
   }
+
+  /** Per-depth weights p⁰..p^(k-1) and the tail p^k by REPEATED
+    * multiplication — never an engine `pow()`: libm pow is not
+    * guaranteed correctly rounded, repeated double multiplication is
+    * deterministic and any engine parsing the same shortest-roundtrip
+    * decimal literal lands on the same double.
+    */
+  def rboWeights(k: Int, p: Double): (Seq[Double], Double) = {
+    val w = Seq.iterate(1.0, k + 1)(_ * p)
+    (w.take(k), w(k))
+  }
+
+  /** Truncated+extrapolated Rank-Biased Overlap (Webber et al. 2010)
+    * between two top-k rankings per query: RBO@k = (1−p)·Σ_{d≤k}
+    * p^{d-1}·A_d + p^k·A_k, with A_d the prefix agreement |S∩T|_d / d.
+    * THE ranking-similarity readout for search/ANN evaluation —
+    * top-weighted where recall@k is flat (an ANN list that nails ranks
+    * 1–3 but misses rank 5 scores far above one that only gets rank 5),
+    * and well-defined on non-conjoint lists.
+    *
+    * Determinism: a pair matched at ranks (r₁, r₂) joins every depth
+    * d ≥ max(r₁,r₂), so X_d is an exact integer; each depth term
+    * p^{d-1}·X_d/d is one fixed-order double from [[rboWeights]]'
+    * literals, ×10⁹-pinned before the cross-depth sum — exact integer
+    * addition in any order. Queries in either list but with zero
+    * matches emit RBO 0 (the spine is the union of query ids). All
+    * joins are on (query, item) or the k-row depth spine — bounded by
+    * queries × k², never corpus-sized.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, s"need k >= 1, 0 < p < 1; got $k, $p")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val (ws, tail) = rboWeights(k, p)
+    val la = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("ra")).filter(col("ra") <= k)
+    val lb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rb")).filter(col("rb") <= k)
+    val m = la.join(lb, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("mr"))
+    val qs = la.select(col("query_id"))
+      .union(lb.select(col("query_id"))).distinct()
+    val depths = ws.zipWithIndex.map { case (w, i) => (i + 1, w) }
+      .toDF("d", "w")
+    val xd = qs.crossJoin(broadcast(depths))
+      .join(m, Seq("query_id"), "left")
+      .groupBy(col("query_id"), col("d"), col("w"))
+      .agg(sum(when(col("mr") <= col("d"), 1L).otherwise(0L)).as("x"))
+    val term9 = round(col("w") * col("x").cast("double") /
+      col("d").cast("double") * 1e9).cast("long")
+    val perQ = xd
+      .withColumn("t9", term9)
+      .groupBy(col("query_id"))
+      .agg(sum(col("t9")).as("s9"),
+        max(when(col("d") === k, col("x"))).as("xk"))
+    perQ.select(col("query_id"),
+      round((lit(1.0 - p) * (col("s9").cast("double") / 1e9) +
+        lit(tail) * col("xk").cast("double") / k) * 1e6)
+        .cast("long").as("rbo6"))
+  }
 }

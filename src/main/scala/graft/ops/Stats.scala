@@ -791,6 +791,49 @@ object Stats {
       round(u1 / sigma, 6).as("z"))
   }
 
+  /** Cliff's delta (Cliff 1993) — the nonparametric EFFECT SIZE the
+    * Mann–Whitney z needs beside it: δ = (#{x>y} − #{x<y}) / (n₁n₂)
+    * over all cross-group pairs, i.e. how often a group-1 value beats
+    * a group-2 value minus the reverse, in [−1, 1], invariant to any
+    * monotone transform and meaningful when n is so large that z
+    * rejects for trivial shifts. |δ| < .147 negligible / < .33 small /
+    * < .474 medium (Romano 2006) — emitted as a label so the readout
+    * is self-contained.
+    *
+    * Distributed shape: the [[mannWhitneyU]] histogram decomposition —
+    * one combinable (6dp value → per-group count) aggregate, one
+    * cumulative window over the distinct-value domain. #{x>y} =
+    * Σ_v c₁(v)·below₂(v) exactly (DECIMAL(38,0), widened before the
+    * product); δ is one division of exact integers.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: Column,
+                  isGroup1: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df.groupBy(round(valueCol, 6).as("v"))
+      .agg(coalesce(sum(when(isGroup1, 1L).otherwise(0L)), lit(0L))
+          .as("c1"),
+        coalesce(sum(when(!isGroup1, 1L).otherwise(0L)), lit(0L))
+          .as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("below1", sum(col("c1")).over(w) - col("c1"))
+      .withColumn("below2", sum(col("c2")).over(w) - col("c2"))
+    val a = cum.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1").cast(dec) * col("below2").cast(dec)).as("gt"),
+      sum(col("c2").cast(dec) * col("below1").cast(dec)).as("lt"))
+    val nn = col("n1").cast("double") * col("n2").cast("double")
+    val delta = (col("gt").cast("double") - col("lt").cast("double")) / nn
+    val d6 = round(delta * 1e6).cast("long")
+    a.select(col("n1"), col("n2"),
+      when(col("n1") > 0 && col("n2") > 0, d6).as("delta6"),
+      when(col("n1") > 0 && col("n2") > 0,
+        when(abs(d6) < 147000L, lit("negligible"))
+          .when(abs(d6) < 330000L, lit("small"))
+          .when(abs(d6) < 474000L, lit("medium"))
+          .otherwise(lit("large"))).as("magnitude"))
+  }
+
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-sample
     * extension of [[mannWhitneyU]]: do ANY of the groups' value
     * distributions sit at a different location, judged on ranks, so

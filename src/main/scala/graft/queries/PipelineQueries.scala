@@ -1378,6 +1378,53 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Rank-Biased Overlap (p=0.9) of the LSH top-5 ranking against the
+    * exact brute-force top-5, per query — the top-weighted ranking-
+    * agreement readout beside `sim_ann_recall_pinned`'s flat recall:
+    * an ANN list that nails ranks 1–3 scores far above one that only
+    * recovers rank 5. Fully hash-gated: both rankings replay in SQL,
+    * the depth weights are repeated-multiplication literals (never an
+    * engine pow()), and every depth term is ×10⁹-pinned before the
+    * cross-depth sum. See [[graft.ops.Ranking.rankBiasedOverlap]].
+    */
+  private def annRboLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.rankBiasedOverlap(annBrute(s, dir), annLsh(s, dir),
+      k = 5, p = 0.9)
+
+  private lazy val annRboLshSql = {
+    val (ws, tail) = graft.ops.Ranking.rboWeights(5, 0.9)
+    val vals = ws.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val oneMinusP = (1.0 - 0.9).toString
+    s"""WITH brute AS ($annBruteSql),
+       |lsh AS ($annLshSql),
+       |la AS (SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS ra
+       |       FROM brute WHERE rank <= 5),
+       |lb AS (SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rb
+       |       FROM lsh WHERE rank <= 5),
+       |m AS (SELECT la.query_id, greatest(la.ra, lb.rb) AS mr
+       |      FROM la JOIN lb USING (query_id, neighbor_id)),
+       |qs AS (SELECT query_id FROM la UNION SELECT query_id FROM lb),
+       |depths(d, w) AS (VALUES $vals),
+       |xd AS (SELECT qs.query_id, depths.d, depths.w,
+       |         CAST(coalesce(sum(CASE WHEN m.mr <= depths.d
+       |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS x
+       |       FROM qs CROSS JOIN depths
+       |       LEFT JOIN m ON m.query_id = qs.query_id
+       |       GROUP BY 1, 2, 3),
+       |pq AS (SELECT query_id,
+       |         CAST(sum(CAST(round(w * CAST(x AS DOUBLE) /
+       |           CAST(d AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT)
+       |           AS s9,
+       |         max(CASE WHEN d = 5 THEN x END) AS xk
+       |       FROM xd GROUP BY 1)
+       |SELECT query_id,
+       |       CAST(round(($oneMinusP * (CAST(s9 AS DOUBLE) / 1000000000.0)
+       |         + $tail * CAST(xk AS DOUBLE) / 5) * 1000000.0) AS BIGINT)
+       |         AS rbo6
+       |FROM pq""".stripMargin
+  }
+
   // ---- text analysis ----
 
   /** Type-token ratio per doc — see
@@ -4177,6 +4224,7 @@ object PipelineQueries {
     QueryDef("sim_ann_topk_same_label", annSameLabel, Some(annSameLabelSql)),
     QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel, None),
     QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
+    QueryDef("sim_ann_rbo_lsh", annRboLsh, Some(annRboLshSql)),
     QueryDef("sim_ann_topk_ivf", annIvf, None),
     QueryDef("sim_ann_topk_ivf_pinned", annIvfPinned, Some(annIvfPinnedSql)),
     QueryDef("sim_ann_recall_pinned", annRecallPinned,

@@ -684,6 +684,50 @@ object StatsQueries {
       |         AS reject_05
       |FROM m""".stripMargin
 
+  /** Cliff's delta for click-vs-view values — the effect size beside
+    * `ev_mannwhitney_u`'s significance: HOW MUCH one distribution
+    * dominates, scale-free, with the Romano magnitude label. See
+    * [[graft.ops.Stats.cliffsDelta]].
+    */
+  private def evCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    Stats.cliffsDelta(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view")),
+      col("value"), col("event_type") === "click")
+
+  private val evCliffsDeltaSql =
+    """WITH h AS (SELECT round(value, 6) AS v,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'click'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'view'
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2
+      |       FROM events WHERE event_type IN ('click', 'view')
+      |       GROUP BY 1),
+      |cum AS (SELECT c1, c2,
+      |          sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c1
+      |            AS below1,
+      |          sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c2
+      |            AS below2
+      |        FROM h),
+      |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |        CAST(sum(c2) AS BIGINT) AS n2,
+      |        CAST(sum(CAST(c1 AS HUGEINT) * below2) AS HUGEINT) AS gt,
+      |        CAST(sum(CAST(c2 AS HUGEINT) * below1) AS HUGEINT) AS lt
+      |      FROM cum),
+      |f AS (SELECT n1, n2,
+      |        CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |          CAST(round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE)) /
+      |            (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1000000.0)
+      |            AS BIGINT) END AS delta6
+      |      FROM a)
+      |SELECT n1, n2, delta6,
+      |       CASE WHEN delta6 IS NULL THEN NULL
+      |            WHEN abs(delta6) < 147000 THEN 'negligible'
+      |            WHEN abs(delta6) < 330000 THEN 'small'
+      |            WHEN abs(delta6) < 474000 THEN 'medium'
+      |            ELSE 'large' END AS magnitude
+      |FROM f""".stripMargin
+
   /** Kruskal–Wallis H across ALL event types' value distributions —
     * the k-sample rank test beside `ev_mannwhitney_u`'s two-sample one:
     * "does ANY event type's value distribution sit elsewhere", robust
@@ -1671,6 +1715,7 @@ object StatsQueries {
     QueryDef("ev_mannwhitney_u", evMannWhitneyU, Some(evMannWhitneyUSql)),
     QueryDef("ev_kruskal_wallis", evKruskalWallis,
       Some(evKruskalWallisSql)),
+    QueryDef("ev_cliffs_delta", evCliffsDelta, Some(evCliffsDeltaSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),

@@ -312,6 +312,46 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.isNullAt(2) && r1.isNullAt(3))
   }
 
+  test("cliffsDelta: hand pair counts, full dominance hits +-1") {
+    // g1 {1,2,3} vs g2 {2,3,4}: #(x>y)=1 (3>2), #(x<y)=6,
+    // delta = -5/9 -> -555556 ppm, |.| >= .474 -> large
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "g1")
+    val r = Stats.cliffsDelta(df, col("v"), col("g1")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getLong(2) == -555556L && r.getString(3) == "large")
+    // complete separation: every g1 value above every g2 -> +1
+    val sep = Seq((10.0, true), (11.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "g1")
+    val rs = Stats.cliffsDelta(sep, col("v"), col("g1")).collect().head
+    assert(rs.getLong(2) == 1000000L && rs.getString(3) == "large")
+    // identical singleton distributions: delta 0, negligible
+    val same = Seq((5.0, true), (5.0, false)).toDF("v", "g1")
+    val r0 = Stats.cliffsDelta(same, col("v"), col("g1")).collect().head
+    assert(r0.getLong(2) == 0L && r0.getString(3) == "negligible")
+  }
+
+  test("rankBiasedOverlap: identical lists 1.0, disjoint 0, top-heavy order") {
+    import graft.ops.Ranking
+    def list(q: Long, items: Seq[Long]) =
+      items.zipWithIndex.map { case (it, i) => (q, it, i + 1) }
+        .toDF("query_id", "neighbor_id", "rank")
+    val a = list(1L, Seq(10, 11, 12, 13, 14))
+    assert(Ranking.rankBiasedOverlap(a, a, k = 5).collect()
+      .head.getLong(1) == 1000000L)
+    val disj = list(1L, Seq(20, 21, 22, 23, 24))
+    assert(Ranking.rankBiasedOverlap(a, disj, k = 5).collect()
+      .head.getLong(1) == 0L)
+    // agreeing at the TOP scores above agreeing at the bottom
+    val topAgree = list(1L, Seq(10, 11, 90, 91, 92))    // shares ranks 1-2
+    val botAgree = list(1L, Seq(90, 91, 92, 13, 14))    // shares ranks 4-5
+    val top = Ranking.rankBiasedOverlap(a, topAgree, k = 5)
+      .collect().head.getLong(1)
+    val bot = Ranking.rankBiasedOverlap(a, botAgree, k = 5)
+      .collect().head.getLong(1)
+    assert(top > bot, s"top-weighting violated: $top <= $bot")
+  }
+
   test("isotonicCalibration: PAV pools the violating pair, keeps the rest") {
     // bin rates (0.5, 0.0, 1.0): PAV pools bins 0-1 to 1/4, leaves bin 2
     val df = Seq((0.05, true), (0.05, false), (0.15, false),
