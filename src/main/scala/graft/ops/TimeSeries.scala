@@ -101,6 +101,51 @@ object TimeSeries {
           round(col("e.sn"), 6) < -col("__h")).as("flag"))
   }
 
+  /** Kalman local-level filter over the daily count series: state
+    * l_t ~ l_{t-1} + N(0, q), observation x_t ~ l_t + N(0, r). Per
+    * day: predicted variance p⁻ = p + q, gain K = p⁻/(p⁻+r), level
+    * l += K·(x − l), p = (1−K)·p⁻. The principled middle ground
+    * between [[ewmaDaily]] (fixed gain forever) and [[holtDaily]]
+    * (trend state): the gain ADAPTS — high while uncertainty is high
+    * after initialization, converging to the steady-state set by the
+    * q/r signal-to-noise ratio — and the filtered variance `p_var` is
+    * an honest uncertainty readout no smoother exposes. Init: l₁ = x₁,
+    * p₁ = r, K₁ ≡ 1 (diffuse-ish: trust the first observation).
+    *
+    * Determinism: ewmaDaily's contract — the fold runs inside one
+    * `aggregate` HOF over the day-sorted domain-sized series in a
+    * fixed operation order; the oracle replays it with a recursive CTE
+    * performing the IDENTICAL double ops (q, r enter as the same
+    * parsed literals; 1−K is computed, not parsed, on both sides), so
+    * agreement is bitwise before the 6dp output rounding. Corpus-sized
+    * work is the daily count; the recursion is calendar-sized.
+    */
+  def kalmanLocalLevel(df: DataFrame, tsCol: String, q: Double,
+                       r: Double): DataFrame = {
+    require(q > 0 && r > 0, s"need q, r > 0; got q=$q r=$r")
+    val init = expr(
+      "CAST(array() AS array<struct<day:date,x:double,l:double,p:double,kg:double>>)")
+    val folded = sortedSeries(dailySeries(df, tsCol)).select(
+      foldAgg(col("s"), init, (acc: Column, e: Column) => {
+        val isFirst = size(acc) === 0
+        val lp = element_at(acc, -1).getField("l")
+        val pp = element_at(acc, -1).getField("p") + lit(q)
+        val kg = pp / (pp + lit(r))
+        concat(acc, array(struct(
+          e.getField("day").as("day"),
+          e.getField("x").as("x"),
+          when(isFirst, e.getField("x"))
+            .otherwise(lp + kg * (e.getField("x") - lp)).as("l"),
+          when(isFirst, lit(r)).otherwise((lit(1.0) - kg) * pp).as("p"),
+          when(isFirst, lit(1.0)).otherwise(kg).as("kg"))))
+      }).as("f"))
+    folded.select(explode(col("f")).as("e"))
+      .select(col("e.day").as("day"), col("e.x").as("x"),
+        round(col("e.l"), 6).as("level"),
+        round(col("e.p"), 6).as("p_var"),
+        round(col("e.kg"), 6).as("gain"))
+  }
+
   /** Before/after impact report (Welch's unequal-variance t): per
     * group, the mean/variance of `valCol` strictly before vs at/after
     * `pivot`, and t = (m_a − m_b) / sqrt(s_b²/n_b + s_a²/n_a) — the

@@ -20,6 +20,36 @@ object TimeSeriesQueries {
   private def evEwmaDaily(s: SparkSession, dir: String): DataFrame =
     TimeSeries.ewmaDaily(Tables.events(s, dir), "ts", alpha = 0.3)
 
+  /** Kalman local-level filter of the daily count (q=4, r=25 —
+    * steady-state gain ≈ 0.33): adaptive-gain smoothing with an honest
+    * per-day variance readout. See
+    * [[graft.ops.TimeSeries.kalmanLocalLevel]].
+    */
+  private def evKalmanLevel(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.kalmanLocalLevel(Tables.events(s, dir), "ts",
+      q = 4.0, r = 25.0)
+
+  private val evKalmanLevelSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |e AS (
+      |  -- anchor literals MUST be DOUBLE: bare 25.0 infers DECIMAL(3,1)
+      |  -- and the whole recursion column quantizes to one decimal
+      |  SELECT rn, day, x, x AS l, CAST(25.0 AS DOUBLE) AS p,
+      |         CAST(1.0 AS DOUBLE) AS kg
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.day, r.x,
+      |    e.l + ((e.p + 4.0) / ((e.p + 4.0) + 25.0)) * (r.x - e.l),
+      |    (1.0 - ((e.p + 4.0) / ((e.p + 4.0) + 25.0))) * (e.p + 4.0),
+      |    (e.p + 4.0) / ((e.p + 4.0) + 25.0)
+      |  FROM e JOIN r ON r.rn = e.rn + 1)
+      |SELECT day, x, round(l, 6) AS level, round(p, 6) AS p_var,
+      |       round(kg, 6) AS gain
+      |FROM e""".stripMargin
+
   private val evEwmaDailySql =
     """WITH RECURSIVE d AS (
       |  SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS x
@@ -735,6 +765,7 @@ object TimeSeriesQueries {
     QueryDef("ev_dow_seasonality", evDowSeasonality,
       Some(evDowSeasonalitySql)),
     QueryDef("ev_ewma_daily", evEwmaDaily, Some(evEwmaDailySql)),
+    QueryDef("ev_kalman_level", evKalmanLevel, Some(evKalmanLevelSql)),
     QueryDef("ev_cusum_changepoint", evCusum, Some(evCusumSql)),
     QueryDef("ev_autocorr_daily", evAutocorr, Some(evAutocorrSql)),
     QueryDef("ev_crosscorr_leadlag", evCrossCorr, Some(evCrossCorrSql)),

@@ -308,6 +308,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rejF && lrF > lrR, s"planted lead must dominate: $lrF vs $lrR")
   }
 
+  test("kalmanLocalLevel: hand first steps, gain converges, flat series exact") {
+    // q=4, r=25; day1: l=x1=10, p=25, K=1. day2: p-=29, K=29/54,
+    // l = 10 + 29/54*(64-10); day3: p2=(25/54)*29=725/54, p-=941/54,
+    // K=941/(941+1350)
+    val r = TimeSeries.kalmanLocalLevel(seriesDf(Seq(10, 64, 20, 30, 25)),
+      "ts", q = 4.0, r = 25.0).orderBy("day").collect()
+    assert(r(0).getDouble(2) == 10.0 && r(0).getDouble(3) == 25.0 &&
+      r(0).getDouble(4) == 1.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k2 = 29.0 / 54.0
+    assert(r(1).getDouble(4) == r6(k2))
+    assert(r(1).getDouble(2) == r6(10.0 + k2 * (64.0 - 10.0)))
+    assert(r(1).getDouble(3) == r6((1.0 - k2) * 29.0))
+    // the gain sequence is strictly decreasing toward steady state
+    val gains = r.map(_.getDouble(4))
+    assert(gains.sliding(2).forall(p => p(1) < p(0)))
+    // constant series: level tracks the constant exactly every day
+    val flat = TimeSeries.kalmanLocalLevel(seriesDf(Seq.fill(6)(9)), "ts",
+      q = 4.0, r = 25.0).collect()
+    assert(flat.forall(_.getDouble(2) == 9.0))
+  }
+
   test("ljungBox: exact alternation Q = 94.5, constants null, short series drop") {
     import org.apache.spark.sql.functions.lit
     // 5,15 alternation over 16 days: dev_t = ±80, rho_k = (-1)^k (16-k)/16
