@@ -1256,6 +1256,49 @@ object Stats {
               col("ties_y"))), 6).as("tau_b"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) on a keyed
+    * series: S = Σ_{i<j} sign(x_j − x_i), the nonparametric "is there
+    * a monotonic trend AT ALL" verdict that pairs with
+    * [[graft.ops.TimeSeries]]' Theil–Sen slope (which says how steep)
+    * — robust to outliers and any monotone transform, the standard
+    * first question for a daily volume series. Tie-corrected normal
+    * approximation: Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, with
+    * the ±1 continuity correction on S; reject at the caller's pinned
+    * two-sided critical value (1.959964 for α=.05).
+    *
+    * Exactness: S and the tie term are exact integer sums (the pair
+    * scan is the [[kendallTau]] O(domain²) join — intended for the
+    * CALENDAR-bounded daily rollup, never raw rows); z is one
+    * fixed-order double expression of exact integers, and the verdict
+    * compares the ROUNDED z so both engines flip together.
+    */
+  def mannKendall(df: DataFrame, keyCol: Column, xCol: Column,
+                  critValue: Double = 1.959964): DataFrame = {
+    val base = graft.data.ScopedCaches.track(
+      df.select(keyCol.as("k"), xCol.cast("long").as("x")))
+    val a = base.select(col("k").as("ka"), col("x").as("xa"))
+    val b = base.select(col("k").as("kb"), col("x").as("xb"))
+    val s = a.join(b, col("ka") < col("kb"))
+      .agg(sum(signum((col("xb") - col("xa")).cast("double"))
+        .cast("long")).as("s"))
+    val ties = base.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tsum"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1) * (lit(2.0) * nD + 5) -
+      col("tsum").cast("double")) / 18.0
+    val z = when(col("s") > 0,
+        (col("s").cast("double") - 1) / sqrt(varS))
+      .when(col("s") < 0, (col("s").cast("double") + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.crossJoin(broadcast(ties))
+      .select(col("n"), col("s"),
+        when(varS > 0, round(z, 6)).as("z"),
+        when(varS > 0, abs(round(z, 6)) > critValue).as("reject"))
+  }
+
   /** Benjamini–Hochberg FDR screen across per-group association tests:
     * for every value of `groupCol`, the 2×2 χ² (1 df) of membership in
     * that group vs the boolean `contrast` (e.g. weekend), converted to

@@ -179,6 +179,59 @@ object TextAnalysis {
     round((alpha * lit(0.5)) + (tokOk * lit(0.25)) + (lenOk * lit(0.25)), 6)
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, table A1)
+    * — the published heuristic gate web-scale LLM corpora actually
+    * ship with, beside [[qualityScore]]'s single composite: per doc,
+    * seven named verdicts and the conjunction. Every rule compares
+    * EXACT integers by cross-multiplication (3 ≤ chars/words ≤ 10
+    * becomes 3·words ≤ chars ∧ chars ≤ 10·words), so no float enters
+    * any verdict and the whole gate replays bit-exactly in SQL.
+    * Entirely scan-side; zero shuffle.
+    *
+    *  1. `r_word_count`: 50 ≤ words ≤ 100000
+    *  2. `r_mean_word_len`: mean word length in [3, 10]
+    *  3. `r_symbol_ratio`: (# + …) symbols ≤ 0.1 · words
+    *  4. `r_bullet_lines`: ≤ 10% of lines start with a bullet
+    *  5. `r_ellipsis_lines`: ≤ 30% of lines end with "..."
+    *  6. `r_alpha_words`: ≥ 80% of words contain a letter
+    *  7. `r_stopwords`: ≥ 2 distinct common stopwords present
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = trim(col(textCol))
+    val toks = tokens(col(textCol))
+    val words = size(toks).cast("long")
+    val chars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    def occ(s: String): Column =
+      ((length(t) - length(regexp_replace(t,
+        java.util.regex.Pattern.quote(s), ""))) / s.length).cast("long")
+    val symbols = occ("#") + occ("...")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("long")
+    val ellipsis = size(filter(lines, l => trim(l).endsWith("...")))
+      .cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val enStops = stopwordProfiles.head._2
+    val stops = size(array_intersect(toks, array(enStops.map(lit): _*)))
+      .cast("long")
+    val r1 = words >= 50L && words <= 100000L
+    val r2 = lit(3L) * words <= chars && chars <= lit(10L) * words
+    val r3 = lit(10L) * symbols <= words
+    val r4 = lit(10L) * bullets <= nLines
+    val r5 = lit(10L) * ellipsis <= lit(3L) * nLines
+    val r6 = lit(5L) * alphaWords >= lit(4L) * words
+    val r7 = stops >= 2L
+    df.select(col(idCol), words.as("n_words"),
+      r1.as("r_word_count"), r2.as("r_mean_word_len"),
+      r3.as("r_symbol_ratio"), r4.as("r_bullet_lines"),
+      r5.as("r_ellipsis_lines"), r6.as("r_alpha_words"),
+      r7.as("r_stopwords"),
+      (r1 && r2 && r3 && r4 && r5 && r6 && r7).as("pass"))
+  }
+
   /** BPE-ish subword-boundary token count: letter runs, digit runs, and
     * punctuation runs count separately (the pre-tokenization split BPE
     * vocabularies are trained on), so it tracks LLM token counts far

@@ -1501,6 +1501,54 @@ object PipelineQueries {
       |         AS flagged_ppm
       |FROM d GROUP BY 1""".stripMargin
 
+  /** Gopher rule-set gate per document (Rae 2021 table A1) — the
+    * published heuristic filter, each rule an exact-integer verdict.
+    * See [[graft.ops.TextAnalysis.gopherRules]].
+    */
+  private def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+
+  private val textGopherRulesSql = {
+    val bullet = "•"
+    s"""WITH b AS (SELECT doc_id, trim(text) AS t,
+       |             string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(length(toks) AS BIGINT) AS words,
+       |        CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT)
+       |          AS chars,
+       |        CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+       |          CAST((length(t) - length(replace(t, '...', ''))) / 3
+       |            AS BIGINT) AS symbols,
+       |        string_split(t, chr(10)) AS lines,
+       |        CAST(len(list_filter(toks,
+       |          x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |        CAST(len(list_intersect(toks, ['the','and','of','to','a',
+       |          'in','is','it','you','that'])) AS BIGINT) AS stops
+       |      FROM b),
+       |l AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |        CAST(len(list_filter(lines, x ->
+       |          starts_with(trim(x), '-') OR starts_with(trim(x), '*')
+       |          OR starts_with(trim(x), '$bullet'))) AS BIGINT) AS bullets,
+       |        CAST(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+       |          AS BIGINT) AS ellipsis
+       |      FROM m)
+       |SELECT m.doc_id, words AS n_words,
+       |  words >= 50 AND words <= 100000 AS r_word_count,
+       |  3 * words <= chars AND chars <= 10 * words AS r_mean_word_len,
+       |  10 * symbols <= words AS r_symbol_ratio,
+       |  10 * bullets <= n_lines AS r_bullet_lines,
+       |  10 * ellipsis <= 3 * n_lines AS r_ellipsis_lines,
+       |  5 * alpha_words >= 4 * words AS r_alpha_words,
+       |  stops >= 2 AS r_stopwords,
+       |  (words >= 50 AND words <= 100000) AND
+       |  (3 * words <= chars AND chars <= 10 * words) AND
+       |  10 * symbols <= words AND 10 * bullets <= n_lines AND
+       |  10 * ellipsis <= 3 * n_lines AND
+       |  5 * alpha_words >= 4 * words AND stops >= 2 AS pass
+       |FROM m JOIN l USING (doc_id)""".stripMargin
+  }
+
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -4257,6 +4305,8 @@ object PipelineQueries {
       Some(docLengthBucketsSql)),
     QueryDef("text_encoding_audit", textEncodingAudit,
       Some(textEncodingAuditSql)),
+    QueryDef("text_gopher_rules", textGopherRules,
+      Some(textGopherRulesSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),

@@ -1578,6 +1578,46 @@ object StatsQueries {
   private val embMmdSplitSql = embMmdSplitSqlFor("")
   private def embMmdSplitSampledSql = embMmdSplitSqlFor(embSampleWhere)
 
+  /** Mann–Kendall monotonic-trend verdict on the daily event count —
+    * the significance half of the Theil–Sen pairing (`ev_theilsen_trend`
+    * gives the robust slope; this says whether the trend is real).
+    * O(days²) pair join on the calendar rollup, tie-corrected normal z
+    * at α=.05. See [[graft.ops.Stats.mannKendall]].
+    */
+  private def evMannKendall(s: SparkSession, dir: String): DataFrame =
+    Stats.mannKendall(
+      Tables.events(s, dir).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")),
+      col("day"), col("x"))
+
+  private val evMannKendallSql =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS x
+      |           FROM events GROUP BY 1),
+      |sp AS (SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+      |         AS s
+      |       FROM d a JOIN d b ON a.day < b.day),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(t) AS BIGINT) AS n,
+      |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+      |       FROM (SELECT x, CAST(count(*) AS BIGINT) AS t
+      |             FROM d GROUP BY 1)),
+      |f AS (SELECT n, s,
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) *
+      |          (2.0 * CAST(n AS DOUBLE) + 5) - CAST(tsum AS DOUBLE))
+      |          / 18.0 AS vs
+      |      FROM sp CROSS JOIN tt)
+      |SELECT n, s,
+      |       CASE WHEN vs > 0 THEN round(
+      |         CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(vs)
+      |              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(vs)
+      |              ELSE 0.0 END, 6) END AS z,
+      |       CASE WHEN vs > 0 THEN abs(round(
+      |         CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(vs)
+      |              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(vs)
+      |              ELSE 0.0 END, 6)) > 1.959964 END AS reject
+      |FROM f""".stripMargin
+
   /** Kendall τ-b between daily click and purchase volumes — the
     * pair-concordance twin of `ev_spearman_daily`. The O(days²) pair
     * join runs on the calendar-sized daily rollup. See
@@ -1716,6 +1756,7 @@ object StatsQueries {
     QueryDef("ev_kruskal_wallis", evKruskalWallis,
       Some(evKruskalWallisSql)),
     QueryDef("ev_cliffs_delta", evCliffsDelta, Some(evCliffsDeltaSql)),
+    QueryDef("ev_mann_kendall", evMannKendall, Some(evMannKendallSql)),
     QueryDef("ev_spearman_daily", evSpearmanDaily, Some(evSpearmanDailySql)),
     QueryDef("emb_hist_split", embHistSplit, Some(embHistSplitSql)),
     QueryDef("ev_cramers_v_dow", evCramersV, Some(evCramersVSql)),

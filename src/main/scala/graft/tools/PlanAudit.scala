@@ -67,10 +67,13 @@ object PlanAudit {
     "search_hybrid_rrf" -> "probe-set-bounded (|queries| broadcast rows)",
     "mm_feature_ann_pipeline" ->
       "probe-set-bounded (|queries| broadcast rows)",
+    "sim_ann_rbo_lsh" ->
+      "probe-set-bounded (composes brute+LSH ranking legs)",
     "ev_pettitt_changepoint" ->
       "O(days^2) U-statistic pair join, calendar-bounded",
     // calendar/domain-bounded non-equi joins (≤ |days|² or grid rows)
     "ev_kendall_tau" -> "O(days^2) pair join, calendar-bounded",
+    "ev_mann_kendall" -> "O(days^2) pair join, calendar-bounded",
     "ev_theilsen_trend" -> "O(days^2) pairwise slopes, calendar-bounded",
     "ev_forecast_backtest" -> "fold x horizon grid, calendar-bounded",
     "ev_forecast_conformal" -> "fold x horizon grid, calendar-bounded",

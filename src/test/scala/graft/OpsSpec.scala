@@ -1361,6 +1361,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got("s2") == ((2L, 2L, 0L, 3L, 2L, 1000000L)))
   }
 
+  test("gopherRules: each rule flips on its own planted violation") {
+    import spark.implicits._
+    val good = ((1 to 60).map(_ => "the") ++ Seq("and", "words", "here"))
+      .mkString(" ") // 63 words, all alpha, stops present, sane lengths
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short"),                             // r_word_count
+      (3L, (1 to 60).map(_ => "a").mkString(" ") +
+        " the and"),                                 // r_mean_word_len (<3)
+      (4L, (1 to 60).map(_ => "the ###").mkString(" ")), // r_symbol_ratio
+      (5L, good + "\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"),
+      (6L, (1 to 60).map(_ => "12 34").mkString(" ") +
+        " the and"))                                 // r_alpha_words
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(9), "clean doc must pass")
+    assert(!got(2L).getBoolean(2) && !got(2L).getBoolean(9))
+    assert(!got(3L).getBoolean(3) && !got(3L).getBoolean(9))
+    assert(!got(4L).getBoolean(4) && !got(4L).getBoolean(9))
+    assert(!got(5L).getBoolean(5) && !got(5L).getBoolean(9)) // bullets
+    assert(!got(6L).getBoolean(7) && !got(6L).getBoolean(9))
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(

@@ -312,6 +312,26 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.isNullAt(2) && r1.isNullAt(3))
   }
 
+  test("mannKendall: monotone series rejects, constant null, hand S") {
+    // strictly increasing 10 days: S = 45, no ties, Var = 10*9*25/18=125
+    // z = 44/sqrt(125) = 3.935160 -> reject
+    val up = (1 to 10).map(d => (d, d * 3)).toDF("k", "x")
+    val r = Stats.mannKendall(up, col("k"), col("x")).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 45L)
+    val z = BigDecimal(44.0 / math.sqrt(125.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == z && r.getBoolean(3))
+    // constant series: every pair ties -> S = 0, Var = 0 -> null verdict
+    val const = (1 to 10).map(d => (d, 7)).toDF("k", "x")
+    val rc = Stats.mannKendall(const, col("k"), col("x")).collect().head
+    assert(rc.getLong(1) == 0L && rc.isNullAt(2) && rc.isNullAt(3))
+    // alternating short series: S near 0, accept
+    val alt = (1 to 10).map(d => (d, if (d % 2 == 0) 5 else 6))
+      .toDF("k", "x")
+    assert(!Stats.mannKendall(alt, col("k"), col("x"))
+      .collect().head.getBoolean(3))
+  }
+
   test("cliffsDelta: hand pair counts, full dominance hits +-1") {
     // g1 {1,2,3} vs g2 {2,3,4}: #(x>y)=1 (3>2), #(x<y)=6,
     // delta = -5/9 -> -555556 ppm, |.| >= .474 -> large
