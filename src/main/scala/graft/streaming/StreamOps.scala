@@ -778,4 +778,16 @@ object StreamOps extends Serializable {
                       aggs: Seq[org.apache.spark.sql.Column],
                       constraints: Seq[graft.ops.Analytics.Constraint]): DataFrame =
     graft.ops.Analytics.dqSuite(df, aggs, constraints)
+
+  /** Streaming Gopher quality gate: the batch rule set unchanged —
+    * every rule is a stateless scan-side projection over the one row
+    * (exact-integer verdicts, no aggregate, no window), so the SAME
+    * plan runs append-mode with zero state and per-row latency; this
+    * is the gate a streaming ingest pipeline applies before paying for
+    * fingerprinting. Parity with [[graft.ops.TextAnalysis.gopherRules]]
+    * is definitional (same code) and pinned by StreamingSpec.
+    */
+  def gopherGateStream(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
 }

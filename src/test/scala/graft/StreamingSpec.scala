@@ -230,6 +230,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming Gopher gate equals the batch rule set, append mode") {
+    import graft.ops.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val expected = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamOps.gopherGateStream(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_gopher_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_gopher_out").collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming dedup emits one row per key") {
     import graft.streaming.StreamOps
     val dir = "/root/testdata/sf0.001"
