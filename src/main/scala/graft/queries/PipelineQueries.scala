@@ -2374,17 +2374,21 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
-  /** k-NN (k=5) majority-vote label eval over every 10th vector — see
+  /** k-NN (k=5) majority-vote label eval over every 10th vector below
+    * 2000 (fixed ≤200 eval points — the matryoshka cap argument: eval
+    * power needs a constant sample, and the uncapped fraction-of-corpus
+    * predicate measured 7.8× for 10× data in the r8 sf1 bench). See
     * [[graft.ops.Embeddings.knnClassifierEval]].
     */
   private def embKnnEval(s: SparkSession, dir: String): DataFrame =
     graft.ops.Embeddings.knnClassifierEval(Tables.embeddings(s, dir),
-      "vec_id", "embedding", "label", col("vec_id") % 10 === 0, k = 5)
+      "vec_id", "embedding", "label",
+      col("vec_id") % 10 === 0 && col("vec_id") < 2000, k = 5)
 
   private val embKnnEvalSql =
     """WITH v AS (SELECT vec_id AS id, embedding, label FROM embeddings),
       |q AS (SELECT id AS qid, embedding AS qv, label AS true_label
-      |      FROM v WHERE id % 10 = 0),
+      |      FROM v WHERE id % 10 = 0 AND id < 2000),
       |sc AS (SELECT q.qid, q.true_label, v.id, v.label AS lbl,
       |         round(list_cosine_similarity(q.qv::DOUBLE[],
       |           v.embedding::DOUBLE[]), 6) AS cos
@@ -2454,17 +2458,20 @@ object PipelineQueries {
   /** MMR diversified rerank of the brute top-20 (k=8, λ=0.7/0.3) —
     * see [[graft.ops.Similarity.mmrRerank]]. The oracle replays the
     * greedy path with a recursive CTE over the identical packed
-    * candidate/sim arrays and 6dp score pins.
+    * candidate/sim arrays and 6dp score pins. Query batch capped below
+    * 2000 (fixed 20 queries — uncapped `% 100` measured 6.7× for 10×
+    * data in the r8 sf1 bench; a rerank batch is O(1) in the corpus).
     */
   private def searchMmr(s: SparkSession, dir: String): DataFrame =
     Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
-      col("vec_id") % 100 === 0, m = 20, k = 8,
+      col("vec_id") % 100 === 0 && col("vec_id") < 2000, m = 20, k = 8,
       lambdaRel = 0.7, lambdaDiv = 0.3)
 
   private val searchMmrSql =
     """WITH RECURSIVE v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
       |           FROM embeddings),
-      |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id % 100 = 0),
+      |q AS (SELECT id AS query_id, v AS qv
+      |      FROM v WHERE id % 100 = 0 AND id < 2000),
       |sc AS MATERIALIZED (
       |  SELECT q.query_id, v.id,
       |         round(list_cosine_similarity(q.qv, v.v), 6) AS rel
@@ -2519,12 +2526,17 @@ object PipelineQueries {
 
   /** MaxSim late-interaction top-k: the 64-dim embedding read as 8
     * sub-vectors of 8 dims, score = Σ_i max_j cos(q_i, d_j) — see
-    * [[graft.ops.Similarity.maxSimTopK]]. Queries: every 100th vector.
+    * [[graft.ops.Similarity.maxSimTopK]]. Queries: every 100th vector
+    * BELOW 2000 (`embMatryoshka`'s cap pattern) — a retrieval query
+    * BATCH is O(1) in the corpus, and the r8 sf1 bench measured the
+    * uncapped `% 100` predicate growing the batch with the corpus into
+    * n²/100 total work (159 s at sf1, 53× for 10× data). Capped, the
+    * scan is linear in the corpus like every other probe query.
     */
   private def simMaxsim(s: SparkSession, dir: String): DataFrame =
     Similarity.maxSimTopK(Tables.embeddings(s, dir), "vec_id",
-      "embedding", col("vec_id") % 100 === 0, subDim = 8, nSub = 8,
-      k = 10)
+      "embedding", col("vec_id") % 100 === 0 && col("vec_id") < 2000,
+      subDim = 8, nSub = 8, k = 10)
 
   private val simMaxsimSql = {
     val score = (0 until 8).map { i =>
@@ -2537,7 +2549,7 @@ object PipelineQueries {
     }.mkString(" + ")
     s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
        |q AS (SELECT id AS query_id, embedding AS qv FROM v
-       |      WHERE id % 100 = 0),
+       |      WHERE id % 100 = 0 AND id < 2000),
        |sc AS (SELECT q.query_id, v.id AS neighbor_id,
        |         round($score, 6) AS maxsim
        |       FROM v CROSS JOIN q WHERE v.id != q.query_id),
