@@ -413,6 +413,20 @@ object Multimodal {
     })
   }
 
+  /** Media table with PLANTED image twins: every doc carries a PNG
+    * whose pixels depend only on `doc_id % mod` (fixed dims), so ids
+    * congruent mod `mod` are pixel-identical — the ground truth an
+    * image-dedup path is audited against at any corpus size (groups
+    * grow with the corpus, the group COUNT stays `mod`).
+    */
+  def mediaWithPlantedTwins(spark: SparkSession, docs: DataFrame,
+                            mod: Int, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(mod >= 1 && w >= 1 && h >= 1, "bad planted-twin params")
+    docs.select(col("doc_id")).as[Long].map(id =>
+      MediaRow(id, "image/png", syntheticPng(id % mod, w, h)))
+  }
+
   // ---- perceptual image hashing (difference hash) ----
 
   /** One image's difference hash: `gw·gh` bits, bit `cy·gw+cx` set iff

@@ -3512,18 +3512,17 @@ object PipelineQueries {
       gw = 4, gh = 4).toDF()
 
   /** CTE chain `dh(media_id, dhash)` + `imgs`: the dHash replay over
-    * the planted-PNG pixel CTEs (pngReplayCtes' `s4`); shared by the
-    * hash and pair oracles.
+    * the planted-PNG pixel CTEs (pngReplayCtes' `s4`) for a gw×gh bit
+    * grid; shared by the hash, pair, and wide-hash dup-group oracles.
     */
-  private lazy val dhashCtes: String = {
-    val px = pngReplayCtes(
-      """SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
-        |                4 + doc_id % 11 AS h
-        |              FROM documents WHERE doc_id % 2 = 0""".stripMargin,
-      Seq("media_id"), "CAST(media_id AS HUGEINT)")
+  private def dhashCtesFor(imgsSql: String, seedSql: String,
+                           gw: Int, gh: Int): String = {
+    val px = pngReplayCtes(imgsSql, Seq("media_id"), seedSql)
+    val cols = gw + 1
     s"""$px,
        |cell AS (SELECT media_id,
-       |           least(y * 4 // h, 3) AS cy, least(x * 5 // w, 4) AS cx,
+       |           least(y * $gh // h, ${gh - 1}) AS cy,
+       |           least(x * $cols // w, $gw) AS cx,
        |           299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
        |             + 114 * (rgb % 256) AS gray
        |         FROM s4),
@@ -3531,8 +3530,8 @@ object PipelineQueries {
        |           CAST(sum(gray) AS HUGEINT) AS s
        |         FROM cell GROUP BY ALL),
        |grid AS (SELECT imgs.media_id, g.cy, g.cx FROM imgs
-       |         CROSS JOIN (SELECT a.a AS cy, b.b AS cx FROM range(4) a(a)
-       |                     CROSS JOIN range(5) b(b)) g),
+       |         CROSS JOIN (SELECT a.a AS cy, b.b AS cx FROM range($gh) a(a)
+       |                     CROSS JOIN range($cols) b(b)) g),
        |cfull AS (SELECT grid.media_id, grid.cy, grid.cx,
        |            coalesce(cagg.cnt, 0) AS cnt, coalesce(cagg.s, 0) AS s
        |          FROM grid LEFT JOIN cagg USING (media_id, cy, cx)),
@@ -3541,12 +3540,18 @@ object PipelineQueries {
        |              AS bit
        |          FROM cfull a JOIN cfull b ON b.media_id = a.media_id
        |            AND b.cy = a.cy AND b.cx = a.cx + 1
-       |          WHERE a.cx < 4),
+       |          WHERE a.cx < $gw),
        |dh AS (SELECT media_id,
-       |         CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << (cy*4 + cx)))
+       |         CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << (cy*$gw + cx)))
        |           AS BIGINT) AS dhash
        |       FROM dbits GROUP BY 1)""".stripMargin
   }
+
+  private lazy val dhashCtes: String = dhashCtesFor(
+    """SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+      |                4 + doc_id % 11 AS h
+      |              FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    "CAST(media_id AS HUGEINT)", gw = 4, gh = 4)
 
   private lazy val mmImageDhashSql =
     s"""WITH $dhashCtes
@@ -3577,6 +3582,39 @@ object PipelineQueries {
        |           AND a.bv = b.bv AND a.media_id < b.media_id)
        |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
+
+  /** The 100 TB form of image dedup: a WIDE dHash (7×8 = 56 bits)
+    * grouped EXACTLY — dedup_exact_groups' shape on the perceptual
+    * fingerprint. The 16-bit pair query above is the gate-scale
+    * near-dup baseline; its 4-bit bands hold only 16 values, so bucket
+    * occupancy grows linearly with the corpus and in-bucket pairs
+    * quadratically (measured 270 s at factor-100). At scale you hash
+    * WIDER (multi-index hashing: 4 bands × 14 bits = 16k bucket
+    * values here; real deployments use 64–256-bit pHashes) and the
+    * same banding stays occupancy-bounded — exact grouping on the
+    * 56-bit hash is the degenerate maxDist=0 case and needs only ONE
+    * combinable groupBy, no pair stage at all. Planted twins
+    * (pixels a function of doc_id % 97, fixed 12×10) keep the dup
+    * branch live at every SF with `mod` groups of growing size.
+    */
+  private def mmImageDupGroups(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHashes(
+      Multimodal.mediaWithPlantedTwins(s, Tables.documents(s, dir),
+        mod = 97, w = 12, h = 10),
+      gw = 7, gh = 8).toDF()
+      .groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("dup_cnt"))
+
+  private lazy val mmImageDupGroupsSql = {
+    val ctes = dhashCtesFor(
+      "SELECT doc_id AS media_id, 12 AS w, 10 AS h FROM documents",
+      "CAST(media_id % 97 AS HUGEINT)", gw = 7, gh = 8)
+    s"""WITH $ctes
+       |SELECT dhash, min(media_id) AS keep_id,
+       |       count(*) AS dup_cnt
+       |FROM dh GROUP BY 1""".stripMargin
+  }
 
   /** Video frame-sample gate: GMJ1 container walk + REAL `imageio`
     * decode of every 2nd frame of the planted videos — the "probe one
@@ -4386,6 +4424,8 @@ object PipelineQueries {
     QueryDef("mm_image_dhash", mmImageDhash, Some(mmImageDhashSql)),
     QueryDef("mm_image_neardup_pairs", mmImageNearDupPairs,
       Some(mmImageNearDupPairsSql)),
+    QueryDef("mm_image_dup_groups", mmImageDupGroups,
+      Some(mmImageDupGroupsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
   )
 }
