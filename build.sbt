@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses `sbt run` stdout as JSON and has failed to
+// every round ("parsed": null in BENCH_r01..r08): sbt re-logs the
+// forked program's stdout with an "[info] " prefix and then appends a
+// "[success] Total time: ..." epilogue, so graft.Bench's JSON line was
+// never the last line nor prefix-free. Two fixes: route forked run
+// output STRAIGHT to stdout (no [info] decoration), and suppress the
+// [success] epilogue — after which the program's final println IS the
+// final undecorated stdout line. (graft.Bench also mirrors the line to
+// SPARK_GRAFT_BENCH_OUT / bench_last.json as belt-and-braces.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

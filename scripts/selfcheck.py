@@ -50,6 +50,20 @@ def main(sf_dir, out_dir):
             bad += 1
             continue
         try:
+            # Type audit first: a HUGEINT/UHUGEINT oracle output column is
+            # gate-hostile — comparators that materialize through pandas
+            # widen int128 to float64 ("6.0" vs Spark's "6"), which is
+            # exactly how seven queries sat hash-red on the driver for two
+            # rounds while fetchall()-based local checks stayed green.
+            # probe_env_sum_uncast is the one DELIBERATE tripwire.
+            rel = con.sql(sql)
+            hostile = [c for c, t in zip(rel.columns, rel.types)
+                       if str(t) in ("HUGEINT", "UHUGEINT")]
+            if hostile and name != "probe_env_sum_uncast":
+                print(f"FAIL {name}: oracle emits gate-hostile int128 "
+                      f"column(s) {hostile}: wrap in CAST(... AS BIGINT)")
+                bad += 1
+                continue
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]
             erows = exp.fetchall()

@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     CoreQueries.qs ++ DecomposeQueries.qs ++ PipelineQueries.qs ++
       MiningQueries.qs ++ SketchQueries.qs ++ AnalyticsQueries.qs ++
-      TimeSeriesQueries.qs ++ StatsQueries.qs
+      TimeSeriesQueries.qs ++ StatsQueries.qs ++ EnvProbes.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The flagship is the composed training-data prep pipeline — the

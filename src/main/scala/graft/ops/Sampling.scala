@@ -274,6 +274,19 @@ object Sampling {
         (sqrt((col("n").cast("decimal(38,0)") * col("sxx") -
           col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
           .cast("double")) / col("n")).as("sigma"))
+      // loud overflow guard (the Decomposer.scala fold discipline):
+      // n·Σx² or (Σx)² past DECIMAL(38,0) nulls SILENTLY under
+      // non-ANSI mode, which would zero this stratum's weight and
+      // quietly misallocate the whole budget. The bound: per-stratum
+      // n·Σx² must stay under 1e38 (e.g. 10¹² rows of |x| ≤ 10¹²
+      // is fine; pre-scale valueCol beyond that).
+      .select(col("h"), col("n"),
+        when(col("sigma").isNull && col("n") > 0,
+          raise_error(concat(lit("neymanStratifiedSample: variance " +
+            "moments overflowed DECIMAL(38,0) for stratum "),
+            col("h").cast("string"),
+            lit(" (n*sum(x^2) exceeded 1e38) — pre-scale valueCol"))))
+          .otherwise(col("sigma")).as("sigma"))
       .select(col("h"), col("n"), col("sigma"),
         round(col("n").cast("double") * col("sigma") * 1e6).cast("long")
           .as("wh"))

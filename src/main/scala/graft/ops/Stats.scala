@@ -14,6 +14,77 @@ import org.apache.spark.sql.functions.{aggregate => foldAgg, _}
   */
 object Stats {
 
+  /** Two-phase distributed prefix sums over a distinct-value DOMAIN
+    * table: appends `cum_<c>` (inclusive running sum of `c` in `vName`
+    * order) for each of `sumCols`, and — when `withLead` — `lead_v`
+    * (the next distinct value, null at the top).
+    *
+    * This replaces the drift/rank family's single global
+    * `Window.orderBy(v)`, the one shape in the library that degraded
+    * silently if a high-cardinality value column arrived: the domain
+    * is range-bucketed into `buckets` equal-width bands from an exact
+    * min/max aggregate, each band runs its cumulative locally (bands
+    * in parallel), and the classic second pass broadcasts per-band
+    * totals as offsets. Values are bit-identical to the global window
+    * (counts are exact integers; bucketing is monotone in v), so every
+    * oracle replay is unchanged — only the physical shape moves from
+    * one partition to `buckets` of them.
+    *
+    * Deliberately NOT `repartitionByRange`: RangePartitioner samples
+    * its boundaries with a per-RDD seed, so the two materializations
+    * of this frame (the window branch and the totals branch) could
+    * bucket the same value differently and corrupt the offsets.
+    * Equal-width integer bucketing from one exact (min, max) aggregate
+    * is deterministic across branches, engines, and retries; skew in
+    * the band sizes costs only parallelism, and the worst case is the
+    * old single-partition shape, never a wrong sum.
+    */
+  private[ops] def domainPrefixSums(h: DataFrame, vName: String,
+      sumCols: Seq[String], buckets: Int = 64,
+      withLead: Boolean = false): DataFrame = {
+    val v = col(vName)
+    val mm = h.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val withB = h.crossJoin(broadcast(mm))
+      .withColumn("__b",
+        when(col("__mx") > col("__mn"),
+          least(floor((v - col("__mn")) /
+            (col("__mx") - col("__mn")) * buckets).cast("int"),
+            lit(buckets - 1)))
+          .otherwise(lit(0)))
+      .drop("__mn", "__mx")
+    val wLoc = Window.partitionBy(col("__b")).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = sumCols.foldLeft(withB)((d, c) =>
+      d.withColumn(s"__cum_$c", sum(col(c)).over(wLoc)))
+    val local =
+      if (!withLead) local0
+      else local0.withColumn("__lead",
+        lead(v, 1).over(Window.partitionBy(col("__b")).orderBy(v)))
+    val aggs = sum(col(sumCols.head)).as(s"__t_${sumCols.head}") +:
+      (sumCols.tail.map(c => sum(col(c)).as(s"__t_$c")) ++
+        (if (withLead) Seq(min(v).as("__bmin")) else Nil))
+    val totals = withB.groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offCols = col("__b") +: (sumCols.map(c =>
+      coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__o_$c")) ++
+      // next NON-EMPTY band's smallest value — lead over the band list
+      // handles empty bands between populated ones
+      (if (withLead)
+        Seq(lead(col("__bmin"), 1).over(Window.orderBy(col("__b")))
+          .as("__nextv"))
+      else Nil))
+    val offs = totals.select(offCols: _*)
+    val joined = local.join(broadcast(offs), Seq("__b"))
+    val cumd = sumCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"cum_$c", col(s"__cum_$c") + col(s"__o_$c")))
+    val led =
+      if (!withLead) cumd
+      else cumd.withColumn("lead_v", coalesce(col("__lead"), col("__nextv")))
+    led.drop(("__b" +: "__lead" +: "__nextv" +:
+      sumCols.flatMap(c => Seq(s"__cum_$c", s"__o_$c"))): _*)
+  }
+
   /** Population Stability Index between a baseline and a current
     * population of `valueCol`, over `bins` quantile bands fitted on the
     * BASELINE side (the industry scorecard-drift metric: PSI < 0.1
@@ -685,10 +756,10 @@ object Stats {
     * |ΔCDF|·dv term is ×10⁹-pinned to a BIGINT (counts are exact
     * integers, the 6dp support values identical doubles in any
     * engine), so the cross-gap sum is order-free and the statistic
-    * replays exactly in SQL. The support-sized window is the accepted
-    * cost shape of the drift family; at 100 TB pre-bin the value
-    * (the [[graft.ops.Sketches.histCells]] grid) and run the same
-    * fold on bin edges.
+    * replays exactly in SQL. The support cumulative runs as the
+    * two-phase bucketed prefix sum ([[domainPrefixSums]]); at 100 TB
+    * pre-bin the value (the [[graft.ops.Sketches.histCells]] grid) and
+    * run the same fold on bin edges.
     */
   def emdDrift(df: DataFrame, valueCol: Column,
                isBaseline: Column): DataFrame = {
@@ -697,14 +768,11 @@ object Stats {
           .as("c1"),
         coalesce(sum(when(!isBaseline, 1L).otherwise(0L)), lit(0L))
           .as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wl = Window.orderBy(col("v"))
     val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val terms = h
-      .withColumn("f1", sum(col("c1")).over(w))
-      .withColumn("f2", sum(col("c2")).over(w))
-      .withColumn("dv", lead(col("v"), 1).over(wl) - col("v"))
+    val terms = domainPrefixSums(h, "v", Seq("c1", "c2"), withLead = true)
+      .withColumn("f1", col("cum_c1"))
+      .withColumn("f2", col("cum_c2"))
+      .withColumn("dv", col("lead_v") - col("v"))
       .crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
         round(abs(col("f1").cast("double") / col("n1") -
@@ -723,12 +791,10 @@ object Stats {
           .as("c1"),
         coalesce(sum(when(!isBaseline, 1L).otherwise(0L)), lit(0L))
           .as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val gaps = h
-      .withColumn("f1", sum(col("c1")).over(w))
-      .withColumn("f2", sum(col("c2")).over(w))
+    val gaps = domainPrefixSums(h, "v", Seq("c1", "c2"))
+      .withColumn("f1", col("cum_c1"))
+      .withColumn("f2", col("cum_c2"))
       .crossJoin(broadcast(tot))
       .select(abs(col("f1").cast("double") / col("n1") -
         col("f2").cast("double") / col("n2")).as("gap"),
@@ -754,8 +820,10 @@ object Stats {
     * Distributed shape: the same histogram decomposition as [[ksDrift]]
     * / [[rocAuc]] — one combinable (6dp value → per-group count)
     * aggregate collapses the stream to the distinct-value domain; the
-    * single cumulative window after it runs over that bounded domain,
-    * never rows. Determinism: the doubled rank sum 2R₁ = Σ c₁(2·below
+    * cumulative after it runs over that bounded domain, never rows,
+    * as the two-phase bucketed prefix sum ([[domainPrefixSums]]) so
+    * even a high-cardinality domain never recreates a global
+    * single-partition sort. Determinism: the doubled rank sum 2R₁ = Σ c₁(2·below
     * + t + 1) and the tie term Σ(t³−t) are exact DECIMAL(38,0) (rank
     * sums are O(n²), past BIGINT at petabyte row counts); only the
     * final scalar z arithmetic is floating, in a pinned order.
@@ -767,10 +835,9 @@ object Stats {
           .as("c1"),
         coalesce(sum(when(!isGroup1, 1L).otherwise(0L)), lit(0L))
           .as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h.withColumn("t", col("c1") + col("c2"))
-      .withColumn("below", sum(col("t")).over(w) - col("t"))
+    val cum = domainPrefixSums(h.withColumn("t", col("c1") + col("c2")),
+        "v", Seq("t"))
+      .withColumn("below", col("cum_t") - col("t"))
     val dec = "decimal(38,0)"
     val a = cum.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
       sum((col("c1") * (lit(2) * col("below") + col("t") + 1))
@@ -814,11 +881,9 @@ object Stats {
           .as("c1"),
         coalesce(sum(when(!isGroup1, 1L).otherwise(0L)), lit(0L))
           .as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h
-      .withColumn("below1", sum(col("c1")).over(w) - col("c1"))
-      .withColumn("below2", sum(col("c2")).over(w) - col("c2"))
+    val cum = domainPrefixSums(h, "v", Seq("c1", "c2"))
+      .withColumn("below1", col("cum_c1") - col("c1"))
+      .withColumn("below2", col("cum_c2") - col("c2"))
     val a = cum.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
       sum(col("c1").cast(dec) * col("below2").cast(dec)).as("gt"),
       sum(col("c2").cast(dec) * col("below1").cast(dec)).as("lt"))
@@ -859,11 +924,10 @@ object Stats {
     val dec = "decimal(38,0)"
     val h = df.groupBy(round(valueCol, 6).as("v"), groupCol.as("g"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per distinct value: pooled count t and pooled count strictly below
-    val distinctV = h.groupBy(col("v")).agg(sum(col("c")).as("t"))
-      .withColumn("below", sum(col("t")).over(w) - col("t"))
+    val distinctV = domainPrefixSums(
+        h.groupBy(col("v")).agg(sum(col("c")).as("t")), "v", Seq("t"))
+      .withColumn("below", col("cum_t") - col("t"))
     val ranked = h.join(distinctV, "v")
     val perG = ranked.groupBy(col("g"))
       .agg(sum(col("c")).as("ng"),
@@ -983,9 +1047,9 @@ object Stats {
     * Distributed shape: same histogram decomposition as [[ksDrift]] —
     * one combinable (6dp-rounded score → pos/neg count) aggregate
     * collapses the stream to the distinct-score domain, then one
-    * cumulative window over that domain. The window is
-    * single-partition but bounded by score cardinality (≤ 2·10⁶+1 for
-    * any [-1,1] score at 6dp), not row count. Determinism: the
+    * cumulative over that domain (bounded by score cardinality,
+    * ≤ 2·10⁶+1 for any [-1,1] score at 6dp, and run as the two-phase
+    * bucketed prefix sum [[domainPrefixSums]]). Determinism: the
     * pair-count numerator is an exact BIGINT (doubled to keep the ½
     * integral); only the final two divisions are floating, in a
     * pinned order.
@@ -996,9 +1060,8 @@ object Stats {
           .as("p"),
         coalesce(sum(when(!isPositive, 1L).otherwise(0L)), lit(0L))
           .as("n"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("cn", coalesce(sum(col("n")).over(w), lit(0L)))
+    domainPrefixSums(g, "s", Seq("n"))
+      .withColumn("cn", col("cum_n") - col("n"))
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
         sum(col("p") * (lit(2L) * col("cn") + col("n"))).as("num2"))
       .select(col("n_pos"), col("n_neg"),

@@ -179,22 +179,30 @@ object TextAnalysis {
     round((alpha * lit(0.5)) + (tokOk * lit(0.25)) + (lenOk * lit(0.25)), 6)
   }
 
-  /** The Gopher document-quality rule set (Rae et al. 2021, table A1)
-    * — the published heuristic gate web-scale LLM corpora actually
-    * ship with, beside [[qualityScore]]'s single composite: per doc,
-    * seven named verdicts and the conjunction. Every rule compares
-    * EXACT integers by cross-multiplication (3 ≤ chars/words ≤ 10
-    * becomes 3·words ≤ chars ∧ chars ≤ 10·words), so no float enters
-    * any verdict and the whole gate replays bit-exactly in SQL.
-    * Entirely scan-side; zero shuffle.
+  /** A Gopher-STYLE document-quality rule set — house variants of the
+    * heuristics in Rae et al. 2021 table A1, beside [[qualityScore]]'s
+    * single composite: per doc, seven named verdicts and the
+    * conjunction. Two rules are deliberately NOT the paper's values
+    * (so this is a house gate, not a Gopher reimplementation):
+    * `r_bullet_lines` rejects at >10% bullet-started lines where the
+    * paper rejects at >90% (a 10% cap is the stricter gate a curated
+    * corpus wants; a doc that is 11–90% bullets passes Gopher but
+    * fails here), and `r_stopwords` draws from this repo's 10-word
+    * English stopword profile rather than the paper's 8-word list.
+    * Every rule compares EXACT integers by cross-multiplication
+    * (3 ≤ chars/words ≤ 10 becomes 3·words ≤ chars ∧ chars ≤
+    * 10·words), so no float enters any verdict and the whole gate
+    * replays bit-exactly in SQL. Entirely scan-side; zero shuffle.
     *
     *  1. `r_word_count`: 50 ≤ words ≤ 100000
     *  2. `r_mean_word_len`: mean word length in [3, 10]
     *  3. `r_symbol_ratio`: (# + …) symbols ≤ 0.1 · words
     *  4. `r_bullet_lines`: ≤ 10% of lines start with a bullet
+    *     (house-strict; paper: ≤ 90%)
     *  5. `r_ellipsis_lines`: ≤ 30% of lines end with "..."
     *  6. `r_alpha_words`: ≥ 80% of words contain a letter
-    *  7. `r_stopwords`: ≥ 2 distinct common stopwords present
+    *  7. `r_stopwords`: ≥ 2 distinct stopwords from the repo's 10-word
+    *     en profile (paper: its own 8-word list)
     */
   def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {

@@ -1692,8 +1692,9 @@ object AnalyticsQueries {
       |cy AS (SELECT day, count(*) AS carry FROM cyd GROUP BY 1)
       |SELECT strftime(make_timestamp(sw.day * 86400000000), '%Y-%m-%d')
       |         AS day,
-      |       greatest(coalesce(cy.carry, 0),
-      |                coalesce(cy.carry, 0) + sw.max_run) AS max_concurrency
+      |       CAST(greatest(coalesce(cy.carry, 0),
+      |                coalesce(cy.carry, 0) + sw.max_run) AS BIGINT)
+      |         AS max_concurrency
       |FROM sw LEFT JOIN cy USING (day)""".stripMargin
 
   /** Benford first-digit audit on event values — see

@@ -527,13 +527,14 @@ object CoreQueries {
     s"""WITH $zorderCtes,
        |probes(name, xlo2, xhi2, ylo2, yhi2) AS (VALUES $values),
        |audit AS (
-       |  SELECT p.name, count(*) AS n_buckets, sum(b2.cnt) AS rows_total,
-       |    sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
+       |  SELECT p.name, count(*) AS n_buckets,
+       |    CAST(sum(b2.cnt) AS BIGINT) AS rows_total,
+       |    CAST(sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
        |              AND b2.y_min <= p.yhi2 AND b2.y_max >= p.ylo2
-       |             THEN 1 ELSE 0 END) AS scanned_buckets,
-       |    sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS scanned_buckets,
+       |    CAST(sum(CASE WHEN b2.x_min <= p.xhi2 AND b2.x_max >= p.xlo2
        |              AND b2.y_min <= p.yhi2 AND b2.y_max >= p.ylo2
-       |             THEN b2.cnt ELSE 0 END) AS scanned_rows
+       |             THEN b2.cnt ELSE 0 END) AS BIGINT) AS scanned_rows
        |  FROM bkt b2 CROSS JOIN probes p GROUP BY 1)
        |SELECT name, n_buckets, scanned_buckets, rows_total, scanned_rows,
        |       CAST(round(scanned_rows * 1.0 / rows_total * 1000000.0)

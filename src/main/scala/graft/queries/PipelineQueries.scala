@@ -216,7 +216,8 @@ object PipelineQueries {
       |  FROM documents
       |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
       |SELECT d.source, count(*) AS n_docs,
-      |       sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END) AS n_dups,
+      |       CAST(sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_dups,
       |       CAST(round(CAST(sum(CASE WHEN g.keep_id IS NULL THEN 1 ELSE 0 END)
       |               AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0)
       |         AS BIGINT) AS dup_rate_ppm
@@ -458,8 +459,17 @@ object PipelineQueries {
     * pinned twin's frozen (4-plane × 8-table) geometry super-scales
     * past its sf0.1 design point (measured 15.4× at sf1). Rows-only at
     * the gate (params depend on a runtime count); the hash-green twin
-    * is [[dedupSignalTriageLsh]], which at gate scale derives the
-    * identical geometry.
+    * is [[dedupSignalTriageLsh]]. The twin is a BIT-EXACT gate for
+    * this query at gate scale, not just a cousin: `lshAutoParams` at
+    * the gate's corpus size (n ≤ 2048 → b=4, L=8) derives exactly the
+    * twin's pinned geometry, so both queries run the identical plan
+    * there and the twin's oracle hash covers it. A count-derived
+    * dynamic oracle (the hashSampleBudget pattern) was considered and
+    * rejected: replaying variable-(b, L) sign-projection banding in
+    * SQL needs the full ≤256-hyperplane constant table inlined
+    * (~200 KB of generated SQL) to cover the geometries reachable
+    * across scale factors — disproportionate for an adaptive variant
+    * whose gate-scale behavior is already hash-gated via the twin.
     */
   private def dedupSignalTriageLshAuto(s: SparkSession,
                                        dir: String): DataFrame = {
@@ -921,6 +931,37 @@ object PipelineQueries {
       |  round(list_cosine_similarity(a.embedding::DOUBLE[],
       |                               b.embedding::DOUBLE[]), 6) AS cosine
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                   b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
+
+  /** Fixed-budget bounded twin of [[embCosinePairs]] — the last labeled
+    * exact all-pairs baseline without a registered sampled scale form
+    * (the LSH path is the production scale form; this is the
+    * diagnostic one): the same exact kernel on a deterministic
+    * [[graft.ops.Sampling.hashSampleBudget]] shard of ~250 vectors, so
+    * the pair stage is O(250²) at ANY corpus size. Same salt as the
+    * embedding-diagnostic `_sampled` twins, so all the shard-based
+    * diagnostics read the same subsample. The oracle re-derives the
+    * md5 threshold from its own count(*) (rate-1 corner uses the
+    * all-keep sentinel on both sides).
+    */
+  private def embCosinePairsSampled(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+      graft.ops.Sampling.hashSampleBudget(Tables.embeddings(s, dir),
+        "vec_id", 250L, "shard"),
+      "vec_id", "embedding", tau = 0.35)
+
+  private val embCosinePairsSampledSql =
+    """WITH sh AS (SELECT * FROM embeddings
+      |  WHERE md5('shard:' || CAST(vec_id AS VARCHAR)) <
+      |    (SELECT CASE WHEN cnt <= 250 THEN 'ffffffffg'
+      |       ELSE printf('%08x', CAST(round(250.0 / cnt * 4294967296.0)
+      |         AS BIGINT)) END
+      |     FROM (SELECT count(*) AS cnt FROM embeddings)))
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM sh a JOIN sh b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
       |                                   b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
 
@@ -1491,10 +1532,11 @@ object PipelineQueries {
       |          AS ctl
       |      FROM c3)
       |SELECT source, count(*) AS n_docs,
-      |       sum(CASE WHEN repl + moji + ctl > 0 THEN 1 ELSE 0 END)
-      |         AS docs_flagged,
-      |       sum(repl) AS repl_chars, sum(moji) AS moji_seqs,
-      |       sum(ctl) AS ctrl_chars,
+      |       CAST(sum(CASE WHEN repl + moji + ctl > 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS docs_flagged,
+      |       CAST(sum(repl) AS BIGINT) AS repl_chars,
+      |       CAST(sum(moji) AS BIGINT) AS moji_seqs,
+      |       CAST(sum(ctl) AS BIGINT) AS ctrl_chars,
       |       CAST(round(CAST(sum(CASE WHEN repl + moji + ctl > 0 THEN 1
       |                ELSE 0 END) AS DOUBLE) /
       |              CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -1579,7 +1621,8 @@ object PipelineQueries {
        |bk AS (SELECT doc_id, t,
        |         CASE $cases ELSE $maxBucket END AS bucket
        |       FROM tc WHERE t >= 1),
-       |agg AS (SELECT bucket, count(*) AS n_docs, sum(t) AS sum_tokens,
+       |agg AS (SELECT bucket, count(*) AS n_docs,
+       |          CAST(sum(t) AS BIGINT) AS sum_tokens,
        |          max(t) AS max_tokens
        |        FROM bk GROUP BY 1),
        |pt AS (SELECT bucket, n_docs, sum_tokens,
@@ -1956,8 +1999,8 @@ object PipelineQueries {
        |           AS n_words
        |       FROM documents)
        |SELECT ws.lang, count(*) AS n_docs,
-       |       sum(bpe.n_tokens) AS subword_tokens,
-       |       sum(ws.n_words) AS words,
+       |       CAST(sum(bpe.n_tokens) AS BIGINT) AS subword_tokens,
+       |       CAST(sum(ws.n_words) AS BIGINT) AS words,
        |       CAST(round(CAST(sum(bpe.n_tokens) AS DOUBLE) /
        |             CAST(sum(ws.n_words) AS DOUBLE) * 1000000.0)
        |         AS BIGINT) AS fertility_ppm
@@ -4312,6 +4355,8 @@ object PipelineQueries {
     QueryDef("dedup_signal_triage", dedupSignalTriage,
       Some(dedupSignalTriageSql)),
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
+    QueryDef("sim_cosine_pairs_sampled", embCosinePairsSampled,
+      Some(embCosinePairsSampledSql)),
     QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
     QueryDef("sim_jl_distortion", jlDistortion, Some(jlDistortionSql)),
     QueryDef("sim_silhouette_by_cell", silhouetteByCellQ,

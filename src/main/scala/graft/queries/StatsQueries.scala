@@ -854,10 +854,10 @@ object StatsQueries {
       |    CAST(sum(pos) AS BIGINT) AS np
       |  FROM b GROUP BY 1, 2),
       |cum AS (SELECT dim, bin,
-      |    sum(n) OVER (PARTITION BY dim ORDER BY bin) AS nl,
-      |    sum(np) OVER (PARTITION BY dim ORDER BY bin) AS pl,
-      |    sum(n) OVER (PARTITION BY dim) AS nt,
-      |    sum(np) OVER (PARTITION BY dim) AS pt
+      |    CAST(sum(n) OVER (PARTITION BY dim ORDER BY bin) AS BIGINT) AS nl,
+      |    CAST(sum(np) OVER (PARTITION BY dim ORDER BY bin) AS BIGINT) AS pl,
+      |    CAST(sum(n) OVER (PARTITION BY dim) AS BIGINT) AS nt,
+      |    CAST(sum(np) OVER (PARTITION BY dim) AS BIGINT) AS pt
       |  FROM cells),
       |cand AS (SELECT dim, bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
       |    nt, pt,

@@ -790,4 +790,19 @@ object StreamOps extends Serializable {
   def gopherGateStream(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame =
     graft.ops.TextAnalysis.gopherRules(docs, idCol, textCol)
+
+  /** Streaming encoding-health monitor: the batch detector unchanged —
+    * the per-doc marker counts (U+FFFD replacement chars, mojibake
+    * pairs, control bytes) are stateless scan-side projections, and
+    * the per-source rollup is additive counts, so the SAME plan runs
+    * complete-mode with one bounded state row per source and the audit
+    * table updates every micro-batch. Ingest time is where an encoding
+    * regression is actually caught — the batch audit
+    * ([[graft.ops.TextAnalysis.encodingAudit]], `text_encoding_audit`)
+    * only post-mortems it. Parity is definitional (same code) and
+    * pinned by StreamingSpec, corruption branches live.
+    */
+  def encodingAuditStream(docs: DataFrame, grpCol: String,
+                          textCol: String): DataFrame =
+    graft.ops.TextAnalysis.encodingAudit(docs, grpCol, textCol)
 }

@@ -47,6 +47,7 @@ object PlanAudit {
     "emb_alignment_uniformity_sampled" -> "quadratic bounded by hash sample",
     "emb_lof_outliers_sampled" -> "quadratic bounded by hash sample",
     "emb_intrinsic_dim_sampled" -> "quadratic bounded by hash sample",
+    "sim_cosine_pairs_sampled" -> "quadratic bounded by hash sample",
     "dedup_signal_triage" ->
       "exact multi-signal triage baseline (scale form: _lsh)",
     // probe-set-bounded NOT(id = query_id) nested loops: the build side
@@ -95,9 +96,56 @@ object PlanAudit {
     * a range condition; round 7's audit missed it and two all-pairs
     * baselines planned BNLJ invisibly. `NOT (attr = literal)` probe
     * filters don't match (no second `#ref`).
+    *
+    * Implemented as a balanced-paren scan, not a regex: the round-8
+    * regex used `[^()]*` on both sides of the `=`, so a condition
+    * wrapping an attribute in a function call — `NOT (cast(a#1 as
+    * bigint) = b#2)` — silently evaded the detector. The scan finds
+    * each `NOT (…)` group (balanced), splits it at every TOP-LEVEL
+    * ` = `, and flags when both sides of one split carry a `#N`
+    * attribute reference at any nesting depth.
     */
-  private val notEqualOnAttrs =
-    """NOT \([^()]*#\d+L?[^()]* = [^()]*#\d+L?[^()]*\)""".r
+  private val attrRef = """#\d+""".r
+  private[tools] def notEqualOnAttrsHit(line: String): Boolean = {
+    var from = line.indexOf("NOT (")
+    while (from >= 0) {
+      val open = from + 4
+      var depth = 0
+      var k = open
+      var end = -1
+      while (k < line.length && end < 0) {
+        line.charAt(k) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (end > open) {
+        val body = line.substring(open + 1, end)
+        // top-level " = " positions (depth 0 within the NOT group)
+        var d = 0
+        var i = 0
+        while (i < body.length) {
+          body.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case '=' if d == 0 && i >= 2 && i + 1 < body.length &&
+                body.charAt(i - 1) == ' ' && body.charAt(i + 1) == ' ' &&
+                body.charAt(i - 2) != '<' && body.charAt(i - 2) != '>' &&
+                body.charAt(i - 2) != '!' && body.charAt(i - 2) != '=' =>
+              if (attrRef.findFirstIn(body.substring(0, i - 1)).isDefined &&
+                attrRef.findFirstIn(body.substring(i + 2)).isDefined)
+                return true
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      from = line.indexOf("NOT (", from + 1)
+    }
+    false
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -105,11 +153,20 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var bad = List.empty[(String, String)]
     var reviewed = 0
+    // Non-codegen object aggregates (collect_list/collect_set →
+    // ObjectHashAggregate) are reported, not failed: the library's uses
+    // are domain-bounded by design (daily series, per-doc positions,
+    // bounded band lists), but the adamic-adar A/B showed a corpus-scale
+    // one costs 20%+ — so every query carrying one is named here and a
+    // NEW name appearing in this list is a review prompt.
+    var objAgg = List.empty[String]
     for (q <- SparkEntry.registry) {
       val hits: Seq[String] =
         try {
           val plan = q.fn(spark, sfDir).queryExecution.executedPlan
             .toString.linesIterator.map(_.trim).toSeq
+          if (plan.exists(_.contains("ObjectHashAggregate")))
+            objAgg ::= q.name
           plan.filter(l => l.contains("CartesianProduct")) ++
             // the er_sorted_neighborhood bug class: a nested-loop join
             // whose condition RANGE-compares — or NOT-EQUAL-compares —
@@ -120,7 +177,7 @@ object PlanAudit {
             // don't match.
             plan.filter(l => l.contains("BroadcastNestedLoopJoin") &&
               (rangeOnAttrs.findFirstIn(l).isDefined ||
-                notEqualOnAttrs.findFirstIn(l).isDefined))
+                notEqualOnAttrsHit(l)))
         } catch {
           case NonFatal(e) => Seq(s"PLANNING FAILED: ${e.getMessage}")
         }
@@ -132,6 +189,8 @@ object PlanAudit {
         } else bad ::= (q.name, hits.mkString(" | ").take(300))
       }
     }
+    println(s"[plan-audit] ${objAgg.size} queries with non-codegen object " +
+      s"aggregates (review if new): ${objAgg.reverse.sorted.mkString(", ")}")
     println(s"[plan-audit] ${SparkEntry.registry.size} queries, " +
       s"$reviewed allowlisted quadratic shapes, ${bad.size} violations")
     bad.reverse.foreach { case (n, h) => println(s"[plan-audit] BAD $n: $h") }

@@ -249,6 +249,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming encoding audit equals the batch detector, complete mode") {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.functions.expr
+    val dir = "/root/testdata/sf0.001"
+    // same pinned corruption as the text_encoding_audit query, so every
+    // detector branch (replacement char, mojibake, control byte) is live
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') " +
+          "ELSE text END"))
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 11 = 0 THEN replace(text, 't', '�') " +
+          "ELSE text END"))
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, chr(1)) " +
+          "ELSE text END"))
+    val expected = TextAnalysis.encodingAudit(docs, "source", "text")
+      .collect().map(_.toSeq).toSet
+    assert(expected.exists(r => r.exists {
+      case l: Long => l > 0
+      case _ => false
+    }), "corruption branches must be live")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-encaudit").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamOps.encodingAuditStream(stream, "source", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_encaudit_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_encaudit_out").collect().map(_.toSeq).toSet
+    // complete mode over a drained finite stream = exact batch parity
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("streaming dedup emits one row per key") {
     import graft.streaming.StreamOps
     val dir = "/root/testdata/sf0.001"
