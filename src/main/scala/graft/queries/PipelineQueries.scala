@@ -1591,6 +1591,140 @@ object PipelineQueries {
        |FROM m JOIN l USING (doc_id)""".stripMargin
   }
 
+  /** Gopher REPETITION rule set (Rae 2021 table A1's other half) over
+    * the deterministically re-lined documents (10-token lines — the
+    * `dedup_lines` precedent: the synthetic corpus is single-line, and
+    * a fixed re-lining keeps the dup-line branch live while the oracle
+    * stays a pure SQL replay). Template near-dups share aligned
+    * 10-token runs and the tiny vocabulary makes duplicated k-grams
+    * common; every 17th doc additionally gets its first 10 tokens
+    * PREPENDED five times (the `text_encoding_audit` pinned-corruption
+    * precedent) — alignment-preserving under the 10-token re-lining,
+    * so those docs carry ≥5 duplicate lines and heavy dup-{5..10}-gram
+    * mass at EVERY doc length, keeping all reject branches live in the
+    * gate, not just in the spec fixtures.
+    * See [[graft.ops.TextAnalysis.gopherRepetition]].
+    */
+  private def textGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t10 = array_join(
+      slice(TextAnalysis.tokens(col("text")), lit(1), lit(10)), " ")
+    val multi = Tables.documents(s, dir)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat_ws(" ", t10, t10, t10, t10, t10, col("text")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(transform(
+          when(size(col("toks")) >= 1,
+            sequence(lit(1), ceil(size(col("toks")) / lit(10.0)).cast("int")))
+            .otherwise(array()),
+          j => array_join(slice(col("toks"), (j - 1) * 10 + 1, lit(10)), " ")),
+          "\n").as("text"))
+    TextAnalysis.gopherRepetition(multi, "doc_id", "text")
+  }
+
+  private val textGopherRepetitionSql =
+    """WITH t0 AS (SELECT doc_id,
+      |              string_split_regex(lower(trim(text)), '\s+') AS tk
+      |            FROM documents),
+      |b AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 17 = 0
+      |             THEN tk[1:10] || tk[1:10] || tk[1:10] || tk[1:10] ||
+      |                  tk[1:10] || tk
+      |             ELSE tk END AS toks
+      |      FROM t0),
+      |base AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS chars,
+      |    CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_lines
+      |  FROM b),
+      |lg AS (SELECT doc_id,
+      |    array_to_string(list_slice(toks, (j-1)*10+1, (j-1)*10+10), ' ')
+      |      AS line
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1,
+      |            CAST(ceil(len(toks) / 10.0) AS INT))) AS j
+      |        FROM b)),
+      |lc AS (SELECT doc_id, line, count(*) AS c,
+      |         length(line) AS ll FROM lg GROUP BY 1, 2),
+      |ls AS (SELECT doc_id,
+      |    CAST(sum(c - 1) AS BIGINT) AS dup_l,
+      |    CAST(sum((c - 1) * ll) AS BIGINT) AS dup_lc
+      |  FROM lc GROUP BY 1),
+      |g AS (SELECT doc_id, k, array_to_string(toks[i:i+k-1], ' ') AS gram
+      |  FROM (SELECT doc_id, toks, k,
+      |          unnest(generate_series(1, len(toks) - k + 1)) AS i
+      |        FROM (SELECT doc_id, toks,
+      |                unnest([2,3,4,5,6,7,8,9,10]) AS k FROM b)
+      |        WHERE len(toks) >= k)),
+      |gc AS (SELECT doc_id, k, gram, count(*) AS c,
+      |         length(gram) AS gl FROM g GROUP BY 1, 2, 3),
+      |pk AS (SELECT doc_id, k,
+      |         CAST(max(c * gl) AS BIGINT) AS tc,
+      |         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * gl END), 0)
+      |           AS BIGINT) AS da
+      |       FROM gc GROUP BY 1, 2),
+      |gs AS (SELECT doc_id,
+      |    coalesce(max(CASE WHEN k = 2 THEN tc END), 0) AS top2,
+      |    coalesce(max(CASE WHEN k = 3 THEN tc END), 0) AS top3,
+      |    coalesce(max(CASE WHEN k = 4 THEN tc END), 0) AS top4,
+      |    coalesce(max(CASE WHEN k = 5 THEN da END), 0) AS dup5,
+      |    coalesce(max(CASE WHEN k = 6 THEN da END), 0) AS dup6,
+      |    coalesce(max(CASE WHEN k = 7 THEN da END), 0) AS dup7,
+      |    coalesce(max(CASE WHEN k = 8 THEN da END), 0) AS dup8,
+      |    coalesce(max(CASE WHEN k = 9 THEN da END), 0) AS dup9,
+      |    coalesce(max(CASE WHEN k = 10 THEN da END), 0) AS dup10
+      |  FROM pk GROUP BY 1),
+      |j AS (SELECT base.doc_id, n_words, chars, n_lines,
+      |        coalesce(dup_l, 0) AS dup_l, coalesce(dup_lc, 0) AS dup_lc,
+      |        coalesce(top2, 0) AS top2, coalesce(top3, 0) AS top3,
+      |        coalesce(top4, 0) AS top4, coalesce(dup5, 0) AS dup5,
+      |        coalesce(dup6, 0) AS dup6, coalesce(dup7, 0) AS dup7,
+      |        coalesce(dup8, 0) AS dup8, coalesce(dup9, 0) AS dup9,
+      |        coalesce(dup10, 0) AS dup10
+      |      FROM base LEFT JOIN ls ON base.doc_id = ls.doc_id
+      |                LEFT JOIN gs ON base.doc_id = gs.doc_id)
+      |SELECT doc_id, n_words, chars, n_lines,
+      |  CASE WHEN n_lines > 0 THEN CAST(round(CAST(dup_l AS DOUBLE) /
+      |    CAST(n_lines AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS dup_line_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(dup_lc AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS dup_line_char_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(top2 AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS top2gram_char_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(top3 AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS top3gram_char_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(top4 AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS top4gram_char_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(dup5 AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS dup5gram_char_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(dup10 AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS dup10gram_char_ppm,
+      |  dup_l * 10 <= n_lines * 3 AS r_dup_line,
+      |  dup_lc * 5 <= chars AS r_dup_line_char,
+      |  top2 * 5 <= chars AS r_top2gram,
+      |  top3 * 50 <= chars * 9 AS r_top3gram,
+      |  top4 * 25 <= chars * 4 AS r_top4gram,
+      |  dup5 * 20 <= chars * 3 AS r_dup5gram,
+      |  dup6 * 50 <= chars * 7 AS r_dup6gram,
+      |  dup7 * 100 <= chars * 13 AS r_dup7gram,
+      |  dup8 * 25 <= chars * 3 AS r_dup8gram,
+      |  dup9 * 100 <= chars * 11 AS r_dup9gram,
+      |  dup10 * 10 <= chars AS r_dup10gram,
+      |  dup_l * 10 <= n_lines * 3 AND dup_lc * 5 <= chars AND
+      |  top2 * 5 <= chars AND top3 * 50 <= chars * 9 AND
+      |  top4 * 25 <= chars * 4 AND dup5 * 20 <= chars * 3 AND
+      |  dup6 * 50 <= chars * 7 AND dup7 * 100 <= chars * 13 AND
+      |  dup8 * 25 <= chars * 3 AND dup9 * 100 <= chars * 11 AND
+      |  dup10 * 10 <= chars AS pass
+      |FROM j""".stripMargin
+
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -4402,6 +4536,8 @@ object PipelineQueries {
       Some(textEncodingAuditSql)),
     QueryDef("text_gopher_rules", textGopherRules,
       Some(textGopherRulesSql)),
+    QueryDef("text_gopher_repetition", textGopherRepetition,
+      Some(textGopherRepetitionSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),

@@ -1385,6 +1385,71 @@ class OpsSpec extends AnyFunSuite {
     assert(!got(6L).getBoolean(7) && !got(6L).getBoolean(9))
   }
 
+  test("gopherRepetition: brute-force model and planted violations agree") {
+    import spark.implicits._
+    // Scala model of the exact published signals, independent of the
+    // scan-side run-fold implementation.
+    def model(text: String): Seq[Any] = {
+      val t = text.trim.toLowerCase
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      val words = toks.length.toLong
+      val chars = if (t.isEmpty) 0L else toks.mkString(" ").length.toLong
+      val lines = t.split("\n").map(_.trim).filter(_.nonEmpty)
+      val nLines = lines.length.toLong
+      def counts(xs: Seq[String]) =
+        xs.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+      val lc = counts(lines.toSeq)
+      val dupL = lc.collect { case (_, c) if c >= 2 => c - 1 }.sum
+      val dupLc = lc.collect { case (g, c) if c >= 2 => (c - 1) * g.length }.sum
+      def gramStats(k: Int): (Long, Long) =
+        if (words < k) (0L, 0L)
+        else {
+          val gc = counts(toks.sliding(k).map(_.mkString(" ")).toSeq)
+          (gc.map { case (g, c) => c * g.length }.max,
+            gc.collect { case (g, c) if c >= 2 => c * g.length }.sum)
+        }
+      val st = (2 to 10).map(k => k -> gramStats(k)).toMap
+      def ppm(n: Long, d: Long) =
+        if (d > 0) math.round(n.toDouble / d.toDouble * 1e6) else 0L
+      val verdicts = Seq(
+        dupL * 10 <= nLines * 3, dupLc * 5 <= chars,
+        st(2)._1 * 5 <= chars, st(3)._1 * 50 <= chars * 9,
+        st(4)._1 * 25 <= chars * 4, st(5)._2 * 20 <= chars * 3,
+        st(6)._2 * 50 <= chars * 7, st(7)._2 * 100 <= chars * 13,
+        st(8)._2 * 25 <= chars * 3, st(9)._2 * 100 <= chars * 11,
+        st(10)._2 * 10 <= chars)
+      Seq(words, chars, nLines, ppm(dupL, nLines), ppm(dupLc, chars),
+        ppm(st(2)._1, chars), ppm(st(3)._1, chars), ppm(st(4)._1, chars),
+        ppm(st(5)._2, chars), ppm(st(10)._2, chars)) ++
+        verdicts :+ verdicts.forall(identity)
+    }
+    val planted = Seq(
+      // no repeated gram anywhere, and long enough that the heaviest
+      // single-occurrence 2/3/4-gram stays under the top-gram bounds
+      // (on a 5-word doc even one 2-gram covers >20% of chars — that
+      // is faithful table-A1 semantics, not a defect)
+      (200L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (201L, "alpha bravo\nalpha bravo\nalpha bravo\ncharlie delta"),
+      (202L, ((1 to 3).flatMap(_ =>
+        Seq("alpha", "bravo", "charlie", "delta", "echo"))).mkString(" ")))
+    val all = corpus ++ planted
+    val got = TextAnalysis.gopherRepetition(docs(all), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    all.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id diverges from the model")
+    }
+    // planted semantics: 201 trips the line rules and the 2-gram rule,
+    // 202 trips the dup-5-gram rule; 200 passes everything.
+    val cols = TextAnalysis.gopherRepetition(docs(planted), "doc_id", "text")
+      .columns.zipWithIndex.toMap
+    def b(id: Long, c: String) = got(id)(cols(c) - 1).asInstanceOf[Boolean]
+    assert(b(200L, "pass"))
+    assert(!b(201L, "r_dup_line") && !b(201L, "r_dup_line_char") &&
+      !b(201L, "r_top2gram") && !b(201L, "pass"))
+    assert(!b(202L, "r_dup5gram") && !b(202L, "pass"))
+    assert(got(201L)(cols("dup_line_ppm") - 1) == 500000L)
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(
