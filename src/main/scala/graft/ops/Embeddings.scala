@@ -548,4 +548,72 @@ object Embeddings {
           lit(2.0) * (col("sab").cast("double") / 1.0e9) / (mD * nD), 6)
           .as("mmd2"))
   }
+
+  /** Participation ratio of the embedding covariance spectrum —
+    * PR = trace(C)² / trace(C²) = (Σλ)²/Σλ² ∈ [1, d] — the whole-
+    * spectrum effective-rank diagnostic. It answers "how many
+    * dimensions does this embedding space actually use?" WITHOUT any
+    * eigendecomposition: both traces are plain covariance-moment
+    * aggregates (trace(C²) = Σᵢⱼ Cᵢⱼ² by symmetry), so unlike
+    * [[pcaTopComponent]] (the top direction) or the LID estimator
+    * (local dimension), this is exact, closed-form, and one pass.
+    * PR ≈ d means isotropic use of the space; PR ≪ d is the
+    * anisotropy/rank-collapse signal (embedding-collapse regressions,
+    * over-whitening, dead dimensions).
+    *
+    * Exactness: every per-row product xᵢ·xⱼ is pinned to a ×10⁹
+    * BIGINT before summing (the [[mmdQuadraticSplit]] discipline), so
+    * the moment sums are summation-order-free; Cᵢⱼ is then ONE
+    * fixed-order double expression re-pinned to ×10⁹, trace(C) sums
+    * BIGINTs, and trace(C²) sums the squared pins in DECIMAL(38,0)
+    * (≤ ~1e18 per cell — overflow-free to d ≈ 10⁴ at unit-scale
+    * embeddings). Result: bit-identical replay in any engine.
+    *
+    * Scale shape: one scan emits the upper-triangular d(d+1)/2
+    * products per row, but partial aggregation reduces every task to
+    * ≤ d(d+1)/2 cells before the wire — the shuffle moves
+    * O(tasks · d²) cells, never O(rows · d²); the d²-row covariance
+    * table then folds to one row via two broadcast joins of the
+    * d-row mean table. Linear in corpus size, no collect.
+    */
+  def participationRatio(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val x = df.select(col(vecCol).cast("array<double>").as("v"))
+    val pairs = x.select(explode(flatten(transform(
+      sequence(lit(1), size(col("v"))),
+      i => transform(sequence(i, size(col("v"))),
+        j => struct(i.as("i"), j.as("j"),
+          round(element_at(col("v"), i) * element_at(col("v"), j) * 1e9)
+            .cast("long").as("p9")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.p9").as("p9"))
+    val sxy = pairs.groupBy(col("i"), col("j")).agg(sum(col("p9")).as("sxy9"))
+    val sx = x.select(posexplode(col("v")).as(Seq("pos", "xv")))
+      .groupBy((col("pos") + 1).as("k"))
+      .agg(sum(round(col("xv") * 1e9).cast("long")).as("sx9"))
+    val nd = x.agg(count(lit(1)).as("n"), max(size(col("v"))).as("d"))
+    val n = col("n").cast("double")
+    val c9 = round((col("sxy9").cast("double") / 1e9 / n -
+      (col("a.sx9").cast("double") / 1e9 / n) *
+        (col("b.sx9").cast("double") / 1e9 / n)) * 1e9).cast("long")
+    val cells = sxy
+      .join(broadcast(sx.as("a")), col("i") === col("a.k"))
+      .join(broadcast(sx.as("b")), col("j") === col("b.k"))
+      .crossJoin(broadcast(nd))
+      .select(col("i"), col("j"), col("n"), col("d"), c9.as("c9"))
+    val folded = cells.groupBy(col("n"), col("d")).agg(
+      sum(when(col("i") === col("j"), col("c9")).otherwise(0L)).as("tr9"),
+      sum(when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
+        .cast("decimal(19,0)") * col("c9").cast("decimal(19,0)") *
+        col("c9").cast("decimal(19,0)")).as("t2d"))
+    val tr = col("tr9").cast("double") / 1e9
+    val t2 = col("t2d").cast("double") / 1e18
+    folded.select(col("d"), col("n"),
+      round(tr, 6).as("trace_cov"),
+      round(t2, 6).as("trace_cov2"),
+      when(col("t2d") === 0, lit(null).cast("double"))
+        .otherwise(round(tr * tr / t2, 6)).as("participation_ratio"),
+      when(col("t2d") === 0, lit(null).cast("long"))
+        .otherwise(round(tr * tr / t2 / col("d").cast("double") * 1e6)
+          .cast("long")).as("effective_rank_ppm"))
+  }
 }

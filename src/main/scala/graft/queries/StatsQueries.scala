@@ -1578,6 +1578,59 @@ object StatsQueries {
   private val embMmdSplitSql = embMmdSplitSqlFor("")
   private def embMmdSplitSampledSql = embMmdSplitSqlFor(embSampleWhere)
 
+  /** Participation ratio of the embedding covariance spectrum —
+    * PR = (Σλ)²/Σλ² via covariance-moment traces, no eigen. Linear in
+    * corpus size (unlike the all-pairs diagnostics this one needs no
+    * sampled twin). See [[graft.ops.Embeddings.participationRatio]].
+    */
+  private def embParticipationRatio(s: SparkSession, dir: String): DataFrame =
+    Embeddings.participationRatio(Tables.embeddings(s, dir), "vec_id",
+      "embedding")
+
+  private val embParticipationRatioSql =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(max(len(v)) AS INT) AS d FROM e),
+      |sx AS (SELECT k,
+      |         CAST(sum(CAST(round(v[k] * 1000000000.0) AS BIGINT))
+      |           AS BIGINT) AS sx9
+      |       FROM (SELECT v, unnest(generate_series(1, len(v))) AS k
+      |             FROM e) GROUP BY 1),
+      |sxy AS (SELECT i, j,
+      |          CAST(sum(CAST(round(v[i] * v[j] * 1000000000.0) AS BIGINT))
+      |            AS BIGINT) AS sxy9
+      |        FROM (SELECT v, i, unnest(generate_series(i, len(v))) AS j
+      |              FROM (SELECT v, unnest(generate_series(1, len(v))) AS i
+      |                    FROM e))
+      |        GROUP BY 1, 2),
+      |c AS (SELECT i, j, n, d,
+      |        CAST(round((CAST(sxy9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) -
+      |          (CAST(a.sx9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) *
+      |          (CAST(b.sx9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))) *
+      |          1000000000.0) AS BIGINT) AS c9
+      |      FROM sxy JOIN sx a ON sxy.i = a.k JOIN sx b ON sxy.j = b.k
+      |           CROSS JOIN nd),
+      |f AS (SELECT n, d,
+      |        CAST(sum(CASE WHEN i = j THEN c9 ELSE 0 END) AS BIGINT)
+      |          AS tr9,
+      |        sum(CASE WHEN i = j THEN 1 ELSE 2 END *
+      |          CAST(c9 AS HUGEINT) * c9) AS t2d
+      |      FROM c GROUP BY 1, 2)
+      |SELECT d, n,
+      |  round(CAST(tr9 AS DOUBLE) / 1e9, 6) AS trace_cov,
+      |  round(CAST(t2d AS DOUBLE) / 1e18, 6) AS trace_cov2,
+      |  CASE WHEN t2d = 0 THEN NULL
+      |       ELSE round((CAST(tr9 AS DOUBLE) / 1e9) *
+      |         (CAST(tr9 AS DOUBLE) / 1e9) / (CAST(t2d AS DOUBLE) / 1e18),
+      |         6) END AS participation_ratio,
+      |  CASE WHEN t2d = 0 THEN NULL
+      |       ELSE CAST(round((CAST(tr9 AS DOUBLE) / 1e9) *
+      |         (CAST(tr9 AS DOUBLE) / 1e9) / (CAST(t2d AS DOUBLE) / 1e18) /
+      |         CAST(d AS DOUBLE) * 1000000.0) AS BIGINT)
+      |       END AS effective_rank_ppm
+      |FROM f""".stripMargin
+
   /** Mann–Kendall monotonic-trend verdict on the daily event count —
     * the significance half of the Theil–Sen pairing (`ev_theilsen_trend`
     * gives the robust slope; this says whether the trend is real).
@@ -1718,6 +1771,8 @@ object StatsQueries {
   def qs: Seq[QueryDef] = Seq(
     QueryDef("ev_kendall_tau", evKendallTau, Some(evKendallTauSql)),
     QueryDef("emb_mmd_split", embMmdSplit, Some(embMmdSplitSql)),
+    QueryDef("emb_participation_ratio", embParticipationRatio,
+      Some(embParticipationRatioSql)),
     QueryDef("doc_simpson_diversity", docSimpsonDiversity,
       Some(docSimpsonDiversitySql)),
     QueryDef("doc_burrows_delta", docBurrowsDelta,

@@ -863,6 +863,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got - want) <= 1e-6, s"got $got want $want")
   }
 
+  test("participationRatio: isotropic = d, rank-1 = 1, constant = null") {
+    import graft.ops.Embeddings
+    def vecs(vs: Seq[Seq[Float]]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(
+        vs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }: _*),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("v", ArrayType(FloatType, containsNull = false)))))
+    // balanced axes: C = diag(.5, .5) -> PR = 1/(0.25+0.25) = 2 = d
+    val iso = Embeddings.participationRatio(vecs(Seq(
+      Seq(1f, 0f), Seq(-1f, 0f), Seq(0f, 1f), Seq(0f, -1f))), "id", "v")
+      .collect().head
+    assert(iso.getInt(0) == 2 && iso.getLong(1) == 4L)
+    assert(iso.getDouble(4) == 2.0 && iso.getLong(5) == 1000000L, s"$iso")
+    // all mass on one axis: C = diag(2.5, 0) -> PR = 1
+    val r1 = Embeddings.participationRatio(vecs(Seq(
+      Seq(1f, 0f), Seq(-1f, 0f), Seq(2f, 0f), Seq(-2f, 0f))), "id", "v")
+      .collect().head
+    assert(r1.getDouble(4) == 1.0 && r1.getDouble(2) == 2.5, s"$r1")
+    // zero covariance: PR undefined -> nulls, not a divide-by-zero
+    val const = Embeddings.participationRatio(vecs(Seq(
+      Seq(3f, 4f), Seq(3f, 4f), Seq(3f, 4f))), "id", "v").collect().head
+    assert(const.isNullAt(4) && const.isNullAt(5), s"$const")
+  }
+
   test("ngramNovelty: first doc fully novel, exact dup fully stale") {
     val df = spark.createDataFrame(java.util.Arrays.asList(
       Row(1L, "abcdefghij"), Row(2L, "abcdefghij"),
