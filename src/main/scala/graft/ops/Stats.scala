@@ -1498,4 +1498,70 @@ object Stats {
       (lit(1.0) - col("w1")).as("w2"), col("mu2"),
       round(sqrt(col("s2")), 6).as("sigma2"))
   }
+
+  /** Benford's-law first-digit expectations, ×10⁹ BIGINT pins of
+    * log10(1 + 1/d) — shared by the op and its oracle SQL builder so
+    * both engines compare against the SAME literals.
+    */
+  val BenfordPpb: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1e9))
+
+  /** Benford first-digit audit — the classic fabricated-/truncated-data
+    * DQ screen for naturally-spread positive amounts (prices, revenues,
+    * populations): observed first-digit distribution vs Benford's
+    * P(d) = log10(1+1/d), with the chi-square goodness-of-fit statistic.
+    *
+    * `intVal` must be an exact positive integer column (callers pin
+    * floats first, e.g. cents = round(price·100)): the first digit is
+    * substring 1 of the BIGINT's decimal rendering — integer→string is
+    * exact and identical in every engine, where floor(log10(x))'s libm
+    * ulp at exact powers of ten can flip the digit across engines.
+    * Rows with `intVal` ≤ 0 or null are excluded (Benford is defined
+    * on positive magnitudes).
+    *
+    * Chi-square without float-sum drift: each digit's contribution
+    * (n_d − N·p_d)²/(N·p_d) is a fixed-order double expression on
+    * exact integers, pinned to a ×10⁶ BIGINT; the 9-term total is an
+    * exact integer sum unpinned once at the end. Digits missing from
+    * the data zero-fill via a 9-row domain join, so the statistic is
+    * always over all 9 cells.
+    *
+    * Scale shape: one combinable 9-cell aggregate over the scan (the
+    * digit ladder is codegen'd scan-side work); everything after is a
+    * 9-row domain table. 100 TB costs one map-side-combined shuffle of
+    * ≤ 9 cells per task.
+    */
+  def benfordAudit(df: DataFrame, intVal: Column): DataFrame = {
+    val v = intVal.cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val counts = df.where(v > 0L)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val domain = Seq.range(1, 10).toDF("digit")
+    val filled = domain.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = filled.agg(sum(col("n")).as("tot"))
+    val expPpb = BenfordPpb.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val withExp = filled.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("tot"), expPpb.as("ppb"))
+    val e = col("tot").cast("double") * (col("ppb").cast("double") / 1e9)
+    val contrib6 = when(col("tot") > 0L,
+      round((col("n").cast("double") - e) * (col("n").cast("double") - e) /
+        e * 1e6).cast("long")).otherwise(lit(null).cast("long"))
+    val cells = withExp.select(col("digit"), col("n"), col("tot"),
+      when(col("tot") > 0L, round(col("n").cast("double") /
+        col("tot").cast("double") * 1e6).cast("long"))
+        .otherwise(0L).as("obs_ppm"),
+      (round(col("ppb").cast("double") / 1e3)).cast("long").as("exp_ppm"),
+      contrib6.as("chi2_contrib_x6"))
+    val chi2 = cells.agg(sum(col("chi2_contrib_x6")).as("c6"))
+      .select(round(col("c6").cast("double") / 1e6, 6).as("chi2"))
+    cells.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("chi2_contrib_x6"), col("chi2"))
+  }
 }

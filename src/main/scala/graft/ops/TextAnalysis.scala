@@ -1475,6 +1475,52 @@ object TextAnalysis {
         verdicts.map(_._2).reduce(_ && _).as("pass"): _*)
   }
 
+  /** FineWeb-STYLE document gate (house variants of the three line-level
+    * filters Penedo et al. 2024 added beyond C4 — thresholds documented
+    * here, not claimed as the paper's exact values): per document,
+    *
+    *  1. `r_punct_lines`: ≥ 12% of lines end in terminal punctuation
+    *     (`.` `!` `?` `"` `'` — checked by last-char membership, no
+    *     regex, so both engines compare the same byte);
+    *  2. `r_short_lines`: ≤ 67% of lines are shorter than 30 chars;
+    *  3. `r_dup_line_chars`: chars in duplicate line occurrences
+    *     (beyond the first) ≤ 10% of total line chars — the stricter
+    *     web-crawl cousin of the Gopher 20% rule.
+    *
+    * Verdicts are exact-integer cross-multiplications; `*_ppm` columns
+    * are ×10⁶ BIGINT diagnostics; the denominator is Σ length(line)
+    * over the trimmed non-empty lines. Scale shape: zero shuffle —
+    * line splitting, the punctuation/length counts, and the
+    * [[runDupStats]] duplicate fold are all per-row array work.
+    */
+  def fineWebRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = filter(transform(split(lower(trim(col(textCol))), "\n"),
+      l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val lineChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val punct = size(filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"", "'"))).cast("long")
+    val short = size(filter(lines, l => length(l) < 30)).cast("long")
+    val staged = df.select(col(idCol), nLines.as("n_lines"),
+      lineChars.as("chars"), punct.as("punct"), short.as("short"),
+      runDupStats(array_sort(lines)).getField("dup_chars").as("dup_lc"))
+    def ppm(n: Column, d: Column): Column =
+      when(d > 0L, round(n.cast("double") / d.cast("double") * 1e6)
+        .cast("long")).otherwise(0L)
+    val rPunct = col("punct") * 25L >= col("n_lines") * 3L
+    val rShort = col("short") * 100L <= col("n_lines") * 67L
+    val rDup = col("dup_lc") * 10L <= col("chars")
+    staged.select(col(idCol), col("n_lines"), col("chars"),
+      ppm(col("punct"), col("n_lines")).as("punct_line_ppm"),
+      ppm(col("short"), col("n_lines")).as("short_line_ppm"),
+      ppm(col("dup_lc"), col("chars")).as("dup_line_char_ppm"),
+      rPunct.as("r_punct_lines"), rShort.as("r_short_lines"),
+      rDup.as("r_dup_line_chars"),
+      (rPunct && rShort && rDup).as("pass"))
+  }
+
   def encodingAudit(df: org.apache.spark.sql.DataFrame, grpCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     def occ(s: String): Column =

@@ -1623,6 +1623,48 @@ object AnalyticsQueries {
       |       round(max(cnt) / avg(cnt), 6) AS skew_ratio
       |FROM c""".stripMargin
 
+  /** Benford first-digit audit of order totals (pinned cents) — the
+    * fabricated-/truncated-amount DQ screen with its chi-square
+    * statistic. See [[graft.ops.Stats.benfordAudit]]; the expectation
+    * literals are shared with the oracle via `Stats.BenfordPpb`.
+    */
+  private def dqBenfordOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.benfordAudit(Tables.orders(s, dir),
+      round(col("o_totalprice") * 100).cast("long"))
+
+  private val dqBenfordOrdersSql = {
+    val vals = graft.ops.Stats.BenfordPpb
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH src AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |             FROM orders),
+       |cnt AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT)
+       |          AS digit,
+       |          CAST(count(*) AS BIGINT) AS n
+       |        FROM src WHERE v > 0 GROUP BY 1),
+       |dom AS (SELECT unnest(generate_series(1, 9)) AS digit),
+       |fil AS (SELECT dom.digit, coalesce(n, 0) AS n
+       |        FROM dom LEFT JOIN cnt ON dom.digit = cnt.digit),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM fil),
+       |ppb AS (SELECT digit, p FROM (VALUES $vals) t(digit, p)),
+       |cells AS (SELECT f.digit, n, tot,
+       |    CASE WHEN tot > 0 THEN CAST(round(CAST(n AS DOUBLE) /
+       |      CAST(tot AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      ELSE 0 END AS obs_ppm,
+       |    CAST(round(CAST(p AS DOUBLE) / 1000.0) AS BIGINT) AS exp_ppm,
+       |    CASE WHEN tot > 0 THEN CAST(round(
+       |      (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+       |        (CAST(p AS DOUBLE) / 1e9)) *
+       |      (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+       |        (CAST(p AS DOUBLE) / 1e9)) /
+       |      (CAST(tot AS DOUBLE) * (CAST(p AS DOUBLE) / 1e9)) *
+       |      1000000.0) AS BIGINT) ELSE NULL END AS chi2_contrib_x6
+       |  FROM fil f JOIN ppb ON f.digit = ppb.digit CROSS JOIN tot),
+       |chi AS (SELECT round(CAST(sum(chi2_contrib_x6) AS DOUBLE) /
+       |          1000000.0, 6) AS chi2 FROM cells)
+       |SELECT digit, n, obs_ppm, exp_ppm, chi2_contrib_x6, chi2
+       |FROM cells CROSS JOIN chi""".stripMargin
+  }
+
   /** RFM lifecycle segments over users: tercile bins on
     * recency/frequency/monetary, 27-cell report. See
     * [[graft.ops.Analytics.rfmSegments]].
@@ -1730,6 +1772,7 @@ object AnalyticsQueries {
       Some(evMaxConcurrencySql)),
     QueryDef("ev_rfm_segments", evRfmSegments, Some(evRfmSegmentsSql)),
     QueryDef("dq_key_skew_orders", dqKeySkewOrders, Some(dqKeySkewOrdersSql)),
+    QueryDef("dq_benford_orders", dqBenfordOrders, Some(dqBenfordOrdersSql)),
     QueryDef("ev_interarrival_quantiles", evInterarrival,
       Some(evInterarrivalSql)),
     QueryDef("ev_incremental_histogram", evIncrementalHistogram,

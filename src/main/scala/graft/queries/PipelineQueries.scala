@@ -1725,6 +1725,86 @@ object PipelineQueries {
       |  dup10 * 10 <= chars AS pass
       |FROM j""".stripMargin
 
+  /** FineWeb-style line gate over a deterministically re-lined corpus
+    * with three pinned plants keeping every branch live (the
+    * `text_gopher_repetition` discipline): every 17th doc gets its
+    * first 10 tokens prepended ×5 (duplicate-line mass), every 23rd doc
+    * re-lines at 2 tokens instead of 10 (short lines), and every 3rd
+    * doc gets '.' appended to each line (terminal punctuation — the
+    * synthetic corpus has none, so WITHOUT this plant r_punct_lines
+    * would fail uniformly and discriminate nothing).
+    * See [[graft.ops.TextAnalysis.fineWebRules]].
+    */
+  private def textFineWebRules(s: SparkSession, dir: String): DataFrame = {
+    val t10 = array_join(
+      slice(TextAnalysis.tokens(col("text")), lit(1), lit(10)), " ")
+    val w = when(col("doc_id") % 23 === 0, lit(2)).otherwise(lit(10))
+    val dot = when(col("doc_id") % 3 === 0, lit(".")).otherwise(lit(""))
+    val multi = Tables.documents(s, dir)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat_ws(" ", t10, t10, t10, t10, t10, col("text")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
+        w.as("w"), dot.as("dot"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), ceil(size(col("toks")).cast("double") /
+            col("w").cast("double")).cast("int")),
+          j => concat(array_join(
+            slice(col("toks"), (j - 1) * col("w") + 1, col("w")), " "),
+            col("dot"))),
+          "\n").as("text"))
+    TextAnalysis.fineWebRules(multi, "doc_id", "text")
+  }
+
+  private val textFineWebRulesSql =
+    """WITH t0 AS (SELECT doc_id,
+      |              string_split_regex(lower(trim(text)), '\s+') AS tk
+      |            FROM documents),
+      |b AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 17 = 0
+      |             THEN tk[1:10] || tk[1:10] || tk[1:10] || tk[1:10] ||
+      |                  tk[1:10] || tk
+      |             ELSE tk END AS toks,
+      |        CASE WHEN doc_id % 23 = 0 THEN 2 ELSE 10 END AS w,
+      |        CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS dot
+      |      FROM t0),
+      |lg AS (SELECT doc_id,
+      |         array_to_string(list_slice(toks, (j-1)*w+1, (j-1)*w+w), ' ')
+      |           || dot AS line
+      |       FROM (SELECT doc_id, toks, w, dot,
+      |               unnest(generate_series(1,
+      |                 CAST(ceil(len(toks) / CAST(w AS DOUBLE)) AS INT)))
+      |                 AS j
+      |             FROM b)),
+      |lc AS (SELECT doc_id, line, count(*) AS c,
+      |         length(line) AS ll FROM lg GROUP BY 1, 2),
+      |a AS (SELECT doc_id,
+      |        CAST(sum(c) AS BIGINT) AS n_lines,
+      |        CAST(sum(c * ll) AS BIGINT) AS chars,
+      |        CAST(sum(CASE WHEN right(line, 1) IN ('.','!','?','"','''')
+      |          THEN c ELSE 0 END) AS BIGINT) AS punct,
+      |        CAST(sum(CASE WHEN ll < 30 THEN c ELSE 0 END) AS BIGINT)
+      |          AS short,
+      |        CAST(sum((c - 1) * ll) AS BIGINT) AS dup_lc
+      |      FROM lc GROUP BY 1)
+      |SELECT doc_id, n_lines, chars,
+      |  CASE WHEN n_lines > 0 THEN CAST(round(CAST(punct AS DOUBLE) /
+      |    CAST(n_lines AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS punct_line_ppm,
+      |  CASE WHEN n_lines > 0 THEN CAST(round(CAST(short AS DOUBLE) /
+      |    CAST(n_lines AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS short_line_ppm,
+      |  CASE WHEN chars > 0 THEN CAST(round(CAST(dup_lc AS DOUBLE) /
+      |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
+      |    AS dup_line_char_ppm,
+      |  punct * 25 >= n_lines * 3 AS r_punct_lines,
+      |  short * 100 <= n_lines * 67 AS r_short_lines,
+      |  dup_lc * 10 <= chars AS r_dup_line_chars,
+      |  punct * 25 >= n_lines * 3 AND short * 100 <= n_lines * 67 AND
+      |  dup_lc * 10 <= chars AS pass
+      |FROM a""".stripMargin
+
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -4538,6 +4618,8 @@ object PipelineQueries {
       Some(textGopherRulesSql)),
     QueryDef("text_gopher_repetition", textGopherRepetition,
       Some(textGopherRepetitionSql)),
+    QueryDef("text_fineweb_rules", textFineWebRules,
+      Some(textFineWebRulesSql)),
     QueryDef("text_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("text_token_count_bpe_real", tokenCountBpeReal,
       Some(tokenCountBpeRealSql)),

@@ -805,4 +805,24 @@ object StreamOps extends Serializable {
   def encodingAuditStream(docs: DataFrame, grpCol: String,
                           textCol: String): DataFrame =
     graft.ops.TextAnalysis.encodingAudit(docs, grpCol, textCol)
+
+  /** Streaming Gopher REPETITION gate: the batch rule set unchanged —
+    * every signal (dup-line mass, top/dup-k-gram char coverage) is a
+    * per-row sorted-gram run fold with no aggregate, no window, no
+    * state, so the SAME plan runs append-mode with per-row latency.
+    * Together with [[gopherGateStream]] this puts BOTH halves of the
+    * Rae 2021 table A1 filter at ingest time. Parity is definitional
+    * (same code) and pinned by StreamingSpec with repetition plants.
+    */
+  def gopherRepetitionStream(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    graft.ops.TextAnalysis.gopherRepetition(docs, idCol, textCol)
+
+  /** Streaming FineWeb-style line gate: stateless per-row line
+    * analysis ([[graft.ops.TextAnalysis.fineWebRules]]), append-mode,
+    * zero state. Parity definitional, pinned by StreamingSpec.
+    */
+  def fineWebGateStream(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.ops.TextAnalysis.fineWebRules(docs, idCol, textCol)
 }

@@ -1474,6 +1474,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got(201L)(cols("dup_line_ppm") - 1) == 500000L)
   }
 
+  test("fineWebRules: each rule flips on its own planted violation") {
+    import spark.implicits._
+    val long1 = "this first line is comfortably longer than thirty chars."
+    val long2 = "the second line also clears thirty characters easily."
+    val long3 = "and a third distinct long line finishes the document."
+    val docsDf = Seq(
+      (1L, s"$long1\n$long2\n$long3"),                 // clean: passes
+      (2L, s"${long1.init}\n${long2.init}\n${long3.init}"), // no punct
+      (3L, (1 to 10).map(_ => "tiny.").mkString("\n")),     // all short
+      (4L, (1 to 5).map(_ => long1).mkString("\n")))        // 4/5 dup mass
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fineWebRules(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val cols = TextAnalysis.fineWebRules(docsDf, "doc_id", "text")
+      .columns.zipWithIndex.toMap
+    def b(id: Long, c: String) = got(id).getBoolean(cols(c))
+    assert(b(1L, "pass"), s"${got(1L)}")
+    assert(b(1L, "r_punct_lines") && b(1L, "r_short_lines") &&
+      b(1L, "r_dup_line_chars"))
+    assert(!b(2L, "r_punct_lines") && !b(2L, "pass"))
+    assert(!b(3L, "r_short_lines") && b(3L, "r_punct_lines") && !b(3L, "pass"))
+    assert(!b(4L, "r_dup_line_chars") && !b(4L, "pass"))
+    // hand-checked ppms: doc 4 has 5 identical lines -> 4/5 of the char
+    // mass is duplicate occurrences; doc 3 all-short, all-punct
+    assert(got(4L).getLong(cols("dup_line_char_ppm")) == 800000L)
+    assert(got(3L).getLong(cols("short_line_ppm")) == 1000000L)
+    assert(got(3L).getLong(cols("punct_line_ppm")) == 1000000L)
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(

@@ -648,4 +648,31 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(sp(1L) == 0.5)
   }
+
+  test("benfordAudit: hand-counted digits, zero-fill, chi2 model match") {
+    // positives 1,19,25,33,3100,9 → d1=2, d2=1, d3=2, d9=1, N=6;
+    // 0 and -5 are excluded (Benford is on positive magnitudes)
+    val df = Seq(1L, 19L, 25L, 33L, 3100L, 9L, 0L, -5L).toDF("v")
+    val rows = Stats.benfordAudit(df, col("v"))
+      .orderBy("digit").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9).toSeq)
+    val n = rows.map(_.getLong(1))
+    assert(n.toSeq == Seq(2L, 1L, 2L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(rows(0).getLong(2) == 333333L) // round(2/6 * 1e6)
+    assert(rows(0).getLong(3) == 301030L) // round(log10(2)*1e9/1e3)
+    // chi2 must equal the same pinned-contribution model
+    val want = Stats.BenfordPpb.map { case (d, p) =>
+      val e = 6.0 * (p.toDouble / 1e9)
+      val nd = n(d - 1).toDouble
+      math.round((nd - e) * (nd - e) / e * 1e6)
+    }.sum.toDouble / 1e6
+    val chi2 = rows(0).getDouble(5)
+    assert(math.abs(chi2 - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"chi2 $chi2")
+    // empty input: all-zero cells, chi2 null rather than divide-by-zero
+    val empty = Stats.benfordAudit(Seq(-1L).toDF("v"), col("v"))
+      .orderBy("digit").collect()
+    assert(empty.length == 9 && empty.forall(_.getLong(1) == 0L))
+    assert(empty.forall(_.isNullAt(4)) && empty.forall(_.isNullAt(5)))
+  }
 }

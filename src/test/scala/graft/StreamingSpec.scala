@@ -249,6 +249,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming repetition + FineWeb gates equal batch, append mode") {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.functions.expr
+    val dir = "/root/testdata/sf0.001"
+    // re-line to 10-token lines and double every 17th doc so the
+    // dup-line/dup-gram branches are live through the stream
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 17 = 0 THEN concat(text, ' ', text) " +
+          "ELSE text END"))
+      .withColumn("text", expr(
+        "array_join(transform(sequence(1, CAST(ceil(" +
+          "size(split(lower(trim(text)), '\\\\s+')) / 10.0) AS INT)), " +
+          "j -> array_join(slice(split(lower(trim(text)), '\\\\s+'), " +
+          "(j - 1) * 10 + 1, 10), ' ')), '\\n')"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    for ((name, batchF, streamF) <- Seq(
+      ("graft_rep_out",
+        TextAnalysis.gopherRepetition(docs, "doc_id", "text"),
+        StreamOps.gopherRepetitionStream(stream, "doc_id", "text")),
+      ("graft_fw_out",
+        TextAnalysis.fineWebRules(docs, "doc_id", "text"),
+        StreamOps.fineWebGateStream(stream, "doc_id", "text")))) {
+      val expected = batchF.collect().map(_.toSeq).toSet
+      val q = streamF.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).collect().map(_.toSeq).toSet
+      assert(got == expected && got.nonEmpty, s"$name diverged")
+    }
+  }
+
   test("streaming encoding audit equals the batch detector, complete mode") {
     import graft.ops.TextAnalysis
     import org.apache.spark.sql.functions.expr
