@@ -278,6 +278,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining audit for embedding-model training (the
+    * triplet/contrastive data-prep step): for each probe, the nearest
+    * SAME-label neighbor (hardest positive anchor), the nearest
+    * DIFFERENT-label neighbor (the hard negative), and the margin
+    * between them. `is_hard` (margin < 0: a wrong-label vector sits
+    * closer than every right-label one) flags exactly the probes worth
+    * mining into training triplets — and doubles as a label-noise
+    * detector.
+    *
+    * Determinism: cosines are 6dp-pinned before the argmax; ties break
+    * to the LOWEST candidate id via a lexicographic struct max on
+    * (cos, −id) — no row_number window needed, the whole selection is
+    * one combinable aggregate. Probes with no same-label peer emit
+    * null positive fields rather than vanishing.
+    *
+    * Scale shape: the probe batch is a FIXED id set (O(1) in the
+    * corpus — the `sim_maxsim_topk` capping lesson), broadcast against
+    * one corpus scan; per (probe, side) state is a single struct, so
+    * the scan partial-aggregates to ≤ 2·|probes| cells per task.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryIds: Column): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    // queryIds is a predicate over the CALLER's columns (a fixed id
+    // batch, e.g. col("vec_id") < 2000 && col("vec_id") % 10 === 0)
+    val q = df.filter(queryIds)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlbl"))
+    val scored = v.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qlbl"),
+        (col("lbl") === col("qlbl")).as("same"),
+        struct(round(cosine(col("qv"), col("v")), 6).as("c"),
+          (-col("id")).as("nid")).as("cand"))
+    scored.groupBy(col("query_id"), col("qlbl"))
+      .agg(max(when(col("same"), col("cand"))).as("p"),
+        max(when(!col("same"), col("cand"))).as("ng"))
+      .select(col("query_id"), col("qlbl").as("label"),
+        (-col("p.nid")).as("pos_id"), col("p.c").as("pos_cos"),
+        (-col("ng.nid")).as("neg_id"), col("ng.c").as("neg_cos"),
+        round(col("p.c") - col("ng.c"), 6).as("margin"),
+        (round(col("p.c") - col("ng.c"), 6) < 0.0).as("is_hard"))
+  }
+
   /** Unit-normalize an array vector (double math) so euclidean
     * clustering aligns with cosine geometry.
     */

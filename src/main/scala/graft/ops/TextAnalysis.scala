@@ -652,6 +652,47 @@ object TextAnalysis {
           (col("uc") + col("__v")).cast("double"))), 6).as("lm_score"))
   }
 
+  /** CCNet-style corpus partition (Wenzek et al. 2020): per language,
+    * split documents into `head` / `middle` / `tail` thirds by language-
+    * model score — the standard web-corpus quality tiering (train on
+    * head, sample middle, drop tail). The scorer is [[lmScore]]'s
+    * corpus-fit bigram log-probability (higher = more fluent, so head =
+    * top tercile = lowest perplexity, matching CCNet's orientation);
+    * CCNet's external KenLM is deliberately replaced by the in-corpus
+    * model so the op has no model-file dependency. Documents without a
+    * full bigram (< 2 tokens) are unscoreable and excluded, as in
+    * [[lmScore]].
+    *
+    * Terciles are EXACT per-language percentiles over the 6dp-rounded
+    * scores, thresholds re-rounded to 6dp before the strictly-greater
+    * comparison (the `quantileBins` tie rule: ties fall to the lower
+    * bucket) — so bucket assignment replays bit-exactly. Output: one
+    * row per (lang, bucket) with the thresholds and doc count.
+    *
+    * Scale shape: the lmScore passes (one token shuffle, one bigram
+    * shuffle), then a languages-sized threshold aggregate broadcast
+    * back and a ≤ 3·|langs| combinable rollup. At 100 TB the bigram
+    * table is the cost; everything after is domain-sized.
+    */
+  def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String,
+                   langCol: String): org.apache.spark.sql.DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val thr = scored.groupBy(col("lang")).agg(
+      round(percentile(col("lm_score"), lit(1.0 / 3)), 6).as("t1"),
+      round(percentile(col("lm_score"), lit(2.0 / 3)), 6).as("t2"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("lang"), col("t1"), col("t2"),
+        when(col("lm_score") > col("t2"), lit("head"))
+          .when(col("lm_score") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .groupBy(col("lang"), col("bucket"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("bucket"), col("t1"), col("t2"),
+        col("n_docs"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the fraction
     * of its distinct word `n`-grams that appear anywhere in the
     * benchmark set — the published n-gram-overlap test-set

@@ -2631,6 +2631,41 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
+  /** Hard-negative mining audit over the knn probe batch (every 10th
+    * vector below 2000 — fixed O(1) batch): nearest same-label vs
+    * nearest other-label cosine and the margin; negative margin flags
+    * the triplet-mining / label-noise candidates. See
+    * [[graft.ops.Similarity.hardNegatives]].
+    */
+  private def embHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id",
+      "embedding", "label",
+      col("vec_id") % 10 === 0 && col("vec_id") < 2000)
+
+  private val embHardNegativesSql =
+    """WITH v AS (SELECT vec_id AS id, embedding, label FROM embeddings),
+      |q AS (SELECT id AS query_id, embedding AS qv, label AS qlbl
+      |      FROM v WHERE id % 10 = 0 AND id < 2000),
+      |sc AS (SELECT q.query_id, q.qlbl, v.id,
+      |         v.label = q.qlbl AS same,
+      |         round(list_cosine_similarity(q.qv::DOUBLE[],
+      |           v.embedding::DOUBLE[]), 6) AS cos
+      |       FROM v CROSS JOIN q WHERE v.id != q.query_id),
+      |r AS (SELECT query_id, qlbl, same, id, cos,
+      |        row_number() OVER (PARTITION BY query_id, same
+      |                           ORDER BY cos DESC, id) AS rn
+      |      FROM sc),
+      |b AS (SELECT query_id, qlbl,
+      |        max(CASE WHEN same AND rn = 1 THEN id END) AS pos_id,
+      |        max(CASE WHEN same AND rn = 1 THEN cos END) AS pos_cos,
+      |        max(CASE WHEN NOT same AND rn = 1 THEN id END) AS neg_id,
+      |        max(CASE WHEN NOT same AND rn = 1 THEN cos END) AS neg_cos
+      |      FROM r GROUP BY 1, 2)
+      |SELECT query_id, qlbl AS label, pos_id, pos_cos, neg_id, neg_cos,
+      |  round(pos_cos - neg_cos, 6) AS margin,
+      |  round(pos_cos - neg_cos, 6) < 0 AS is_hard
+      |FROM b""".stripMargin
+
   /** k-NN (k=5) majority-vote label eval over every 10th vector below
     * 2000 (fixed ≤200 eval points — the matryoshka cap argument: eval
     * power needs a constant sample, and the uncapped fraction-of-corpus
@@ -3122,6 +3157,49 @@ object PipelineQueries {
       |JOIN uni ON uni.tok = bi.w1
       |CROSS JOIN v
       |GROUP BY 1""".stripMargin
+
+  /** CCNet head/middle/tail corpus partition per language — exact
+    * per-lang LM-score terciles with the strictly-greater tie rule.
+    * See [[graft.ops.TextAnalysis.ccnetBuckets]].
+    */
+  private def textCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ccnetBuckets(Tables.documents(s, dir), "doc_id", "text",
+      "lang")
+
+  private val textCcnetBucketsSql =
+    """WITH t AS (SELECT doc_id, lang,
+      |             string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+      |uni AS (SELECT tok, count(*) AS uc FROM toks GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      |bi AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+      |              ts[CAST(i AS INT) + 1] AS w2
+      |       FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, length(ts) - 1)) AS i
+      |             FROM t WHERE length(ts) >= 2) u),
+      |bg AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+      |sc AS (SELECT bi.doc_id,
+      |         round(avg(ln((bg.bc + 1.0) / (uni.uc + v.v))), 6)
+      |           AS lm_score
+      |       FROM bi JOIN bg USING (w1, w2)
+      |       JOIN uni ON uni.tok = bi.w1
+      |       CROSS JOIN v
+      |       GROUP BY 1),
+      |sl AS (SELECT sc.doc_id, lm_score, lang
+      |       FROM sc JOIN t ON sc.doc_id = t.doc_id),
+      |thr AS (SELECT lang,
+      |          round(quantile_cont(lm_score, CAST(1 AS DOUBLE) / 3), 6)
+      |            AS t1,
+      |          round(quantile_cont(lm_score, CAST(2 AS DOUBLE) / 3), 6)
+      |            AS t2
+      |        FROM sl GROUP BY 1)
+      |SELECT sl.lang, CASE WHEN lm_score > t2 THEN 'head'
+      |                     WHEN lm_score > t1 THEN 'middle'
+      |                     ELSE 'tail' END AS bucket,
+      |       t1, t2, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM sl JOIN thr ON sl.lang = thr.lang
+      |GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** Incremental dedup of a new crawl batch (doc_id % 10 >= 8) against
     * the accumulated reference corpus (doc_id % 10 < 8): every batch doc
@@ -4603,6 +4681,8 @@ object PipelineQueries {
     QueryDef("search_mmr_rerank", searchMmr, Some(searchMmrSql)),
     QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),
     QueryDef("emb_knn_classifier", embKnnEval, Some(embKnnEvalSql)),
+    QueryDef("emb_hard_negatives", embHardNegatives,
+      Some(embHardNegativesSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),
     QueryDef("emb_centroid_classifier", embCentroidEval,
       Some(embCentroidEvalSql)),
@@ -4650,6 +4730,8 @@ object PipelineQueries {
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
+    QueryDef("text_ccnet_buckets", textCcnetBuckets,
+      Some(textCcnetBucketsSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,

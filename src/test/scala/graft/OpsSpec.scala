@@ -863,6 +863,37 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got - want) <= 1e-6, s"got $got want $want")
   }
 
+  test("hardNegatives: planted geometry, tie rule, singleton-label nulls") {
+    import graft.ops.Similarity
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Seq(1f, 0f), "A"),   // probe: hard (B twin at cos 1.0)
+      Row(1L, Seq(0f, 1f), "A"),
+      Row(2L, Seq(1f, 0f), "B"),
+      Row(3L, Seq(0f, -1f), "C"),  // probe: singleton label -> null pos
+      Row(4L, Seq(1f, 0f), "B"),   // tie with id 2 at cos 1.0 vs probe 0
+      Row(5L, Seq(0f, 1f), "A")),  // probe: pos twin id 1, not hard
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false),
+          nullable = false),
+        StructField("label", StringType, nullable = false))))
+    val got = Similarity.hardNegatives(df, "vec_id", "v", "label",
+      col("vec_id").isin(0L, 3L, 5L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // probe 0 (A,(1,0)): best pos = id 1 at cos 0; best neg = ids 2/4 at
+    // cos 1.0 -> tie breaks to LOWEST id (2); margin -1 -> hard
+    assert(got(0L).getLong(2) == 1L && got(0L).getDouble(3) == 0.0)
+    assert(got(0L).getLong(4) == 2L && got(0L).getDouble(5) == 1.0)
+    assert(got(0L).getDouble(6) == -1.0 && got(0L).getBoolean(7))
+    // probe 5 (A,(0,1)): pos twin id 1 at cos 1.0, best neg cos 0 -> easy
+    assert(got(5L).getLong(2) == 1L && got(5L).getDouble(3) == 1.0)
+    assert(got(5L).getDouble(6) == 1.0 && !got(5L).getBoolean(7))
+    // probe 3: label C has no peer -> null positive fields, null verdict
+    assert(got(3L).isNullAt(2) && got(3L).isNullAt(3) &&
+      got(3L).isNullAt(6) && got(3L).isNullAt(7))
+    assert(got(3L).getLong(4) == 0L || got(3L).getLong(4) == 1L ||
+      got(3L).getLong(4) == 5L) // its neg is whichever A/B is closest
+  }
+
   test("participationRatio: isotropic = d, rank-1 = 1, constant = null") {
     import graft.ops.Embeddings
     def vecs(vs: Seq[Seq[Float]]): DataFrame =
@@ -1472,6 +1503,44 @@ class OpsSpec extends AnyFunSuite {
       !b(201L, "r_top2gram") && !b(201L, "pass"))
     assert(!b(202L, "r_dup5gram") && !b(202L, "pass"))
     assert(got(201L)(cols("dup_line_ppm") - 1) == 500000L)
+  }
+
+  test("ccnetBuckets: per-lang terciles match a model over lmScore output") {
+    import spark.implicits._
+    // two "languages" over the random corpus; the model recomputes the
+    // buckets from the op's own lmScore output with the documented
+    // interpolation and tie rule
+    val docsDf = docs(corpus)
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "aa").otherwise("bb"))
+    val scores = TextAnalysis.lmScore(docsDf, "doc_id", "text")
+      .join(docsDf.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    def pct(v: Seq[Double], p: Double): Double = {
+      val s = v.sorted
+      val idx = p * (s.length - 1)
+      val lo = idx.toInt
+      val f = idx - lo
+      val t = if (lo + 1 < s.length) s(lo) + f * (s(lo + 1) - s(lo)) else s(lo)
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val model = scores.groupBy(_._3).toSeq.flatMap { case (lang, xs) =>
+      val vs = xs.map(_._2).toSeq
+      val (t1, t2) = (pct(vs, 1.0 / 3), pct(vs, 2.0 / 3))
+      xs.toSeq.map { case (_, sc, _) =>
+        val b = if (sc > t2) "head" else if (sc > t1) "middle" else "tail"
+        (lang, b, t1, t2)
+      }
+    }.groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, k._3, k._4, v.size.toLong) }.toSet
+    val got = TextAnalysis.ccnetBuckets(docsDf, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == model, s"got $got\nwant $model")
+    // thirds: no bucket may hold more than ceil(n/3)+1 docs per lang
+    val perLang = scores.groupBy(_._3).view.mapValues(_.length).toMap
+    got.foreach { case (lang, _, _, _, n) =>
+      assert(n <= perLang(lang) / 3 + 2, s"unbalanced: $got")
+    }
   }
 
   test("fineWebRules: each rule flips on its own planted violation") {
