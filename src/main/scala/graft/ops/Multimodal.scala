@@ -319,6 +319,66 @@ object Multimodal {
     })
   }
 
+  /** Audio-quality gate over the REAL PCM decode path: per clip, the
+    * clipping / silence / level stats a speech-corpus pipeline screens
+    * on before paying for transcription —
+    *
+    *  - `peak`, `peak_dbfs`: max |sample| and its dBFS (null for an
+    *    all-zero clip);
+    *  - `clip_ppm` / `r_clipping`: samples at ≥ `clipThresh`
+    *    (default 32700 ≈ −0.02 dBFS); gate: ≤ 0.1% of samples
+    *    (house threshold, documented);
+    *  - `silence_ppm` / `r_silence`: samples at ≤ `silenceThresh`
+    *    (default 327 ≈ −40 dBFS); gate: ≤ 50% of samples;
+    *  - `rms`: root-mean-square level (6dp).
+    *
+    * All counters are exact integers accumulated in the decode pass
+    * (sum of squares in Int64 — safe to ~2¹⁹ samples at full scale);
+    * the derived columns are fixed-order double expressions on those
+    * exact integers, so the audit replays bit-identically. Verdicts
+    * are integer cross-multiplications.
+    *
+    * Scale shape: decode + counters are one `mapPartitions` scan over
+    * the binary column — zero shuffle, one output row per clip.
+    * Undecodable payloads yield no rows (the [[audioFrameFeatures]]
+    * contract).
+    */
+  def audioClippingAudit(media: Dataset[MediaRow], clipThresh: Int = 32700,
+                         silenceThresh: Int = 327): DataFrame = {
+    import media.sparkSession.implicits._
+    val raw = media.mapPartitions(_.flatMap { r =>
+      AudioCodec.tryDecodeSamples(r.payload).map { s =>
+        var peak = 0; var clip = 0L; var sil = 0L; var ss = 0L
+        var k = 0
+        while (k < s.length) {
+          val a = math.abs(s(k)) // -32768 → 32768, fits Int
+          if (a > peak) peak = a
+          if (a >= clipThresh) clip += 1
+          if (a <= silenceThresh) sil += 1
+          ss += s(k).toLong * s(k)
+          k += 1
+        }
+        (r.media_id, s.length, peak, clip, sil, ss)
+      }
+    }).toDF("media_id", "n_samples", "peak", "clip_cnt", "silence_cnt",
+      "sum_sq")
+    val n = col("n_samples").cast("double")
+    raw.select(col("media_id"), col("n_samples"), col("peak"),
+      when(col("n_samples") > 0,
+        round(sqrt(col("sum_sq").cast("double") / n), 6)).as("rms"),
+      when(col("peak") > 0,
+        round(lit(20.0) * log10(col("peak").cast("double") / 32768.0), 6))
+        .as("peak_dbfs"),
+      when(col("n_samples") > 0,
+        round(col("clip_cnt").cast("double") / n * 1e6).cast("long"))
+        .otherwise(0L).as("clip_ppm"),
+      when(col("n_samples") > 0,
+        round(col("silence_cnt").cast("double") / n * 1e6).cast("long"))
+        .otherwise(0L).as("silence_ppm"),
+      (col("clip_cnt") * 1000L <= col("n_samples")).as("r_clipping"),
+      (col("silence_cnt") * 2L <= col("n_samples")).as("r_silence"))
+  }
+
   // ---- video: MJPEG-style frame container + real per-frame decode ----
 
   /** One sampled video frame with the image-path feature vector. */

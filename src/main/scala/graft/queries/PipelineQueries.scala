@@ -4012,6 +4012,45 @@ object PipelineQueries {
       |                       THEN 1 END) AS INT) AS zcr
       |FROM z GROUP BY 1, 2""".stripMargin
 
+  /** Audio clipping/silence/level gate over the real WAV decode path —
+    * the pre-transcription screen. Oracle replays the synthetic PCM
+    * samples analytically (the `mm_decode_audio_frames` precedent).
+    * See [[graft.ops.Multimodal.audioClippingAudit]].
+    */
+  private def mmAudioClipping(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioClippingAudit(
+      Multimodal.mediaWithAudio(s, Tables.documents(s, dir)))
+
+  private val mmAudioClippingSql =
+    """WITH a AS (SELECT doc_id AS media_id, 800 + (doc_id % 5) * 400 AS n
+      |           FROM documents),
+      |s AS (SELECT media_id, n, unnest(range(n)) AS i FROM a),
+      |v AS (SELECT media_id, n,
+      |        abs(((media_id * 31 + i * 7919) % 65536) - 32768) AS am,
+      |        ((media_id * 31 + i * 7919) % 65536) - 32768 AS smp
+      |      FROM s),
+      |g AS (SELECT media_id,
+      |        CAST(max(n) AS INT) AS n_samples,
+      |        CAST(max(am) AS INT) AS peak,
+      |        CAST(count(CASE WHEN am >= 32700 THEN 1 END) AS BIGINT)
+      |          AS clip_cnt,
+      |        CAST(count(CASE WHEN am <= 327 THEN 1 END) AS BIGINT)
+      |          AS sil_cnt,
+      |        CAST(sum(smp * smp) AS BIGINT) AS ss
+      |      FROM v GROUP BY 1)
+      |SELECT media_id, n_samples, peak,
+      |  round(sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)
+      |    AS rms,
+      |  CASE WHEN peak > 0 THEN round(20.0 *
+      |    log10(CAST(peak AS DOUBLE) / 32768.0), 6) END AS peak_dbfs,
+      |  CAST(round(CAST(clip_cnt AS DOUBLE) / CAST(n_samples AS DOUBLE) *
+      |    1000000.0) AS BIGINT) AS clip_ppm,
+      |  CAST(round(CAST(sil_cnt AS DOUBLE) / CAST(n_samples AS DOUBLE) *
+      |    1000000.0) AS BIGINT) AS silence_ppm,
+      |  clip_cnt * 1000 <= n_samples AS r_clipping,
+      |  sil_cnt * 2 <= n_samples AS r_silence
+      |FROM g""".stripMargin
+
   /** Oracle for the COMPOSED multimodal pipeline: both feature paths
     * replay in SQL — planted-PNG pooled means (pixel replay, above) AND
     * the FakeCodec pseudo-features for text payloads (FNV-1a-style fold
@@ -4766,6 +4805,8 @@ object PipelineQueries {
       Some(mmVideoFramesSql)),
     QueryDef("mm_decode_image_dims", mmImageDims, Some(mmImageDimsSql)),
     QueryDef("mm_decode_audio_frames", mmAudioFrames, Some(mmAudioFramesSql)),
+    QueryDef("mm_audio_clipping_audit", mmAudioClipping,
+      Some(mmAudioClippingSql)),
     QueryDef("mm_image_dhash", mmImageDhash, Some(mmImageDhashSql)),
     QueryDef("mm_image_neardup_pairs", mmImageNearDupPairs,
       Some(mmImageNearDupPairsSql)),

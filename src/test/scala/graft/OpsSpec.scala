@@ -894,6 +894,40 @@ class OpsSpec extends AnyFunSuite {
       got(3L).getLong(4) == 5L) // its neg is whichever A/B is closest
   }
 
+  test("audioClippingAudit: decoded counters match the sample model") {
+    import spark.implicits._
+    val docsDf = (0L to 4L).map(i => (i, "x")).toDF("doc_id", "text")
+    val media = Multimodal.mediaWithAudio(spark, docsDf)
+    val got = Multimodal.audioClippingAudit(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 4L).foreach { id =>
+      val n = 800 + (id % 5).toInt * 400
+      val samples = (0 until n)
+        .map(i => (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+      val peak = samples.map(math.abs).max
+      val clip = samples.count(s => math.abs(s) >= 32700)
+      val sil = samples.count(s => math.abs(s) <= 327)
+      val ss = samples.map(s => s.toLong * s).sum
+      val r = got(id)
+      assert(r.getInt(1) == n && r.getInt(2) == peak, s"clip $id: $r")
+      assert(r.getDouble(3) == BigDecimal(math.sqrt(ss.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(4) == BigDecimal(20.0 * math.log10(peak / 32768.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getLong(5) == math.round(clip.toDouble / n * 1e6))
+      assert(r.getLong(6) == math.round(sil.toDouble / n * 1e6))
+      assert(r.getBoolean(7) == (clip * 1000L <= n))
+      assert(r.getBoolean(8) == (sil * 2L <= n))
+    }
+    // zero-sample clip decodes to a defined row: null levels, no div-0
+    val empty = Multimodal.audioClippingAudit(
+      Seq(Multimodal.MediaRow(9L, "audio/wav",
+        Multimodal.syntheticWav(9L, 0))).toDS()).collect().head
+    assert(empty.getInt(1) == 0 && empty.isNullAt(3) && empty.isNullAt(4))
+    assert(empty.getLong(5) == 0L && empty.getBoolean(7) &&
+      empty.getBoolean(8))
+  }
+
   test("participationRatio: isotropic = d, rank-1 = 1, constant = null") {
     import graft.ops.Embeddings
     def vecs(vs: Seq[Seq[Float]]): DataFrame =
