@@ -1431,6 +1431,19 @@ object TextAnalysis {
         flushCharsAll(s).as("dup_chars_all"), flushTop(s).as("top_cov")))
   }
 
+  /** Output row of [[gopherRepetition]] — one per document. */
+  final case class RepetitionRow(
+      id: Long, n_words: Long, chars: Long, n_lines: Long,
+      dup_line_ppm: Long, dup_line_char_ppm: Long,
+      top2gram_char_ppm: Long, top3gram_char_ppm: Long,
+      top4gram_char_ppm: Long, dup5gram_char_ppm: Long,
+      dup10gram_char_ppm: Long,
+      r_dup_line: Boolean, r_dup_line_char: Boolean,
+      r_top2gram: Boolean, r_top3gram: Boolean, r_top4gram: Boolean,
+      r_dup5gram: Boolean, r_dup6gram: Boolean, r_dup7gram: Boolean,
+      r_dup8gram: Boolean, r_dup9gram: Boolean, r_dup10gram: Boolean,
+      pass: Boolean)
+
   /** The REPETITION half of the Rae et al. 2021 table A1 gate — the
     * companion of [[gopherRules]]' quality half: per document, eleven
     * named verdicts over within-document duplication signals, at the
@@ -1456,64 +1469,78 @@ object TextAnalysis {
     * becomes 50·cov ≤ 9·chars), so no float enters any verdict; the
     * reported `*_ppm` columns are ×10⁶ BIGINT diagnostics.
     *
-    * Scale shape: ZERO shuffle — grams for every k are built,
-    * sorted, and run-folded per row by [[runDupStats]] inside
-    * higher-order array functions; per-doc work stays on the doc's
-    * partition, so 100 TB of documents is a pure embarrassingly
-    * parallel scan (contrast the explode + groupBy(doc, gram) shape,
-    * which shuffles 9·tokens rows per doc for a per-doc answer).
+    * Scale shape: ZERO shuffle — one `mapPartitions` scan computes all
+    * eleven signals per document in compiled Scala; per-doc work stays
+    * on the doc's partition, so 100 TB of documents is a pure
+    * embarrassingly parallel scan. Two alternatives were MEASURED and
+    * rejected at sf0.1 (5k docs, the adamic-adar A/B discipline): the
+    * higher-order-function form (grams built/sorted/run-folded per row
+    * via `aggregate()` — the [[runDupStats]] engine [[fineWebRules]]
+    * keeps for its single fold) cost 30.1 s — interpreted per-element
+    * struct churn ×9 k-values, re-evaluated by projection collapse —
+    * and the explode + groupBy(doc, k, gram) shape would shuffle
+    * 9·tokens rows per doc for a per-doc answer. The compiled scan
+    * runs the same math in well under a second.
     */
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = trim(col(textCol))
-    val toks = tokens(col(textCol))
-    val words0 = when(length(t) === 0, lit(0)).otherwise(size(toks))
-    val chars0 = when(length(t) === 0, lit(0L))
-      .otherwise(length(array_join(toks, " ")).cast("long"))
-    val lines = filter(transform(split(lower(t), "\n"), l => trim(l)),
-      l => length(l) > 0)
-    def grams(k: Int): Column =
-      when(words0 >= k,
-        transform(sequence(lit(1), words0 - lit(k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val staged = df.select(
-      Seq(col(idCol), words0.cast("long").as("n_words"),
-        chars0.as("chars"), size(lines).cast("long").as("n_lines"),
-        runDupStats(array_sort(lines)).as("ls")) ++
-        (2 to 10).map(k => runDupStats(array_sort(grams(k))).as(s"s$k")): _*)
-    val chars = col("chars")
-    def ppm(n: Column, d: Column): Column =
-      when(d > 0L, round(n.cast("double") / d.cast("double") * 1e6)
-        .cast("long")).otherwise(0L)
-    val dupL = col("ls").getField("dup_occ")
-    val dupLc = col("ls").getField("dup_chars")
-    def top(k: Int) = col(s"s$k").getField("top_cov")
-    def dup(k: Int) = col(s"s$k").getField("dup_chars_all")
-    // pass iff num·a ≤ den·b replays frac ≤ b/a exactly in integers
-    val verdicts = Seq(
-      ("r_dup_line", dupL * 10L <= col("n_lines") * 3L),
-      ("r_dup_line_char", dupLc * 5L <= chars),
-      ("r_top2gram", top(2) * 5L <= chars),
-      ("r_top3gram", top(3) * 50L <= chars * 9L),
-      ("r_top4gram", top(4) * 25L <= chars * 4L),
-      ("r_dup5gram", dup(5) * 20L <= chars * 3L),
-      ("r_dup6gram", dup(6) * 50L <= chars * 7L),
-      ("r_dup7gram", dup(7) * 100L <= chars * 13L),
-      ("r_dup8gram", dup(8) * 25L <= chars * 3L),
-      ("r_dup9gram", dup(9) * 100L <= chars * 11L),
-      ("r_dup10gram", dup(10) * 10L <= chars))
-    staged.select(
-      Seq(col(idCol), col("n_words"), chars, col("n_lines"),
-        ppm(dupL, col("n_lines")).as("dup_line_ppm"),
-        ppm(dupLc, chars).as("dup_line_char_ppm"),
-        ppm(top(2), chars).as("top2gram_char_ppm"),
-        ppm(top(3), chars).as("top3gram_char_ppm"),
-        ppm(top(4), chars).as("top4gram_char_ppm"),
-        ppm(dup(5), chars).as("dup5gram_char_ppm"),
-        ppm(dup(10), chars).as("dup10gram_char_ppm")) ++
-        verdicts.map { case (n, c) => c.as(n) } :+
-        verdicts.map(_._2).reduce(_ && _).as("pass"): _*)
+    val sp = df.sparkSession
+    import sp.implicits._
+    def ppm(n: Long, d: Long): Long =
+      if (d > 0) math.round(n.toDouble / d.toDouble * 1e6) else 0L
+    val out = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = text.trim.toLowerCase
+        val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        val words = toks.length.toLong
+        val chars =
+          if (toks.isEmpty) 0L
+          else toks.foldLeft(0L)(_ + _.length) + (toks.length - 1L)
+        val lines = t.split("\n").map(_.trim).filter(_.nonEmpty)
+        val nLines = lines.length.toLong
+        def counts(xs: Iterator[String]): collection.mutable.HashMap[String, Long] = {
+          val m = collection.mutable.HashMap.empty[String, Long]
+          xs.foreach(g => m.update(g, m.getOrElse(g, 0L) + 1L))
+          m
+        }
+        val lc = counts(lines.iterator)
+        var dupL = 0L; var dupLc = 0L
+        lc.foreach { case (g, c) =>
+          if (c >= 2) { dupL += c - 1; dupLc += (c - 1) * g.length }
+        }
+        // per k: top_cov = max c·len over grams; dup_all = Σ c·len, c ≥ 2
+        val top = new Array[Long](11)
+        val dup = new Array[Long](11)
+        var k = 2
+        while (k <= 10) {
+          if (words >= k) {
+            val gc = counts(toks.sliding(k).map(_.mkString(" ")))
+            gc.foreach { case (g, c) =>
+              val mass = c * g.length
+              if (mass > top(k)) top(k) = mass
+              if (c >= 2) dup(k) += mass
+            }
+          }
+          k += 1
+        }
+        // pass iff num·a ≤ den·b replays frac ≤ b/a exactly in integers
+        val v = Array(
+          dupL * 10 <= nLines * 3, dupLc * 5 <= chars,
+          top(2) * 5 <= chars, top(3) * 50 <= chars * 9,
+          top(4) * 25 <= chars * 4, dup(5) * 20 <= chars * 3,
+          dup(6) * 50 <= chars * 7, dup(7) * 100 <= chars * 13,
+          dup(8) * 25 <= chars * 3, dup(9) * 100 <= chars * 11,
+          dup(10) * 10 <= chars)
+        RepetitionRow(id, words, chars, nLines,
+          ppm(dupL, nLines), ppm(dupLc, chars),
+          ppm(top(2), chars), ppm(top(3), chars), ppm(top(4), chars),
+          ppm(dup(5), chars), ppm(dup(10), chars),
+          v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9),
+          v(10), v.forall(identity))
+      })
+    out.toDF().withColumnRenamed("id", idCol)
   }
 
   /** FineWeb-STYLE document gate (house variants of the three line-level
