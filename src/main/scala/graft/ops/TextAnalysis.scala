@@ -652,6 +652,56 @@ object TextAnalysis {
           (col("uc") + col("__v")).cast("double"))), 6).as("lm_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram scorer (Kneser & Ney 1995; the
+    * smoothing family CCNet's KenLM actually ships) — the principled
+    * upgrade of [[lmScore]]'s add-one baseline: instead of crediting
+    * unseen continuations uniformly, absolute discounting (fixed
+    * D = 0.75, the standard default) redistributes mass through the
+    * CONTINUATION probability — how many distinct contexts a word
+    * follows, not how often it occurs:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + (D·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··))
+    *
+    * Every factor is an exact integer count (bigram count, context
+    * total, distinct-successor / distinct-predecessor / distinct-type
+    * counts), so the per-bigram probability is one fixed-order double
+    * expression and the oracle replays it; the per-doc score is the
+    * 6dp avg log-prob (the [[lmScore]] tolerance precedent). The
+    * backoff term is strictly positive, so the log is always defined.
+    *
+    * Scale shape: same as [[lmScore]] — one token/bigram shuffle for
+    * the count tables, then key-partitioned joins back (the count
+    * tables are vocabulary-sized, shuffle-joined on their word keys)
+    * and one per-doc aggregate. No collect, no driver state.
+    */
+  def lmScoreKneserNey(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = df
+      .select(col(idCol),
+        explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val ctx = bg.groupBy(col("w1"))
+      .agg(sum(col("bc")).as("cw1"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val types = bg.agg(count(lit(1)).as("types"))
+    val p = greatest(col("bc").cast("double") - lit(discount), lit(0.0)) /
+      col("cw1").cast("double") +
+      (lit(discount) * col("n1f").cast("double") /
+        col("cw1").cast("double")) *
+        (col("n1p").cast("double") / col("types").cast("double"))
+    bi.join(bg, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("kn_score"))
+  }
+
   /** CCNet-style corpus partition (Wenzek et al. 2020): per language,
     * split documents into `head` / `middle` / `tail` thirds by language-
     * model score — the standard web-corpus quality tiering (train on

@@ -3158,6 +3158,40 @@ object PipelineQueries {
       |CROSS JOIN v
       |GROUP BY 1""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram scoring per document (D = 0.75) —
+    * continuation-probability smoothing over exact corpus counts.
+    * See [[graft.ops.TextAnalysis.lmScoreKneserNey]].
+    */
+  private def textLmKneserNey(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScoreKneserNey(Tables.documents(s, dir), "doc_id",
+      "text")
+
+  private val textLmKneserNeySql =
+    """WITH t AS (SELECT doc_id,
+      |             string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |bi AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+      |              ts[CAST(i AS INT) + 1] AS w2
+      |       FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, length(ts) - 1)) AS i
+      |             FROM t WHERE length(ts) >= 2) u),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+      |       FROM bi GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS cw1,
+      |          CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY 1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+      |         FROM bg GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS types FROM bg)
+      |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln(
+      |    greatest(CAST(bc AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE) +
+      |    (0.75 * CAST(n1f AS DOUBLE) / CAST(cw1 AS DOUBLE)) *
+      |    (CAST(n1p AS DOUBLE) / CAST(types AS DOUBLE)))), 6) AS kn_score
+      |FROM bi JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+      |     JOIN cont USING (w2)
+      |CROSS JOIN ty
+      |GROUP BY 1""".stripMargin
+
   /** CCNet head/middle/tail corpus partition per language — exact
     * per-lang LM-score terciles with the strictly-greater tie rule.
     * See [[graft.ops.TextAnalysis.ccnetBuckets]].
@@ -4771,6 +4805,8 @@ object PipelineQueries {
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
     QueryDef("text_ccnet_buckets", textCcnetBuckets,
       Some(textCcnetBucketsSql)),
+    QueryDef("text_lm_kneser_ney", textLmKneserNey,
+      Some(textLmKneserNeySql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,

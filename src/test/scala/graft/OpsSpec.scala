@@ -1539,6 +1539,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got(201L)(cols("dup_line_ppm") - 1) == 500000L)
   }
 
+  test("lmScoreKneserNey: hand-computed probabilities on a tiny corpus") {
+    import spark.implicits._
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,c)
+    // bg: (a,b)=2 (b,a)=1 (a,c)=1; ctx a: c=3 N1f=2, b: c=1 N1f=1;
+    // cont: a=1 b=1 c=1; types=3; D=0.75
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreKneserNey(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def p(bc: Long, cw1: Long, n1f: Long, n1p: Long, types: Long) =
+      math.max(bc.toDouble - 0.75, 0.0) / cw1.toDouble +
+        (0.75 * n1f.toDouble / cw1.toDouble) *
+          (n1p.toDouble / types.toDouble)
+    val pab = p(2, 3, 2, 1, 3) // 0.583333...
+    val pba = p(1, 1, 1, 1, 3) // 0.5
+    val pac = p(1, 3, 2, 1, 3) // 0.25
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 ==
+      r6((math.log(pab) + math.log(pba) + math.log(pab)) / 3.0),
+      s"${got(1L)}")
+    assert(got(2L)._1 == 1L && got(2L)._2 == r6(math.log(pac)))
+    // KN must rank the frequent continuation above the hapax one
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("ccnetBuckets: per-lang terciles match a model over lmScore output") {
     import spark.implicits._
     // two "languages" over the random corpus; the model recomputes the
