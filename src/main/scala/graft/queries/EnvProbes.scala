@@ -116,6 +116,22 @@ object EnvProbes {
       "CAST(length(string_split_regex('', '\\s+')) AS INT) AS split_empty, " +
       "CAST(length(string_split_regex('a  b', '\\s+')) AS INT) AS split_two"))
 
+  /** NULL rendering across types (BIGINT, VARCHAR, DOUBLE, BOOLEAN)
+    * beside pinned non-null twins — the one output class the other
+    * probes don't cover. A comparator that stringifies NULL
+    * differently per dtype (None vs NaN vs 'null') would flip this
+    * red while every all-non-null query stays green.
+    */
+  private val nullRender = QueryDef(
+    "probe_env_null_render",
+    pinned("SELECT CAST(NULL AS BIGINT) AS nb, CAST(NULL AS STRING) AS ns, " +
+      "CAST(NULL AS DOUBLE) AS nd, CAST(NULL AS BOOLEAN) AS nx, " +
+      "CAST(7 AS BIGINT) AS kb, 'k' AS ks"),
+    Some("SELECT CAST(NULL AS BIGINT) AS nb, CAST(NULL AS VARCHAR) AS ns, " +
+      "CAST(NULL AS DOUBLE) AS nd, CAST(NULL AS BOOLEAN) AS nx, " +
+      "CAST(7 AS BIGINT) AS kb, 'k' AS ks"))
+
   val qs: Seq[QueryDef] =
-    Seq(sumCast, sumUncast, roundHalf, lenMultibyte, strftimeEpoch, regexCtrl)
+    Seq(sumCast, sumUncast, roundHalf, lenMultibyte, strftimeEpoch,
+      regexCtrl, nullRender)
 }
