@@ -3192,6 +3192,105 @@ object PipelineQueries {
       |CROSS JOIN ty
       |GROUP BY 1""".stripMargin
 
+  /** Scorer-consistency audit: Cohen's kappa between the CCNet tiers
+    * produced by the add-one bigram scorer and by the Kneser-Ney
+    * scorer — the "is the cheap scorer good enough to tier on?"
+    * question, answered on the scorers' own per-language terciles
+    * (identical bucketing discipline to `text_ccnet_buckets`), then
+    * [[graft.ops.TextAnalysis.agreementKappa]] over the two verdicts.
+    */
+  private def textCcnetKnAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lang = docs.select(col("doc_id"), col("lang"))
+    def buckets(scored: DataFrame, scoreCol: String,
+                out: String): DataFrame = {
+      val sl = scored.join(lang, Seq("doc_id"))
+      val thr = sl.groupBy(col("lang")).agg(
+        round(percentile(col(scoreCol), lit(1.0 / 3)), 6).as("t1"),
+        round(percentile(col(scoreCol), lit(2.0 / 3)), 6).as("t2"))
+      sl.join(broadcast(thr), Seq("lang"))
+        .select(col("doc_id"),
+          when(col(scoreCol) > col("t2"), lit("head"))
+            .when(col(scoreCol) > col("t1"), lit("middle"))
+            .otherwise(lit("tail")).as(out))
+    }
+    val joined = buckets(TextAnalysis.lmScore(docs, "doc_id", "text"),
+      "lm_score", "b_add1")
+      .join(buckets(
+        TextAnalysis.lmScoreKneserNey(docs, "doc_id", "text"),
+        "kn_score", "b_kn"), Seq("doc_id"))
+    TextAnalysis.agreementKappa(joined, "b_add1", "b_kn")
+  }
+
+  private val textCcnetKnAgreementSql =
+    """WITH t AS (SELECT doc_id, lang,
+      |             string_split_regex(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+      |uni AS (SELECT tok, count(*) AS uc FROM toks GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      |bi AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+      |              ts[CAST(i AS INT) + 1] AS w2
+      |       FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, length(ts) - 1)) AS i
+      |             FROM t WHERE length(ts) >= 2) u),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+      |       FROM bi GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS cw1,
+      |          CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY 1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+      |         FROM bg GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS types FROM bg),
+      |sa AS (SELECT bi.doc_id,
+      |         round(avg(ln((bg.bc + 1.0) / (uni.uc + v.v))), 6) AS s
+      |       FROM bi JOIN bg USING (w1, w2)
+      |       JOIN uni ON uni.tok = bi.w1 CROSS JOIN v GROUP BY 1),
+      |sk AS (SELECT bi.doc_id, round(avg(ln(
+      |         greatest(CAST(bc AS DOUBLE) - 0.75, 0.0) /
+      |           CAST(cw1 AS DOUBLE) +
+      |         (0.75 * CAST(n1f AS DOUBLE) / CAST(cw1 AS DOUBLE)) *
+      |         (CAST(n1p AS DOUBLE) / CAST(types AS DOUBLE)))), 6) AS s
+      |       FROM bi JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+      |            JOIN cont USING (w2) CROSS JOIN ty GROUP BY 1),
+      |la AS (SELECT sa.doc_id, lang, s FROM sa JOIN t USING (doc_id)),
+      |lk AS (SELECT sk.doc_id, lang, s FROM sk JOIN t USING (doc_id)),
+      |tha AS (SELECT lang,
+      |          round(quantile_cont(s, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+      |          round(quantile_cont(s, CAST(2 AS DOUBLE) / 3), 6) AS t2
+      |        FROM la GROUP BY 1),
+      |thk AS (SELECT lang,
+      |          round(quantile_cont(s, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+      |          round(quantile_cont(s, CAST(2 AS DOUBLE) / 3), 6) AS t2
+      |        FROM lk GROUP BY 1),
+      |p AS (SELECT la.doc_id,
+      |        CASE WHEN la.s > tha.t2 THEN 'head'
+      |             WHEN la.s > tha.t1 THEN 'middle'
+      |             ELSE 'tail' END AS ba,
+      |        CASE WHEN lk.s > thk.t2 THEN 'head'
+      |             WHEN lk.s > thk.t1 THEN 'middle'
+      |             ELSE 'tail' END AS bk
+      |      FROM la JOIN tha ON la.lang = tha.lang
+      |      JOIN lk ON la.doc_id = lk.doc_id
+      |      JOIN thk ON lk.lang = thk.lang),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN ba = bk THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS diag
+      |       FROM p),
+      |r AS (SELECT ba AS c, CAST(count(*) AS BIGINT) AS rc
+      |      FROM p GROUP BY 1),
+      |cl AS (SELECT bk AS c, CAST(count(*) AS BIGINT) AS cc
+      |       FROM p GROUP BY 1),
+      |pn AS (SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT) AS pe_num
+      |       FROM r JOIN cl USING (c))
+      |SELECT n, diag,
+      |  round(CAST(diag AS DOUBLE) / n, 6) AS po,
+      |  round(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe,
+      |  CASE WHEN CAST(pe_num AS DOUBLE) / (n * n) = 1.0 THEN NULL
+      |    ELSE round((CAST(diag AS DOUBLE) / n -
+      |      CAST(pe_num AS DOUBLE) / (n * n)) /
+      |      (1.0 - CAST(pe_num AS DOUBLE) / (n * n)), 6) END AS kappa
+      |FROM tt CROSS JOIN pn""".stripMargin
+
   /** CCNet head/middle/tail corpus partition per language — exact
     * per-lang LM-score terciles with the strictly-greater tie rule.
     * See [[graft.ops.TextAnalysis.ccnetBuckets]].
@@ -4807,6 +4906,8 @@ object PipelineQueries {
       Some(textCcnetBucketsSql)),
     QueryDef("text_lm_kneser_ney", textLmKneserNey,
       Some(textLmKneserNeySql)),
+    QueryDef("text_ccnet_kn_agreement", textCcnetKnAgreement,
+      Some(textCcnetKnAgreementSql)),
     QueryDef("text_chunks", chunks, Some(chunksSql)),
     QueryDef("text_drop_stopwords", dropStopwords, Some(dropStopwordsSql)),
     QueryDef("text_nb_lang_confusion", nbLangConfusionQ,
