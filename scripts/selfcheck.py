@@ -55,11 +55,12 @@ def main(sf_dir, out_dir):
             # widen int128 to float64 ("6.0" vs Spark's "6"), which is
             # exactly how seven queries sat hash-red on the driver for two
             # rounds while fetchall()-based local checks stayed green.
-            # probe_env_sum_uncast is the one DELIBERATE tripwire.
+            # (The probe_env_sum_uncast tripwire that CONFIRMED this from
+            # the r09 gate is retired; this guard is the durable form.)
             rel = con.sql(sql)
             hostile = [c for c, t in zip(rel.columns, rel.types)
                        if str(t) in ("HUGEINT", "UHUGEINT")]
-            if hostile and name != "probe_env_sum_uncast":
+            if hostile:
                 print(f"FAIL {name}: oracle emits gate-hostile int128 "
                       f"column(s) {hostile}: wrap in CAST(... AS BIGINT)")
                 bad += 1

@@ -94,19 +94,26 @@ object Bench {
       .map { case (k, (jobs, hits)) =>
         s""""$k":{"entropy_jobs":$jobs,"memo_hits":$hits}"""
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotals,"failed":$failedJson,"queries":$qs,"telemetry":$tel,"sf":"$sfDir"}"""
-    // Belt-and-braces for the driver's bench channel (BENCH_r07/r08 had
-    // "parsed": null — the JSON line was swallowed by sbt's epilogue):
-    // mirror the line to a known file so a file-based reader always has
-    // it, and print it last (build.sbt's showSuccess := false keeps it
-    // the final stdout line).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotals,"failed":$failedJson,"queries":$qs,"telemetry":$tel,"sf":"$sfDir"}"""
+    // The driver's bench channel captures only the TAIL of stdout
+    // (~2 KB), so the FINAL printed line must be short: nine rounds of
+    // "parsed": null came first from sbt's [success] epilogue (fixed in
+    // build.sbt round 9: StdoutOutput + showSuccess := false) and then
+    // from this line itself — the full per-query map is ~10 KB for 300+
+    // queries, so any tail capture saw a truncated JSON object. The
+    // per-query map and telemetry therefore live ONLY in the mirror
+    // file (SPARK_GRAFT_BENCH_OUT, default bench_last.json — the file
+    // committed as BENCH_r{N}_campaign/sf1.json), and stdout ends with
+    // a ~200-char summary: metric, value, reps, rep totals, failures,
+    // query count, and where the detail went.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line + "\n")
+      full + "\n")
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repTotals,"failed":$failedJson,"n_queries":${mins.size},"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
-    println(line)
+    println(short)
   }
 }

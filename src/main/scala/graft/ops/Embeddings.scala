@@ -576,8 +576,9 @@ object Embeddings {
     * table then folds to one row via two broadcast joins of the
     * d-row mean table. Linear in corpus size, no collect.
     */
-  def participationRatio(df: DataFrame, idCol: String,
-                         vecCol: String): DataFrame = {
+  // No idCol parameter (unlike the sibling per-row diagnostics): the
+  // statistic is corpus-global and only ever reads the vector column.
+  def participationRatio(df: DataFrame, vecCol: String): DataFrame = {
     val x = df.select(col(vecCol).cast("array<double>").as("v"))
     val pairs = x.select(explode(flatten(transform(
       sequence(lit(1), size(col("v"))),

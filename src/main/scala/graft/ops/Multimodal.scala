@@ -333,7 +333,8 @@ object Multimodal {
     *  - `rms`: root-mean-square level (6dp).
     *
     * All counters are exact integers accumulated in the decode pass
-    * (sum of squares in Int64 — safe to ~2¹⁹ samples at full scale);
+    * (sum of squares in Int64 — 32768² = 2³⁰ per sample, so safe to
+    * ~2³³ samples at full scale, days of audio per clip);
     * the derived columns are fixed-order double expressions on those
     * exact integers, so the audit replays bit-identically. Verdicts
     * are integer cross-multiplications.

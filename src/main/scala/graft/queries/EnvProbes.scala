@@ -24,12 +24,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * BIGINT. These probes make the diagnosis falsifiable from the gate
   * itself and keep the remaining suspect constructs instrumented:
   *
-  *  - `probe_env_sum_cast` / `probe_env_sum_uncast` are twins computing
-  *    the same sum; the uncast twin's oracle intentionally returns
-  *    HUGEINT. If the HUGEINT theory is right, the gate shows the cast
-  *    twin green and the uncast twin red — the uncast twin is a
-  *    DELIBERATE tripwire, not a defect (its values are bit-equal to
-  *    the Spark side under any integer-faithful comparison).
+  *  - `probe_env_sum_cast` pins the repo-wide sum-cast discipline
+  *    itself. Its former twin `probe_env_sum_uncast` — a DELIBERATE
+  *    int128 tripwire whose oracle returned HUGEINT — ran in exactly
+  *    one gate (round 9) and behaved precisely as predicted: rows and
+  *    schema matched, hash did not, while this cast twin stayed green.
+  *    That one-red-by-design result CONFIRMED the comparator root
+  *    cause from the driver itself, so the tripwire is retired: its
+  *    durable protection now lives in `scripts/selfcheck.py`, which
+  *    fails any oracle emitting an int128 output column before a query
+  *    can ship. Keeping a permanent known-red in the gate would buy no
+  *    further information and pollute the headline metric.
   *  - the other probes pin one suspect construct each (round-half
   *    ties, multibyte length(), epoch→string round-trips, control-char
   *    regex classes, empty-string regex splits) to constants verified
@@ -52,17 +57,6 @@ object EnvProbes {
     "probe_env_sum_cast",
     pinned("SELECT CAST(6 AS BIGINT) AS s"),
     Some("SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) t(x)"))
-
-  /** Twin B: identical values, but the oracle column stays HUGEINT.
-    * Deliberate tripwire — red here while [[sumCast]] is green confirms
-    * the gate stringifies int128 differently from int64 (e.g. the
-    * pandas float64 widening), which is the root cause of the seven
-    * round-7/8 hash-reds.
-    */
-  private val sumUncast = QueryDef(
-    "probe_env_sum_uncast",
-    pinned("SELECT CAST(6 AS BIGINT) AS s"),
-    Some("SELECT sum(x) AS s FROM (VALUES (1),(2),(3)) t(x)"))
 
   /** round() tie behavior: DuckDB 1.0.0 and Spark both round halves
     * away from zero (2.5→3, -2.5→-3, 7812.5→7813); a half-even engine
@@ -132,6 +126,6 @@ object EnvProbes {
       "CAST(7 AS BIGINT) AS kb, 'k' AS ks"))
 
   val qs: Seq[QueryDef] =
-    Seq(sumCast, sumUncast, roundHalf, lenMultibyte, strftimeEpoch,
+    Seq(sumCast, roundHalf, lenMultibyte, strftimeEpoch,
       regexCtrl, nullRender)
 }

@@ -1603,6 +1603,15 @@ object PipelineQueries {
     * so those docs carry ≥5 duplicate lines and heavy dup-{5..10}-gram
     * mass at EVERY doc length, keeping all reject branches live in the
     * gate, not just in the spec fixtures.
+    *
+    * Empty-doc convention (pinned in BOTH tiers, round-10 ADVICE): a
+    * whitespace-only document has ZERO tokens and ZERO lines. Spark's
+    * `split` and DuckDB's `string_split_regex` both return `['']` for
+    * the empty string, so the token stream filters length-0 strings
+    * here and the oracle filters them from `tk` — without the filter
+    * the parity silently depended on the fixture never containing an
+    * empty doc (the compiled scan in [[TextAnalysis.gopherRepetition]]
+    * already tokenizes empty text to 0 tokens).
     * See [[graft.ops.TextAnalysis.gopherRepetition]].
     */
   private def textGopherRepetition(s: SparkSession, dir: String): DataFrame = {
@@ -1612,7 +1621,9 @@ object PipelineQueries {
       .withColumn("text", when(col("doc_id") % 17 === 0,
         concat_ws(" ", t10, t10, t10, t10, t10, col("text")))
         .otherwise(col("text")))
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0).as("toks"))
       .select(col("doc_id"),
         array_join(transform(
           when(size(col("toks")) >= 1,
@@ -1625,7 +1636,8 @@ object PipelineQueries {
 
   private val textGopherRepetitionSql =
     """WITH t0 AS (SELECT doc_id,
-      |              string_split_regex(lower(trim(text)), '\s+') AS tk
+      |              list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                          x -> len(x) > 0) AS tk
       |            FROM documents),
       |b AS (SELECT doc_id,
       |        CASE WHEN doc_id % 17 = 0
@@ -1635,7 +1647,10 @@ object PipelineQueries {
       |      FROM t0),
       |base AS (SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS n_words,
-      |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS chars,
+      |    -- coalesce: array_to_string([]) is NULL, and the pinned
+      |    -- empty-doc convention is chars = 0
+      |    CAST(coalesce(length(array_to_string(toks, ' ')), 0) AS BIGINT)
+      |      AS chars,
       |    CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_lines
       |  FROM b),
       |lg AS (SELECT doc_id,
@@ -1733,6 +1748,12 @@ object PipelineQueries {
     * doc gets '.' appended to each line (terminal punctuation — the
     * synthetic corpus has none, so WITHOUT this plant r_punct_lines
     * would fail uniformly and discriminate nothing).
+    *
+    * Same pinned empty-doc convention as `text_gopher_repetition`
+    * (zero tokens, zero lines — length-0 strings filtered from the
+    * token stream in both tiers), and the same `size >= 1` guard on
+    * `sequence`: for a zero-token doc Spark's `sequence(1, 0)` yields
+    * a DESCENDING `[1, 0]` — two phantom lines — not an empty array.
     * See [[graft.ops.TextAnalysis.fineWebRules]].
     */
   private def textFineWebRules(s: SparkSession, dir: String): DataFrame = {
@@ -1744,12 +1765,16 @@ object PipelineQueries {
       .withColumn("text", when(col("doc_id") % 17 === 0,
         concat_ws(" ", t10, t10, t10, t10, t10, col("text")))
         .otherwise(col("text")))
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
+      .select(col("doc_id"),
+        filter(TextAnalysis.tokens(col("text")),
+          t => length(t) > 0).as("toks"),
         w.as("w"), dot.as("dot"))
       .select(col("doc_id"),
         array_join(transform(
-          sequence(lit(1), ceil(size(col("toks")).cast("double") /
-            col("w").cast("double")).cast("int")),
+          when(size(col("toks")) >= 1,
+            sequence(lit(1), ceil(size(col("toks")).cast("double") /
+              col("w").cast("double")).cast("int")))
+            .otherwise(array()),
           j => concat(array_join(
             slice(col("toks"), (j - 1) * col("w") + 1, col("w")), " "),
             col("dot"))),
@@ -1759,7 +1784,8 @@ object PipelineQueries {
 
   private val textFineWebRulesSql =
     """WITH t0 AS (SELECT doc_id,
-      |              string_split_regex(lower(trim(text)), '\s+') AS tk
+      |              list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                          x -> len(x) > 0) AS tk
       |            FROM documents),
       |b AS (SELECT doc_id,
       |        CASE WHEN doc_id % 17 = 0
@@ -1777,8 +1803,12 @@ object PipelineQueries {
       |                 CAST(ceil(len(toks) / CAST(w AS DOUBLE)) AS INT)))
       |                 AS j
       |             FROM b)),
+      |-- the batch op counts only non-empty lines; re-lined lines are
+      |-- provably non-empty (>=1 non-empty token each) but the contract
+      |-- is mirrored explicitly so the parity never hinges on that proof
       |lc AS (SELECT doc_id, line, count(*) AS c,
-      |         length(line) AS ll FROM lg GROUP BY 1, 2),
+      |         length(line) AS ll FROM lg WHERE len(line) > 0
+      |       GROUP BY 1, 2),
       |a AS (SELECT doc_id,
       |        CAST(sum(c) AS BIGINT) AS n_lines,
       |        CAST(sum(c * ll) AS BIGINT) AS chars,
@@ -1788,7 +1818,11 @@ object PipelineQueries {
       |          AS short,
       |        CAST(sum((c - 1) * ll) AS BIGINT) AS dup_lc
       |      FROM lc GROUP BY 1)
-      |SELECT doc_id, n_lines, chars,
+      |-- LEFT JOIN from b: a zero-token doc generates zero lines and
+      |-- would otherwise vanish from the aggregate, while the batch op
+      |-- emits an (all-zero, all-pass) row for it
+      |SELECT b.doc_id,
+      |  coalesce(n_lines, 0) AS n_lines, coalesce(chars, 0) AS chars,
       |  CASE WHEN n_lines > 0 THEN CAST(round(CAST(punct AS DOUBLE) /
       |    CAST(n_lines AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
       |    AS punct_line_ppm,
@@ -1798,12 +1832,16 @@ object PipelineQueries {
       |  CASE WHEN chars > 0 THEN CAST(round(CAST(dup_lc AS DOUBLE) /
       |    CAST(chars AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END
       |    AS dup_line_char_ppm,
-      |  punct * 25 >= n_lines * 3 AS r_punct_lines,
-      |  short * 100 <= n_lines * 67 AS r_short_lines,
-      |  dup_lc * 10 <= chars AS r_dup_line_chars,
-      |  punct * 25 >= n_lines * 3 AND short * 100 <= n_lines * 67 AND
-      |  dup_lc * 10 <= chars AS pass
-      |FROM a""".stripMargin
+      |  coalesce(punct, 0) * 25 >= coalesce(n_lines, 0) * 3
+      |    AS r_punct_lines,
+      |  coalesce(short, 0) * 100 <= coalesce(n_lines, 0) * 67
+      |    AS r_short_lines,
+      |  coalesce(dup_lc, 0) * 10 <= coalesce(chars, 0)
+      |    AS r_dup_line_chars,
+      |  coalesce(punct, 0) * 25 >= coalesce(n_lines, 0) * 3 AND
+      |  coalesce(short, 0) * 100 <= coalesce(n_lines, 0) * 67 AND
+      |  coalesce(dup_lc, 0) * 10 <= coalesce(chars, 0) AS pass
+      |FROM b LEFT JOIN a USING (doc_id)""".stripMargin
 
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),

@@ -1584,8 +1584,7 @@ object StatsQueries {
     * sampled twin). See [[graft.ops.Embeddings.participationRatio]].
     */
   private def embParticipationRatio(s: SparkSession, dir: String): DataFrame =
-    Embeddings.participationRatio(Tables.embeddings(s, dir), "vec_id",
-      "embedding")
+    Embeddings.participationRatio(Tables.embeddings(s, dir), "embedding")
 
   private val embParticipationRatioSql =
     """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v

@@ -937,18 +937,18 @@ class OpsSpec extends AnyFunSuite {
           StructField("v", ArrayType(FloatType, containsNull = false)))))
     // balanced axes: C = diag(.5, .5) -> PR = 1/(0.25+0.25) = 2 = d
     val iso = Embeddings.participationRatio(vecs(Seq(
-      Seq(1f, 0f), Seq(-1f, 0f), Seq(0f, 1f), Seq(0f, -1f))), "id", "v")
+      Seq(1f, 0f), Seq(-1f, 0f), Seq(0f, 1f), Seq(0f, -1f))), "v")
       .collect().head
     assert(iso.getInt(0) == 2 && iso.getLong(1) == 4L)
     assert(iso.getDouble(4) == 2.0 && iso.getLong(5) == 1000000L, s"$iso")
     // all mass on one axis: C = diag(2.5, 0) -> PR = 1
     val r1 = Embeddings.participationRatio(vecs(Seq(
-      Seq(1f, 0f), Seq(-1f, 0f), Seq(2f, 0f), Seq(-2f, 0f))), "id", "v")
+      Seq(1f, 0f), Seq(-1f, 0f), Seq(2f, 0f), Seq(-2f, 0f))), "v")
       .collect().head
     assert(r1.getDouble(4) == 1.0 && r1.getDouble(2) == 2.5, s"$r1")
     // zero covariance: PR undefined -> nulls, not a divide-by-zero
     val const = Embeddings.participationRatio(vecs(Seq(
-      Seq(3f, 4f), Seq(3f, 4f), Seq(3f, 4f))), "id", "v").collect().head
+      Seq(3f, 4f), Seq(3f, 4f), Seq(3f, 4f))), "v").collect().head
     assert(const.isNullAt(4) && const.isNullAt(5), s"$const")
   }
 
@@ -1520,7 +1520,12 @@ class OpsSpec extends AnyFunSuite {
       (200L, (1 to 40).map(i => s"tok$i").mkString(" ")),
       (201L, "alpha bravo\nalpha bravo\nalpha bravo\ncharlie delta"),
       (202L, ((1 to 3).flatMap(_ =>
-        Seq("alpha", "bravo", "charlie", "delta", "echo"))).mkString(" ")))
+        Seq("alpha", "bravo", "charlie", "delta", "echo"))).mkString(" ")),
+      // the pinned empty-doc convention (round-10 ADVICE): a
+      // whitespace-only doc has ZERO tokens and ZERO lines — and
+      // vacuously passes every ratio rule (0 <= 0)
+      (203L, ""),
+      (204L, "   \n\t  "))
     val all = corpus ++ planted
     val got = TextAnalysis.gopherRepetition(docs(all), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
@@ -1537,6 +1542,12 @@ class OpsSpec extends AnyFunSuite {
       !b(201L, "r_top2gram") && !b(201L, "pass"))
     assert(!b(202L, "r_dup5gram") && !b(202L, "pass"))
     assert(got(201L)(cols("dup_line_ppm") - 1) == 500000L)
+    // empty/whitespace-only docs: all-zero counters, vacuous pass
+    Seq(203L, 204L).foreach { id =>
+      assert(got(id)(cols("n_words") - 1) == 0L &&
+        got(id)(cols("n_lines") - 1) == 0L && b(id, "pass"),
+        s"empty-doc convention broken for $id: ${got(id)}")
+    }
   }
 
   test("lmScoreKneserNey: hand-computed probabilities on a tiny corpus") {
@@ -1613,7 +1624,8 @@ class OpsSpec extends AnyFunSuite {
       (1L, s"$long1\n$long2\n$long3"),                 // clean: passes
       (2L, s"${long1.init}\n${long2.init}\n${long3.init}"), // no punct
       (3L, (1 to 10).map(_ => "tiny.").mkString("\n")),     // all short
-      (4L, (1 to 5).map(_ => long1).mkString("\n")))        // 4/5 dup mass
+      (4L, (1 to 5).map(_ => long1).mkString("\n")),        // 4/5 dup mass
+      (5L, " \n  \n"))  // whitespace-only: zero lines, vacuous pass
       .toDF("doc_id", "text")
     val got = TextAnalysis.fineWebRules(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -1631,6 +1643,10 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L).getLong(cols("dup_line_char_ppm")) == 800000L)
     assert(got(3L).getLong(cols("short_line_ppm")) == 1000000L)
     assert(got(3L).getLong(cols("punct_line_ppm")) == 1000000L)
+    // empty-doc convention: zero non-empty lines, all-zero counters,
+    // every ratio rule vacuously true
+    assert(got(5L).getLong(cols("n_lines")) == 0L && b(5L, "pass"),
+      s"${got(5L)}")
   }
 
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
