@@ -11,6 +11,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * on an unbounded 100 TB-scale feed. The batch and streaming plans share
   * this one definition — parity between them is tested by running the
   * stream over the same parquet input with `processAllAvailable`.
+  *
+  * ==Which operators stream, and which deliberately do not==
+  *
+  * The library's document/text operators split into two classes, and
+  * the boundary is a property of the STATISTIC, not an implementation
+  * gap:
+  *
+  *  - '''Ingest-time''' ops read one row (or one bounded window) at a
+  *    time: per-doc gates (Gopher rules + repetition, FineWeb lines,
+  *    C4 cleaning, encoding audit, PII redaction, readability,
+  *    fingerprints), windowed aggregations, and bounded-state sketches
+  *    (Misra-Gries, CMS, KMV). These have streaming twins here —
+  *    stateless append passes or watermark-bounded state — and the
+  *    twin IS the batch definition (same function), so parity is
+  *    definitional.
+  *
+  *  - '''Corpus-time''' ops are functions of a completed corpus:
+  *    CCNet head/middle/tail tiering needs the per-language LM-score
+  *    TERCILES of the whole corpus; Kneser-Ney scoring needs the final
+  *    bigram/continuation count tables; TF-IDF, chi-square term
+  *    selection, Zipf/Heaps fits, and the drift family's reference
+  *    distributions are likewise corpus-level moments. Streaming these
+  *    "honestly" is impossible without redefining them — an incremental
+  *    tercile over a growing prefix scores early documents against a
+  *    DIFFERENT boundary than late ones, so the output would depend on
+  *    arrival order, which no oracle could replay. The production shape
+  *    is the standard two-phase deployment: a batch (or periodically
+  *    refreshed) pass computes the corpus statistics, and the streaming
+  *    ingest then applies them as a pinned broadcast — exactly how the
+  *    PSI monitor below consumes its PINNED baseline bands. We
+  *    deliberately ship no streaming twins for corpus-time ops rather
+  *    than twins with silently different semantics.
   */
 object StreamOps extends Serializable {
 

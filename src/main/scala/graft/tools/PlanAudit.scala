@@ -84,6 +84,38 @@ object PlanAudit {
     "emb_isotonic_calibration" ->
       "PAVA block joins over the score-bin grid")
 
+  /** Reviewed non-codegen object aggregates (`collect_list`/
+    * `collect_set` → `ObjectHashAggregate`). Every use in the registry
+    * is domain-bounded BY REVIEW — daily series, per-doc position
+    * lists, bounded band/bucket lists — but the adamic-adar A/B showed
+    * a corpus-scale one costs 20%+, so this census is a SNAPSHOT, not
+    * a printout: a query planning an object aggregate that is not
+    * acknowledged here fails the audit (review it, then add it), and
+    * an acknowledged name whose plan no longer carries one fails as
+    * stale (same rule as the join allowlist — a dead entry could mask
+    * a future real regression under a reused name).
+    */
+  val objectAggAcknowledged: Set[String] = Set(
+    "dedup_lines", "dedup_simhash_pairs", "dedup_simhash_sigs",
+    "dedup_span_removal", "doc_bootstrap_ci", "doc_curriculum_bins",
+    "doc_quantile_normalize", "dq_key_skew_orders", "emb_logreg_epochs",
+    "emb_pca_top_component", "ev_autocorr_daily", "ev_cusum_changepoint",
+    "ev_ewma_daily", "ev_holt_daily", "ev_holt_winters_daily",
+    "ev_hurst_rs", "ev_interarrival_quantiles", "ev_kalman_level",
+    "ev_mad_outliers", "ev_p50_by_type", "ev_periodogram",
+    "ev_psi_value_drift", "ev_rfm_segments", "ev_survival_km",
+    "ev_theilsen_trend", "ev_value_quantiles", "ev_winsorize",
+    "pipeline_governance", "search_mmr_rerank", "text_ccnet_buckets",
+    "text_ccnet_kn_agreement", "text_drop_stopwords", "text_quality_gate",
+    "text_rake_keyphrases")
+
+  /** (unacknowledged new names, stale acknowledged names) — pure so the
+    * snapshot rule itself is spec-tested.
+    */
+  private[tools] def objectAggDrift(found: Set[String],
+      acknowledged: Set[String]): (Set[String], Set[String]) =
+    (found -- acknowledged, acknowledged -- found)
+
   /** An attribute reference on each side of <, >, <= or >= inside one
     * comparison (no crossing parentheses) — a range predicate over
     * both inputs, the shape BNLJ can only evaluate per row pair.
@@ -154,12 +186,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var bad = List.empty[(String, String)]
     var reviewed = 0
-    // Non-codegen object aggregates (collect_list/collect_set →
-    // ObjectHashAggregate) are reported, not failed: the library's uses
-    // are domain-bounded by design (daily series, per-doc positions,
-    // bounded band lists), but the adamic-adar A/B showed a corpus-scale
-    // one costs 20%+ — so every query carrying one is named here and a
-    // NEW name appearing in this list is a review prompt.
+    // Non-codegen object aggregates: snapshot-checked against
+    // [[objectAggAcknowledged]] below.
     var objAgg = List.empty[String]
     for (q <- SparkEntry.registry) {
       val hits: Seq[String] =
@@ -190,8 +218,18 @@ object PlanAudit {
         } else bad ::= (q.name, hits.mkString(" | ").take(300))
       }
     }
+    val (newObjAgg, staleObjAgg) =
+      objectAggDrift(objAgg.toSet, objectAggAcknowledged)
     println(s"[plan-audit] ${objAgg.size} queries with non-codegen object " +
-      s"aggregates (review if new): ${objAgg.reverse.sorted.mkString(", ")}")
+      s"aggregates (acknowledged ${objectAggAcknowledged.size}): " +
+      objAgg.reverse.sorted.mkString(", "))
+    if (newObjAgg.nonEmpty)
+      println("[plan-audit] UNACKNOWLEDGED object aggregates (review the " +
+        s"bound, then add to objectAggAcknowledged): " +
+        newObjAgg.toSeq.sorted.mkString(", "))
+    if (staleObjAgg.nonEmpty)
+      println("[plan-audit] STALE object-aggregate acknowledgements: " +
+        staleObjAgg.toSeq.sorted.mkString(", "))
     println(s"[plan-audit] ${SparkEntry.registry.size} queries, " +
       s"$reviewed allowlisted quadratic shapes, ${bad.size} violations")
     bad.reverse.foreach { case (n, h) => println(s"[plan-audit] BAD $n: $h") }
@@ -201,6 +239,7 @@ object PlanAudit {
     spark.stop()
     // stale entries fail too: a dead entry can silently mask a future
     // real violation under a reused query name
-    if (bad.nonEmpty || stale.nonEmpty) sys.exit(1)
+    if (bad.nonEmpty || stale.nonEmpty ||
+      newObjAgg.nonEmpty || staleObjAgg.nonEmpty) sys.exit(1)
   }
 }

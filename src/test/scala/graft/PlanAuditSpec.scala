@@ -42,4 +42,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!PlanAudit.notEqualOnAttrsHit("NOT (a#1L = b#2L"))
     assert(!PlanAudit.notEqualOnAttrsHit(""))
   }
+
+  test("object-aggregate census is a snapshot: new and stale names fail") {
+    val ack = PlanAudit.objectAggAcknowledged
+    // the committed snapshot against itself: clean
+    assert(PlanAudit.objectAggDrift(ack, ack) == (Set.empty, Set.empty))
+    // a DELIBERATE new name (a query growing a collect_list) is flagged
+    // as unacknowledged, not silently absorbed
+    val (fresh, _) = PlanAudit.objectAggDrift(ack + "sneaky_new_query", ack)
+    assert(fresh == Set("sneaky_new_query"))
+    // a query that stops planning one leaves a stale acknowledgement,
+    // which fails too (same rule as the join allowlist)
+    val dropped = ack.head
+    val (_, stale) = PlanAudit.objectAggDrift(ack - dropped, ack)
+    assert(stale == Set(dropped))
+  }
 }
