@@ -963,12 +963,33 @@ object Similarity {
   def lshAutoParams(n: Long, tau: Double, targetOccupancy: Int = 128,
                     basePlanes: Int = 4, baseTables: Int = 8,
                     maxTables: Int = 32): (Int, Int) = {
-    val b = math.min(20, math.max(basePlanes,
-      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
+    // b = ceil(log2(n / targetOccupancy)) computed in INTEGER
+    // arithmetic (smallest b with occupancy·2^b >= n, via the bit
+    // length of ceil(n/occupancy) - 1), not floating log2: identical
+    // outputs for every n, but exactly replayable by an oracle —
+    // DuckDB's length(bin(m - 1)) is the same bit length, so a
+    // count-derived oracle can never disagree with the engine at a
+    // power-of-two boundary over a log-ulp.
+    val m = (n + targetOccupancy - 1) / targetOccupancy
+    val b0 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val b = math.min(20, math.max(basePlanes, b0))
+    (b, lshTablesFor(b, tau, basePlanes, baseTables, maxTables))
+  }
+
+  /** Table count for bit width `b`: recall compensation
+    * `ceil(baseTables · (1/p)^(b-basePlanes))` with
+    * `p = 1 - acos(tau)/π`, clamped to [baseTables, maxTables]. Split
+    * out of [[lshAutoParams]] so the SQL-oracle generator can inline
+    * the same Scala-computed b→L mapping as a pinned CASE table — the
+    * float path (acos/pow) then exists on ONE side only and the oracle
+    * replays it exactly by construction.
+    */
+  def lshTablesFor(b: Int, tau: Double, basePlanes: Int = 4,
+                   baseTables: Int = 8, maxTables: Int = 32): Int = {
     val p = 1.0 - math.acos(tau) / math.Pi
     val l = math.min(maxTables.toDouble,
       math.ceil(baseTables * math.pow(1.0 / p, (b - basePlanes).toDouble))).toInt
-    (b, math.max(baseTables, l))
+    math.max(baseTables, l)
   }
 
   /** All pairs with cosine >= tau at scale — the LSH path [[cosinePairs]]

@@ -457,19 +457,17 @@ object PipelineQueries {
     * via `numPlanes = 0`), so bucket occupancy — and with it the
     * candidate stream — stays constant as the corpus grows, where the
     * pinned twin's frozen (4-plane × 8-table) geometry super-scales
-    * past its sf0.1 design point (measured 15.4× at sf1). Rows-only at
-    * the gate (params depend on a runtime count); the hash-green twin
-    * is [[dedupSignalTriageLsh]]. The twin is a BIT-EXACT gate for
-    * this query at gate scale, not just a cousin: `lshAutoParams` at
-    * the gate's corpus size (n ≤ 2048 → b=4, L=8) derives exactly the
-    * twin's pinned geometry, so both queries run the identical plan
-    * there and the twin's oracle hash covers it. A count-derived
-    * dynamic oracle (the hashSampleBudget pattern) was considered and
-    * rejected: replaying variable-(b, L) sign-projection banding in
-    * SQL needs the full ≤256-hyperplane constant table inlined
-    * (~200 KB of generated SQL) to cover the geometries reachable
-    * across scale factors — disproportionate for an adaptive variant
-    * whose gate-scale behavior is already hash-gated via the twin.
+    * past its sf0.1 design point (measured 15.4× at sf1).
+    *
+    * HASH-GATED since round 10: the oracle composes the count-derived
+    * dynamic LSH replay ([[lshAutoOracleSql]] — integer-exact b from
+    * the oracle's own `count(*)`, pinned b→L CASE, splitmix64 plane
+    * replay) into the same lexical∪semantic full-outer join as the
+    * exact and pinned forms. Round 9 rejected this oracle on the
+    * assumption that variable-(b, L) banding needs the ≤640-hyperplane
+    * constant table INLINED (~200 KB of SQL); replaying the splitmix64
+    * plane generator in SQL dissolved that objection — the whole
+    * oracle is ~2 KB and covers every reachable geometry.
     */
   private def dedupSignalTriageLshAuto(s: SparkSession,
                                        dir: String): DataFrame = {
@@ -486,6 +484,20 @@ object PipelineQueries {
       .select(col("id1"), col("id2"), col("lexical_fp"), col("cosine"),
         (col("lexical_fp").isNotNull && col("cosine").isNotNull).as("both"))
   }
+
+  // lazy: composes the count-derived auto-LSH replay, declared later
+  private lazy val dedupSignalTriageLshAutoSql =
+    s"""WITH f AS (SELECT * FROM ($minShingleFpSql) fx),
+       |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |             a.min_shingle_fp AS lexical_fp
+       |      FROM f a JOIN f b ON a.min_shingle_fp = b.min_shingle_fp
+       |                       AND a.doc_id < b.doc_id),
+       |c AS (SELECT * FROM ($embLshCosinePairsAutoSql) cx)
+       |SELECT coalesce(j.id1, c.id1) AS id1,
+       |       coalesce(j.id2, c.id2) AS id2,
+       |       j.lexical_fp, c.cosine,
+       |       j.lexical_fp IS NOT NULL AND c.cosine IS NOT NULL AS "both"
+       |FROM j FULL OUTER JOIN c ON j.id1 = c.id1 AND j.id2 = c.id2""".stripMargin
 
   // lazy: composes embLshCosinePairsPinnedSql, declared later
   private lazy val dedupSignalTriageLshSql =
@@ -971,15 +983,106 @@ object PipelineQueries {
     * (max ~0.5 — the generator plants no near-dup pairs), where 8
     * tables x 4 planes + 1 probe give ~95% recall by the sign-agreement
     * geometry; a real near-dup sweep at tau>=0.8 needs far fewer
-    * tables. Rows-only gate: the auto-sizing depends on a runtime
-    * corpus count the static oracle text can't replay — the pinned
-    * twin below hash-gates the identical plan; the recall bound vs the
-    * exact baseline lives in OpsSpec.
+    * tables. HASH-GATED since round 10 by the count-derived dynamic
+    * oracle ([[lshAutoOracleSql]]): the oracle computes the same
+    * (b, L) from its own `count(*)` and replays the full
+    * plane→bucket→probe→verify path, so the auto-sizing is no longer a
+    * rows-only excuse. The pinned twin below stays as the
+    * frozen-geometry baseline; the recall bound vs the exact baseline
+    * lives in OpsSpec.
     */
   private def embLshCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       tau = 0.45, dim = 64, numPlanes = 0 /* auto-size from corpus count */,
       probes = 1)
+
+  /** Count-derived DuckDB replay of [[Similarity.lshCosinePairs]] with
+    * auto-sized banding (`numPlanes = 0`, `probes = 1`, dim 64) — the
+    * oracle that retires the last two count-adaptive rows-only gates.
+    * Three pieces make it exact with ZERO cross-engine float risk in
+    * the parameter derivation:
+    *
+    *  1. '''b from the oracle's own count''': `lshAutoParams` computes
+    *     bits as the bit length of `ceil(n/128) - 1` (integer, not
+    *     floating log2), and DuckDB's `length(bin(m - 1))` is the same
+    *     bit length — the two engines CANNOT disagree at a
+    *     power-of-two boundary.
+    *  2. '''L from a pinned CASE table''': the b→tables map (acos/pow
+    *     float math) is evaluated once in Scala
+    *     ([[Similarity.lshTablesFor]]) and inlined per b ∈ [4, 20], so
+    *     the float path exists on one side only.
+    *  3. '''Plane signs by splitmix64 replay''': `LshKernel.planeSign`
+    *     is a pure splitmix64 of (planeIdx, j); the SQL replays it in
+    *     wrapping 64-bit arithmetic over HUGEINT — multiplies split
+    *     into 32-bit halves (`a·c mod 2⁶⁴` =
+    *     `lo(a)·c + (hi(a)·lo(c) mod 2³²)·2³² mod 2⁶⁴`), xor-shifts on
+    *     BIGINT halves — verified sign-exact for all 640×64
+    *     (planeIdx, j) pairs reachable under the (b ≤ 20, L ≤ 32)
+    *     caps, and pair-exact vs the engine at geometries (4,8) [n=2k]
+    *     and (6,20) [n=6k synthetic].
+    *
+    * Bucket build, Hamming-1 probe posting, bucket self-join, and
+    * exact-cosine verification then mirror the proven pinned-twin SQL
+    * with variable (b, L).
+    */
+  private def lshAutoOracleSql(tau: Double): String = {
+    val k1 = BigInt("9E3779B97F4A7C15", 16)
+    val k2 = BigInt("BF58476D1CE4E5B9", 16)
+    val k3 = BigInt("94D049BB133111EB", 16)
+    val p32 = BigInt(1) << 32
+    val p64 = BigInt(1) << 64
+    // wrapping 64-bit multiply of u64 x by constant c, in HUGEINT
+    def wmul(x: String, c: BigInt): String =
+      s"((($x) % $p32) * $c + ((($x) // $p32) * ${c % p32} % $p32) * $p32) % $p64"
+    // x XOR (x >>> k) for u64 x, via BIGINT xor on 32-bit halves
+    def xsh(x: String, k: Int): String = {
+      val p2 = BigInt(1) << k
+      s"(xor(CAST(($x) // $p32 AS BIGINT), " +
+        s"CAST((($x) // $p2) // $p32 AS BIGINT))::HUGEINT * $p32 + " +
+        s"xor(CAST(($x) % $p32 AS BIGINT), " +
+        s"CAST((($x) // $p2) % $p32 AS BIGINT))::HUGEINT)"
+    }
+    val lcase = (4 to 20)
+      .map(b => s"WHEN $b THEN ${Similarity.lshTablesFor(b, tau)}")
+      .mkString(" ")
+    val bexpr =
+      "least(20, greatest(4, CAST(length(bin((count(*) + 127) // 128 - 1)) AS INT)))"
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |prm AS (SELECT $bexpr AS b,
+       |          CASE $bexpr $lcase END AS L
+       |        FROM v),
+       |grid AS (SELECT a.pi, b.j
+       |         FROM generate_series(0, 639) a(pi)
+       |         CROSS JOIN generate_series(0, 63) b(j)
+       |         CROSS JOIN prm WHERE a.pi < prm.b * prm.L),
+       |g0 AS (SELECT pi, j,
+       |        (pi::HUGEINT * $k1 + j::HUGEINT * $k2) % $p64 AS z FROM grid),
+       |g1 AS (SELECT pi, j, ${xsh("z", 30)} AS x FROM g0),
+       |g2 AS (SELECT pi, j, ${wmul("x", k2)} AS z FROM g1),
+       |g3 AS (SELECT pi, j, ${xsh("z", 27)} AS x FROM g2),
+       |sg AS (SELECT pi, j, CASE WHEN ${xsh(wmul("x", k3), 31)} % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END AS s FROM g3),
+       |pl AS (SELECT pi // prm.b AS t, pi % prm.b AS p, list(s ORDER BY j) AS s
+       |       FROM sg CROSS JOIN prm GROUP BY 1, 2),
+       |proj AS (SELECT id, t, p, list_dot_product(v, s) AS pr
+       |         FROM v CROSS JOIN pl),
+       |own AS (SELECT id, t,
+       |          sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+       |            AS own
+       |        FROM proj GROUP BY id, t),
+       |posts AS (SELECT id, t, own AS bucket FROM own
+       |          UNION ALL SELECT id, t, xor(own, 1::BIGINT) FROM own),
+       |pairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |          FROM posts a JOIN posts b ON a.t = b.t AND a.bucket = b.bucket
+       |            AND a.id < b.id)
+       |SELECT p.id1, p.id2,
+       |       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+       |FROM pairs p JOIN v va ON va.id = p.id1 JOIN v vb ON vb.id = p.id2
+       |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $tau""".stripMargin
+  }
+
+  private lazy val embLshCosinePairsAutoSql = lshAutoOracleSql(tau = 0.45)
 
   /** SQL literal for hyperplane `planeIdx` of the shared
     * [[graft.functions.LshKernel]] bit stream, as a DOUBLE[] of ±1:
@@ -4851,7 +4954,7 @@ object PipelineQueries {
     QueryDef("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     QueryDef("dedup_signal_triage_lsh_auto", dedupSignalTriageLshAuto,
-      None),
+      Some(dedupSignalTriageLshAutoSql)),
     QueryDef("dedup_signal_triage_lsh", dedupSignalTriageLsh,
       Some(dedupSignalTriageLshSql)),
     QueryDef("dedup_signal_triage", dedupSignalTriage,
@@ -4859,7 +4962,8 @@ object PipelineQueries {
     QueryDef("sim_cosine_pairs", embCosinePairs, Some(embCosinePairsSql)),
     QueryDef("sim_cosine_pairs_sampled", embCosinePairsSampled,
       Some(embCosinePairsSampledSql)),
-    QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs, None),
+    QueryDef("sim_lsh_cosine_pairs", embLshCosinePairs,
+      Some(embLshCosinePairsAutoSql)),
     QueryDef("sim_jl_distortion", jlDistortion, Some(jlDistortionSql)),
     QueryDef("sim_silhouette_by_cell", silhouetteByCellQ,
       Some(silhouetteByCellSql)),

@@ -623,6 +623,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lHighTau > 8 && lLowTau >= lHighTau && lLowTau <= 32)
   }
 
+  test("lshAutoParams: integer bit-width b replays the ceil(log2) contract") {
+    // the round-10 integer form (bit length of ceil(n/128)-1, the
+    // DuckDB bin()-replayable derivation) must agree with the original
+    // floating ceil(log2(n/128)) everywhere, including the
+    // power-of-two boundaries where a log ulp could flip the float form
+    for (n <- Seq(1L, 127L, 128L, 129L, 500L, 2000L, 2048L, 2049L,
+        4096L, 5000L, 20000L, 131072L, 131073L, 200000L, 1L << 27,
+        (1L << 27) + 1, 1L << 40)) {
+      val (b, _) = Similarity.lshAutoParams(n, tau = 0.45)
+      val bf = math.min(20, math.max(4,
+        math.ceil(math.log(n.toDouble / 128) / math.log(2)).toInt))
+      assert(b == bf, s"n=$n integer b=$b float b=$bf")
+    }
+    // the b->L values the SQL oracle inlines as its pinned CASE table
+    assert((4 to 8).map(Similarity.lshTablesFor(_, tau = 0.45)) ==
+      Seq(8, 13, 20, 30, 32))
+    assert(Similarity.lshTablesFor(20, tau = 0.45) == 32)
+  }
+
   test("label-filtered top-k: every neighbor shares the query's label; ranks exact") {
     val rng = new Lcg(31)
     val rows = (0L until 50L).map { i =>
