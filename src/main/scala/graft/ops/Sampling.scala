@@ -235,6 +235,71 @@ object Sampling {
         round(rate, 6).as("rate"))
   }
 
+  /** Temperature-α source MIXING with normalized weights — the
+    * data-mixing step between uniform rebalancing and packing: the
+    * target mixture gives source g weight `w_g = n_g^α / Σ_h n_h^α`
+    * (α=1 natural mixture, α→0 uniform; Conneau & Lample 2019's
+    * α-sampling stated as weights rather than keep-rates), and the
+    * realized sample of `targetRows` documents draws each source at
+    * `rate_g = min(1, targetRows·w_g / n_g)` via the pinned md5 draw.
+    * Differs from [[temperatureResample]] (whose contract is
+    * "smallest group kept whole", no target size): here the SIZE is
+    * the contract and the mixture is renormalized across sources —
+    * the form a training-run config actually specifies ("50M docs at
+    * α=0.5 over sources"). A source whose allocation exceeds its
+    * supply is kept whole (rate capped at 1) and the mixture falls
+    * short of target for that source — reported via the emitted
+    * `rate` column, never silently reassigned (same contract as
+    * [[tokenBudgetMix]]).
+    *
+    * Determinism (the cross-engine replay contract): n_g^α at the
+    * registered α=0.5 is `sqrt` — correctly rounded per IEEE-754 in
+    * every engine (other α ride `pow`: fine for production, not for a
+    * hash gate). Each per-source sqrt is pinned to a ×10⁹ BIGINT
+    * before the normalizer sums them, so Σ_h n_h^α is an exact
+    * integer in any aggregation order; w_g and rate_g are then single
+    * fixed-order double expressions over exact integers, and the keep
+    * threshold is the repo-standard `floor(rate·2³²)` hex compare.
+    *
+    * Scale shape: one map-side-combinable group-count aggregate
+    * (sources-sized) + its one-row normalizer, both broadcast back
+    * onto the scan; the keep decision is a pure per-row predicate —
+    * no shuffle of the corpus, identical to [[rebalanceGroups]].
+    * Emits kept rows as (`keyCol`, `groupCol`, `mix_w` 6dp, `rate`
+    * 6dp).
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     alpha: Double, targetRows: Long,
+                     salt: String = "tmix"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val nAlpha =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else if (alpha == 0.0) lit(1.0)
+      else if (alpha == 1.0) col("__n").cast("double")
+      else pow(col("__n").cast("double"), lit(alpha))
+    // the normalizer is an unpartitioned window SUM over the
+    // sources-sized count table (not a re-aggregate + crossJoin of the
+    // same lineage, which trips AMBIGUOUS_REFERENCE dedup): the window
+    // input is |sources| rows, so the single partition is free
+    // __wa9/__wt9, not __s9/__S9: column resolution is
+    // case-INsensitive, so those two names would silently collide
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__wa9", round(nAlpha * 1e9).cast("long"))
+      .withColumn("__wt9", sum(col("__wa9")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val w = col("__wa9").cast("double") / col("__wt9").cast("double")
+    val rate = least(lit(1.0),
+      lit(targetRows.toDouble) * w / col("__n").cast("double"))
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    df.join(broadcast(counts), Seq(groupCol))
+      .filter(rate >= 1.0 ||
+        md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) < thr)
+      .select(col(keyCol), col(groupCol),
+        round(w, 6).as("mix_w"), round(rate, 6).as("rate"))
+  }
+
   /** Neyman-allocation stratified sampling (Neyman 1934): a total
     * budget of `budget` rows split across strata proportionally to
     * N_h·σ_h — variance-heavy strata get more samples, which minimizes

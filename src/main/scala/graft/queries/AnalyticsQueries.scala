@@ -635,6 +635,38 @@ object AnalyticsQueries {
       |                                     CAST(c.n AS DOUBLE))
       |                                * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin
 
+  /** Temperature-α source MIXING at α=0.5 over source with a 300-doc
+    * target: normalized mixture weights w_g ∝ √n_g realized by pinned
+    * md5 draws — the data-mixing step between `doc_lang_rebalance`
+    * and packing, stated the way a training config states it (target
+    * size + α). Per-source √n is ×10⁹-BIGINT-pinned before the
+    * normalizer sum, so the oracle replays the weights exactly in any
+    * aggregation order. See [[graft.ops.Sampling.temperatureMix]].
+    */
+  private def docTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+      Tables.documents(s, dir).select("doc_id", "source"), "doc_id",
+      "source", alpha = 0.5, targetRows = 300)
+
+  private val docTemperatureMixSql =
+    """WITH c AS (SELECT source, count(*) AS n,
+      |             CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e9)
+      |               AS BIGINT) AS wa9
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(wa9) AS BIGINT) AS wt9 FROM c),
+      |r AS (SELECT source,
+      |        CAST(wa9 AS DOUBLE) / CAST(wt9 AS DOUBLE) AS w,
+      |        least(1.0, 300.0 * (CAST(wa9 AS DOUBLE) / CAST(wt9 AS DOUBLE))
+      |          / CAST(n AS DOUBLE)) AS rate
+      |      FROM c, t)
+      |SELECT d.doc_id, d.source, round(r.w, 6) AS mix_w,
+      |       round(r.rate, 6) AS rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE r.rate >= 1.0
+      |   OR md5('tmix:' || CAST(d.doc_id AS VARCHAR)) <
+      |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+      |           8, '0')""".stripMargin
+
   /** Composed corpus-governance pipeline, one Catalyst tree: GDPR
     * erasure scrub (deterministic 2% request set, scan-side predicate)
     * → uniform language rebalance with rates derived from the
@@ -1841,6 +1873,8 @@ object AnalyticsQueries {
       Some(docLangRebalanceSql)),
     QueryDef("doc_temperature_resample", docTemperatureResample,
       Some(docTemperatureResampleSql)),
+    QueryDef("doc_temperature_mix", docTemperatureMix,
+      Some(docTemperatureMixSql)),
     QueryDef("doc_token_budget_mix", docTokenBudgetMix,
       Some(docTokenBudgetMixSql)),
     QueryDef("pipeline_governance", governancePipeline,

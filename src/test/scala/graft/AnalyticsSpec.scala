@@ -477,6 +477,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(aSize > 30 && aSize < 110, s"α=0.5 kept $aSize of group a")
   }
 
+  test("temperatureMix: normalized sqrt weights, exact rates, md5 replay") {
+    import graft.ops.Sampling
+    // sources of 100 and 400 docs: α=0.5 → s9 = 10e9, 20e9 → w = 1/3,
+    // 2/3; target 150 → rate_a = 150·(1/3)/100 = 0.5, rate_b =
+    // 150·(2/3)/400 = 0.25 — all exact in doubles
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (1000 until 1400).map(i => (i.toLong, "b"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("src", StringType, nullable = false))))
+    val got = Sampling.temperatureMix(df, "doc_id", "src", alpha = 0.5,
+        targetRows = 150)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Double]("mix_w"), r.getAs[Double]("rate")))
+    val byGrp = got.groupBy(_._2)
+    assert(byGrp("a").forall(t => t._3 == 0.333333 && t._4 == 0.5),
+      s"${byGrp("a").take(2).toSeq}")
+    assert(byGrp("b").forall(t => t._3 == 0.666667 && t._4 == 0.25),
+      s"${byGrp("b").take(2).toSeq}")
+    // exact JVM replay of the kept set (same md5 floor-threshold idiom
+    // the oracle uses)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def thr(rate: Double): String =
+      ("0" * 8 + java.lang.Long.toHexString(
+        math.floor(rate * 4294967296.0).toLong)).takeRight(8)
+    val expect = rows.filter { case (id, g) =>
+      md5hex(s"tmix:$id") < thr(if (g == "a") 0.5 else 0.25)
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == expect)
+    // α=1 is the natural mixture: every source draws at the SAME rate
+    // targetRows/total (here 150/500 = 0.3)
+    val nat = Sampling.temperatureMix(df, "doc_id", "src", alpha = 1.0,
+        targetRows = 150)
+      .collect().map(r => r.getAs[Double]("rate")).toSet
+    assert(nat == Set(0.3))
+    // over-target: rates cap at 1 and everything is kept whole
+    val all = Sampling.temperatureMix(df, "doc_id", "src", alpha = 0.5,
+        targetRows = 10000)
+      .collect()
+    assert(all.length == rows.size &&
+      all.forall(_.getAs[Double]("rate") == 1.0))
+  }
+
   test("upsertMerge: last writer wins, update wins version ties, inserts survive") {
     import graft.ops.Merge
     def snap(rows: Seq[(Long, String, Long)]): DataFrame =
