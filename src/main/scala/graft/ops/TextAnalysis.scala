@@ -283,6 +283,49 @@ object TextAnalysis {
     regexp_count(regexp_replace(text, EmailPattern, "[EMAIL]"),
       lit(Ipv4Pattern)).as("ip_cnt"))
 
+  /** Luhn-validated payment-card audit — the checksum step a
+    * production PII pass runs between "digits that look like a card"
+    * and "redact": 13–19-digit runs (single space/dash separators
+    * allowed) are candidates, and a candidate counts as a card only if
+    * its Luhn checksum (ISO/IEC 7812: from the right, double every
+    * second digit, subtract 9 when >9, sum ≡ 0 mod 10) passes —
+    * checksum validation cuts the false-positive rate on ids/phone
+    * numbers/timestamps by ~10× (only 1 in 10 random digit runs
+    * passes). Emits per document: candidate count, Luhn-valid count,
+    * and the redaction verdict.
+    *
+    * Exactness: the checksum is pure integer arithmetic over substring
+    * digits — no float anywhere — and both regex engines (Java here,
+    * RE2 in the oracle) resolve the greedy leftmost candidate scan
+    * identically on this pattern. The per-candidate fold is ONE cheap
+    * `aggregate` over ≤19 digits (the single-fold HOF budget from the
+    * gopher-repetition lesson; candidates are rare per doc).
+    *
+    * Scale shape: pure scan-side column expressions, zero shuffle —
+    * 100 TB of documents is an embarrassingly parallel scan, same as
+    * [[redactPii]].
+    */
+  def piiLuhnAudit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0))
+    def luhnValid(cand: Column): Column = {
+      val cd = regexp_replace(cand, "[ -]", "")
+      val n = length(cd)
+      val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+        val d = cd.substr(n - i + 1, lit(1)).cast("int")
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+      total % 10 === 0
+    }
+    df.select(col(idCol), cands.as("__c"))
+      .select(col(idCol),
+        size(col("__c")).as("n_card_candidates"),
+        size(filter(col("__c"), luhnValid(_))).as("n_luhn_valid"))
+      .withColumn("has_valid_card", col("n_luhn_valid") > 0)
+  }
+
   /** Winnowing fingerprint sketch (the published MOSS scheme): hash
     * every k-gram, slide a window of `window` consecutive hashes, keep
     * each window's minimum, dedup — a guaranteed-coverage sketch (any
@@ -564,6 +607,53 @@ object TextAnalysis {
       .select(col("n_terms"), round(col("__m"), 6).as("zipf_slope"),
         round(col("__my") - col("__m") * col("__mx"), 6)
           .as("zipf_intercept"))
+  }
+
+  /** Hill estimator of the token-frequency tail index (Hill 1975) —
+    * the heavy-tail companion to [[corpusZipfFit]]: over the top
+    * `k + 1` term frequencies f₁ ≥ … ≥ f₍ₖ₊₁₎,
+    * γ̂ = (1/k)·Σᵢ₌₁..ₖ ln(fᵢ/f₍ₖ₊₁₎) and α̂ = 1/γ̂ — the max-likelihood
+    * tail exponent under a Pareto tail, more robust than the Zipf OLS
+    * slope (which a curved head biases) and the number a
+    * tokenizer/dedup pipeline watches: dedup flattens the head, so α̂
+    * drifting DOWN across snapshots is the duplicate-reinflation
+    * signal. Returns one row: `k_used`, `f_tail` (= f₍ₖ₊₁₎),
+    * `hill_gamma` (6dp), `hill_alpha` (6dp; NULL when all k+1
+    * frequencies are equal and the estimator is undefined).
+    *
+    * Determinism: each ln(fᵢ) is pinned to a ×10⁹ BIGINT before any
+    * sum (order-free); γ̂ is one fixed-order double expression over
+    * those exact integers and α̂ divides before rounding. If the vocab
+    * has fewer than k+1 terms, k shrinks to what exists.
+    *
+    * Scale shape: term counting is the one (vocab-keyed, combinable)
+    * shuffle; the top-(k+1) is TakeOrdered (per-partition heaps, no
+    * global sort); everything after runs on ≤ k+1 rows.
+    */
+  def hillTailIndex(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(k + 1)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("term").asc)))
+      .withColumn("ln9",
+        round(log(col("freq").cast("double")) * 1e9).cast("long"))
+      // ≤ k+1 rows: the unpartitioned window is free here
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    val a = top.agg(
+      (max(col("__n")) - 1).cast("int").as("k_used"),
+      max(when(col("rank") === col("__n"), col("freq"))).as("f_tail"),
+      sum(when(col("rank") < col("__n"), col("ln9"))).as("s9"),
+      max(when(col("rank") === col("__n"), col("ln9"))).as("t9"))
+    val excess9 = col("s9") - col("k_used").cast("long") * col("t9")
+    val gamma = excess9.cast("double") / 1e9 / col("k_used").cast("double")
+    a.select(col("k_used"), col("f_tail").cast("long").as("f_tail"),
+      round(gamma, 6).as("hill_gamma"),
+      when(excess9 > 0, round(lit(1.0) / gamma, 6)).as("hill_alpha"))
   }
 
   /** Per-slice distribution drift: base-2 Jensen–Shannon divergence

@@ -2485,6 +2485,62 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Luhn-validated payment-card audit over pinned plants (the
+    * synthetic corpus has no card numbers, so without plants every
+    * branch would be uniformly zero and discriminate nothing — the
+    * `text_encoding_audit` precedent): every 13th doc gets a VALID
+    * spaced Visa test number, every 29th an INVALID dashed one
+    * (checksum off by one — candidates fire, Luhn rejects), every 41st
+    * a valid unseparated 15-digit Amex (second length class). See
+    * [[graft.ops.TextAnalysis.piiLuhnAudit]].
+    */
+  private def piiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(" 4111 1111 1111 1111"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 29 === 0, lit(" 4111-1111-1111-1112"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 41 === 0, lit(" 378282246310005"))
+          .otherwise(lit(""))))
+    TextAnalysis.piiLuhnAudit(planted, "doc_id", "text")
+  }
+
+  private val piiLuhnSql =
+    """WITH planted AS (SELECT doc_id,
+      |    text || CASE WHEN doc_id % 13 = 0 THEN ' 4111 1111 1111 1111'
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 29 = 0 THEN ' 4111-1111-1111-1112'
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 41 = 0 THEN ' 378282246310005'
+      |                 ELSE '' END AS text
+      |  FROM documents),
+      |cand AS (SELECT doc_id,
+      |           unnest(regexp_extract_all(text,
+      |             '[0-9](?:[ -]?[0-9]){12,18}')) AS c
+      |         FROM planted),
+      |l AS (SELECT doc_id,
+      |        list_sum(list_transform(
+      |          generate_series(1, length(cd)),
+      |          i -> CASE WHEN i % 2 = 1
+      |                 THEN CAST(substr(cd, length(cd) - i + 1, 1) AS INT)
+      |                 ELSE CASE WHEN CAST(substr(cd, length(cd) - i + 1, 1)
+      |                                  AS INT) * 2 > 9
+      |                      THEN CAST(substr(cd, length(cd) - i + 1, 1)
+      |                             AS INT) * 2 - 9
+      |                      ELSE CAST(substr(cd, length(cd) - i + 1, 1)
+      |                             AS INT) * 2 END END)) % 10 = 0 AS ok
+      |      FROM (SELECT doc_id, regexp_replace(c, '[ -]', '', 'g') AS cd
+      |            FROM cand)),
+      |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_cand,
+      |        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS INT) AS n_ok
+      |      FROM l GROUP BY 1)
+      |SELECT p.doc_id,
+      |  coalesce(n_cand, 0) AS n_card_candidates,
+      |  coalesce(n_ok, 0) AS n_luhn_valid,
+      |  coalesce(n_ok, 0) > 0 AS has_valid_card
+      |FROM planted p LEFT JOIN a USING (doc_id)""".stripMargin
+
   /** Corpus-mix rates for the stratified-sample query: throttle the
     * high-volume event types, keep every error. One map drives BOTH the
     * Spark filter and the oracle CASE, so the two can't drift.
@@ -3164,6 +3220,41 @@ object PipelineQueries {
       |       round(regr_slope(y, x), 6) AS zipf_slope,
       |       round(regr_intercept(y, x), 6) AS zipf_intercept
       |FROM xy""".stripMargin
+
+  /** Hill tail-index of the token-frequency distribution, k=50 — the
+    * heavy-tail exponent companion to `text_zipf_fit`. Per-term ln(f)
+    * is ×10⁹-BIGINT-pinned before summing; γ̂/α̂ are single fixed-order
+    * expressions mirrored verbatim in the oracle. See
+    * [[graft.ops.TextAnalysis.hillTailIndex]].
+    */
+  private def hillTail(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hillTailIndex(Tables.documents(s, dir), "text", k = 50)
+
+  private val hillTailSql =
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),
+      |                            '\s+')) AS t
+      |              FROM documents),
+      |tf AS (SELECT t AS term, count(*) AS freq FROM toks
+      |       WHERE t <> '' GROUP BY 1),
+      |top AS (SELECT term, freq, row_number() OVER
+      |          (ORDER BY freq DESC, term) AS rank
+      |        FROM tf ORDER BY freq DESC, term LIMIT 51),
+      |t2 AS (SELECT freq, rank,
+      |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS ln9,
+      |         (SELECT count(*) FROM top) AS n
+      |       FROM top),
+      |a AS (SELECT CAST(max(n) - 1 AS INT) AS k_used,
+      |        max(CASE WHEN rank = n THEN freq END) AS f_tail,
+      |        CAST(sum(CASE WHEN rank < n THEN ln9 END) AS BIGINT) AS s9,
+      |        max(CASE WHEN rank = n THEN ln9 END) AS t9
+      |      FROM t2)
+      |SELECT k_used, CAST(f_tail AS BIGINT) AS f_tail,
+      |  round(CAST(s9 - k_used * t9 AS DOUBLE) / 1e9
+      |        / CAST(k_used AS DOUBLE), 6) AS hill_gamma,
+      |  CASE WHEN s9 - k_used * t9 > 0
+      |       THEN round(1.0 / (CAST(s9 - k_used * t9 AS DOUBLE) / 1e9
+      |                         / CAST(k_used AS DOUBLE)), 6) END AS hill_alpha
+      |FROM a""".stripMargin
 
   /** Per-source drift vs the whole corpus (base-2 JSD). The oracle
     * replays the same slice-support sum + analytic absent-mass tail;
@@ -5033,6 +5124,7 @@ object PipelineQueries {
     QueryDef("text_topk_quality_by_lang", topkQualityByLang,
       Some(topkQualityByLangSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("text_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
@@ -5041,6 +5133,7 @@ object PipelineQueries {
     QueryDef("text_pmi_collocations", pmiColloc, Some(pmiCollocSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
+    QueryDef("text_hill_tail", hillTail, Some(hillTailSql)),
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),

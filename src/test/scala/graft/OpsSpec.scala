@@ -1668,6 +1668,59 @@ class OpsSpec extends AnyFunSuite {
       s"${got(5L)}")
   }
 
+  test("hillTailIndex: hand-computed gamma/alpha, degenerate and short-vocab cases") {
+    import spark.implicits._
+    // frequencies a=8, b=4, c=2, d=1, e=1; k=2 -> top-3 = (8,4,2):
+    // gamma = (ln(8/2) + ln(4/2)) / 2 = 1.5*ln2, alpha = 1/gamma
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.hillTailIndex(df, "text", k = 2).collect().head
+    assert(got.getInt(0) == 2 && got.getLong(1) == 2L)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // through the op's own x1e9 pinning
+    def ln9(f: Long) = math.round(math.log(f.toDouble) * 1e9)
+    val excess = ln9(8) + ln9(4) - 2 * ln9(2)
+    assert(got.getDouble(2) == r6(excess / 1e9 / 2.0), s"$got")
+    assert(got.getDouble(3) == r6(1.0 / (excess / 1e9 / 2.0)), s"$got")
+    // all-equal frequencies: gamma 0, alpha undefined (never a div error)
+    val flat = TextAnalysis.hillTailIndex(
+      Seq((1L, "x y x y")).toDF("doc_id", "text"), "text", k = 1)
+      .collect().head
+    assert(flat.getDouble(2) == 0.0 && flat.isNullAt(3), s"$flat")
+    // vocab smaller than k+1: k shrinks to what exists
+    val short = TextAnalysis.hillTailIndex(
+      Seq((1L, "p p p q q r")).toDF("doc_id", "text"), "text", k = 10)
+      .collect().head
+    assert(short.getInt(0) == 2 && short.getLong(1) == 1L, s"$short")
+  }
+
+  test("piiLuhnAudit: checksum separates real cards from digit noise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4111 1111 1111 1111 thanks"),   // valid Visa, spaced
+      (2L, "ref 4111-1111-1111-1112 invalid"),        // checksum fails
+      (3L, "amex 378282246310005 ok"),                // valid, 15 digits
+      (4L, "order 123456789012 is only 12 digits"),   // too short: no cand
+      (5L, "no numbers here at all"),
+      (6L, "two: 4111 1111 1111 1111 and 5500005555555559"), // both valid
+      (7L, "ts 1726483200123456789 telemetry"))       // 19 digits, not Luhn
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiLuhnAudit(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1, 1, true)))
+    assert(got(2L) == ((1, 0, false)), s"${got(2L)}")
+    assert(got(3L) == ((1, 1, true)))
+    assert(got(4L) == ((0, 0, false)))
+    assert(got(5L) == ((0, 0, false)))
+    assert(got(6L) == ((2, 2, true)))
+    // a 19-digit timestamp IS a candidate (length in range) but the
+    // checksum rejects it — the false positive Luhn exists to kill
+    assert(got(7L)._1 == 1 && got(7L)._3 == false, s"${got(7L)}")
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(
