@@ -322,6 +322,74 @@ object Similarity {
         (round(col("p.c") - col("ng.c"), 6) < 0.0).as("is_hard"))
   }
 
+  /** Margin-based candidate mining (Artetxe & Schwenk 2019, the
+    * ratio-margin criterion behind CCMatrix/LASER bitext mining and
+    * hard-positive retrieval): a raw cosine threshold cannot separate
+    * "genuinely aligned pair" from "hub vector similar to everything",
+    * so each candidate is scored by its cosine RELATIVE to what the
+    * two sides score against their own neighborhoods —
+    * `margin(q, x) = cos(q, x) / (meanₖ cos(q, ·)/2 + meanₖ cos(x, ·)/2)`.
+    * Hubs get a large denominator and drop; isolated-but-aligned pairs
+    * rise. Bidirectional as published, with the probe batch as side A:
+    * the forward penalty is q's mean top-`knn` cosine over the CORPUS,
+    * the backward penalty is x's mean top-`knn` cosine over the PROBE
+    * set. Emits the top `k` candidates per probe by margin.
+    *
+    * Exactness: every cosine is pinned to a ×10⁶ BIGINT; the top-knn
+    * penalty sums are exact integers; the margin clears denominators
+    * into pure integer arithmetic —
+    * `c6 · 2 · fk · bk / (fsum·bk + bsum·fk)` — with ONE double
+    * division, rounded 6dp, so the oracle replays bit-for-bit.
+    * Candidates whose denominator is ≤ 0 (both neighborhoods
+    * anti-aligned — margin undefined in the published setting, which
+    * assumes similarity-positive neighborhoods) are dropped before
+    * ranking. Ranking orders by (rounded margin desc, id asc) — fully
+    * deterministic under 6dp ties.
+    *
+    * Scale shape: the probe batch is a FIXED id set broadcast against
+    * one corpus scan (the `sim_maxsim_topk` capping lesson); the
+    * scored table is |corpus|·|probes| rows, and both penalty passes
+    * are windows over it (one shuffle keyed by probe, one by
+    * candidate) — O(|Q|·n) with |Q| fixed, linear in the corpus.
+    */
+  def marginMine(df: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Column, k: Int, knn: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && knn >= 1)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = df.filter(queryIds)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = v.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long").as("c6"))
+    val byQ = Window.partitionBy("query_id")
+    val byQOrd = byQ.orderBy(col("c6").desc, col("id").asc)
+    val byX = Window.partitionBy("id")
+    val byXOrd = byX.orderBy(col("c6").desc, col("query_id").asc)
+    val inF = col("rq") <= knn
+    val inB = col("rx") <= knn
+    val st = scored
+      .withColumn("rq", row_number().over(byQOrd))
+      .withColumn("rx", row_number().over(byXOrd))
+      .withColumn("fsum", sum(when(inF, col("c6")).otherwise(0L)).over(byQ))
+      .withColumn("fk", sum(when(inF, 1L).otherwise(0L)).over(byQ))
+      .withColumn("bsum", sum(when(inB, col("c6")).otherwise(0L)).over(byX))
+      .withColumn("bk", sum(when(inB, 1L).otherwise(0L)).over(byX))
+    val denom = col("fsum") * col("bk") + col("bsum") * col("fk")
+    val margin = round(
+      (col("c6") * 2L * col("fk") * col("bk")).cast("double") /
+        denom.cast("double"), 6)
+    val ranked = st.filter(denom > 0L)
+      .withColumn("margin", margin)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("margin").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+    ranked.select(col("query_id"), col("id").as("neighbor_id"),
+      round(col("c6").cast("double") / 1e6, 6).as("cosine"),
+      col("margin"), col("rank").cast("int").as("rank"))
+  }
+
   /** Unit-normalize an array vector (double math) so euclidean
     * clustering aligns with cosine geometry.
     */

@@ -2828,6 +2828,56 @@ object PipelineQueries {
     * the audit's statistical power needs only a constant sample. See
     * [[graft.ops.Similarity.matryoshkaRecall]].
     */
+  /** Ratio-margin candidate mining (Artetxe-Schwenk) over a fixed
+    * probe batch (every 100th vector below 2000 — ≤ 20 probes at any
+    * corpus size): top-5 neighbors per probe ranked by cosine relative
+    * to both sides' mean top-10 neighborhoods, the hub-robust
+    * criterion bitext mining uses instead of a raw threshold. Margins
+    * clear denominators into exact ×10⁶ integer arithmetic with one
+    * final double division, so the oracle replays bit-for-bit. See
+    * [[graft.ops.Similarity.marginMine]].
+    */
+  private def embMarginMine(s: SparkSession, dir: String): DataFrame =
+    Similarity.marginMine(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("vec_id") % 100 === 0 && col("vec_id") < 2000, k = 5, knn = 10)
+
+  private val embMarginMineSql =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
+      |s AS (SELECT q.query_id, v.id,
+      |        CAST(round(list_cosine_similarity(q.qv, v.v) * 1e6)
+      |          AS BIGINT) AS c6
+      |      FROM v CROSS JOIN q WHERE v.id != q.query_id),
+      |w AS (SELECT query_id, id, c6,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY c6 DESC, id) AS rq,
+      |        row_number() OVER (PARTITION BY id
+      |          ORDER BY c6 DESC, query_id) AS rx
+      |      FROM s),
+      |p AS (SELECT query_id, id, c6,
+      |        CAST(sum(CASE WHEN rq <= 10 THEN c6 ELSE 0 END)
+      |          OVER (PARTITION BY query_id) AS BIGINT) AS fsum,
+      |        CAST(sum(CASE WHEN rq <= 10 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY query_id) AS BIGINT) AS fk,
+      |        CAST(sum(CASE WHEN rx <= 10 THEN c6 ELSE 0 END)
+      |          OVER (PARTITION BY id) AS BIGINT) AS bsum,
+      |        CAST(sum(CASE WHEN rx <= 10 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY id) AS BIGINT) AS bk
+      |      FROM w),
+      |m AS (SELECT query_id, id, c6,
+      |        round(CAST(c6 * 2 * fk * bk AS DOUBLE) /
+      |              CAST(fsum * bk + bsum * fk AS DOUBLE), 6) AS margin
+      |      FROM p WHERE fsum * bk + bsum * fk > 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY margin DESC, id) AS rank
+      |      FROM m)
+      |SELECT query_id, id AS neighbor_id,
+      |       round(CAST(c6 AS DOUBLE) / 1e6, 6) AS cosine, margin,
+      |       CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
   /** Hard-negative mining audit over the knn probe batch (every 10th
     * vector below 2000 — fixed O(1) batch): nearest same-label vs
     * nearest other-label cosine and the margin; negative margin flags
@@ -5086,6 +5136,7 @@ object PipelineQueries {
     QueryDef("search_mmr_rerank", searchMmr, Some(searchMmrSql)),
     QueryDef("emb_logreg_epochs", embLogreg, Some(embLogregSql)),
     QueryDef("emb_knn_classifier", embKnnEval, Some(embKnnEvalSql)),
+    QueryDef("emb_margin_mine", embMarginMine, Some(embMarginMineSql)),
     QueryDef("emb_hard_negatives", embHardNegatives,
       Some(embHardNegativesSql)),
     QueryDef("emb_matryoshka_recall", embMatryoshka, Some(embMatryoshkaSql)),

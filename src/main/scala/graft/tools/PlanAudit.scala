@@ -62,6 +62,8 @@ object PlanAudit {
       "probe-set-bounded (|queries| broadcast rows)",
     "sim_maxsim_topk" -> "probe-set-bounded (|queries| broadcast rows)",
     "emb_hard_negatives" -> "probe-set-bounded (fixed <=200 broadcast probes, one corpus scan)",
+    "emb_margin_mine" ->
+      "probe-set-bounded (fixed <=20 broadcast probes, one corpus scan)",
     "search_mmr_rerank" -> "probe-set-bounded (|queries| broadcast rows)",
     "emb_knn_classifier" -> "probe-set-bounded (|queries| broadcast rows)",
     "emb_matryoshka_recall" ->

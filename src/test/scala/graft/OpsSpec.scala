@@ -1668,6 +1668,77 @@ class OpsSpec extends AnyFunSuite {
       s"${got(5L)}")
   }
 
+  test("marginMine: exact model replay; hubs penalized at equal cosine") {
+    import graft.ops.Similarity
+    // ids % 5 == 0 are probes. Planted geometry: iso (id 1) and hub
+    // (id 2) have EQUAL cosine 0.9 to probe A (id 0), but the hub is
+    // also similar to the B probes (ids 5, 10) while iso is
+    // anti-aligned — the ratio margin must rank iso above hub where a
+    // raw cosine threshold cannot separate them.
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f),            // probe A
+      5L -> Array(0f, 1f, 0f),            // probe B1
+      10L -> Array(0f, 1f, 0f),           // probe B2
+      1L -> Array(0.9f, -0.436f, 0f),     // iso
+      2L -> Array(0.9f, 0.436f, 0f),      // hub
+      3L -> Array(0f, 0f, 1f),
+      4L -> Array(0.1f, 0.2f, -0.97f),
+      6L -> Array(-0.3f, 0.4f, 0.86f),
+      7L -> Array(0.5f, 0.5f, 0.7f))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, v) => Row(i, v.toSeq) }: _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    val k = 5
+    val knn = 2
+    val got = Similarity.marginMine(df, "vec_id", "embedding",
+        col("vec_id") % 5 === 0, k = k, knn = knn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    // exact Scala model: same one-pass cosine accumulation as the
+    // codegen'd cosine_sim, same x1e6 pinning, same windows
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        d += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+        j += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val vm = rows.toMap
+    val probes = rows.map(_._1).filter(_ % 5 == 0)
+    val scored = for (q <- probes; (x, _) <- rows if x != q)
+      yield (q, x, math.round(cos(vm(q), vm(x)) * 1e6))
+    def topSum(xs: Seq[Long]): (Long, Long) = {
+      val t = xs.sorted(Ordering[Long].reverse).take(knn)
+      (t.sum, t.size.toLong)
+    }
+    val fwd = scored.groupBy(_._1).view.mapValues(g => topSum(g.map(_._3))).toMap
+    val bwd = scored.groupBy(_._2).view.mapValues(g => topSum(g.map(_._3))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = scored.flatMap { case (q, x, c6) =>
+      val (fs, fk) = fwd(q); val (bs, bk) = bwd(x)
+      val den = fs * bk + bs * fk
+      if (den > 0) Some((q, x, c6, r6(c6.toDouble * 2 * fk * bk / den.toDouble)))
+      else None
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (-t._4, t._2)).take(k).zipWithIndex.map { case (t, i) =>
+        (t._1, t._2, r6(t._3.toDouble / 1e6), t._4, i + 1)
+      }
+    }.toSet
+    assert(got == expect, s"got ${got.toSeq.sorted}\nwant ${expect.toSeq.sorted}")
+    // the semantic claim: equal cosine to A, but iso outranks hub
+    val forA = got.filter(_._1 == 0L).toSeq
+    val isoRow = forA.find(_._2 == 1L).get
+    val hubRow = forA.find(_._2 == 2L).get
+    assert(isoRow._3 == hubRow._3, "fixture must pin equal cosines")
+    assert(isoRow._4 > hubRow._4 && isoRow._5 < hubRow._5,
+      s"iso $isoRow must outrank hub $hubRow")
+  }
+
   test("hillTailIndex: hand-computed gamma/alpha, degenerate and short-vocab cases") {
     import spark.implicits._
     // frequencies a=8, b=4, c=2, d=1, e=1; k=2 -> top-3 = (8,4,2):
