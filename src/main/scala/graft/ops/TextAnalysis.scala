@@ -814,6 +814,58 @@ object TextAnalysis {
     * back and a ≤ 3·|langs| combinable rollup. At 100 TB the bigram
     * table is the cost; everything after is domain-sized.
     */
+  /** DoReMi-style exponentiated-gradient domain weights (Xie et al.
+    * 2023, the proxy-model shortcut): per-source mixture weights
+    * `w_g ∝ exp(η·k·excess_g)` over the per-source EXCESS LOSS vs the
+    * corpus reference — domains scoring worse than average (underfit /
+    * hard) get upweighted, the opposite lever from temperature mixing
+    * (which only looks at sizes). With the per-domain losses FIXED
+    * (one scoring pass, no proxy retraining), DoReMi's k multiplicative
+    *-weights steps at learning rate η collapse analytically to the
+    * single softmax with temperature η·k — so the op takes the
+    * published (η, steps) surface but runs one pass. Loss here is the
+    * negated [[lmScore]] add-one bigram log-prob-per-token; excess is
+    * clipped at 0 as published (better-than-reference domains get the
+    * uniform floor, not a penalty).
+    *
+    * Determinism: per-doc scores are lmScore's 6dp-pinned outputs
+    * (hash-proven), summed per source as exact ×10⁶ BIGINTs; excess is
+    * one fixed-order expression RE-ROUNDED to 6dp before `exp` so the
+    * lone libm call sees a bit-identical argument in both engines; the
+    * weights normalize exp's ×10⁹-pinned BIGINTs by their exact sum.
+    * Only documents lmScore scores (≥ 2 tokens) participate — n_docs
+    * counts scored docs.
+    *
+    * Scale shape: the lmScore passes (token + bigram shuffles) are the
+    * cost; everything after is a sources-sized aggregate with two free
+    * unpartitioned windows over ≤ |sources| rows.
+    */
+  def doremiWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    groupCol: String, textCol: String, eta: Double,
+                    steps: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(eta > 0 && steps >= 1)
+    val sc = lmScore(df, idCol, textCol)
+      .select(col(idCol), round(col("lm_score") * 1e6).cast("long").as("s6"))
+    val g = df.select(col(idCol), col(groupCol)).join(sc, Seq(idCol))
+    val w = Window.partitionBy()
+    val agg = g.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s6")).as("sum6"))
+      .withColumn("__tn", sum(col("n_docs")).over(w))
+      .withColumn("__ts6", sum(col("sum6")).over(w))
+    val meanG = col("sum6").cast("double") / col("n_docs").cast("double") / 1e6
+    val ref = col("__ts6").cast("double") / col("__tn").cast("double") / 1e6
+    val excess = greatest(lit(0.0), round(ref - meanG, 6))
+    val withE = agg.withColumn("excess_loss", excess)
+      .withColumn("__e9",
+        round(exp(lit(eta * steps) * col("excess_loss")) * 1e9).cast("long"))
+      .withColumn("__w9", sum(col("__e9")).over(w))
+    withE.select(col(groupCol), col("n_docs"),
+      round(meanG, 6).as("mean_lm_score"), col("excess_loss"),
+      round(col("__e9").cast("double") / col("__w9").cast("double"), 6)
+        .as("doremi_w"))
+  }
+
   def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String,
                    langCol: String): org.apache.spark.sql.DataFrame = {

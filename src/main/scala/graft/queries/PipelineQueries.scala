@@ -3440,6 +3440,44 @@ object PipelineQueries {
       |CROSS JOIN v
       |GROUP BY 1""".stripMargin
 
+  /** DoReMi-style domain weights over source at softmax temperature
+    * η·k = 10 (η = 2, 5 multiplicative-weights steps, collapsed
+    * analytically since the proxy losses are fixed): sources whose
+    * add-one LM score trails the corpus reference get upweighted. The
+    * oracle composes the proven per-doc lmScore SQL, then replays the
+    * exact-integer mean/excess/softmax pipeline. See
+    * [[graft.ops.TextAnalysis.doremiWeights]].
+    */
+  private def docDoremiWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.doremiWeights(Tables.documents(s, dir), "doc_id", "source",
+      "text", eta = 2.0, steps = 5)
+
+  private lazy val docDoremiWeightsSql =
+    s"""WITH sc AS (SELECT doc_id,
+       |              CAST(round(lm_score * 1e6) AS BIGINT) AS s6
+       |            FROM ($lmScoreSql) z),
+       |gg AS (SELECT d.source, count(*) AS n_docs,
+       |         CAST(sum(s6) AS BIGINT) AS sum6
+       |       FROM documents d JOIN sc USING (doc_id) GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+       |        CAST(sum(sum6) AS BIGINT) AS ts6 FROM gg),
+       |e AS (SELECT source, n_docs, sum6,
+       |        greatest(0.0, round(
+       |          CAST(ts6 AS DOUBLE) / CAST(tn AS DOUBLE) / 1e6 -
+       |          CAST(sum6 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6, 6))
+       |          AS excess_loss
+       |      FROM gg, t),
+       |x AS (SELECT source, n_docs, sum6, excess_loss,
+       |        CAST(round(exp(10.0 * excess_loss) * 1e9) AS BIGINT) AS e9
+       |      FROM e)
+       |SELECT source, n_docs,
+       |  round(CAST(sum6 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6, 6)
+       |    AS mean_lm_score,
+       |  excess_loss,
+       |  round(CAST(e9 AS DOUBLE) / CAST(sum(e9) OVER () AS DOUBLE), 6)
+       |    AS doremi_w
+       |FROM x""".stripMargin
+
   /** Interpolated Kneser-Ney bigram scoring per document (D = 0.75) —
     * continuation-probability smoothing over exact corpus counts.
     * See [[graft.ops.TextAnalysis.lmScoreKneserNey]].
@@ -5188,6 +5226,8 @@ object PipelineQueries {
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("text_lm_score", lmScoreQ, Some(lmScoreSql)),
+    QueryDef("doc_doremi_weights", docDoremiWeights,
+      Some(docDoremiWeightsSql)),
     QueryDef("text_ccnet_buckets", textCcnetBuckets,
       Some(textCcnetBucketsSql)),
     QueryDef("text_lm_kneser_ney", textLmKneserNey,

@@ -857,4 +857,15 @@ object StreamOps extends Serializable {
   def fineWebGateStream(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     graft.ops.TextAnalysis.fineWebRules(docs, idCol, textCol)
+
+  /** Streaming Luhn payment-card audit: stateless per-row regex +
+    * integer checksum ([[graft.ops.TextAnalysis.piiLuhnAudit]]),
+    * append-mode, zero state — the redaction gate belongs at INGEST,
+    * before a card number is ever persisted, which is exactly the
+    * ingest-time class documented in the header. Parity definitional,
+    * pinned by StreamingSpec.
+    */
+  def piiLuhnStream(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    graft.ops.TextAnalysis.piiLuhnAudit(docs, idCol, textCol)
 }

@@ -1596,6 +1596,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("doremiWeights: softmax of clipped excess loss matches a model; directions right") {
+    import spark.implicits._
+    // two sources with different LM-score profiles: src a = repetitive
+    // template docs (high bigram probability), src b = shuffled rarities
+    val docsDf = docs(corpus)
+      .withColumn("source", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val got = TextAnalysis.doremiWeights(docsDf, "doc_id", "source", "text",
+        eta = 2.0, steps = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // model from the op's own scored docs (lmScore is spec'd elsewhere)
+    val s6 = TextAnalysis.lmScore(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(2) * 1e6))
+      .toMap
+    val grp = s6.keys.groupBy(id => if (id % 2 == 0) "a" else "b")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ids is a key SET: mapping it straight through s6 would dedup
+    // equal scores (docs 1 and 101 are exact duplicates) — toSeq first
+    val sums = grp.view.mapValues(ids =>
+      (ids.size.toLong, ids.toSeq.map(s6).sum)).toMap
+    val (tn, ts6) = (sums.values.map(_._1).sum, sums.values.map(_._2).sum)
+    val exc = sums.view.mapValues { case (n, s) =>
+      math.max(0.0, r6(ts6.toDouble / tn / 1e6 - s.toDouble / n / 1e6))
+    }.toMap
+    val e9 = exc.view.mapValues(e =>
+      math.round(math.exp(10.0 * e) * 1e9)).toMap
+    val w9 = e9.values.sum
+    for (g <- Seq("a", "b")) {
+      val (n, s) = sums(g)
+      assert(got(g) == ((n, r6(s.toDouble / n / 1e6), exc(g),
+        r6(e9(g).toDouble / w9))), s"$g: ${got(g)}")
+    }
+    // directions: weights sum to ~1; the weaker-scoring source gets
+    // the larger weight; at least one source sits at the clipped floor
+    assert(math.abs(got("a")._4 + got("b")._4 - 1.0) < 2e-6)
+    val weak = if (got("a")._2 < got("b")._2) "a" else "b"
+    val strong = if (weak == "a") "b" else "a"
+    assert(got(weak)._4 >= got(strong)._4)
+    assert(got(strong)._3 == 0.0, "better-than-reference source is clipped to 0")
+  }
+
   test("ccnetBuckets: per-lang terciles match a model over lmScore output") {
     import spark.implicits._
     // two "languages" over the random corpus; the model recomputes the

@@ -264,6 +264,12 @@ class StreamingSpec extends AnyFunSuite {
           "size(split(lower(trim(text)), '\\\\s+')) / 10.0) AS INT)), " +
           "j -> array_join(slice(split(lower(trim(text)), '\\\\s+'), " +
           "(j - 1) * 10 + 1, 10), ' ')), '\\n')"))
+      // planted card numbers keep the Luhn twin's branches live (one
+      // valid, one checksum-reject)
+      .withColumn("text", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, ' 4111 1111 1111 1111') " +
+          "WHEN doc_id % 29 = 0 THEN concat(text, ' 4111-1111-1111-1112') " +
+          "ELSE text END"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
     docs.write.mode("overwrite").parquet(tmp)
     val stream = spark.readStream.schema(docs.schema).parquet(tmp)
@@ -273,7 +279,10 @@ class StreamingSpec extends AnyFunSuite {
         StreamOps.gopherRepetitionStream(stream, "doc_id", "text")),
       ("graft_fw_out",
         TextAnalysis.fineWebRules(docs, "doc_id", "text"),
-        StreamOps.fineWebGateStream(stream, "doc_id", "text")))) {
+        StreamOps.fineWebGateStream(stream, "doc_id", "text")),
+      ("graft_luhn_out",
+        TextAnalysis.piiLuhnAudit(docs, "doc_id", "text"),
+        StreamOps.piiLuhnStream(stream, "doc_id", "text")))) {
       val expected = batchF.collect().map(_.toSeq).toSet
       val q = streamF.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
