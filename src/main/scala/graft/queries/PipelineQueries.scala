@@ -2541,6 +2541,65 @@ object PipelineQueries {
       |  coalesce(n_ok, 0) > 0 AS has_valid_card
       |FROM planted p LEFT JOIN a USING (doc_id)""".stripMargin
 
+  /** IBAN mod-97 audit over pinned plants (same precedent as
+    * `text_pii_luhn`): every 19th doc gets the VALID spaced GB example
+    * IBAN, every 31st an invalid twin (checksum off by one), every
+    * 53rd a valid French IBAN with a letter inside the BODY (the
+    * letter→two-digit mapping must fire mid-number, not just in the
+    * country head). See [[graft.ops.TextAnalysis.piiIbanAudit]].
+    */
+  private def piiIban(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 19 === 0, lit(" GB82 WEST 1234 5698 7654 32"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 31 === 0, lit(" GB82WEST12345698765433"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 53 === 0, lit(" FR1420041010050500013M02606"))
+          .otherwise(lit(""))))
+    TextAnalysis.piiIbanAudit(planted, "doc_id", "text")
+  }
+
+  private lazy val piiIbanSql = {
+    val w = TextAnalysis.Mod97Weights.mkString("[", ",", "]")
+    s"""WITH planted AS (SELECT doc_id,
+       |    text || CASE WHEN doc_id % 19 = 0
+       |                 THEN ' GB82 WEST 1234 5698 7654 32' ELSE '' END
+       |         || CASE WHEN doc_id % 31 = 0
+       |                 THEN ' GB82WEST12345698765433' ELSE '' END
+       |         || CASE WHEN doc_id % 53 = 0
+       |                 THEN ' FR1420041010050500013M02606' ELSE '' END
+       |      AS text
+       |  FROM documents),
+       |cand AS (SELECT doc_id,
+       |           unnest(regexp_extract_all(text,
+       |             '[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]){11,30}')) AS c
+       |         FROM planted),
+       |ds AS (SELECT doc_id,
+       |         list_aggregate(list_transform(
+       |           generate_series(1, length(r)),
+       |           i -> CASE WHEN substr(r, i, 1) BETWEEN 'A' AND 'Z'
+       |                THEN CAST(ascii(substr(r, i, 1)) - 55 AS VARCHAR)
+       |                ELSE substr(r, i, 1) END), 'string_agg', '') AS d
+       |       FROM (SELECT doc_id,
+       |               substr(s2, 5) || substr(s2, 1, 4) AS r
+       |             FROM (SELECT doc_id, replace(c, ' ', '') AS s2
+       |                   FROM cand) z) y),
+       |l AS (SELECT doc_id,
+       |        list_sum(list_transform(generate_series(1, length(d)),
+       |          i -> CAST(substr(d, i, 1) AS BIGINT) *
+       |               ($w)[(length(d) - i) % 96 + 1])) % 97 = 1 AS ok
+       |      FROM ds),
+       |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_cand,
+       |        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS INT) AS n_ok
+       |      FROM l GROUP BY 1)
+       |SELECT p.doc_id,
+       |  coalesce(n_cand, 0) AS n_iban_candidates,
+       |  coalesce(n_ok, 0) AS n_iban_valid,
+       |  coalesce(n_ok, 0) > 0 AS has_valid_iban
+       |FROM planted p LEFT JOIN a USING (doc_id)""".stripMargin
+  }
+
   /** Corpus-mix rates for the stratified-sample query: throttle the
     * high-volume event types, keep every error. One map drives BOTH the
     * Spark filter and the oracle CASE, so the two can't drift.
@@ -5214,6 +5273,7 @@ object PipelineQueries {
       Some(topkQualityByLangSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_pii_luhn", piiLuhn, Some(piiLuhnSql)),
+    QueryDef("text_pii_iban", piiIban, Some(piiIbanSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("text_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),

@@ -1835,6 +1835,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L)._1 == 1 && got(7L)._3 == false, s"${got(7L)}")
   }
 
+  test("piiIbanAudit: mod-97 separates real IBANs from alphanumeric noise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay GB82 WEST 1234 5698 7654 32 now"),   // valid, spaced
+      (2L, "ref DE89370400440532013000 ok"),          // valid, unspaced
+      (3L, "acct FR1420041010050500013M02606 eu"),    // valid, letter in body
+      (4L, "bad GB82WEST12345698765433 checksum"),    // off-by-one: reject
+      (5L, "code AB12CDEF345678901 maybe"),           // candidate, ~1/97 odds
+      (6L, "no accounts here"),
+      (7L, "short GB8212345678901"))                  // 15 chars: candidate shape
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiIbanAudit(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1, 1, true)), s"${got(1L)}")
+    assert(got(2L) == ((1, 1, true)))
+    assert(got(3L) == ((1, 1, true)))
+    assert(got(4L) == ((1, 0, false)))
+    assert(got(6L) == ((0, 0, false)))
+    // JVM mod-97 model for the two arbitrary candidates
+    def valid(s0: String): Boolean = {
+      val s = s0.replace(" ", "")
+      val r = s.drop(4) + s.take(4)
+      val ds = r.flatMap(c => if (c.isLetter) (c - 55).toString else c.toString)
+      val w = TextAnalysis.Mod97Weights
+      val n = ds.length
+      ds.zipWithIndex.map { case (c, i) =>
+        (c - '0').toLong * w((n - 1 - i) % 96) }.sum % 97 == 1
+    }
+    assert(got(5L) == ((1, if (valid("AB12CDEF345678901")) 1 else 0,
+      valid("AB12CDEF345678901"))))
+    assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
+  }
+
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
     import spark.implicits._
     val docs = Seq(
