@@ -45,7 +45,11 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).toSet)
     val spark = Sessions.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures only the last ~2 KB of
+    // stdout/stderr, and a burst of WindowExec WARNs racing the final
+    // summary JSON for that window is how the bench channel stays
+    // parseable only by luck. Verify's PlanAudit main already does this.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup outside the measured window
     try Materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case NonFatal(_) => () }

@@ -333,8 +333,9 @@ object Multimodal {
     *  - `rms`: root-mean-square level (6dp).
     *
     * All counters are exact integers accumulated in the decode pass
-    * (sum of squares in Int64 — 32768² = 2³⁰ per sample, so safe to
-    * ~2³³ samples at full scale, days of audio per clip);
+    * (sum of squares in Int64 — at most 32768² = 2³⁰ per sample, so
+    * the accumulator holds 2⁶³/2³⁰ ≈ 8.6×10⁹ ≈ 2³³ full-scale samples
+    * before overflow — ~50 hours of 48 kHz audio in a single clip);
     * the derived columns are fixed-order double expressions on those
     * exact integers, so the audit replays bit-identically. Verdicts
     * are integer cross-multiplications.

@@ -307,8 +307,12 @@ object TextAnalysis {
     */
   def piiLuhnAudit(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
-    val cands = regexp_extract_all(col(textCol),
-      lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0))
+    // NULL text pins to (0, 0, false) — the same convention the DuckDB
+    // oracle's LEFT JOIN + coalesce produces for a doc with no
+    // candidates; without the coalesce, size(null) = -1 leaks through
+    val cands = coalesce(regexp_extract_all(col(textCol),
+      lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0)),
+      array().cast("array<string>"))
     def luhnValid(cand: Column): Column = {
       val cd = regexp_replace(cand, "[ -]", "")
       val n = length(cd)
@@ -381,7 +385,10 @@ object TextAnalysis {
         it.map { case (id, text) =>
           var nCand = 0
           var nValid = 0
-          val m = pat.matcher(text)
+          // NULL text pins to (0, 0, false), matching the oracle's
+          // LEFT JOIN convention (and piiLuhnAudit's coalesce) instead
+          // of NPE-ing the scan on a null document
+          val m = pat.matcher(if (text == null) "" else text)
           while (m.find()) {
             nCand += 1
             val s = m.group.replace(" ", "")
@@ -914,16 +921,58 @@ object TextAnalysis {
     *
     * Determinism: per-doc scores are lmScore's 6dp-pinned outputs
     * (hash-proven), summed per source as exact ×10⁶ BIGINTs; excess is
-    * one fixed-order expression RE-ROUNDED to 6dp before `exp` so the
-    * lone libm call sees a bit-identical argument in both engines; the
-    * weights normalize exp's ×10⁹-pinned BIGINTs by their exact sum.
-    * Only documents lmScore scores (≥ 2 tokens) participate — n_docs
-    * counts scored docs.
+    * one fixed-order expression RE-ROUNDED to 6dp. The exponential is
+    * NOT libm: JVM `Math.exp` and DuckDB's `exp` are each ≤1-ulp but
+    * not correctly rounded, so even a bit-identical argument can
+    * ×10⁹-pin one apart — the same knife-edge the temperature-mix op
+    * rejects `pow` for. Instead the softmax uses [[expPinned]]: the
+    * argument is pinned to integer micro-nats and exp factors into a
+    * fixed-order product of per-bit CONSTANTS exp(2^k·10⁻⁶) computed
+    * once in Scala and inlined as literals on BOTH engines — zero
+    * runtime libm, bitwise-identical by IEEE multiply determinism.
+    * The weights normalize the ×10⁹-pinned BIGINTs by their exact
+    * sum. Only documents lmScore scores (≥ 2 tokens) participate —
+    * n_docs counts scored docs.
     *
     * Scale shape: the lmScore passes (token + bigram shuffles) are the
     * cost; everything after is a sources-sized aggregate with two free
     * unpartitioned windows over ≤ |sources| rows.
     */
+  /** Gate-stable exponential over non-negative integer micro-nats:
+    * `expPinned(a6) = Π_{bit k set in a6} exp(2^k·10⁻⁶)`, the per-bit
+    * factors being compile-time Scala constants shared verbatim with
+    * the SQL form ([[expPinnedSql]]). Both engines multiply the SAME
+    * double literals in the SAME ascending-bit left-associative order,
+    * so the result is bit-identical by IEEE-754 multiply determinism —
+    * no runtime libm on either side. Accuracy: each factor is ≤1 ulp
+    * from true, ≤25 factors, so ≤ ~25 ulp from exp(a6·10⁻⁶) — far
+    * inside any ×10⁹ pinning at the magnitudes a softmax can hold
+    * (arguments above ~22.9 nats overflow the ×10⁹ BIGINT pinning
+    * first, and 2²⁵ µnats = 33.5 nats bounds the covered domain).
+    */
+  private[graft] val ExpPinnedBits = 25
+
+  private[graft] val ExpPinnedConsts: IndexedSeq[Double] =
+    (0 until ExpPinnedBits).map(k => math.exp((1L << k) * 1e-6))
+
+  private[graft] def expPinned(arg6: Column): Column =
+    ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
+      when(shiftright(arg6, k).bitwiseAND(lit(1L)) === lit(1L), lit(c))
+        .otherwise(lit(1.0))
+    }.reduceLeft(_ * _)
+
+  /** DuckDB form of [[expPinned]] over the SQL expression `arg6`:
+    * same literals (Scala's shortest-round-trip Double rendering
+    * parses back to the identical bits), same fixed order.
+    */
+  private[graft] def expPinnedSql(arg6: String): String =
+    ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
+      // explicit DOUBLE: DuckDB types a bare decimal literal DECIMAL,
+      // and a 25-factor DECIMAL product overflows the max scale
+      s"(CASE WHEN (($arg6 >> $k) & 1) = 1 THEN CAST($c AS DOUBLE)" +
+        " ELSE CAST(1.0 AS DOUBLE) END)"
+    }.mkString(" * ")
+
   def doremiWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                     groupCol: String, textCol: String, eta: Double,
                     steps: Int): org.apache.spark.sql.DataFrame = {
@@ -941,8 +990,11 @@ object TextAnalysis {
     val ref = col("__ts6").cast("double") / col("__tn").cast("double") / 1e6
     val excess = greatest(lit(0.0), round(ref - meanG, 6))
     val withE = agg.withColumn("excess_loss", excess)
+      // integer micro-nats, then the libm-free pinned exponential
+      .withColumn("__a6",
+        round(lit(eta * steps) * col("excess_loss") * 1e6).cast("long"))
       .withColumn("__e9",
-        round(exp(lit(eta * steps) * col("excess_loss")) * 1e9).cast("long"))
+        round(expPinned(col("__a6")) * 1e9).cast("long"))
       .withColumn("__w9", sum(col("__e9")).over(w))
     withE.select(col(groupCol), col("n_docs"),
       round(meanG, 6).as("mean_lm_score"), col("excess_loss"),

@@ -3527,8 +3527,11 @@ object PipelineQueries {
        |          AS excess_loss
        |      FROM gg, t),
        |x AS (SELECT source, n_docs, sum6, excess_loss,
-       |        CAST(round(exp(10.0 * excess_loss) * 1e9) AS BIGINT) AS e9
-       |      FROM e)
+       |        CAST(round(
+       |          ${TextAnalysis.expPinnedSql("a6")} * 1e9) AS BIGINT) AS e9
+       |      FROM (SELECT *,
+       |              CAST(round(10.0 * excess_loss * 1e6) AS BIGINT) AS a6
+       |            FROM e) e2)
        |SELECT source, n_docs,
        |  round(CAST(sum6 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6, 6)
        |    AS mean_lm_score,

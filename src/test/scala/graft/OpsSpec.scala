@@ -1622,8 +1622,16 @@ class OpsSpec extends AnyFunSuite {
     val exc = sums.view.mapValues { case (n, s) =>
       math.max(0.0, r6(ts6.toDouble / tn / 1e6 - s.toDouble / n / 1e6))
     }.toMap
+    // the op's libm-free pinned exponential, re-derived independently
+    // from the shared per-bit constants (skipping the ×1.0 no-op
+    // factors — IEEE multiply by 1.0 is exact, so the product matches)
+    def expPinned(a6: Long): Double =
+      (0 until TextAnalysis.ExpPinnedBits).foldLeft(1.0) { (acc, k) =>
+        if (((a6 >> k) & 1L) == 1L) acc * TextAnalysis.ExpPinnedConsts(k)
+        else acc
+      }
     val e9 = exc.view.mapValues(e =>
-      math.round(math.exp(10.0 * e) * 1e9)).toMap
+      math.round(expPinned(math.round(10.0 * e * 1e6)) * 1e9)).toMap
     val w9 = e9.values.sum
     for (g <- Seq("a", "b")) {
       val (n, s) = sums(g)
@@ -1867,6 +1875,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((1, if (valid("AB12CDEF345678901")) 1 else 0,
       valid("AB12CDEF345678901"))))
     assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
+  }
+
+  test("pii audits: a NULL document pins to (0, 0, false), not NPE/-1") {
+    // the oracle's LEFT JOIN emits (0, 0, false) for a doc with no
+    // candidates; a null text must land on the same convention — the
+    // compiled IBAN scan used to NPE and the declarative Luhn audit
+    // used to leak size(null) = -1
+    def df(live: String) = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, live)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    for (audit <- Seq(
+        TextAnalysis.piiLuhnAudit(df("pay 4111 1111 1111 1111 now"),
+          "doc_id", "text"),
+        TextAnalysis.piiIbanAudit(df("pay GB82 WEST 1234 5698 7654 32 now"),
+          "doc_id", "text"))) {
+      val got = audit.collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+        .toMap
+      assert(got(1L) == ((0, 0, false)), s"null doc: ${got(1L)}")
+      assert(got(2L) == ((1, 1, true)), s"live doc: ${got(2L)}")
+    }
+  }
+
+  test("expPinned: libm-free exponential tracks Math.exp across the pinned domain") {
+    // per-bit constants compose to within a handful of ulps of true
+    // exp over the whole covered range — far inside the ×1e9 pinning
+    for (a6 <- Seq(0L, 1L, 7L, 999999L, 1000000L, 5371829L, 22900000L,
+        (1L << TextAnalysis.ExpPinnedBits) - 1)) {
+      val rows = spark.range(1).select(
+        TextAnalysis.expPinned(org.apache.spark.sql.functions.lit(a6))
+          .as("e")).collect()
+      val got = rows.head.getDouble(0)
+      val want = math.exp(a6 * 1e-6)
+      assert(math.abs(got / want - 1.0) < 1e-13, s"a6=$a6 got=$got want=$want")
+    }
   }
 
   test("charEntropy: exact two-symbol entropy, uniform max, empty zero") {
