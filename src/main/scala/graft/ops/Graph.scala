@@ -431,13 +431,16 @@ object Graph {
     val triNodes = wedges.join(closing, Seq("x1", "x2"))
       .select(explode(array(col("a"), col("x1"), col("x2"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("t"))
+    // top-k cut FIRST (TakeOrdered, never a global one-partition sort
+    // of the whole node table), THEN the rank window over ≤ topK rows —
+    // the same shape as [[adamicAdar]]'s ranking
     val wTop = org.apache.spark.sql.expressions.Window
       .orderBy(col("degree").desc, col("node").asc)
     degC.join(triNodes, Seq("x"), "left")
       .select(col("x").as("node"), col("d").as("degree"),
         coalesce(col("t"), lit(0L)).as("n_triangles"))
+      .orderBy(col("degree").desc, col("node").asc).limit(topK)
       .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= topK)
       .select(col("node"), col("degree"), col("n_triangles"),
         col("rn").as("degree_rank"),
         when(col("degree") < 2, lit(0.0))

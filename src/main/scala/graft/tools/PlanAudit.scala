@@ -118,6 +118,102 @@ object PlanAudit {
       acknowledged: Set[String]): (Set[String], Set[String]) =
     (found -- acknowledged, acknowledged -- found)
 
+  /** Reviewed unpartitioned windows (`Window.orderBy` / `partitionBy()`
+    * with no partition columns → an Exchange SinglePartition feeding
+    * one task). Every acknowledged use runs over a POST-AGGREGATE or
+    * POST-LIMIT domain-sized frame — sources, languages, days, score
+    * bins, top-k rows — where one partition of ≤ thousands of rows is
+    * free and correct. Ranking a corpus-sized input on one partition is
+    * the anti-pattern this census exists to catch (`spearmanCorr`'s
+    * aggregate-first rule): a query planning an unpartitioned Window
+    * that is not acknowledged here fails the audit, and a stale
+    * acknowledgement fails too, exactly like the object-agg snapshot.
+    */
+  val unpartWindowAcknowledged: Map[String, String] = Map(
+    // sources-sized aggregates: the window totals a ≤|sources| frame
+    "doc_doremi_weights" -> "softmax totals over the |sources| aggregate",
+    "doc_temperature_mix" -> "weight totals over the |sources| aggregate",
+    // domainPrefixSums' band-offset pass: a cumulative over the ≤64
+    // bucket totals of the two-phase prefix sum (the per-value pass is
+    // partitioned by band; only the band rollup is single-partition)
+    "emb_centroid_auc" -> "domainPrefixSums band offsets (<=64 rows)",
+    "ev_emd_value_drift" -> "domainPrefixSums band offsets (<=64 rows)",
+    "ev_ks_drift" -> "domainPrefixSums band offsets (<=64 rows)",
+    "ev_mannwhitney_u" -> "domainPrefixSums band offsets (<=64 rows)",
+    "ev_kruskal_wallis" -> "domainPrefixSums band offsets (<=64 rows)",
+    // top-k-limited: a TakeOrdered limit runs FIRST, the rank window
+    // orders the surviving <=k rows
+    "emb_lof_outliers" -> "rank over the top-k-limited LOF rows",
+    "emb_lof_outliers_sampled" -> "rank over the top-k-limited LOF rows",
+    "li_adamic_adar" -> "rank over the top-k-limited candidate rows",
+    "li_local_clustering" -> "rank over the top-k-limited node rows",
+    "search_hybrid_rrf" -> "rank over the top-k-limited fused rows",
+    "text_bm25_rank" -> "rank over the top-k-limited scored rows",
+    "text_zipf_fit" -> "rank over the TakeOrdered top-V terms",
+    "text_hill_tail" -> "rank over the TakeOrdered top k+1 terms",
+    // calendar / bucket / grid domains: the window input is a
+    // domain-sized aggregate, never corpus rows
+    "er_sorted_neighborhood" ->
+      "sequencing rank over the distinct-name dictionary (the SN key)",
+    "ev_bh_fdr_weekend" -> "BH ranking over the hypothesis-group grid",
+    "ev_burst_surprise" -> "top-burst pick over the daily rollup",
+    "ev_cliffs_delta" -> "cumulative over the daily rollup",
+    "ev_daily_error_cumulative" -> "cumulative over the daily rollup",
+    "ev_gini_user_concentration" ->
+      "rank runs over the count-of-counts histogram, not keys",
+    "ev_granger_leadlag" -> "lag windows over the daily rollup",
+    "ev_new_vs_returning" -> "cumulative over the daily rollup",
+    "ev_periodogram" -> "peak rank over <=|days|/2 frequency bins",
+    "ev_pettitt_changepoint" -> "U-statistic scan over the daily rollup",
+    "ev_seasonal_decompose" -> "moving average over the daily rollup",
+    "ev_spearman_daily" -> "rank windows over the daily rollup",
+    "ev_sprt_monitor" -> "cumulative over the bucket sequence",
+    "ev_sprt_stream_twin" -> "cumulative over the bucket sequence",
+    "ev_survival_km" -> "at-risk cumulative over the duration domain",
+    "ev_value_quantiles" -> "cumulative over fixed histogram bins",
+    "emb_isotonic_calibration" -> "PAVA passes over the score-bin grid",
+    "profile_events" -> "top-3 rank over <=64 MG candidate keys",
+    "q_pareto_frontier" -> "skyline band offsets over <=64 buckets",
+    "text_heaps_law" -> "cumulative over <=|buckets| checkpoints")
+
+  /** A physical `Window` node line with NO partition spec. The plan
+    * string renders TOP-LEVEL bracket groups: `[exprs], [partSpec],
+    * [orderSpec]` (3 groups, partitioned+ordered), `[exprs],
+    * [partSpec]` (2, partitioned frame-only), `[exprs], [orderSpec]`
+    * (2, UNPARTITIONED ordered) or `[exprs]` (1, unpartitioned
+    * frame-only — e.g. `partitionBy()` totals). Count alone cannot
+    * split the two 2-group cases, so the detector also checks whether
+    * the LAST group is an order spec — order entries always render
+    * with an ` ASC NULLS `/` DESC NULLS ` marker, which a bare
+    * partition-attribute list never carries. `WindowGroupLimit` (no
+    * space-bracket after "Window") and brackets nested inside
+    * expressions don't confuse it.
+    */
+  private[tools] def unpartitionedWindowHit(line: String): Boolean = {
+    val i = line.indexOf("Window [")
+    if (i < 0 || (i > 0 && line.charAt(i - 1).isLetter)) return false
+    var depth = 0
+    var k = i + 7
+    var groups = 0
+    var lastStart = -1
+    var lastGroup = ""
+    while (k < line.length) {
+      line.charAt(k) match {
+        case '[' =>
+          if (depth == 0) { groups += 1; lastStart = k + 1 }
+          depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) lastGroup = line.substring(lastStart, k)
+        case _ =>
+      }
+      k += 1
+    }
+    val lastIsOrderSpec = lastGroup.contains(" ASC NULLS ") ||
+      lastGroup.contains(" DESC NULLS ")
+    groups == 1 || (groups == 2 && lastIsOrderSpec)
+  }
+
   /** An attribute reference on each side of <, >, <= or >= inside one
     * comparison (no crossing parentheses) — a range predicate over
     * both inputs, the shape BNLJ can only evaluate per row pair.
@@ -191,6 +287,9 @@ object PlanAudit {
     // Non-codegen object aggregates: snapshot-checked against
     // [[objectAggAcknowledged]] below.
     var objAgg = List.empty[String]
+    // Unpartitioned windows: snapshot-checked against
+    // [[unpartWindowAcknowledged]] below.
+    var unpartWin = List.empty[String]
     for (q <- SparkEntry.registry) {
       val hits: Seq[String] =
         try {
@@ -198,6 +297,8 @@ object PlanAudit {
             .toString.linesIterator.map(_.trim).toSeq
           if (plan.exists(_.contains("ObjectHashAggregate")))
             objAgg ::= q.name
+          if (plan.exists(unpartitionedWindowHit))
+            unpartWin ::= q.name
           plan.filter(l => l.contains("CartesianProduct")) ++
             // the er_sorted_neighborhood bug class: a nested-loop join
             // whose condition RANGE-compares — or NOT-EQUAL-compares —
@@ -232,6 +333,18 @@ object PlanAudit {
     if (staleObjAgg.nonEmpty)
       println("[plan-audit] STALE object-aggregate acknowledgements: " +
         staleObjAgg.toSeq.sorted.mkString(", "))
+    val (newUnpartWin, staleUnpartWin) =
+      objectAggDrift(unpartWin.toSet, unpartWindowAcknowledged.keySet)
+    println(s"[plan-audit] ${unpartWin.size} queries with unpartitioned " +
+      s"windows (acknowledged ${unpartWindowAcknowledged.size}): " +
+      unpartWin.reverse.sorted.mkString(", "))
+    if (newUnpartWin.nonEmpty)
+      println("[plan-audit] UNACKNOWLEDGED unpartitioned windows (review " +
+        "the frame bound, then add to unpartWindowAcknowledged with the " +
+        "reason): " + newUnpartWin.toSeq.sorted.mkString(", "))
+    if (staleUnpartWin.nonEmpty)
+      println("[plan-audit] STALE unpartitioned-window acknowledgements: " +
+        staleUnpartWin.toSeq.sorted.mkString(", "))
     println(s"[plan-audit] ${SparkEntry.registry.size} queries, " +
       s"$reviewed allowlisted quadratic shapes, ${bad.size} violations")
     bad.reverse.foreach { case (n, h) => println(s"[plan-audit] BAD $n: $h") }
@@ -242,6 +355,7 @@ object PlanAudit {
     // stale entries fail too: a dead entry can silently mask a future
     // real violation under a reused query name
     if (bad.nonEmpty || stale.nonEmpty ||
-      newObjAgg.nonEmpty || staleObjAgg.nonEmpty) sys.exit(1)
+      newObjAgg.nonEmpty || staleObjAgg.nonEmpty ||
+      newUnpartWin.nonEmpty || staleUnpartWin.nonEmpty) sys.exit(1)
   }
 }
