@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, JaroWinkler, L2Squared, LshBuckets, PqAdc, PqEncode}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, JaroWinkler, L2Squared, LshBuckets, PqAdc, PqCodeDist, PqEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -60,6 +60,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             PqEncode(exprs(0), exprs(1), m, k)
           case other => throw new IllegalArgumentException(
             s"pq_encode(vec, codebook, m, ksub) needs integer m/ksub literals, got $other")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pq_code_dist"),
+      new ExpressionInfo(classOf[PqCodeDist].getName, "pq_code_dist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        exprs(3) match {
+          case Literal(k: Int, _) =>
+            PqCodeDist(exprs(0), exprs(1), exprs(2), k)
+          case other => throw new IllegalArgumentException(
+            s"pq_code_dist(vec, codebook, codes, ksub) needs an integer " +
+              s"ksub literal, got $other")
         }
       }))
     e.injectFunction((

@@ -206,6 +206,93 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Kernel for [[PqCodeDist]]. */
+object PqCodeDistKernel {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def dists(v: ArrayData, isFloat: Boolean, cb: Array[Double],
+            codes: ArrayData, ksub: Int): ArrayData = {
+    val m = codes.numElements()
+    val sub = if (m == 0) 0 else cb.length / (m * ksub)
+    val out = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val c = codes.getInt(i)
+      if (c < 0 || c >= ksub) out(i) = Double.PositiveInfinity
+      else {
+        val base = (i * ksub + c) * sub
+        var s = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = if (isFloat) v.getFloat(i * sub + j).toDouble
+                  else v.getDouble(i * sub + j)
+          val d = x - cb(base + j)
+          s += d * d
+          j += 1
+        }
+        out(i) = s
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pq_code_dist(vec, codebook, codes, ksub)`: per subspace `i`, the
+  * squared L2 distance from the vector's i-th slice to the codeword
+  * `codes[i]` of the flattened `codebook` literal ([[PqEncode]]'s
+  * layout; `m` comes from the codes array length). Out-of-range codes
+  * yield +Inf, so an argmin-membership check fails them loudly. Built
+  * for [[graft.ops.AnnCertify]]'s `code_argmin` certificate: the naive
+  * form — m·ksub separate literal-array `vec_l2sq` calls — blows past
+  * the whole-stage-codegen method budget (the [[LshKernel]] lesson) and
+  * falls back to interpreted evaluation; one kernel call per row stays
+  * codegen'd.
+  */
+case class PqCodeDist(first: Expression, second: Expression,
+                      third: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val codebook: Array[Double] = second match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        arr: ArrayData, ArrayType(DoubleType, _)) => arr.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"pq_code_dist codebook must be an array<double> literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _),
+          ArrayType(IntegerType, _)) if ksub >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double> vec, array<double> " +
+          s"codebook literal, array<int> codes, ksub >= 1), got " +
+          s"${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}, ksub=$ksub")
+    }
+
+  private def isFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, cbIgnored: Any, codes: Any): Any =
+    PqCodeDistKernel.dists(v.asInstanceOf[ArrayData], isFloat, codebook,
+      codes.asInstanceOf[ArrayData], ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, codes) =>
+      s"${ev.value} = graft.functions.PqCodeDistKernel$$.MODULE$$" +
+        s".dists($v, $isFloat, $cbRef, $codes, $ksub);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression) = copy(first = f, second = s, third = t)
+}
+
 /** Shared sign-random-projection kernel: deterministic +-1 hyperplane
   * components from a splitmix-style hash of (planeIdx, dim index) — the
   * same bit stream for the interpreted path, the codegen path, and

@@ -415,10 +415,43 @@ object Similarity {
     * candidates must share the query's label, enforced inside the
     * probed-cell scan before any dot product.
     */
+  /** The trained-index internals of [[ivfTopK]], exposed so
+    * [[AnnCertify.ivfCertificate]] can verify the self-consistency
+    * invariants of the KMeans-adaptive path (assignment is argmin over
+    * the emitted centroids, probes are the nearest cells, the top-k is
+    * exactly the best of the probed candidates) without re-running the
+    * training. Everything here IS the production pipeline — the
+    * certificate consumes the same frames the public method ranks.
+    *
+    *  - `assigned`: (id, v, cell[, lbl]) — every corpus row with its
+    *    trained cell
+    *  - `centroids`: the trained coarse centroids in FEATURE space
+    *    (unit-normalized vectors), driver-side
+    *  - `probeRows`: the (query, probed cell) pairs the query planner
+    *    chose
+    *  - `queryVecs`: the queries' normalized feature arrays
+    *  - `scored`: the probed-cell candidate set with exact 6dp cosines
+    *  - `topk`: the public result
+    */
+  private[graft] final case class IvfParts(
+      assigned: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      probeRows: Seq[(Long, Int)],
+      queryVecs: Seq[(Long, Array[Double])],
+      scored: DataFrame,
+      topk: DataFrame)
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, numCells: Int = 16,
               nProbe: Int = 4, maxTrainRows: Long = 100000,
-              labelCol: Option[String] = None): DataFrame = {
+              labelCol: Option[String] = None): DataFrame =
+    ivfParts(df, idCol, vecCol, queryIds, k, numCells, nProbe,
+      maxTrainRows, labelCol).topk
+
+  private[graft] def ivfParts(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, numCells: Int,
+              nProbe: Int, maxTrainRows: Long,
+              labelCol: Option[String]): IvfParts = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -469,9 +502,13 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+    IvfParts(assigned,
+      centroids.map { case (c, cell) => (cell, c) }.toSeq,
+      probeRows.map { case (q, cell) => (q, cell) },
+      queryVecs.toSeq, scored, topk)
   }
 
   /** Deterministic-replay IVF: the coarse centroids are PINNED to the
@@ -677,10 +714,35 @@ object Similarity {
     * codegen, since it is the one stage that touches every candidate
     * row. `dim` must be divisible by `m`.
     */
+  /** The trained-index internals of [[pqTopK]] / [[ivfPqTopK]], exposed
+    * so [[AnnCertify.pqCertificate]] can verify the KMeans-adaptive
+    * paths' self-consistency invariants (codes are per-subspace argmin
+    * over the emitted codebooks, the ADC shortlist is exactly the
+    * approx-best `rerank` candidates, the top-k is exactly the best of
+    * the shortlist by exact cosine — plus the coarse IVF invariants
+    * when `coarse` is set). All frames ARE the production pipeline.
+    */
+  private[graft] final case class PqParts(
+      coded: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      coarse: Option[(Seq[(Int, Array[Double])], Seq[(Long, Int)])],
+      queryVecs: Seq[(Long, Array[Double])],
+      approxScored: DataFrame,
+      shortlist: DataFrame,
+      exactScored: DataFrame,
+      topk: DataFrame)
+
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int, dim: Int, m: Int = 8,
              ksub: Int = 16, rerank: Int = 50,
-             maxTrainRows: Long = 100000): DataFrame = {
+             maxTrainRows: Long = 100000): DataFrame =
+    pqParts(df, idCol, vecCol, queryIds, k, dim, m, ksub, rerank,
+      maxTrainRows).topk
+
+  private[graft] def pqParts(df: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int, dim: Int, m: Int,
+             ksub: Int, rerank: Int,
+             maxTrainRows: Long): PqParts = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
@@ -737,15 +799,20 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val tbls = tblRows.toDF("query_id", "tbl")
-    val approx = coded.crossJoin(broadcast(tbls))
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("approx",
-        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)))
+    // tracked: the ADC stream feeds the production cutoff AND (when
+    // certified) the shortlist certificate's better-count join — the
+    // cache manager substitutes the subtree in both consumers
+    val approx = graft.data.ScopedCaches.track(
+      coded.crossJoin(broadcast(tbls))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("approx",
+          call_function("pq_adc", col("tbl"), col("codes"), lit(ksub))))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("id").as("neighbor_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("approx"), col("arank"))
     val q = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))
     val exact = cand
@@ -755,9 +822,14 @@ object Similarity {
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w))
+    val topk = exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+    PqParts(coded,
+      centroidArr.map(_.toIndexedSeq).toIndexedSeq,
+      coarse = None, queryVecs.toSeq,
+      approx.select(col("query_id"), col("id"), col("approx")),
+      cand, exact, topk)
   }
 
   /** Test/diagnostic probe for [[ivfPqTopK]]: records how many corpus
@@ -791,7 +863,15 @@ object Similarity {
                 queryIds: Seq[Long], k: Int, dim: Int, numCells: Int = 16,
                 nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                 rerank: Int = 50, maxTrainRows: Long = 100000,
-                diag: Option[IvfPqDiag] = None): DataFrame = {
+                diag: Option[IvfPqDiag] = None): DataFrame =
+    ivfPqParts(df, idCol, vecCol, queryIds, k, dim, numCells, nProbe,
+      m, ksub, rerank, maxTrainRows, diag).topk
+
+  private[graft] def ivfPqParts(df: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int, dim: Int, numCells: Int,
+                nProbe: Int, m: Int, ksub: Int,
+                rerank: Int, maxTrainRows: Long,
+                diag: Option[IvfPqDiag] = None): PqParts = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
@@ -872,15 +952,18 @@ object Similarity {
       d.corpusRows = corpusN
       d.adcScannedRows = probed.count()
     }
-    val approx = probed.join(broadcast(tblRows.toDF("query_id", "tbl")),
-        Seq("query_id"))
-      .withColumn("approx",
-        call_function("pq_adc", col("tbl"), col("codes"), lit(ksub)))
+    // tracked for the same two-consumer reason as [[pqParts]]' ADC stream
+    val approx = graft.data.ScopedCaches.track(
+      probed.join(broadcast(tblRows.toDF("query_id", "tbl")),
+          Seq("query_id"))
+        .withColumn("approx",
+          call_function("pq_adc", col("tbl"), col("codes"), lit(ksub))))
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("id"))
     val cand = approx.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("id").as("neighbor_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("approx"), col("arank"))
     val q = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))
     val exact = cand
@@ -890,9 +973,16 @@ object Similarity {
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w))
+    val topk = exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+    PqParts(coded,
+      subCentroids.map(_.toIndexedSeq).toIndexedSeq,
+      coarse = Some((cellCentroids.map { case (c, cell) => (cell, c) }.toSeq,
+        probeRows.map { case (q2, cell) => (q2, cell) })),
+      queryVecs.toSeq,
+      approx.select(col("query_id"), col("id"), col("approx")),
+      cand, exact, topk)
   }
 
   /** Deterministic pseudo-random hyperplanes (+-1 components) from a

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Embeddings, Multimodal, Packing, Ranking, Sampling, Selection, Similarity, Sketches, TextAnalysis}
+import graft.ops.{AnnCertify, Dedup, Embeddings, Multimodal, Packing, Ranking, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1208,17 +1208,40 @@ object PipelineQueries {
       |WHERE rank <= 3""".stripMargin
 
   /** The filtered search at scale: the same label constraint enforced
-    * inside IVF's probed-cell scan. Rows-only (KMeans); OpsSpec pins
-    * recall vs [[annSameLabel]]'s exact result.
+    * inside IVF's probed-cell scan, registered in CERTIFIED form — the
+    * query runs the full KMeans-adaptive pipeline and emits
+    * [[graft.ops.AnnCertify]]'s deterministic invariant verdicts, which
+    * the DuckDB oracle hash-gates (the training itself cannot be
+    * replayed in SQL, and the oracle never sees the Spark output, so
+    * the trained geometry is checked by certificate instead). OpsSpec
+    * additionally pins recall vs [[annSameLabel]]'s exact result.
     */
-  private def annIvfSameLabel(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3, numCells = 8, nProbe = 4,
-      labelCol = Some("label"))
+  private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  private def annIvfSameLabel(s: SparkSession, dir: String): DataFrame =
+    AnnCertify.ivfCertificate(
+      Similarity.ivfParts(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = annQueryIds, k = 3, numCells = 8, nProbe = 4,
+        maxTrainRows = 100000, labelCol = Some("label")),
+      numCells = 8, nProbe = 4)
+
+  private val annIvfSameLabelCertSql =
+    AnnCertify.ivfCertificateSql(annQueryIds, numCells = 8, nProbe = 4,
+      k = 3)
+
+  /** [[Similarity.ivfTopK]] in certified form — see [[annIvfSameLabel]]
+    * for why the adaptive paths gate on invariant verdicts.
+    */
   private def annIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, numCells = 16, nProbe = 4)
+    AnnCertify.ivfCertificate(
+      Similarity.ivfParts(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = annQueryIds, k = 5, numCells = 16, nProbe = 4,
+        maxTrainRows = 100000, labelCol = None),
+      numCells = 16, nProbe = 4)
+
+  private val annIvfCertSql =
+    AnnCertify.ivfCertificateSql(annQueryIds, numCells = 16, nProbe = 4,
+      k = 5)
 
   /** Hash-gated twin of [[annIvf]]: same cell count and probe width,
     * but the coarse centroids are pinned to 16 evenly-strided corpus
@@ -1473,15 +1496,34 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** [[Similarity.pqTopK]] in certified form — see [[annIvfSameLabel]]
+    * for why the adaptive paths gate on invariant verdicts.
+    */
   private def annPq(s: SparkSession, dir: String): DataFrame =
-    Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, m = 8,
-      ksub = 16, rerank = 50)
+    AnnCertify.pqCertificate(
+      Similarity.pqParts(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = annQueryIds, k = 5, dim = 64, m = 8,
+        ksub = 16, rerank = 50, maxTrainRows = 100000),
+      m = 8, ksub = 16, nProbe = 0)
 
+  private val annPqCertSql =
+    AnnCertify.pqCertificateSql(annQueryIds, m = 8, ksub = 16, rerank = 50,
+      k = 5)
+
+  /** [[Similarity.ivfPqTopK]] in certified form — see
+    * [[annIvfSameLabel]] for why the adaptive paths gate on invariant
+    * verdicts.
+    */
   private def annIvfPq(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, dim = 64, numCells = 16,
-      nProbe = 4, m = 8, ksub = 16, rerank = 50)
+    AnnCertify.pqCertificate(
+      Similarity.ivfPqParts(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryIds = annQueryIds, k = 5, dim = 64, numCells = 16,
+        nProbe = 4, m = 8, ksub = 16, rerank = 50, maxTrainRows = 100000),
+      m = 8, ksub = 16, nProbe = 4, numCells = Some(16))
+
+  private val annIvfPqCertSql =
+    AnnCertify.ivfPqCertificateSql(annQueryIds, numCells = 16, nProbe = 4,
+      m = 8, ksub = 16, rerank = 50, k = 5)
 
   /** Multi-probe LSH top-k. Fully hash-gated: planes are the pinned
     * [[graft.functions.LshKernel]] artifact, so the oracle replays
@@ -5212,17 +5254,18 @@ object PipelineQueries {
       Some(embLshCosinePairsPinnedSql)),
     QueryDef("sim_ann_topk_brute", annBrute, Some(annBruteSql)),
     QueryDef("sim_ann_topk_same_label", annSameLabel, Some(annSameLabelSql)),
-    QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel, None),
+    QueryDef("sim_ann_topk_ivf_filtered", annIvfSameLabel,
+      Some(annIvfSameLabelCertSql)),
     QueryDef("sim_ann_topk_lsh", annLsh, Some(annLshSql)),
     QueryDef("sim_ann_rbo_lsh", annRboLsh, Some(annRboLshSql)),
-    QueryDef("sim_ann_topk_ivf", annIvf, None),
+    QueryDef("sim_ann_topk_ivf", annIvf, Some(annIvfCertSql)),
     QueryDef("sim_ann_topk_ivf_pinned", annIvfPinned, Some(annIvfPinnedSql)),
     QueryDef("sim_ann_recall_pinned", annRecallPinned,
       Some(annRecallPinnedSql)),
     QueryDef("sim_ann_topk_ivf_filtered_pinned", annIvfFilteredPinned,
       Some(annIvfFilteredPinnedSql)),
-    QueryDef("sim_ann_topk_pq", annPq, None),
-    QueryDef("sim_ann_topk_ivfpq", annIvfPq, None),
+    QueryDef("sim_ann_topk_pq", annPq, Some(annPqCertSql)),
+    QueryDef("sim_ann_topk_ivfpq", annIvfPq, Some(annIvfPqCertSql)),
     QueryDef("sim_ann_topk_ivfpq_pinned", annIvfPqPinned,
       Some(annIvfPqPinnedSql)),
     QueryDef("sim_ann_topk_pq_pinned", annPqPinned, Some(annPqPinnedSql)),
