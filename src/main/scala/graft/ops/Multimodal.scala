@@ -565,6 +565,58 @@ object Multimodal {
     })
   }
 
+  /** DataComp-style (image, caption) pair filter — the gated pass a
+    * multimodal training-set curation pipeline runs before paying for
+    * CLIP scoring: one row per decodable image with its caption-side
+    * and image-side signals, one boolean verdict per published rule,
+    * and the conjunction `keep`. Rules (each an already-proven signal
+    * of this library, composed rather than re-derived):
+    *
+    *  - `r_dims`: min(width, height) ≥ `minDim` (real-codec decode —
+    *    the [[imageDHashes]] scan supplies dims and hash in ONE pass);
+    *  - `r_aspect`: max(w,h) ≤ `maxAspect`·min(w,h), exact integers;
+    *  - `r_unique_img`: the image's perceptual dHash is unique in the
+    *    corpus (the DataComp image-dedup step, here as a gate signal);
+    *  - `r_caption_len`: caption has ≥ `minCapTokens` whitespace
+    *    tokens ([[TextAnalysis.tokens]]'s convention);
+    *  - `r_caption_lang`: [[TextAnalysis.langId]]'s stopword-profile
+    *    argmax lands in `okLangs`.
+    *
+    * Scale shape: one decode scan (mapPartitions, zero shuffle), one
+    * map-side-combinable dHash count joined back (the hash domain is
+    * ≤ 2^(gw·gh), broadcastable), and one co-partitioned equi-join to
+    * the caption table on the pair id — everything linear, nothing
+    * quadratic, no window. All verdicts are integer/string compares, so
+    * the pass replays exactly in any engine that replays the pixels.
+    */
+  def dataCompPairFilter(media: Dataset[MediaRow], captions: DataFrame,
+                         idCol: String, textCol: String, minDim: Int,
+                         maxAspect: Int, minCapTokens: Int,
+                         okLangs: Seq[String], gw: Int = 4,
+                         gh: Int = 4): DataFrame = {
+    require(minDim >= 1 && maxAspect >= 1 && minCapTokens >= 0 &&
+      okLangs.nonEmpty, "degenerate filter parameters")
+    val dh = imageDHashes(media, gw, gh).toDF()
+    val dupN = dh.groupBy(col("dhash")).agg(count(lit(1)).as("__n"))
+    val cap = captions.select(col(idCol).cast("long").as("media_id"),
+      size(TextAnalysis.tokens(col(textCol))).as("n_cap_tokens"),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"))
+    dh.join(broadcast(dupN), Seq("dhash"))
+      .join(cap, Seq("media_id"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_cap_tokens"), col("lang_pred"),
+        (least(col("width"), col("height")) >= minDim).as("r_dims"),
+        (greatest(col("width"), col("height")) <=
+          lit(maxAspect) * least(col("width"), col("height")))
+          .as("r_aspect"),
+        (col("__n") === 1L).as("r_unique_img"),
+        (col("n_cap_tokens") >= minCapTokens).as("r_caption_len"),
+        col("lang_pred").isin(okLangs: _*).as("r_caption_lang"))
+      .withColumn("keep", col("r_dims") && col("r_aspect") &&
+        col("r_unique_img") && col("r_caption_len") &&
+        col("r_caption_lang"))
+  }
+
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxDist`, found
     * by PIGEONHOLE BANDING — never an all-pairs scan: the `bits`-bit
     * hash splits into `maxDist+1` equal bands, and two hashes within

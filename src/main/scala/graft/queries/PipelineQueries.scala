@@ -4451,6 +4451,56 @@ object PipelineQueries {
        |       CAST(i.h AS INT) AS height, d.dhash
        |FROM dh d JOIN imgs i USING (media_id)""".stripMargin
 
+  /** DataComp-style (image, caption) pair filter: real-codec dims +
+    * aspect + perceptual-hash uniqueness on the image side, token count
+    * + stopword-profile language on the caption side, one conjunction
+    * verdict per pair. The oracle composes the already-proven planted-
+    * PNG pixel/dHash replay with the langid argmax replay. See
+    * [[graft.ops.Multimodal.dataCompPairFilter]].
+    */
+  private def mmDataCompFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Multimodal.dataCompPairFilter(
+      Multimodal.mediaWithImages(s, docs), docs, "doc_id", "text",
+      minDim = 8, maxAspect = 2, minCapTokens = 5, okLangs = Seq("en"))
+  }
+
+  private lazy val mmDataCompFilterSql = {
+    val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"length(list_intersect(dtoks, $arr)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwordProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH $dhashCtes,
+       |dup AS (SELECT dhash, count(*) AS n FROM dh GROUP BY 1),
+       |capb AS (SELECT doc_id, text,
+       |    list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS dtoks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |caps AS (SELECT doc_id, text, $scores FROM capb),
+       |cap AS (SELECT doc_id AS media_id,
+       |    CAST(length(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS INT) AS n_cap_tokens,
+       |    CASE $cases ELSE '${langs.last}' END AS lang_pred
+       |  FROM caps),
+       |verd AS (SELECT d.media_id, CAST(i.w AS INT) AS width,
+       |    CAST(i.h AS INT) AS height, c.n_cap_tokens, c.lang_pred,
+       |    least(i.w, i.h) >= 8 AS r_dims,
+       |    greatest(i.w, i.h) <= 2 * least(i.w, i.h) AS r_aspect,
+       |    dup.n = 1 AS r_unique_img,
+       |    c.n_cap_tokens >= 5 AS r_caption_len,
+       |    c.lang_pred IN ('en') AS r_caption_lang
+       |  FROM dh d JOIN imgs i USING (media_id) JOIN dup USING (dhash)
+       |       JOIN cap c USING (media_id))
+       |SELECT *, r_dims AND r_aspect AND r_unique_img AND r_caption_len
+       |    AND r_caption_lang AS keep
+       |FROM verd""".stripMargin
+  }
+
   /** Image near-dup pairs at Hamming ≤ 3 over the 16-bit dHash, found
     * by pigeonhole banding (4 bands × 4 bits — recall 1 by
     * construction), verified by exact popcount. See
@@ -5382,5 +5432,7 @@ object PipelineQueries {
     QueryDef("mm_image_dup_groups", mmImageDupGroups,
       Some(mmImageDupGroupsSql)),
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
+    QueryDef("mm_datacomp_pair_filter", mmDataCompFilter,
+      Some(mmDataCompFilterSql)),
   )
 }

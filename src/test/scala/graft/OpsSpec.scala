@@ -1877,6 +1877,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
   }
 
+  test("dataCompPairFilter: every rule gates its pair; non-images are skipped") {
+    import spark.implicits._
+    import graft.ops.Multimodal.MediaRow
+    val en = "the of and to a in is was he for"
+    val fr = "le et les des une du est pour dans ce"
+    val docs = Seq(
+      (0L, en),          // dup image (same png as 2) -> r_unique_img false
+      (2L, en),          // dup image -> false
+      (4L, en),          // 3x20 png -> r_dims AND r_aspect false
+      (6L, en),          // healthy pair -> keep
+      (8L, fr),          // french caption -> r_caption_lang false
+      (10L, "too short"),// 2 tokens -> r_caption_len false
+      (1L, en)           // no image payload -> absent from the output
+    ).toDF("doc_id", "text")
+    val media = spark.createDataset(Seq(
+      MediaRow(0L, "image/png", Multimodal.syntheticPng(99L, 10, 12)),
+      MediaRow(2L, "image/png", Multimodal.syntheticPng(99L, 10, 12)),
+      MediaRow(4L, "image/png", Multimodal.syntheticPng(4L, 3, 20)),
+      MediaRow(6L, "image/png", Multimodal.syntheticPng(6L, 10, 12)),
+      MediaRow(8L, "image/png", Multimodal.syntheticPng(8L, 10, 12)),
+      MediaRow(10L, "image/png", Multimodal.syntheticPng(10L, 10, 12)),
+      MediaRow(1L, "text/plain", en.getBytes("UTF-8"))))
+    val got = Multimodal.dataCompPairFilter(media, docs, "doc_id", "text",
+        minDim = 8, maxAspect = 2, minCapTokens = 5, okLangs = Seq("en"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9), r.getBoolean(10)))).toMap
+    assert(got.keySet == Set(0L, 2L, 4L, 6L, 8L, 10L))
+    // (r_dims, r_aspect, r_unique_img, r_caption_len, r_caption_lang, keep)
+    assert(got(0L) == ((true, true, false, true, true, false)))
+    assert(got(2L) == ((true, true, false, true, true, false)))
+    assert(got(4L) == ((false, false, true, true, true, false)), s"${got(4L)}")
+    assert(got(6L) == ((true, true, true, true, true, true)))
+    assert(got(8L) == ((true, true, true, true, false, false)))
+    assert(got(10L) == ((true, true, true, false, true, false)))
+  }
+
   test("pii audits: a NULL document pins to (0, 0, false), not NPE/-1") {
     // the oracle's LEFT JOIN emits (0, 0, false) for a doc with no
     // candidates; a null text must land on the same convention — the
