@@ -681,6 +681,99 @@ object TextAnalysis {
     * the top-V cut is a TakeOrdered (never a full vocabulary sort); the
     * rank window and the moment aggregate run over V rows only.
     */
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the FIM
+    * augmentation code-model pipelines apply to a fraction of training
+    * documents; StarCoder-style PSM rendering): a deterministic
+    * `rate`-fraction of documents (the [[Sampling.keepExpr]] md5 coin,
+    * so the draw replays in any engine) with at least `minChars`
+    * characters are split at two md5-derived cut points into
+    * (prefix, middle, suffix) and re-rendered as
+    * `<PRE>prefix<SUF>suffix<MID>middle`; everything else passes
+    * through untouched. Cut points land in [1, len−1] so prefix and
+    * suffix are non-empty; the middle may be empty (both cuts equal),
+    * exactly as published. Output per doc: the participation flag, the
+    * three segment lengths and the transformed text.
+    *
+    * Determinism: participation and both cuts are pure md5 arithmetic
+    * over (salt, id) — no RNG state — and the segment math is integer,
+    * so the whole transform hash-replays. Scale shape: pure scan-side
+    * string/column expressions, zero shuffle — same class as
+    * [[redactPii]].
+    */
+  def fimSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, rate: Double, minChars: Int,
+               salt: String = "fim"): org.apache.spark.sql.DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"need rate in (0,1], got $rate")
+    require(minChars >= 2, s"need minChars >= 2, got $minChars")
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    val selected = Sampling.keepExpr(col(idCol), rate, salt) &&
+      len >= minChars
+    val h = md5(concat(lit(s"$salt-cut:"), col(idCol).cast("string")))
+    // greatest(·,1): short non-participants must not feed % 0 (ANSI)
+    val span = greatest(len - 1L, lit(1L))
+    val c1 = conv(substring(h, 1, 8), 16, 10).cast("long") % span + 1L
+    val c2 = conv(substring(h, 9, 8), 16, 10).cast("long") % span + 1L
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.select(col(idCol),
+      selected.as("fim_applied"),
+      when(selected, lo).otherwise(len).as("prefix_len"),
+      when(selected, hi - lo).otherwise(0L).as("middle_len"),
+      when(selected, len - hi).otherwise(0L).as("suffix_len"),
+      when(selected, concat(lit("<PRE>"), t.substr(lit(1), lo.cast("int")),
+          lit("<SUF>"), t.substr((hi + 1L).cast("int"), (len - hi).cast("int")),
+          lit("<MID>"), t.substr((lo + 1L).cast("int"), (hi - lo).cast("int"))))
+        .otherwise(t).as("transformed"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for
+    * each candidate vocabulary size V, the fraction of TOKEN
+    * OCCURRENCES a top-V frequency-ranked vocabulary covers (and its
+    * complement, the OOV rate a V-entry word-level vocab would pay).
+    * Rank order is (freq desc, term asc), so the curve is deterministic
+    * under frequency ties; a V beyond the observed vocabulary clamps to
+    * full coverage. One row per requested size:
+    * (`vocab_size`, `covered_tokens`, `total_tokens`, `oov_rate` 6dp).
+    *
+    * Scale shape: ONE map-side-combinable term count collapses the
+    * corpus to its dictionary; the top-max(V) cut is a TakeOrdered
+    * (never a dictionary-wide single-partition sort), and the
+    * cumulative + lookup run over ≤ max(V) rows. The curve costs the
+    * same one shuffle as [[corpusZipfFit]].
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    vocabSizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ >= 1),
+      s"need positive vocab sizes, got $vocabSizes")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val maxV = vocabSizes.max
+    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val tot = tf.agg(sum(col("freq")).as("total_tokens"))
+    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(maxV)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("term").asc)))
+    val cum = top.withColumn("cum", sum(col("freq"))
+      .over(Window.orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mx = cum.agg(max(col("rank")).as("mr"))
+    vocabSizes.toDF("vocab_size")
+      .crossJoin(broadcast(mx))
+      .withColumn("__key", least(col("vocab_size").cast("long"),
+        col("mr").cast("long")))
+      .join(broadcast(cum.select(col("rank").cast("long").as("__key"),
+        col("cum"))), Seq("__key"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("cum").as("covered_tokens"),
+        col("total_tokens"),
+        round((col("total_tokens") - col("cum")).cast("double") /
+          col("total_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   def corpusZipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
                     topV: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1000,6 +1093,52 @@ object TextAnalysis {
       round(meanG, 6).as("mean_lm_score"), col("excess_loss"),
       round(col("__e9").cast("double") / col("__w9").cast("double"), 6)
         .as("doremi_w"))
+  }
+
+  /** Quality-gate threshold sweep — the selection-planning curve a
+    * curation pipeline reads before fixing its filter: for each decile
+    * threshold of the [[lmScore]] distribution, how many documents and
+    * how many tokens a "score strictly above threshold" gate would
+    * keep (the [[ccnetBuckets]] tie rule: ties fall below the gate).
+    * One row per decile d = 1..9: (`decile`, `threshold`,
+    * `n_docs_kept`, `n_tokens_kept`, `frac_docs`, `frac_tokens`) —
+    * data-vs-quality trade-off at a glance, token-weighted because
+    * training budgets are token budgets. Only lmScore-scoreable docs
+    * (≥ 2 tokens) participate, as in [[ccnetBuckets]].
+    *
+    * Determinism: thresholds are exact percentiles over the 6dp-pinned
+    * scores, re-rounded to 6dp before the strictly-greater compare;
+    * counts are exact integers; fractions are single fixed-order
+    * divisions rounded 6dp. Scale shape: the lmScore passes, one
+    * percentile aggregate broadcast back, and ONE conditional
+    * aggregation over the 9-row threshold broadcast — no per-threshold
+    * rescan, nothing quadratic.
+    */
+  def qualityGateSweep(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val sc = lmScore(df, idCol, textCol).select(col(idCol), col("lm_score"))
+    val toks = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("__ntok"))
+    val j = graft.data.ScopedCaches.track(sc.join(toks, Seq(idCol)))
+    val ps = (1 to 9).map(d => d / 10.0)
+    val thr = j.agg(percentile(col("lm_score"),
+        typedLit(ps.toArray)).as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__thr")))
+      .select((col("__p") + 1).cast("int").as("decile"),
+        round(col("__thr"), 6).as("threshold"))
+    val tot = j.agg(count(lit(1)).as("__nd"), sum(col("__ntok")).as("__nt"))
+    val keep = col("lm_score") > col("threshold")
+    j.crossJoin(broadcast(thr))
+      .groupBy(col("decile"), col("threshold"))
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(keep, col("__ntok")).otherwise(0L)).as("n_tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("threshold"), col("n_docs_kept"),
+        col("n_tokens_kept"),
+        round(col("n_docs_kept").cast("double") /
+          col("__nd").cast("double"), 6).as("frac_docs"),
+        round(col("n_tokens_kept").cast("double") /
+          col("__nt").cast("double"), 6).as("frac_tokens"))
   }
 
   def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,

@@ -3372,6 +3372,112 @@ object PipelineQueries {
       |       round(regr_intercept(y, x), 6) AS zipf_intercept
       |FROM xy""".stripMargin
 
+  /** Quality-gate threshold sweep over the lmScore deciles: docs and
+    * tokens kept per candidate gate. The oracle composes the proven
+    * per-doc lmScore SQL with quantile_cont thresholds (p written as
+    * CAST(d AS DOUBLE)/10 to match Scala's d/10.0 bit-for-bit). See
+    * [[graft.ops.TextAnalysis.qualityGateSweep]].
+    */
+  private def docQualitySweep(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGateSweep(Tables.documents(s, dir), "doc_id",
+      "text")
+
+  private lazy val docQualitySweepSql =
+    s"""WITH sc AS (SELECT doc_id, lm_score FROM ($lmScoreSql) z),
+       |tok AS (SELECT doc_id,
+       |          CAST(length(string_split_regex(lower(trim(text)),
+       |            '\\s+')) AS BIGINT) AS ntok
+       |        FROM documents),
+       |j AS (SELECT sc.doc_id, sc.lm_score, tok.ntok
+       |      FROM sc JOIN tok USING (doc_id)),
+       |q AS (SELECT quantile_cont(lm_score, [${(1 to 9)
+                .map(d => s"CAST($d AS DOUBLE) / 10").mkString(", ")}])
+       |        AS qs
+       |      FROM j),
+       |thr AS (SELECT d, round(qs[d], 6) AS t
+       |        FROM q CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6),
+       |                                  (7), (8), (9)) dd(d)),
+       |tot AS (SELECT count(*) AS nd, CAST(sum(ntok) AS BIGINT) AS nt
+       |        FROM j)
+       |SELECT CAST(thr.d AS INT) AS decile, thr.t AS threshold,
+       |  CAST(coalesce(sum(CASE WHEN j.lm_score > thr.t THEN 1 END), 0)
+       |    AS BIGINT) AS n_docs_kept,
+       |  CAST(coalesce(sum(CASE WHEN j.lm_score > thr.t THEN j.ntok END),
+       |    0) AS BIGINT) AS n_tokens_kept,
+       |  round(CAST(coalesce(sum(CASE WHEN j.lm_score > thr.t THEN 1 END),
+       |      0) AS DOUBLE) / CAST(tot.nd AS DOUBLE), 6) AS frac_docs,
+       |  round(CAST(coalesce(sum(CASE WHEN j.lm_score > thr.t
+       |        THEN j.ntok END), 0) AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6)
+       |    AS frac_tokens
+       |FROM j CROSS JOIN thr CROSS JOIN tot
+       |GROUP BY thr.d, thr.t, tot.nd, tot.nt""".stripMargin
+
+  /** FIM (fill-in-the-middle) augmentation over half the corpus at
+    * minChars=40, PSM rendering — the code-model training transform.
+    * The oracle replays the md5 participation coin and both md5 cut
+    * points. See [[graft.ops.TextAnalysis.fimSplit]].
+    */
+  private def fimSplitQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fimSplit(Tables.documents(s, dir), "doc_id", "text",
+      rate = 0.5, minChars = 40)
+
+  private lazy val fimSplitSql = {
+    val thr = graft.ops.Sampling.hexThreshold(0.5)
+    s"""WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    md5('fim:' || CAST(doc_id AS VARCHAR)) < '$thr'
+       |      AND length(text) >= 40 AS sel,
+       |    CAST('0x' || substr(md5('fim-cut:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8) AS BIGINT) % greatest(length(text) - 1, 1) + 1 AS c1,
+       |    CAST('0x' || substr(md5('fim-cut:' || CAST(doc_id AS VARCHAR)),
+       |      9, 8) AS BIGINT) % greatest(length(text) - 1, 1) + 1 AS c2
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, len, sel,
+       |        least(c1, c2) AS lo, greatest(c1, c2) AS hi
+       |      FROM b)
+       |SELECT doc_id, sel AS fim_applied,
+       |  CAST(CASE WHEN sel THEN lo ELSE len END AS BIGINT) AS prefix_len,
+       |  CAST(CASE WHEN sel THEN hi - lo ELSE 0 END AS BIGINT)
+       |    AS middle_len,
+       |  CAST(CASE WHEN sel THEN len - hi ELSE 0 END AS BIGINT)
+       |    AS suffix_len,
+       |  CASE WHEN sel THEN '<PRE>' || substr(text, 1, CAST(lo AS INT))
+       |    || '<SUF>' || substr(text, CAST(hi + 1 AS INT))
+       |    || '<MID>' || substr(text, CAST(lo + 1 AS INT),
+       |         CAST(hi - lo AS INT))
+       |  ELSE text END AS transformed
+       |FROM c""".stripMargin
+  }
+
+  /** Vocabulary coverage / OOV-rate curve at word-vocab sizes
+    * {100, 300, 1000, 3000, 10000} — the tokenizer-sizing companion to
+    * `text_zipf_fit`. See [[graft.ops.TextAnalysis.vocabCoverage]].
+    */
+  private def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+      vocabSizes = Seq(100, 300, 1000, 3000, 10000))
+
+  private val vocabCoverageSql =
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),
+      |                            '\s+')) AS t
+      |              FROM documents),
+      |tf AS (SELECT t AS term, count(*) AS freq FROM toks
+      |       WHERE t <> '' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM tf),
+      |top AS (SELECT freq, row_number() OVER
+      |          (ORDER BY freq DESC, term) AS rank
+      |        FROM tf ORDER BY freq DESC, term LIMIT 10000),
+      |cum AS (SELECT rank, CAST(sum(freq) OVER (ORDER BY rank) AS BIGINT)
+      |          AS cum
+      |        FROM top),
+      |mx AS (SELECT max(rank) AS mr FROM cum)
+      |SELECT CAST(v.v AS INT) AS vocab_size, c.cum AS covered_tokens,
+      |       t.total_tokens,
+      |       round(CAST(t.total_tokens - c.cum AS DOUBLE) /
+      |             CAST(t.total_tokens AS DOUBLE), 6) AS oov_rate
+      |FROM (VALUES (100), (300), (1000), (3000), (10000)) v(v)
+      |CROSS JOIN mx CROSS JOIN tot t
+      |JOIN cum c ON c.rank = least(v.v, mx.mr)""".stripMargin
+
   /** Hill tail-index of the token-frequency distribution, k=50 — the
     * heavy-tail exponent companion to `text_zipf_fit`. Per-term ln(f)
     * is ×10⁹-BIGINT-pinned before summing; γ̂/α̂ are single fixed-order
@@ -5378,6 +5484,9 @@ object PipelineQueries {
     QueryDef("text_pmi_collocations", pmiColloc, Some(pmiCollocSql)),
     QueryDef("text_bm25_rank", bm25Rank, Some(bm25RankSql)),
     QueryDef("text_zipf_fit", zipfFit, Some(zipfFitSql)),
+    QueryDef("text_vocab_coverage", vocabCoverageQ, Some(vocabCoverageSql)),
+    QueryDef("text_fim_split", fimSplitQ, Some(fimSplitSql)),
+    QueryDef("doc_quality_sweep", docQualitySweep, Some(docQualitySweepSql)),
     QueryDef("text_hill_tail", hillTail, Some(hillTailSql)),
     QueryDef("corpus_drift_jsd", driftJsd, Some(driftJsdSql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -107,6 +107,7 @@ object PlanAudit {
     "ev_mad_outliers", "ev_p50_by_type", "ev_periodogram",
     "ev_psi_value_drift", "ev_rfm_segments", "ev_survival_km",
     "ev_theilsen_trend", "ev_value_quantiles", "ev_winsorize",
+    "doc_quality_sweep",
     "pipeline_governance", "search_mmr_rerank", "text_ccnet_buckets",
     "text_ccnet_kn_agreement", "text_drop_stopwords", "text_quality_gate",
     "text_rake_keyphrases")
@@ -150,6 +151,7 @@ object PlanAudit {
     "search_hybrid_rrf" -> "rank over the top-k-limited fused rows",
     "text_bm25_rank" -> "rank over the top-k-limited scored rows",
     "text_zipf_fit" -> "rank over the TakeOrdered top-V terms",
+    "text_vocab_coverage" -> "rank+cumulative over TakeOrdered top-V terms",
     "text_hill_tail" -> "rank over the TakeOrdered top k+1 terms",
     // calendar / bucket / grid domains: the window input is a
     // domain-sized aggregate, never corpus rows

@@ -1877,6 +1877,104 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
   }
 
+  test("qualityGateSweep: decile curve matches a model over lmScore output") {
+    import spark.implicits._
+    val docsDf = docs(corpus)
+    val got = TextAnalysis.qualityGateSweep(docsDf, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.size == 9)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model from the op's own scored docs (lmScore is spec'd elsewhere)
+    val sc = TextAnalysis.lmScore(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ntok = docsDf.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong).toMap
+    val scored = sc.keys.toSeq.map(id => (sc(id), ntok(id)))
+    val (nd, nt) = (scored.size.toLong, scored.map(_._2).sum)
+    def pct(p: Double): Double = {
+      val s = scored.map(_._1).sorted
+      val idx = p * (s.length - 1)
+      val lo = idx.toInt
+      val f = idx - lo
+      r6(if (lo + 1 < s.length) s(lo) + f * (s(lo + 1) - s(lo)) else s(lo))
+    }
+    for (d <- 1 to 9) {
+      val t = pct(d / 10.0)
+      val kept = scored.filter(_._1 > t)
+      val (kd, kt) = (kept.size.toLong, kept.map(_._2).sum)
+      assert(got(d) == ((t, kd, kt, r6(kd.toDouble / nd),
+        r6(kt.toDouble / nt))), s"decile $d: ${got(d)}")
+    }
+    // the curve is monotone: higher gates keep fewer docs
+    val keptByD = (1 to 9).map(d => got(d)._2)
+    assert(keptByD.zip(keptByD.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("fimSplit: PSM segments reassemble the doc; coin and cuts match the md5 model") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 7 == 0) "tiny" else s"doc $i " + ("abcdefghij" * 8)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fimSplit(docs, "doc_id", "text",
+        rate = 0.5, minChars = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val thr = graft.ops.Sampling.hexThreshold(0.5)
+    var applied = 0
+    for ((id, text) <- texts) {
+      val (fim, pl, ml, sl, out) = got(id)
+      val sel = md5hex(s"fim:$id") < thr && text.length >= 40
+      assert(fim == sel, s"doc $id participation")
+      if (!sel) {
+        assert((pl, ml, sl, out) == ((text.length.toLong, 0L, 0L, text)))
+      } else {
+        applied += 1
+        val h = md5hex(s"fim-cut:$id")
+        val span = text.length - 1
+        val c1 = java.lang.Long.parseLong(h.substring(0, 8), 16) % span + 1
+        val c2 = java.lang.Long.parseLong(h.substring(8, 16), 16) % span + 1
+        val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+        assert((pl, ml, sl) == ((lo, hi - lo, text.length - hi)), s"doc $id")
+        val (p, m, sfx) = (text.substring(0, lo.toInt),
+          text.substring(lo.toInt, hi.toInt), text.substring(hi.toInt))
+        assert(out == s"<PRE>$p<SUF>$sfx<MID>$m", s"doc $id render")
+        assert(p + m + sfx == text, s"doc $id must reassemble")
+        assert(p.nonEmpty && sfx.nonEmpty)
+      }
+    }
+    // the coin is live both ways and short docs always pass through
+    assert(applied > 0 && applied < texts.count(_._2.length >= 40))
+  }
+
+  test("vocabCoverage: curve matches a counted model and clamps past the vocab") {
+    import spark.implicits._
+    // freq: aa=4, bb=3, cc=2, dd=1 (10 tokens, 4 terms)
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "aa bb dd"), (3L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 3, 100))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((4L, 10L, 0.6)))
+    assert(got(2) == ((7L, 10L, 0.3)))
+    assert(got(3) == ((9L, 10L, 0.1)))
+    // V beyond the observed vocabulary clamps to full coverage
+    assert(got(100) == ((10L, 10L, 0.0)))
+    // frequency tie breaks by term: "ab ba" ranks ab first
+    val tie = TextAnalysis.vocabCoverage(
+      Seq((1L, "ba ab")).toDF("doc_id", "text"), "text", Seq(1))
+      .collect().head
+    assert(tie.getLong(1) == 1L && tie.getDouble(3) == 0.5)
+  }
+
   test("dataCompPairFilter: every rule gates its pair; non-images are skipped") {
     import spark.implicits._
     import graft.ops.Multimodal.MediaRow
