@@ -868,4 +868,15 @@ object StreamOps extends Serializable {
   def piiLuhnStream(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame =
     graft.ops.TextAnalysis.piiLuhnAudit(docs, idCol, textCol)
+
+  /** Streaming FIM augmentation: the transform is pure per-row md5
+    * arithmetic + substring rendering ([[graft.ops.TextAnalysis
+    * .fimSplit]]) — no aggregate, no state — so the SAME plan runs
+    * append-mode at ingest, where a code-model pipeline actually
+    * applies FIM (per arriving document, before writing the training
+    * shard). Parity definitional, pinned by StreamingSpec.
+    */
+  def fimSplitStream(docs: DataFrame, idCol: String, textCol: String,
+                     rate: Double, minChars: Int): DataFrame =
+    graft.ops.TextAnalysis.fimSplit(docs, idCol, textCol, rate, minChars)
 }

@@ -282,7 +282,12 @@ class StreamingSpec extends AnyFunSuite {
         StreamOps.fineWebGateStream(stream, "doc_id", "text")),
       ("graft_luhn_out",
         TextAnalysis.piiLuhnAudit(docs, "doc_id", "text"),
-        StreamOps.piiLuhnStream(stream, "doc_id", "text")))) {
+        StreamOps.piiLuhnStream(stream, "doc_id", "text")),
+      ("graft_fim_out",
+        TextAnalysis.fimSplit(docs, "doc_id", "text", rate = 0.5,
+          minChars = 40),
+        StreamOps.fimSplitStream(stream, "doc_id", "text", rate = 0.5,
+          minChars = 40)))) {
       val expected = batchF.collect().map(_.toSeq).toSet
       val q = streamF.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
