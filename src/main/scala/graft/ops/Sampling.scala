@@ -300,6 +300,81 @@ object Sampling {
         round(w, 6).as("mix_w"), round(rate, 6).as("rate"))
   }
 
+  /** Temperature-mixing PLANNING curve — the α sweep read before fixing
+    * [[temperatureMix]]'s temperature: one row per (α, source) with the
+    * mixture weight, realized keep-rate, the EXACT number of documents
+    * the pinned md5 draw would keep at that α (same salt convention as
+    * the mixing op — this is the realized plan, not an estimate), and
+    * two per-α mixture summaries: the Kish effective source count
+    * ESS = (Σw)²/Σw² (how many equal-weight sources the mixture is
+    * worth — 1 ≈ monoculture, |sources| ≈ uniform) and the largest
+    * source's share. α is restricted to the QUARTER grid
+    * {0, 0.25, 0.5, 0.75, 1}: n^(k/4) factors into nested `sqrt`s —
+    * correctly rounded per IEEE-754 in every engine, unlike `pow`,
+    * which [[temperatureMix]]'s own contract rejects for hash gates —
+    * and the α values themselves are dyadic, so even the α column
+    * round-trips bit-exactly. Each n^α is ×10⁹-BIGINT-pinned before
+    * the per-α normalizer sums it (order-free); ESS squares sum in
+    * DECIMAL(38,0); every emitted double is one fixed-order expression
+    * over exact integers, rounded 6dp.
+    *
+    * Scale shape: one sources-sized count aggregate reused across the
+    * α grid (a ≤ 5·|sources|-row table), and ONE corpus scan joined to
+    * that broadcast grid for the exact kept-counts — a combinable
+    * count, no corpus shuffle, |grid|× scan-side row expansion only.
+    */
+  def temperatureMixPlan(df: DataFrame, keyCol: String, groupCol: String,
+                         targetRows: Long,
+                         alphas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
+                         salt: String = "tmix"): DataFrame = {
+    val quarters = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    require(alphas.nonEmpty && alphas.forall(quarters.contains),
+      s"alphas must be on the quarter grid $quarters, got $alphas")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    def nAlpha(a: Double): Column = a match {
+      case 0.0 => lit(1.0)
+      case 0.25 => sqrt(sqrt(nD))
+      case 0.5 => sqrt(nD)
+      case 0.75 => sqrt(nD) * sqrt(sqrt(nD))
+      case _ => nD
+    }
+    val grid = alphas.map(a => counts
+        .withColumn("alpha", lit(a))
+        .withColumn("__wa9", round(nAlpha(a) * 1e9).cast("long")))
+      .reduce(_.unionByName(_))
+    val byA = org.apache.spark.sql.expressions.Window.partitionBy("alpha")
+    val dec = "decimal(38,0)"
+    val planned = grid
+      .withColumn("__wt9", sum(col("__wa9")).over(byA))
+      .withColumn("__sq", sum(col("__wa9").cast(dec) *
+        col("__wa9").cast(dec)).over(byA))
+      .withColumn("__mx9", max(col("__wa9")).over(byA))
+    val w = col("__wa9").cast("double") / col("__wt9").cast("double")
+    val rate = least(lit(1.0),
+      lit(targetRows.toDouble) * w / col("__n").cast("double"))
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    val plan = planned.withColumn("__thr", thr).withColumn("__rate", rate)
+    val kept = df.select(col(keyCol).as("__k"), col(groupCol))
+      .join(broadcast(plan.select(col(groupCol), col("alpha"),
+        col("__thr"), col("__rate"))), Seq(groupCol))
+      .filter(col("__rate") >= 1.0 ||
+        md5(concat(lit(salt), lit(":"), col("__k").cast("string"))) <
+          col("__thr"))
+      .groupBy(col(groupCol), col("alpha"))
+      .agg(count(lit(1)).as("kept_docs"))
+    plan.join(kept, Seq(groupCol, "alpha"), "left")
+      .select(col("alpha"), col(groupCol), col("__n").as("n_docs"),
+        round(w, 6).as("mix_w"), round(rate, 6).as("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        round((col("__wt9").cast("double") * col("__wt9").cast("double")) /
+          col("__sq").cast("double"), 6).as("ess_sources"),
+        round(col("__mx9").cast("double") / col("__wt9").cast("double"), 6)
+          .as("max_share"))
+  }
+
   /** Neyman-allocation stratified sampling (Neyman 1934): a total
     * budget of `budget` rows split across strata proportionally to
     * N_h·σ_h — variance-heavy strata get more samples, which minimizes

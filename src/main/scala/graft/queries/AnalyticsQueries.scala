@@ -667,6 +667,55 @@ object AnalyticsQueries {
       |      lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
       |           8, '0')""".stripMargin
 
+  /** Temperature-mixing planning curve over the quarter-α grid with
+    * target 300 and the SAME salt as `doc_temperature_mix`, so the
+    * α=0.5 row's kept set is exactly the mixing query's draw. See
+    * [[graft.ops.Sampling.temperatureMixPlan]].
+    */
+  private def docTemperaturePlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMixPlan(Tables.documents(s, dir),
+      "doc_id", "source", targetRows = 300)
+
+  private val docTemperaturePlanSql =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(0.0 AS DOUBLE) AS alpha, source, n,
+      |         CAST(round(1.0 * 1e9) AS BIGINT) AS wa9 FROM c
+      |  UNION ALL SELECT CAST(0.25 AS DOUBLE), source, n,
+      |    CAST(round(sqrt(sqrt(CAST(n AS DOUBLE))) * 1e9) AS BIGINT) FROM c
+      |  UNION ALL SELECT CAST(0.5 AS DOUBLE), source, n,
+      |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) FROM c
+      |  UNION ALL SELECT CAST(0.75 AS DOUBLE), source, n,
+      |    CAST(round(sqrt(CAST(n AS DOUBLE)) *
+      |      sqrt(sqrt(CAST(n AS DOUBLE))) * 1e9) AS BIGINT) FROM c
+      |  UNION ALL SELECT CAST(1.0 AS DOUBLE), source, n,
+      |    CAST(round(CAST(n AS DOUBLE) * 1e9) AS BIGINT) FROM c),
+      |t AS (SELECT alpha, CAST(sum(wa9) AS BIGINT) AS wt9,
+      |        sum(CAST(wa9 AS HUGEINT) * CAST(wa9 AS HUGEINT)) AS sq,
+      |        CAST(max(wa9) AS BIGINT) AS mx9
+      |      FROM g GROUP BY 1),
+      |r AS (SELECT g.alpha, g.source, g.n, t.wt9, t.sq, t.mx9,
+      |        CAST(g.wa9 AS DOUBLE) / CAST(t.wt9 AS DOUBLE) AS w,
+      |        least(1.0, 300.0 *
+      |          (CAST(g.wa9 AS DOUBLE) / CAST(t.wt9 AS DOUBLE)) /
+      |          CAST(g.n AS DOUBLE)) AS rate
+      |      FROM g JOIN t USING (alpha)),
+      |k AS (SELECT r.alpha, d.source, count(*) AS kept
+      |      FROM documents d JOIN r ON r.source = d.source
+      |      WHERE r.rate >= 1.0
+      |         OR md5('tmix:' || CAST(d.doc_id AS VARCHAR)) <
+      |            lpad(lower(hex(CAST(floor(r.rate * 4294967296.0)
+      |              AS BIGINT))), 8, '0')
+      |      GROUP BY 1, 2)
+      |SELECT r.alpha, r.source, CAST(r.n AS BIGINT) AS n_docs,
+      |  round(r.w, 6) AS mix_w, round(r.rate, 6) AS rate,
+      |  CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_docs,
+      |  round(CAST(r.wt9 AS DOUBLE) * CAST(r.wt9 AS DOUBLE) /
+      |    CAST(r.sq AS DOUBLE), 6) AS ess_sources,
+      |  round(CAST(r.mx9 AS DOUBLE) / CAST(r.wt9 AS DOUBLE), 6)
+      |    AS max_share
+      |FROM r LEFT JOIN k ON k.alpha = r.alpha AND k.source = r.source""".stripMargin
+
   /** Composed corpus-governance pipeline, one Catalyst tree: GDPR
     * erasure scrub (deterministic 2% request set, scan-side predicate)
     * → uniform language rebalance with rates derived from the
@@ -1873,6 +1922,8 @@ object AnalyticsQueries {
       Some(docLangRebalanceSql)),
     QueryDef("doc_temperature_resample", docTemperatureResample,
       Some(docTemperatureResampleSql)),
+    QueryDef("doc_temperature_plan", docTemperaturePlan,
+      Some(docTemperaturePlanSql)),
     QueryDef("doc_temperature_mix", docTemperatureMix,
       Some(docTemperatureMixSql)),
     QueryDef("doc_token_budget_mix", docTokenBudgetMix,

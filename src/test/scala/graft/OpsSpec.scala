@@ -1877,6 +1877,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
   }
 
+  test("temperatureMixPlan: quarter-grid curve matches an exact model; alpha=0.5 equals the mix draw") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, "a")) ++
+      (60L until 90L).map(i => (i, "b")) ++ (90L until 100L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.temperatureMixPlan(df, "doc_id", "source",
+        targetRows = 50)
+      .collect().map(r => (r.getDouble(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size == 15)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val n = Map("a" -> 60L, "b" -> 30L, "c" -> 10L)
+    def nAlpha(a: Double, m: Long): Double = a match {
+      case 0.0 => 1.0
+      case 0.25 => math.sqrt(math.sqrt(m.toDouble))
+      case 0.5 => math.sqrt(m.toDouble)
+      case 0.75 => math.sqrt(m.toDouble) * math.sqrt(math.sqrt(m.toDouble))
+      case _ => m.toDouble
+    }
+    for (a <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val wa9 = n.view.mapValues(m => math.round(nAlpha(a, m) * 1e9)).toMap
+      val wt9 = wa9.values.sum
+      val ess = r6(wt9.toDouble * wt9.toDouble /
+        wa9.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+      val mxs = r6(wa9.values.max.toDouble / wt9.toDouble)
+      for (g <- Seq("a", "b", "c")) {
+        val w = wa9(g).toDouble / wt9.toDouble
+        val rate = math.min(1.0, 50.0 * w / n(g).toDouble)
+        val thrHex = f"${math.floor(rate * 4294967296.0).toLong}%08x"
+        val kept = rows.filter(_._2 == g).count { case (id, _) =>
+          rate >= 1.0 || md5hex(s"tmix:$id") < thrHex }
+        assert(got((a, g)) == ((n(g), r6(w), r6(rate), kept.toLong, ess,
+          mxs)), s"alpha=$a g=$g: ${got((a, g))}")
+      }
+    }
+    // alpha=1 is the natural mixture: every rate is target/total
+    assert(got((1.0, "a"))._3 == 0.5 && got((1.0, "c"))._3 == 0.5)
+    // alpha=0 is uniform weights: the small source gets the largest rate
+    assert(got((0.0, "c"))._3 > got((0.0, "a"))._3)
+    // the alpha=0.5 kept counts ARE temperatureMix's draw (same salt)
+    val mixKept = Sampling.temperatureMix(df, "doc_id", "source",
+        alpha = 0.5, targetRows = 50)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (g <- Seq("a", "b", "c"))
+      assert(got((0.5, g))._4 == mixKept.getOrElse(g, 0L), s"mix parity $g")
+  }
+
   test("qualityGateSweep: decile curve matches a model over lmScore output") {
     import spark.implicits._
     val docsDf = docs(corpus)
