@@ -35,4 +35,56 @@ object Packing {
         floor((col("__cum") - col(nTokensCol)) * lit(1.0) / budget)
           .cast("long").as("pack_id"))
   }
+
+  /** Packing-efficiency audit of [[contiguousPack]]'s concat-then-chunk
+    * scheme — the readout a pipeline checks before committing a shard
+    * key and budget. Concat-then-chunk wastes nothing EXCEPT each
+    * shard's tail, but it pays a different cost: every document whose
+    * token run crosses a pack boundary is SPLIT across training
+    * sequences (cross-document attention truncation). Per shard:
+    *
+    *  - `n_docs`, `total_tokens`, `n_packs` (= ceil(total/budget));
+    *  - `n_boundary_docs` / `boundary_frac`: docs whose first and last
+    *    token land in different packs (zero-token docs never count);
+    *  - `tail_fill_tokens`: the last pack's occupancy (= budget when
+    *    the shard divides exactly);
+    *  - `mean_fill`: total/(n_packs·budget), 6dp — 1.0 minus tail
+    *    waste.
+    *
+    * A high `boundary_frac` says the budget is small relative to doc
+    * length (split almost everything); a low `mean_fill` with many
+    * shards says the shard key is too fine (every shard pays a tail).
+    * Same scale shape as the packer: the prefix sum is partitioned by
+    * shard, then ONE per-shard combinable aggregate — parallelism is
+    * the shard count, nothing global.
+    */
+  def packEfficiency(df: DataFrame, idCol: String, nTokensCol: String,
+                     shardCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = col(nTokensCol)
+    val cum = df.select(col(shardCol), col(idCol), n,
+      sum(n).over(w).as("__cum"))
+    val startPack = floor((col("__cum") - n) * lit(1.0) / budget)
+    val endPack = floor((col("__cum") - 1L) * lit(1.0) / budget)
+    val boundary = n > 0L && startPack =!= endPack
+    val totals = cum.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n).cast("long").as("total_tokens"),
+        sum(when(boundary, 1L).otherwise(0L)).as("n_boundary_docs"))
+    val nPacks = floor((col("total_tokens") + (budget - 1L)) * lit(1.0) /
+      budget).cast("long")
+    val tailRem = col("total_tokens") % budget
+    totals.select(col(shardCol), col("n_docs"), col("total_tokens"),
+      nPacks.as("n_packs"), col("n_boundary_docs"),
+      round(col("n_boundary_docs").cast("double") /
+        col("n_docs").cast("double"), 6).as("boundary_frac"),
+      when(col("total_tokens") > 0L && tailRem === 0L, lit(budget))
+        .otherwise(tailRem).cast("long").as("tail_fill_tokens"),
+      when(col("total_tokens") > 0L,
+        round(col("total_tokens").cast("double") /
+          (nPacks * lit(budget)).cast("double"), 6))
+        .otherwise(lit(0.0)).as("mean_fill"))
+  }
 }

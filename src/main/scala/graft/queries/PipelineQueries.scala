@@ -4186,6 +4186,48 @@ object PipelineQueries {
       |    AS pack_id
       |FROM b""".stripMargin
 
+  /** Packing-efficiency audit of `doc_pack_assignments`' exact scheme
+    * (same shard key, same budget): boundary-split docs, tail fill and
+    * mean fill per shard. See [[graft.ops.Packing.packEfficiency]].
+    */
+  private def packEff(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("source"),
+      col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packEfficiency(scored, "doc_id", "n_tokens", "source",
+      budget = 512)
+  }
+
+  private val packEffSql =
+    """WITH b AS (SELECT source, doc_id,
+      |  CAST(length(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+      |    AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM b),
+      |m AS (SELECT source, count(*) AS n_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |        CAST(sum(CASE WHEN n_tokens > 0 AND
+      |            floor((cum - n_tokens) * 1.0 / 512) <>
+      |            floor((cum - 1) * 1.0 / 512)
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+      |      FROM c GROUP BY 1)
+      |SELECT source, n_docs, total_tokens,
+      |  CAST(floor((total_tokens + 511) * 1.0 / 512) AS BIGINT) AS n_packs,
+      |  n_boundary_docs,
+      |  round(CAST(n_boundary_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    AS boundary_frac,
+      |  CAST(CASE WHEN total_tokens > 0 AND total_tokens % 512 = 0
+      |       THEN 512 ELSE total_tokens % 512 END AS BIGINT)
+      |    AS tail_fill_tokens,
+      |  CASE WHEN total_tokens > 0
+      |       THEN round(CAST(total_tokens AS DOUBLE) /
+      |         CAST(floor((total_tokens + 511) * 1.0 / 512) * 512
+      |           AS DOUBLE), 6)
+      |       ELSE 0.0 END AS mean_fill
+      |FROM m""".stripMargin
+
   /** The flagship composed pipeline — what the library exists for, as
     * ONE declarative plan: quality + language gate → PII redaction →
     * exact dedup (keep min id per normalized fingerprint) → near-dup
@@ -5514,6 +5556,7 @@ object PipelineQueries {
     QueryDef("text_rake_keyphrases", rakeKeyphrasesQ,
       Some(rakeKeyphrasesSql)),
     QueryDef("doc_pack_assignments", packs, Some(packsSql)),
+    QueryDef("doc_pack_efficiency", packEff, Some(packEffSql)),
     QueryDef("pipeline_e2e_prep", e2ePrep, Some(e2ePrepSql)),
     QueryDef("s_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     QueryDef("s_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),

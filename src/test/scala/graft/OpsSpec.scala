@@ -1877,6 +1877,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L)._1 == 1 && got(7L)._3 == valid("GB8212345678901"))
   }
 
+  test("packEfficiency: boundary docs, tail fill and mean fill match hand counts") {
+    import spark.implicits._
+    // shard a, budget 10: docs 4+4+4 -> doc 2 (cum 8->12) crosses the
+    // pack-0/1 boundary; total 12 -> 2 packs, tail 2, fill 0.6
+    // shard b: 10+10 divides exactly -> no boundary, tail = budget, fill 1
+    // shard c: a zero-token doc never counts as boundary
+    val df = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L),
+      ("b", 1L, 10L), ("b", 2L, 10L),
+      ("c", 1L, 0L), ("c", 2L, 3L)
+    ).toDF("shard", "doc_id", "n_tokens")
+    val got = graft.ops.Packing
+      .packEfficiency(df, "doc_id", "n_tokens", "shard", budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got("a") == ((3L, 12L, 2L, 1L, 0.333333, 2L, 0.6)), s"${got("a")}")
+    assert(got("b") == ((2L, 20L, 2L, 0L, 0.0, 10L, 1.0)), s"${got("b")}")
+    assert(got("c") == ((2L, 3L, 1L, 0L, 0.0, 3L, 0.3)), s"${got("c")}")
+    // consistency with the packer: boundary docs are exactly those
+    // whose pack differs from the pack of their LAST token
+    val packed = graft.ops.Packing
+      .contiguousPack(df, "doc_id", "n_tokens", "shard", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(packed(("a", 2L)) == 0L, "doc 2 STARTS in pack 0 (then spills)")
+  }
+
   test("temperatureMixPlan: quarter-grid curve matches an exact model; alpha=0.5 equals the mix draw") {
     import spark.implicits._
     val rows = (0L until 60L).map(i => (i, "a")) ++
