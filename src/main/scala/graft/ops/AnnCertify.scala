@@ -75,10 +75,14 @@ object AnnCertify {
   }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    // a certificate must fail loudly: silently truncating to the
+    // shorter array would let an upstream dimension bug PARTIALLY
+    // certify instead of flipping a verdict
+    require(a.length == b.length,
+      s"certificate dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
@@ -88,6 +92,17 @@ object AnnCertify {
     */
   private def assignArgminCert(assigned: DataFrame,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    // This form expands one literal-array vec_l2sq call per centroid
+    // plus a least(...) chain and a numCells-arm CASE — fine at the
+    // registered 8/16 cells, but the same literal-expansion shape
+    // that blew the janino whole-stage-codegen method budget at
+    // m·ksub=128 in the PQ path (→ SILENT interpreted fallback, see
+    // pq_code_dist). Bound it hard so growth past the compiled-proven
+    // regime is a loud error, not a 10× interpreted slowdown; past 32
+    // cells this check needs kernel-izing like pq_code_dist.
+    require(centroids.size <= 32,
+      s"assignArgminCert literal expansion is codegen-proven only to " +
+        s"32 centroids, got ${centroids.size}; kernel-ize first")
     val base = assigned.withColumn("__nv", Similarity.normalized(col("v")))
     val dists = centroids.map { case (cell, c) =>
       (cell, call_function("vec_l2sq", col("__nv"), typedLit(c.toSeq)))
@@ -227,6 +242,19 @@ object AnnCertify {
   }
 
   // ---- DuckDB oracle forms -------------------------------------------
+  //
+  // MINIMUM-CORPUS ASSUMPTIONS. The slot oracles hard-code the verdict
+  // domain: exactly |Q|·k `topk_valid` slots, |Q|·rerank
+  // `adc_shortlist_valid` slots, |Q|·nProbe `probe_nearest` slots. A
+  // red gate is therefore a FALSE ALARM (not an engine bug) when the
+  // corpus legitimately cannot fill the slots:
+  //  - fewer than `rerank` (resp. `k`) candidates reachable in a
+  //    query's probed cells → missing shortlist/rank rows;
+  //  - fewer than `nProbe` non-empty cells trained → fewer probes.
+  // The registered corpora (≥500 vectors, 8/16 cells, nProbe 2-4,
+  // rerank ≤ 50) clear these with two orders of margin; diagnose an
+  // undersized-pool red by counting rows per (cert, query) before
+  // suspecting the pipeline.
 
   private def valuesOf(queryIds: Seq[Long]): String =
     queryIds.map(q => s"($q)").mkString(", ")

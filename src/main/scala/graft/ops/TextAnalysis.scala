@@ -1042,29 +1042,45 @@ object TextAnalysis {
     * inside any ×10⁹ pinning at the magnitudes a softmax can hold
     * (arguments above ~22.9 nats overflow the ×10⁹ BIGINT pinning
     * first, and 2²⁵ µnats = 33.5 nats bounds the covered domain).
+    *
+    * Out-of-domain arguments FAIL LOUDLY: bits ≥ [[ExpPinnedBits]]
+    * (or a negative argument) yield NULL in BOTH forms rather than a
+    * silently-wrapped product — the ×10⁹ overflow catches ~22.9–33.5
+    * nats (Spark saturates where DuckDB errors, so the gate reddens),
+    * but above 2²⁵ µnats the bit wraparound used to be consistent
+    * across engines and a pathological excess_loss would have passed
+    * the hash gate with a mathematically wrong weight. A NULL weight
+    * is visibly wrong to any consumer and NULL-propagates through the
+    * softmax normalization.
     */
   private[graft] val ExpPinnedBits = 25
 
   private[graft] val ExpPinnedConsts: IndexedSeq[Double] =
     (0 until ExpPinnedBits).map(k => math.exp((1L << k) * 1e-6))
 
-  private[graft] def expPinned(arg6: Column): Column =
-    ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
+  private[graft] def expPinned(arg6: Column): Column = {
+    val product = ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
       when(shiftright(arg6, k).bitwiseAND(lit(1L)) === lit(1L), lit(c))
         .otherwise(lit(1.0))
     }.reduceLeft(_ * _)
+    when(arg6 >= lit(1L << ExpPinnedBits) || arg6 < lit(0L),
+      lit(null).cast("double")).otherwise(product)
+  }
 
   /** DuckDB form of [[expPinned]] over the SQL expression `arg6`:
     * same literals (Scala's shortest-round-trip Double rendering
     * parses back to the identical bits), same fixed order.
     */
-  private[graft] def expPinnedSql(arg6: String): String =
-    ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
+  private[graft] def expPinnedSql(arg6: String): String = {
+    val product = ExpPinnedConsts.zipWithIndex.map { case (c, k) =>
       // explicit DOUBLE: DuckDB types a bare decimal literal DECIMAL,
       // and a 25-factor DECIMAL product overflows the max scale
       s"(CASE WHEN (($arg6 >> $k) & 1) = 1 THEN CAST($c AS DOUBLE)" +
         " ELSE CAST(1.0 AS DOUBLE) END)"
     }.mkString(" * ")
+    s"(CASE WHEN ($arg6) >= ${1L << ExpPinnedBits} OR ($arg6) < 0" +
+      s" THEN CAST(NULL AS DOUBLE) ELSE $product END)"
+  }
 
   def doremiWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                     groupCol: String, textCol: String, eta: Double,
