@@ -223,27 +223,44 @@ object Dedup {
     * irreproducible outside this engine), and it keeps the whole
     * pipeline expressible as the DuckDB oracle SQL.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 32, bands: Int = 8, k: Int = 8,
-                      tau: Double = 0.5): DataFrame = {
+  /** The persistable MinHash band index of a corpus: one row per
+    * (document, band) with the band's raw signature slice —
+    * `(band, bh, id)`. This is the STATE a continuously-ingesting
+    * pipeline keeps between increments: writing these rows to a table
+    * partitioned/bucketed by (band, bh-hash) lets tomorrow's shard
+    * dedup against today's accumulated corpus without ever recomputing
+    * the corpus's signatures ([[dedupIncrementalBands]]). The slice is
+    * the raw `rows`-value array, not a hash of it — exact LSH
+    * semantics, engine-portable (see [[minhashLshPairs]]).
+    *
+    * Shape: explode the band structs out of ONE signature aggregation
+    * (a unionAll of per-band projections would re-run the whole
+    * signature job once per band per consumer).
+    */
+  def minhashBandStore(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       k: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, k)
-    // one evaluation of the signature aggregation: explode the band
-    // hashes out of each row (a unionAll of per-band projections would
-    // re-run the whole signature job once per band per join side)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         array((b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*).as("bh"))
     }: _*)
+    sig.select(col("id"), explode(bandStructs).as("e"))
+      .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8, k: Int = 8,
+                      tau: Double = 0.5): DataFrame = {
     // materialized, not just tracked: the self-join's two map stages
     // are independent, so the scheduler submits them concurrently and
     // an unpopulated cache would be computed twice — and the bucket
     // subtree is the expensive part (md5 postings + 32-min signature
     // aggregation)
     val buckets = graft.data.ScopedCaches.materialize(
-      sig.select(col("id"), explode(bandStructs).as("e"))
-        .select(col("e.band").as("band"), col("e.bh").as("bh"), col("id")))
+      minhashBandStore(df, idCol, textCol, numHashes, bands, k))
     // cand is referenced three times below (pair join + both candDocs
     // arms); materialize the tiny result for the same reason
     val cand = graft.data.ScopedCaches.materialize(
@@ -275,6 +292,87 @@ object Dedup {
       .join(sizes.toDF("id2", "n2"), Seq("id2"))
       .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
+  }
+
+  /** Incremental (cross-snapshot) NEAR-dedup: classify every document
+    * of a new shard against a persisted MinHash band store
+    * ([[minhashBandStore]] rows of the accumulated corpus) — the one
+    * dedup shape a continuously-ingesting pipeline runs daily. Only
+    * the SHARD's signatures are computed here; the corpus side rides
+    * the store (an index of (band, bh, id) rows, reloaded from its
+    * table), and corpus text is touched only for the band-collision
+    * candidates' exact-Jaccard verification — candidate-driven point
+    * lookups, the [[minhashLshPairs]] verification discipline across
+    * two corpora. Output: one row per shard document —
+    * (`idCol`, `n_matches`, `best_ref`, `best_jaccard`, `verdict`)
+    * with verdict `near_dup_of_reference` when any reference doc
+    * verifies at Jaccard ≥ `tau` (best match = highest Jaccard, ties
+    * to the smaller reference id) and `keep` otherwise. Intra-shard
+    * duplicates are deliberately out of scope: they are the existing
+    * same-corpus ops' job ([[minhashLshPairs]], [[exactDedup]]); this
+    * op is the shard-vs-state classifier.
+    *
+    * Scale shape: shard signatures cost one explode + one hash
+    * aggregate over the INCREMENT only (the daily win — the 100 TB
+    * corpus is never rescanned); the candidate join shuffles shard
+    * band rows against the store on (band, bh) — with the store table
+    * bucketed on that key, the corpus side doesn't even shuffle;
+    * verification joins only candidate docs' postings (left-semi
+    * pruned on both corpora). The per-shard-doc best/count is a window
+    * PARTITIONED by the shard id. Streaming boundary: the band store
+    * is corpus-time state (it grows with every ingested shard), so
+    * this stays a batch op per the corpus-time/ingest-time doctrine
+    * (`streaming/StreamOps.scala:30-47`) — an ingest-time twin would
+    * have to re-derive the store per micro-batch, which is exactly
+    * what persisting the index avoids.
+    */
+  def dedupIncrementalBands(shard: DataFrame, store: DataFrame,
+                            reference: DataFrame, idCol: String,
+                            textCol: String, numHashes: Int = 32,
+                            bands: Int = 8, k: Int = 8,
+                            tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardBands = minhashBandStore(shard, idCol, textCol, numHashes,
+      bands, k)
+    // consumed by the pair join once, then twice more through the
+    // left-semi prunes — materialize so the shard signature job and
+    // the store scan run once
+    val cand = graft.data.ScopedCaches.materialize(
+      shardBands.select(col("band"), col("bh"), col("id").as("sid"))
+        .join(store.select(col("band"), col("bh"), col("id").as("rid")),
+          Seq("band", "bh"))
+        .select("sid", "rid").distinct())
+    val postS = graft.data.ScopedCaches.materialize(
+      shinglePostings(shard, idCol, textCol, k).distinct()
+        .join(cand.select(col("sid").as("id")), Seq("id"), "left_semi"))
+    val postR = graft.data.ScopedCaches.materialize(
+      shinglePostings(reference, idCol, textCol, k).distinct()
+        .join(cand.select(col("rid").as("id")), Seq("id"), "left_semi"))
+    val common = cand
+      .join(postS.select(col("id").as("sid"), col("s")), Seq("sid"))
+      .join(postR.select(col("id").as("rid"), col("s")), Seq("rid", "s"))
+      .groupBy(col("sid"), col("rid")).agg(count(lit(1)).as("c"))
+    val jac = col("c") / (col("n1") + col("n2") - col("c"))
+    val verified = common
+      .join(postS.groupBy(col("id")).agg(count(lit(1)).as("n1"))
+        .withColumnRenamed("id", "sid"), Seq("sid"))
+      .join(postR.groupBy(col("id")).agg(count(lit(1)).as("n2"))
+        .withColumnRenamed("id", "rid"), Seq("rid"))
+      .select(col("sid"), col("rid"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    val w = Window.partitionBy(col("sid"))
+      .orderBy(col("jaccard").desc, col("rid").asc)
+    val perDoc = verified
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_matches"),
+        max(when(col("__rn") === 1, col("rid"))).as("best_ref"),
+        max(when(col("__rn") === 1, col("jaccard"))).as("best_jaccard"))
+    shard.select(col(idCol))
+      .join(perDoc.withColumnRenamed("sid", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_ref"), col("best_jaccard"),
+        when(col("n_matches").isNotNull, lit("near_dup_of_reference"))
+          .otherwise(lit("keep")).as("verdict"))
   }
 
   /** LSH recall/precision audit: run [[jaccardPairs]] (exact, over

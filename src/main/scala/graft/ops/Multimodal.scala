@@ -596,7 +596,11 @@ object Multimodal {
                          gh: Int = 4): DataFrame = {
     require(minDim >= 1 && maxAspect >= 1 && minCapTokens >= 0 &&
       okLangs.nonEmpty, "degenerate filter parameters")
-    val dh = imageDHashes(media, gw, gh).toDF()
+    // dh feeds both the dupN aggregate and the final join: track it so
+    // the real-codec decode mapPartitions pass materializes ONCE per
+    // action ("one decode scan" as documented), like the ANN paths'
+    // double-consumed frames
+    val dh = graft.data.ScopedCaches.track(imageDHashes(media, gw, gh).toDF())
     val dupN = dh.groupBy(col("dhash")).agg(count(lit(1)).as("__n"))
     val cap = captions.select(col(idCol).cast("long").as("media_id"),
       size(TextAnalysis.tokens(col(textCol))).as("n_cap_tokens"),
@@ -615,6 +619,54 @@ object Multimodal {
       .withColumn("keep", col("r_dims") && col("r_aspect") &&
         col("r_unique_img") && col("r_caption_len") &&
         col("r_caption_lang"))
+  }
+
+  /** CLAP-style (audio, caption) pair filter — the audio analogue of
+    * [[dataCompPairFilter]]: the gated pass an audio-text curation
+    * pipeline runs before paying for CLAP scoring. One row per
+    * decodable clip with its audio-side and caption-side signals, one
+    * boolean verdict per rule, and the conjunction `keep`. Every
+    * signal is an already-proven component composed, not re-derived:
+    *
+    *  - `r_clipping` / `r_silence`: [[audioClippingAudit]]'s exact
+    *    integer gates over the REAL PCM decode (≤ 0.1% clipped
+    *    samples; ≤ 50% near-silent samples);
+    *  - `r_duration`: `minSamples` ≤ n_samples ≤ `maxSamples` — the
+    *    too-short/too-long screen (CLAP training crops fixed-length
+    *    windows; a 0.2 s stub or an hour-long file is wasted decode);
+    *  - `r_caption_len`: caption has ≥ `minCapTokens` whitespace
+    *    tokens ([[TextAnalysis.tokens]]'s convention);
+    *  - `r_caption_lang`: [[TextAnalysis.langId]]'s stopword-profile
+    *    argmax lands in `okLangs`.
+    *
+    * Scale shape: one decode scan (mapPartitions over the binary
+    * column, zero shuffle — the audit's own shape) and one
+    * co-partitioned equi-join to the caption table on the pair id;
+    * everything linear, no window. All verdicts are integer/string
+    * compares on exact counters, so the pass replays exactly in any
+    * engine that replays the samples.
+    */
+  def clapPairFilter(media: Dataset[MediaRow], captions: DataFrame,
+                     idCol: String, textCol: String, minSamples: Int,
+                     maxSamples: Int, minCapTokens: Int,
+                     okLangs: Seq[String], clipThresh: Int = 32700,
+                     silenceThresh: Int = 327): DataFrame = {
+    require(minSamples >= 1 && maxSamples >= minSamples &&
+      minCapTokens >= 0 && okLangs.nonEmpty, "degenerate filter parameters")
+    val audit = audioClippingAudit(media, clipThresh, silenceThresh)
+    val cap = captions.select(col(idCol).cast("long").as("media_id"),
+      size(TextAnalysis.tokens(col(textCol))).as("n_cap_tokens"),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"))
+    audit.join(cap, Seq("media_id"))
+      .select(col("media_id"), col("n_samples"), col("clip_ppm"),
+        col("silence_ppm"), col("n_cap_tokens"), col("lang_pred"),
+        col("r_clipping"), col("r_silence"),
+        (col("n_samples") >= minSamples &&
+          col("n_samples") <= maxSamples).as("r_duration"),
+        (col("n_cap_tokens") >= minCapTokens).as("r_caption_len"),
+        col("lang_pred").isin(okLangs: _*).as("r_caption_lang"))
+      .withColumn("keep", col("r_clipping") && col("r_silence") &&
+        col("r_duration") && col("r_caption_len") && col("r_caption_lang"))
   }
 
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxDist`, found

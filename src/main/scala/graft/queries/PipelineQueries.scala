@@ -766,6 +766,98 @@ object PipelineQueries {
        |WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5""".stripMargin
   }
 
+  /** Incremental near-dedup of a new shard against the persisted
+    * MinHash band store of the accumulated corpus — the daily shape of
+    * a continuously-ingesting pipeline (`Dedup.dedupIncrementalBands`).
+    * Split mirrors `dedup_against_reference`/`dedup_bloom_prefilter`:
+    * the %10<8 docs are the accumulated corpus, the %10>=8 docs plus
+    * re-ingested %50==0 clones (id+10000, same text → guaranteed
+    * verified matches at every scale) are the shard. The store is
+    * derived in-plan here (the oracle sees only the corpus tables);
+    * its parquet persistence round-trip is spec-proven
+    * (`OpsSpec`, "incremental dedup classifies a shard...").
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ref = base.filter(col("doc_id") % 10 < 8)
+    val shard = base.filter(col("doc_id") % 10 >= 8)
+      .unionByName(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val store = Dedup.minhashBandStore(ref, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8)
+    Dedup.dedupIncrementalBands(shard, store, ref, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8, tau = 0.5)
+  }
+
+  /** Oracle: the `dedup_minhash_lsh` re-derivation run per side of the
+    * split (signatures, band slices, candidate band-equijoin, exact
+    * shingle-Jaccard verification), then the per-shard-doc best-match
+    * fold — every stage including the store contents is hash-gated.
+    */
+  private val dedupIncrementalSql = {
+    val vals = Dedup.minhashConstants(32).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH cs(j, a, b) AS (VALUES $vals),
+       |base AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+       |refd AS (SELECT doc_id, txt FROM base WHERE doc_id % 10 < 8),
+       |shardd AS (SELECT doc_id, txt FROM base WHERE doc_id % 10 >= 8
+       |           UNION ALL
+       |           SELECT doc_id + 10000, txt FROM base WHERE doc_id % 50 = 0),
+       |shr AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |        FROM (SELECT doc_id, txt,
+       |                unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |              FROM refd) u),
+       |shs AS (SELECT DISTINCT doc_id, substr(txt, CAST(i AS INT), 8) AS s
+       |        FROM (SELECT doc_id, txt,
+       |                unnest(generate_series(1, greatest(length(txt) - 7, 1))) AS i
+       |              FROM shardd) u),
+       |hsr AS (SELECT doc_id,
+       |          CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 2147483647 AS x
+       |        FROM shr),
+       |hss AS (SELECT doc_id,
+       |          CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) & 2147483647 AS x
+       |        FROM shs),
+       |sigr AS (SELECT doc_id, j, min((a * x + b) % ${Dedup.MinhashP}) AS sig
+       |         FROM hsr CROSS JOIN cs GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, j, min((a * x + b) % ${Dedup.MinhashP}) AS sig
+       |         FROM hss CROSS JOIN cs GROUP BY 1, 2),
+       |bandr AS (SELECT doc_id, j // 4 AS band, list(sig ORDER BY j) AS key
+       |          FROM sigr GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band, list(sig ORDER BY j) AS key
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT s.doc_id AS sid, r.doc_id AS rid
+       |         FROM bands s JOIN bandr r
+       |           ON s.band = r.band AND s.key = r.key),
+       |szr AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+       |szs AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+       |common AS (SELECT c.sid, c.rid, count(*) AS cnt
+       |           FROM cand c
+       |           JOIN shs p1 ON p1.doc_id = c.sid
+       |           JOIN shr p2 ON p2.doc_id = c.rid AND p2.s = p1.s
+       |           GROUP BY 1, 2),
+       |ver AS (SELECT sid, rid,
+       |          round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) AS jac
+       |        FROM common
+       |        JOIN szs n1 ON n1.doc_id = sid
+       |        JOIN szr n2 ON n2.doc_id = rid
+       |        WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5),
+       |best AS (SELECT sid, rid, jac,
+       |           row_number() OVER (PARTITION BY sid
+       |             ORDER BY jac DESC, rid) AS rn
+       |         FROM ver),
+       |agg AS (SELECT sid, count(*) AS nm FROM ver GROUP BY 1)
+       |SELECT sd.doc_id,
+       |       CAST(coalesce(agg.nm, 0) AS BIGINT) AS n_matches,
+       |       CAST(b.rid AS BIGINT) AS best_ref,
+       |       b.jac AS best_jaccard,
+       |       CASE WHEN agg.nm IS NOT NULL THEN 'near_dup_of_reference'
+       |            ELSE 'keep' END AS verdict
+       |FROM shardd sd
+       |LEFT JOIN agg ON agg.sid = sd.doc_id
+       |LEFT JOIN (SELECT sid, rid, jac FROM best WHERE rn = 1) b
+       |  ON b.sid = sd.doc_id""".stripMargin
+  }
+
   private def dedupEditVerified(s: SparkSession, dir: String): DataFrame =
     Dedup.editVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 32, bands = 8, k = 8, tau = 0.3, maxDistFrac = 0.3)
@@ -4613,7 +4705,14 @@ object PipelineQueries {
       minDim = 8, maxAspect = 2, minCapTokens = 5, okLangs = Seq("en"))
   }
 
-  private lazy val mmDataCompFilterSql = {
+  /** Caption-side SQL replay shared by the (image, caption) and
+    * (audio, caption) pair filters: whitespace token count +
+    * stopword-profile language argmax over the `documents` rows
+    * matching `whereSql` (empty string = all rows). Emits the CTE
+    * chain `capb`/`caps`/`cap` with `cap(media_id, n_cap_tokens,
+    * lang_pred)`.
+    */
+  private def captionSideCtes(whereSql: String): String = {
     val scores = TextAnalysis.stopwordProfiles.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"length(list_intersect(dtoks, $arr)) AS s_$l"
@@ -4623,18 +4722,22 @@ object PipelineQueries {
       val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $later THEN '$l'"
     }.mkString("\n    ")
-    s"""WITH $dhashCtes,
-       |dup AS (SELECT dhash, count(*) AS n FROM dh GROUP BY 1),
-       |capb AS (SELECT doc_id, text,
+    s"""capb AS (SELECT doc_id, text,
        |    list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
        |      AS dtoks
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |  FROM documents $whereSql),
        |caps AS (SELECT doc_id, text, $scores FROM capb),
        |cap AS (SELECT doc_id AS media_id,
        |    CAST(length(string_split_regex(lower(trim(text)), '\\s+'))
        |      AS INT) AS n_cap_tokens,
        |    CASE $cases ELSE '${langs.last}' END AS lang_pred
-       |  FROM caps),
+       |  FROM caps)""".stripMargin
+  }
+
+  private lazy val mmDataCompFilterSql = {
+    s"""WITH $dhashCtes,
+       |dup AS (SELECT dhash, count(*) AS n FROM dh GROUP BY 1),
+       |${captionSideCtes("WHERE doc_id % 2 = 0")},
        |verd AS (SELECT d.media_id, CAST(i.w AS INT) AS width,
        |    CAST(i.h AS INT) AS height, c.n_cap_tokens, c.lang_pred,
        |    least(i.w, i.h) >= 8 AS r_dims,
@@ -4648,6 +4751,54 @@ object PipelineQueries {
        |    AND r_caption_lang AS keep
        |FROM verd""".stripMargin
   }
+
+  /** CLAP-style (audio, caption) pair filter — the audio analogue of
+    * `mm_datacomp_pair_filter`: clipping/silence gates over the REAL
+    * WAV decode + duration window + caption token/language rules, all
+    * composed from individually-oracled signals. The duration window
+    * (1000..2200 samples) deliberately straddles the planted clip
+    * lengths {800, 1200, 1600, 2000, 2400}, so both branches of
+    * `r_duration` are live at every gate scale. Oracle replays the
+    * synthetic PCM analytically (the `mm_audio_clipping_audit` CTEs)
+    * and the caption side via [[captionSideCtes]].
+    */
+  private def mmClapFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Multimodal.clapPairFilter(Multimodal.mediaWithAudio(s, docs), docs,
+      "doc_id", "text", minSamples = 1000, maxSamples = 2200,
+      minCapTokens = 5, okLangs = Seq("en"))
+  }
+
+  private lazy val mmClapFilterSql =
+    s"""WITH a AS (SELECT doc_id AS media_id, 800 + (doc_id % 5) * 400 AS n
+       |           FROM documents),
+       |smp AS (SELECT media_id, n, unnest(range(n)) AS i FROM a),
+       |v AS (SELECT media_id, n,
+       |        abs(((media_id * 31 + i * 7919) % 65536) - 32768) AS am
+       |      FROM smp),
+       |g AS (SELECT media_id,
+       |        CAST(max(n) AS INT) AS n_samples,
+       |        CAST(count(CASE WHEN am >= 32700 THEN 1 END) AS BIGINT)
+       |          AS clip_cnt,
+       |        CAST(count(CASE WHEN am <= 327 THEN 1 END) AS BIGINT)
+       |          AS sil_cnt
+       |      FROM v GROUP BY 1),
+       |${captionSideCtes("")}
+       |SELECT g.media_id, g.n_samples,
+       |  CAST(round(CAST(clip_cnt AS DOUBLE) / CAST(n_samples AS DOUBLE) *
+       |    1000000.0) AS BIGINT) AS clip_ppm,
+       |  CAST(round(CAST(sil_cnt AS DOUBLE) / CAST(n_samples AS DOUBLE) *
+       |    1000000.0) AS BIGINT) AS silence_ppm,
+       |  c.n_cap_tokens, c.lang_pred,
+       |  clip_cnt * 1000 <= n_samples AS r_clipping,
+       |  sil_cnt * 2 <= n_samples AS r_silence,
+       |  n_samples BETWEEN 1000 AND 2200 AS r_duration,
+       |  c.n_cap_tokens >= 5 AS r_caption_len,
+       |  c.lang_pred IN ('en') AS r_caption_lang,
+       |  (clip_cnt * 1000 <= n_samples) AND (sil_cnt * 2 <= n_samples)
+       |    AND (n_samples BETWEEN 1000 AND 2200)
+       |    AND (c.n_cap_tokens >= 5) AND (c.lang_pred IN ('en')) AS keep
+       |FROM g JOIN cap c USING (media_id)""".stripMargin
 
   /** Image near-dup pairs at Hamming ≤ 3 over the 16-bit dHash, found
     * by pigeonhole banding (4 bands × 4 bits — recall 1 by
@@ -5424,6 +5575,8 @@ object PipelineQueries {
     QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,
       Some(dedupBloomPrefilterSql)),
     QueryDef("doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
+    QueryDef("dedup_incremental_bands", dedupIncremental,
+      Some(dedupIncrementalSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_lsh_recall_audit", lshRecallAudit,
       Some(lshRecallAuditSql)),
@@ -5586,5 +5739,6 @@ object PipelineQueries {
     QueryDef("mm_feature_ann_pipeline", mmPipeline, Some(mmPipelineSql)),
     QueryDef("mm_datacomp_pair_filter", mmDataCompFilter,
       Some(mmDataCompFilterSql)),
+    QueryDef("mm_clap_pair_filter", mmClapFilter, Some(mmClapFilterSql)),
   )
 }

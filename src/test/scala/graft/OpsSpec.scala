@@ -455,6 +455,46 @@ class OpsSpec extends AnyFunSuite {
     assert(exOnly == 0L && r.getDouble(5) == 1.0)
   }
 
+  test("incremental dedup classifies a shard against a persisted band store") {
+    val ref = docs(corpus)
+    // shard: an exact copy of ref doc 3, a one-word near-dup of ref
+    // doc 5, and a fresh doc sharing no vocabulary
+    val copyOf3 = corpus.toMap.apply(3L)
+    val nearOf5 = (corpus.toMap.apply(5L).split(" ").init :+ "yankee")
+      .mkString(" ")
+    val shard = docs(Seq(200L -> copyOf3, 201L -> nearOf5,
+      202L -> "zq wv xj kr pm zq wv xj kr pm zq wv xj kr pm zq wv"))
+    // the store round-trips through parquet — the persisted-state
+    // contract: reloaded rows are the index, no recompute
+    val dir = java.nio.file.Files.createTempDirectory("graft-bands").toString
+    val store = Dedup.minhashBandStore(ref, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8)
+    store.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(reloaded.collect().map(_.toSeq).toSet ==
+      store.collect().map(_.toSeq).toSet, "band store must round-trip")
+    def classify(st: DataFrame) =
+      Dedup.dedupIncrementalBands(shard, st, ref, "doc_id", "text",
+          numHashes = 32, bands = 8, k = 8, tau = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]),
+            r.getString(4)))).toMap
+    val got = classify(reloaded)
+    assert(got == classify(store), "reloaded store must classify identically")
+    assert(got.keySet == Set(200L, 201L, 202L), "one row per shard doc")
+    // exact copy: jaccard 1.0 against its original
+    assert(got(200L)._2.contains(3L) && got(200L)._3.contains(1.0) &&
+      got(200L)._4 == "near_dup_of_reference", s"${got(200L)}")
+    // one-word edit: verified near-dup of ref 5
+    val (n201, best201, j201, v201) = got(201L)
+    assert(n201 >= 1L && best201.contains(5L) &&
+      v201 == "near_dup_of_reference" && j201.exists(j => j >= 0.5 && j < 1.0),
+      s"${got(201L)}")
+    // fresh text: zero matches, keep, null best
+    assert(got(202L) == ((0L, None, None, "keep")), s"${got(202L)}")
+  }
+
   test("simhash: exact dup same signature, near dup low hamming") {
     val sigs = Dedup.simhashSignatures(docs(corpus), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -2093,6 +2133,53 @@ class OpsSpec extends AnyFunSuite {
     assert(got(10L) == ((true, true, true, false, true, false)))
   }
 
+  test("clapPairFilter: every audio and caption rule gates its pair") {
+    import spark.implicits._
+    import graft.ops.Multimodal.MediaRow
+    // hand-built PCM WAV with chosen samples (the syntheticWav header)
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
+    val en = "the of and to a in is was he for"
+    val de = "der die und in den von zu das mit sich"
+    // moderate-level clip: passes clipping AND silence gates
+    val healthy = wavOf(Array.fill(800)(5000.toShort))
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "audio/wav", healthy),                       // keep
+      MediaRow(2L, "audio/wav", wavOf(Array.fill(800)(0.toShort))), // silent
+      MediaRow(3L, "audio/wav", wavOf(Array.fill(800)(32767.toShort))), // clipped
+      MediaRow(4L, "audio/wav", wavOf(Array.fill(200)(5000.toShort))), // short
+      MediaRow(5L, "audio/wav", healthy),                       // bad caption len
+      MediaRow(6L, "audio/wav", healthy),                       // german caption
+      MediaRow(7L, "text/plain", en.getBytes("UTF-8"))))        // undecodable
+    val caps = Seq(1L -> en, 2L -> en, 3L -> en, 4L -> en,
+      5L -> "hi", 6L -> de, 7L -> en).toDF("doc_id", "text")
+    val got = Multimodal.clapPairFilter(media, caps, "doc_id", "text",
+        minSamples = 400, maxSamples = 2000, minCapTokens = 3,
+        okLangs = Seq("en"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))).toMap
+    // undecodable payload 7 is absent (audioFrameFeatures contract)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // (r_clipping, r_silence, r_duration, r_caption_len, r_caption_lang, keep)
+    assert(got(1L) == ((true, true, true, true, true, true)), s"${got(1L)}")
+    assert(got(2L) == ((true, false, true, true, true, false)), s"${got(2L)}")
+    assert(got(3L) == ((false, true, true, true, true, false)), s"${got(3L)}")
+    assert(got(4L) == ((true, true, false, true, true, false)), s"${got(4L)}")
+    assert(got(5L) == ((true, true, true, false, true, false)), s"${got(5L)}")
+    assert(got(6L) == ((true, true, true, true, false, false)), s"${got(6L)}")
+  }
+
   test("pii audits: a NULL document pins to (0, 0, false), not NPE/-1") {
     // the oracle's LEFT JOIN emits (0, 0, false) for a doc with no
     // candidates; a null text must land on the same convention — the
@@ -2131,6 +2218,21 @@ class OpsSpec extends AnyFunSuite {
       val got = rows.head.getDouble(0)
       val want = math.exp(a6 * 1e-6)
       assert(math.abs(got / want - 1.0) < 1e-13, s"a6=$a6 got=$got want=$want")
+    }
+    // out-of-domain arguments fail LOUDLY as NULL in both forms — not
+    // a silently bit-wrapped (wrong but plausible) product
+    for (bad <- Seq(1L << TextAnalysis.ExpPinnedBits,
+        (1L << TextAnalysis.ExpPinnedBits) + 123456L, -1L)) {
+      val rows = spark.range(1).select(
+        TextAnalysis.expPinned(org.apache.spark.sql.functions.lit(bad))
+          .as("e")).collect()
+      assert(rows.head.isNullAt(0), s"a6=$bad must be NULL, got ${rows.head}")
+      // the SQL form carries the same guard (evaluated here through
+      // Spark's parser — the CASE/>>/CAST subset is common to DuckDB)
+      val sqlRows = spark.range(1).select(org.apache.spark.sql.functions
+        .expr(TextAnalysis.expPinnedSql(s"CAST($bad AS BIGINT)")).as("e"))
+        .collect()
+      assert(sqlRows.head.isNullAt(0), s"SQL form a6=$bad must be NULL")
     }
   }
 
