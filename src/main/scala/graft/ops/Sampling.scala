@@ -397,6 +397,67 @@ object Sampling {
     * rank is a window partitioned by stratum keyed on the md5 draw —
     * the one shuffle of the realized pass.
     */
+  /** UniMax token-budget allocation (Chung et al. 2023): spread a
+    * total token budget as UNIFORMLY as possible across sources,
+    * capping every source at `maxEpochs` passes over its own tokens —
+    * the published fix for temperature mixing's twin failure modes
+    * (low T starves tail languages, high T epochs tiny ones into
+    * memorization). Water-filling: sources ascending by capacity
+    * c_g = maxEpochs·n_g; a source saturates (gets exactly c_g) while
+    * the running equal share of the remaining budget still exceeds
+    * its capacity; every larger source gets the common level λ. When
+    * total capacity ≤ budget every source saturates and the budget is
+    * deliberately under-spent — UniMax never epochs past the cap.
+    *
+    * Determinism: n_g and c_g are exact BIGINTs; the saturation test
+    * is the integer cross-multiplication `c_i·(k−i+1) < B − pfx_{i−1}`
+    * (no division anywhere near the predicate); λ is ONE rounded
+    * divide of exact integers; `epochs`/`share` are 6dp-rounded
+    * fixed-order doubles on exact integers. Output per source:
+    * (`groupCol`, n_tokens, capacity_tokens, saturated, alloc_tokens,
+    * epochs, share).
+    *
+    * Scale shape: one combinable token-count aggregate is the only
+    * corpus pass; everything after runs on the ≤|sources|-row table
+    * (two unpartitioned windows over domain-sized rows — free, same
+    * acknowledgment class as `doc_temperature_mix`).
+    */
+  def unimaxPlan(df: DataFrame, groupCol: String, textCol: String,
+                 budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = df
+      .select(col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
+      .groupBy(groupCol).agg(sum(col("__t")).as("n_tokens"))
+    val wOrd = Window.orderBy(col("__cap").asc, col(groupCol).asc)
+    val wAll = Window.partitionBy()
+    val t = counts
+      .withColumn("__cap", col("n_tokens") * maxEpochs)
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__pfx", sum(col("__cap")).over(wOrd))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      // equal share of what's left at position i exceeds my capacity
+      // (cross-multiplied: exact integers, no division)
+      .withColumn("__sat", col("__cap") * (col("__k") - col("__i") + 1L) <
+        lit(budgetTokens) - (col("__pfx") - col("__cap")))
+    val t2 = t
+      .withColumn("__m", sum(when(col("__sat"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__ssum",
+        sum(when(col("__sat"), col("__cap")).otherwise(0L)).over(wAll))
+    val lam = round((lit(budgetTokens) - col("__ssum")).cast("double") /
+      greatest(col("__k") - col("__m"), lit(1L)).cast("double")).cast("long")
+    val alloc = when(col("__sat"), col("__cap")).otherwise(lam)
+    t2.select(col(groupCol), col("n_tokens"),
+      col("__cap").as("capacity_tokens"), col("__sat").as("saturated"),
+      alloc.as("alloc_tokens"),
+      when(col("n_tokens") > 0, round(alloc.cast("double") /
+        col("n_tokens").cast("double"), 6)).as("epochs"),
+      round(alloc.cast("double") / lit(budgetTokens.toDouble), 6)
+        .as("share"))
+  }
+
   def neymanStratifiedSample(df: DataFrame, keyCol: String,
                              stratumCol: String, valueCol: String,
                              budget: Long,

@@ -676,6 +676,57 @@ object AnalyticsQueries {
     graft.ops.Sampling.temperatureMixPlan(Tables.documents(s, dir),
       "doc_id", "source", targetRows = 300)
 
+  /** UniMax epoch-capped uniform token allocation
+    * ([[graft.ops.Sampling.unimaxPlan]]) at maxEpochs = 1 and budget =
+    * 95% of the corpus's tokens — a budget that leaves the small-half
+    * sources saturated and the rest on the common water level at every
+    * gate scale, keeping both predicate branches live. The total-token
+    * scalar is ONE driver-side one-row aggregate (bounded — the same
+    * class as the documented probe/centroid collects); the oracle
+    * re-derives it as a scalar subquery.
+    */
+  private def docUnimaxPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val total = docs.select(
+        sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    graft.ops.Sampling.unimaxPlan(docs, "source", "text",
+      budgetTokens = total * 19 / 20, maxEpochs = 1)
+  }
+
+  private val docUnimaxPlanSql =
+    """WITH tok AS (SELECT source,
+      |        CAST(sum(length(string_split_regex(lower(trim(text)),
+      |          '\s+'))) AS BIGINT) AS n_tokens
+      |      FROM documents GROUP BY 1),
+      |b AS (SELECT CAST(sum(n_tokens) * 19 // 20 AS BIGINT) AS bt FROM tok),
+      |o AS (SELECT source, n_tokens, n_tokens * 1 AS cap,
+      |        row_number() OVER (ORDER BY n_tokens * 1, source) AS i,
+      |        CAST(sum(n_tokens * 1) OVER (ORDER BY n_tokens * 1, source)
+      |          AS BIGINT) AS pfx,
+      |        count(*) OVER () AS k
+      |      FROM tok),
+      |s AS (SELECT o.*, bt,
+      |        cap * (k - i + 1) < bt - (pfx - cap) AS sat
+      |      FROM o CROSS JOIN b),
+      |m AS (SELECT s.*,
+      |        CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER ()
+      |          AS BIGINT) AS msat,
+      |        CAST(sum(CASE WHEN sat THEN cap ELSE 0 END) OVER ()
+      |          AS BIGINT) AS ssum
+      |      FROM s),
+      |a AS (SELECT m.*, CASE WHEN sat THEN cap
+      |        ELSE CAST(round(CAST(bt - ssum AS DOUBLE) /
+      |          CAST(greatest(k - msat, 1) AS DOUBLE)) AS BIGINT)
+      |        END AS alloc
+      |      FROM m)
+      |SELECT source, n_tokens, CAST(cap AS BIGINT) AS capacity_tokens,
+      |       sat AS saturated, CAST(alloc AS BIGINT) AS alloc_tokens,
+      |       CASE WHEN n_tokens > 0 THEN round(CAST(alloc AS DOUBLE) /
+      |         CAST(n_tokens AS DOUBLE), 6) END AS epochs,
+      |       round(CAST(alloc AS DOUBLE) / CAST(bt AS DOUBLE), 6) AS share
+      |FROM a""".stripMargin
+
   private val docTemperaturePlanSql =
     """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
       |g AS (
@@ -1924,6 +1975,7 @@ object AnalyticsQueries {
       Some(docTemperatureResampleSql)),
     QueryDef("doc_temperature_plan", docTemperaturePlan,
       Some(docTemperaturePlanSql)),
+    QueryDef("doc_unimax_plan", docUnimaxPlan, Some(docUnimaxPlanSql)),
     QueryDef("doc_temperature_mix", docTemperatureMix,
       Some(docTemperatureMixSql)),
     QueryDef("doc_token_budget_mix", docTokenBudgetMix,

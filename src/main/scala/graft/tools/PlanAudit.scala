@@ -134,6 +134,8 @@ object PlanAudit {
     // sources-sized aggregates: the window totals a ≤|sources| frame
     "doc_doremi_weights" -> "softmax totals over the |sources| aggregate",
     "doc_temperature_mix" -> "weight totals over the |sources| aggregate",
+    "doc_unimax_plan" ->
+      "water-filling rank/prefix over the |sources| aggregate",
     // domainPrefixSums' band-offset pass: a cumulative over the ≤64
     // bucket totals of the two-phase prefix sum (the per-value pass is
     // partitioned by band; only the band rollup is single-partition)

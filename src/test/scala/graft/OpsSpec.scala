@@ -1998,6 +1998,64 @@ class OpsSpec extends AnyFunSuite {
       assert(got((0.5, g))._4 == mixKept.getOrElse(g, 0L), s"mix parity $g")
   }
 
+  test("unimaxPlan matches the iterative water-filling model") {
+    import spark.implicits._
+    // the published algorithm, run sequentially: repeatedly give every
+    // active source an equal share, saturating any source whose
+    // capacity falls strictly below it
+    def model(caps: Map[String, Long],
+              budget: Long): Map[String, (Long, Boolean)] = {
+      var rem = budget
+      var active = caps.keySet
+      var alloc = Map.empty[String, (Long, Boolean)]
+      var done = false
+      while (active.nonEmpty && !done) {
+        val sat = active.filter(g => caps(g) * active.size < rem)
+        if (sat.isEmpty) {
+          val lam = math.round(rem.toDouble / active.size)
+          alloc ++= active.map(_ -> (lam, false))
+          done = true
+        } else {
+          sat.foreach { g => alloc += g -> (caps(g), true); rem -= caps(g) }
+          active --= sat
+        }
+      }
+      alloc
+    }
+    // token counts: web 60, books 20, tiny 3 (whitespace tokens)
+    val df = (
+      (0 until 6).map(i => ("web", Seq.fill(10)("w" + i).mkString(" "))) ++
+      (0 until 2).map(i => ("books", Seq.fill(10)("b" + i).mkString(" "))) :+
+      ("tiny", "x y z")).toDF("source", "text")
+    val n = Map("web" -> 60L, "books" -> 20L, "tiny" -> 3L)
+    for ((budget, epochs) <- Seq((100L, 2), (200L, 2), (30L, 2), (83L, 1))) {
+      val caps = n.view.mapValues(_ * epochs).toMap
+      val want = model(caps, budget)
+      val got = Sampling.unimaxPlan(df, "source", "text", budget, epochs)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for (g <- Seq("web", "books", "tiny")) {
+        val (nt, cap, sat, alloc, ep, share) = got(g)
+        assert(nt == n(g) && cap == caps(g), s"$g counts: ${got(g)}")
+        assert((alloc, sat) == want(g),
+          s"budget=$budget $g: ${got(g)} want ${want(g)}")
+        assert(ep == r6(alloc.toDouble / n(g)), s"$g epochs")
+        assert(share == r6(alloc.toDouble / budget), s"$g share")
+      }
+      // never allocate past the budget (up to the one λ rounding per
+      // unsaturated source)
+      val total = got.values.map(_._4).sum
+      assert(total <= budget + got.size, s"budget=$budget total=$total")
+    }
+    // all-saturated case under-spends deliberately: caps bind everywhere
+    val allSat = Sampling.unimaxPlan(df, "source", "text", 200L, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(allSat == Map("web" -> 120L, "books" -> 40L, "tiny" -> 6L))
+  }
+
   test("qualityGateSweep: decile curve matches a model over lmScore output") {
     import spark.implicits._
     val docsDf = docs(corpus)
