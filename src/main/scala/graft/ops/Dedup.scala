@@ -558,6 +558,44 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Leakage-safe train/val/test split: assign splits BY NEAR-DUP
+    * CLUSTER, not by document, so a document and its near-duplicates
+    * always land on the same side — the eval-integrity failure mode a
+    * per-doc hash split cannot prevent (a train doc's near-dup in the
+    * held-out split silently inflates eval scores; the published
+    * decontamination literature treats this as seriously as exact
+    * overlap). Composes [[jaccardClusters]] with the pinned md5 band
+    * assignment (`Sampling.splitAssign`) keyed on the CLUSTER label
+    * (the component's minimum doc id). Output per document:
+    * (`idCol`, `cluster`, `split`, `naive_split`, `naive_leak`) where
+    * `naive_split` is the per-doc assignment and `naive_leak` flags
+    * the docs the cluster-aware split rescued (they would have been
+    * separated from their cluster). Singletons and cluster
+    * representatives hash the same key under both schemes, so
+    * `naive_leak` is false there by construction — the flag isolates
+    * exactly the non-representative members whose coin differs.
+    *
+    * Scale shape: the clustering is the cost ([[jaccardClusters]]'s
+    * documented shape); both assignments are scan-side md5 CASEs, and
+    * the naive-vs-cluster compare is one equi-join on the id. A doc's
+    * split never migrates as the corpus grows unless its CLUSTER
+    * membership changes — the same stability contract as the per-doc
+    * split, lifted to components.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       fractions: Seq[(String, Double)], k: Int = 8,
+                       dfCap: Long = 20, tau: Double = 0.3,
+                       salt: String = "split"): DataFrame = {
+    val clusters = jaccardClusters(df, idCol, textCol, k, dfCap, tau)
+    val assigned = Sampling.splitAssign(clusters, "cluster", fractions, salt)
+    val naive = Sampling.splitAssign(df.select(col(idCol)), idCol,
+        fractions, salt)
+      .withColumnRenamed("split", "naive_split")
+    assigned.join(naive, Seq(idCol))
+      .select(col(idCol), col("cluster"), col("split"), col("naive_split"),
+        (col("split") =!= col("naive_split")).as("naive_leak"))
+  }
+
   /** 64-bit SimHash aggregator over token hashes: per bit, sum +-1 and
     * take the sign. A `TypedImperativeAggregate`-style Aggregator (one
     * pass, constant memory) — the idiomatic Spark form of a custom

@@ -575,6 +575,36 @@ object PipelineQueries {
       .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
+  /** Leakage-safe split: train/val/test by NEAR-DUP CLUSTER, so a doc
+    * and its near-dups never straddle a split boundary
+    * ([[Dedup.clusterSafeSplit]]); same fractions as
+    * `doc_split_assign`, same clustering as `dedup_jaccard_clusters`.
+    * Oracle composes the recursive-CTE components with the md5 band
+    * CASE on the cluster label and on the doc id.
+    */
+  private def dedupClusterSafeSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+      splitFractions, k = 8, dfCap = 20, tau = 0.3)
+
+  // lazy: composes splitFractions, declared later in this object
+  private lazy val dedupClusterSafeSplitSql = {
+    val cuts = splitFractions.init
+      .scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    def caseOn(key: String) = splitFractions.init.zip(cuts).map {
+      case ((name, _), cut) =>
+        s"WHEN md5('split:' || CAST($key AS VARCHAR)) < " +
+          s"'${Sampling.hexThreshold(cut)}' THEN '$name'"
+    }.mkString("\n    ") + s"\n    ELSE '${splitFractions.last._1}'"
+    s"""WITH cl AS ($jaccardClustersSql),
+       |sp AS (SELECT doc_id, cluster,
+       |         CASE ${caseOn("cluster")} END AS split,
+       |         CASE ${caseOn("doc_id")} END AS naive_split
+       |       FROM cl)
+       |SELECT doc_id, cluster, split, naive_split,
+       |       split != naive_split AS naive_leak
+       |FROM sp""".stripMargin
+  }
+
   private val dedupClusterSizeDistSql =
     s"""WITH cl AS ($jaccardClustersSql),
        |cs AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
@@ -5568,6 +5598,8 @@ object PipelineQueries {
     QueryDef("dedup_containment_pairs", containmentPairs,
       Some(containmentPairsSql)),
     QueryDef("dedup_jaccard_clusters", jaccardClusters, Some(jaccardClustersSql)),
+    QueryDef("dedup_cluster_safe_split", dedupClusterSafeSplit,
+      Some(dedupClusterSafeSplitSql)),
     QueryDef("dedup_cluster_size_dist", dedupClusterSizeDist,
       Some(dedupClusterSizeDistSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

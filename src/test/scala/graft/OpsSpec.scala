@@ -495,6 +495,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(202L) == ((0L, None, None, "keep")), s"${got(202L)}")
   }
 
+  test("clusterSafeSplit keeps near-dup clusters on one side of the split") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val fr = Seq("train" -> 0.5, "val" -> 0.5)
+    def coin(key: Long): String =
+      if (md5hex(s"split:$key") < Sampling.hexThreshold(0.5)) "train" else "val"
+    val got = Dedup.clusterSafeSplit(docs(corpus), "doc_id", "text", fr,
+        k = 8, dfCap = 1000, tau = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == corpus.map(_._1).toSet)
+    // the planted near-dup travels with its representative (doc 101's
+    // whitespace variant differs at the CHAR-shingle level — trim only
+    // strips ends — so it is a singleton here, covered below)
+    assert(got(100L)._1 == 0L && got(0L)._1 == 0L)
+    assert(got(100L)._2 == got(0L)._2, "cluster 0 split apart")
+    for ((id, (cluster, split, naive, leak)) <- got) {
+      assert(split == coin(cluster), s"doc $id split vs cluster coin")
+      assert(naive == coin(id), s"doc $id naive coin")
+      assert(leak == (split != naive), s"doc $id leak flag")
+      // singletons and representatives hash the same key both ways
+      if (cluster == id) assert(!leak, s"doc $id is its own representative")
+    }
+    // the fixture's planted members prove the flag can fire: doc 100's
+    // own coin differs from cluster 0's coin at these md5 values
+    assert(got(100L)._4 == (coin(100L) != coin(0L)))
+  }
+
   test("simhash: exact dup same signature, near dup low hamming") {
     val sigs = Dedup.simhashSignatures(docs(corpus), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
