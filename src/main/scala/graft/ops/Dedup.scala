@@ -375,6 +375,25 @@ object Dedup {
           .otherwise(lit("keep")).as("verdict"))
   }
 
+  /** The state-maintenance half of the incremental loop: after
+    * [[dedupIncrementalBands]] classifies a shard, merge the KEPT
+    * documents' band rows into the store so tomorrow's shard dedups
+    * against today's corpus + today's accepted increment. Takes the
+    * shard's already-computed band rows (never recomputes signatures)
+    * and a keep-id relation (first column = the id), left-semi prunes,
+    * unions. Near-dups of the reference are dropped here — that IS the
+    * dedup. Scale shape: a semi-join on the shard's band rows plus an
+    * append; with the store table partitioned by band and bucketed on
+    * the slice, the append is a partition-local write and no existing
+    * store row is ever rewritten.
+    */
+  def bandStoreMerge(store: DataFrame, shardBands: DataFrame,
+                     keepIds: DataFrame): DataFrame = {
+    val keep = keepIds.select(col(keepIds.columns.head).as("id"))
+    store.unionByName(shardBands.join(keep, Seq("id"), "left_semi"))
+      .select("band", "bh", "id")
+  }
+
   /** LSH recall/precision audit: run [[jaccardPairs]] (exact, over
     * df-capped rare-shingle postings) and [[minhashLshPairs]] (banded
     * candidates + full-postings verification) at the SAME tau and

@@ -824,10 +824,14 @@ object PipelineQueries {
     * shingle-Jaccard verification), then the per-shard-doc best-match
     * fold — every stage including the store contents is hash-gated.
     */
-  private val dedupIncrementalSql = {
+  /** The CTE chain shared by `dedup_incremental_bands` and
+    * `dedup_band_store_merge`: both sides' signatures and band slices,
+    * the candidate band-equijoin, and the verified near-dup pairs.
+    */
+  private val dedupIncrementalCtes = {
     val vals = Dedup.minhashConstants(32).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""WITH cs(j, a, b) AS (VALUES $vals),
+    s"""cs(j, a, b) AS (VALUES $vals),
        |base AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
        |refd AS (SELECT doc_id, txt FROM base WHERE doc_id % 10 < 8),
        |shardd AS (SELECT doc_id, txt FROM base WHERE doc_id % 10 >= 8
@@ -870,7 +874,11 @@ object PipelineQueries {
        |        FROM common
        |        JOIN szs n1 ON n1.doc_id = sid
        |        JOIN szr n2 ON n2.doc_id = rid
-       |        WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5),
+       |        WHERE round(cnt * 1.0 / (n1.n + n2.n - cnt), 6) >= 0.5)""".stripMargin
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH $dedupIncrementalCtes,
        |best AS (SELECT sid, rid, jac,
        |           row_number() OVER (PARTITION BY sid
        |             ORDER BY jac DESC, rid) AS rn
@@ -886,7 +894,49 @@ object PipelineQueries {
        |LEFT JOIN agg ON agg.sid = sd.doc_id
        |LEFT JOIN (SELECT sid, rid, jac FROM best WHERE rn = 1) b
        |  ON b.sid = sd.doc_id""".stripMargin
+
+  /** Band-store maintenance after an increment
+    * ([[Dedup.bandStoreMerge]]): the kept shard docs' band rows merge
+    * into the store; the query emits the merged store's per-band
+    * bucket-occupancy histogram — the LSH-table health readout that
+    * tells a 100 TB pipeline when band bits need widening (bucket
+    * occupancy grows linearly with the corpus at fixed band width).
+    * The composed form recomputes the shard signatures the classifier
+    * also computed — production reuses one `minhashBandStore` frame
+    * for both; here each side is independently hash-gated.
+    */
+  private def dedupBandStoreMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ref = base.filter(col("doc_id") % 10 < 8)
+    val shard = base.filter(col("doc_id") % 10 >= 8)
+      .unionByName(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val store = Dedup.minhashBandStore(ref, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8)
+    val shardBands = Dedup.minhashBandStore(shard, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8)
+    val verdicts = Dedup.dedupIncrementalBands(shard, store, ref,
+      "doc_id", "text", numHashes = 32, bands = 8, k = 8, tau = 0.5)
+    val keep = verdicts.filter(col("verdict") === "keep").select("doc_id")
+    Dedup.bandStoreMerge(store, shardBands, keep)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
   }
+
+  private val dedupBandStoreMergeSql =
+    s"""WITH $dedupIncrementalCtes,
+       |keepd AS (SELECT doc_id FROM shardd
+       |          WHERE doc_id NOT IN (SELECT sid FROM ver)),
+       |merged AS (SELECT band, key FROM bandr
+       |           UNION ALL
+       |           SELECT band, key FROM bands
+       |           WHERE doc_id IN (SELECT doc_id FROM keepd)),
+       |occ AS (SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+       |        FROM merged GROUP BY 1, 2)
+       |SELECT CAST(band AS INT) AS band, bucket_size,
+       |       CAST(count(*) AS BIGINT) AS n_buckets
+       |FROM occ GROUP BY 1, 2""".stripMargin
 
   private def dedupEditVerified(s: SparkSession, dir: String): DataFrame =
     Dedup.editVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -5607,6 +5657,8 @@ object PipelineQueries {
     QueryDef("dedup_bloom_prefilter", dedupBloomPrefilter,
       Some(dedupBloomPrefilterSql)),
     QueryDef("doc_snapshot_diff", docSnapshotDiff, Some(docSnapshotDiffSql)),
+    QueryDef("dedup_band_store_merge", dedupBandStoreMerge,
+      Some(dedupBandStoreMergeSql)),
     QueryDef("dedup_incremental_bands", dedupIncremental,
       Some(dedupIncrementalSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

@@ -493,6 +493,19 @@ class OpsSpec extends AnyFunSuite {
       s"${got(201L)}")
     // fresh text: zero matches, keep, null best
     assert(got(202L) == ((0L, None, None, "keep")), s"${got(202L)}")
+    // state maintenance: only the kept doc's band rows join the store
+    val shardBands = Dedup.minhashBandStore(shard, "doc_id", "text",
+      numHashes = 32, bands = 8, k = 8)
+    val keep = shard.select(col("doc_id"))
+      .filter(col("doc_id") === 202L)
+    val merged = Dedup.bandStoreMerge(store, shardBands, keep)
+      .collect().map(_.toSeq).toSet
+    val wantMerged = store.collect().map(_.toSeq).toSet ++
+      shardBands.filter(col("id") === 202L).collect().map(_.toSeq).toSet
+    assert(merged == wantMerged, "merged store must be store + kept bands")
+    assert(merged.count(_.last == 202L) == 8, "8 band rows for the kept doc")
+    assert(!merged.exists(r => r.last == 200L || r.last == 201L),
+      "near-dups of the reference must not enter the store")
   }
 
   test("clusterSafeSplit keeps near-dup clusters on one side of the split") {
