@@ -92,14 +92,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Canonical SparkSession builder settings for the engine: shuffle
   * parallelism sized to local cores (not the 200 default), AQE on, UTC,
   * and the graft extensions.
+  *
+  * `SPARK_GRAFT_CONF` (semicolon-separated `key=value` pairs) lays
+  * extra configuration on top — the measurement hook used by the
+  * optimization rounds' config A/Bs (e.g.
+  * `spark.sql.join.preferSortMergeJoin=false`). Values here never
+  * change what a query computes, only how its plan executes; the
+  * driver does not set it, so the benched defaults are exactly the
+  * explicit `.config(...)` calls below.
   */
 object Sessions {
-  def builder(cpus: Int): org.apache.spark.sql.SparkSession.Builder =
-    org.apache.spark.sql.SparkSession.builder()
+  def builder(cpus: Int): org.apache.spark.sql.SparkSession.Builder = {
+    val b = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(b) { (acc, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => acc.config(k.trim, v.trim)
+          case _ =>
+            System.err.println(s"[graft] ignoring malformed SPARK_GRAFT_CONF entry '$kv'")
+            acc
+        }
+      }
+  }
 }
