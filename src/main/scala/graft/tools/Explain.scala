@@ -18,11 +18,21 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     println(s"=== $name @ $sfDir (aqe=${!args.contains("--no-aqe")}) ===")
-    fn(spark, sfDir).explain("formatted")
+    val df = fn(spark, sfDir)
+    df.explain("formatted")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = graft.Materialize(fn(spark, sfDir))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    // With AQE the pre-execution plan is the INITIAL one
+    // (isFinalPlan=false); after materializing the same DataFrame, the
+    // re-printed plan shows the runtime-reoptimized joins and
+    // AQEShuffleReads — the shape that actually ran.
+    if (args.contains("--final") && reps >= 1) {
+      graft.Materialize(df)
+      println(s"=== $name FINAL (post-execution) plan ===")
+      df.explain("formatted")
     }
     spark.stop()
   }
