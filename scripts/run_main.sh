@@ -2,6 +2,8 @@
 # Dev runner: execute a graft main on the sbt-compiled classes without
 # the sbt project lock (matches build.sbt's forked-run JVM flags).
 # Usage: scripts/run_main.sh <mainClass> [args...]
+# NOTE: runs whatever is in target/ — run 'sbt compile' after source changes.
+REPO=$(cd "$(dirname "$0")/.." && pwd)
 MAIN="$1"; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
@@ -20,5 +22,5 @@ exec java \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

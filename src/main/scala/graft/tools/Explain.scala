@@ -8,9 +8,10 @@ import graft.{Sessions, SparkEntry}
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val pos = args.filterNot(_.startsWith("--"))
+    val name = pos(0)
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.1"
+    val reps = if (pos.length > 2) pos(2).toInt else 3
     val cpus = graft.Env.cpus(default = 32)
     var b = Sessions.builder(cpus)
     if (args.contains("--no-aqe")) b = b.config("spark.sql.adaptive.enabled", "false")
@@ -29,7 +30,7 @@ object Explain {
     // (isFinalPlan=false); after materializing the same DataFrame, the
     // re-printed plan shows the runtime-reoptimized joins and
     // AQEShuffleReads — the shape that actually ran.
-    if (args.contains("--final") && reps >= 1) {
+    if (args.contains("--final")) {
       graft.Materialize(df)
       println(s"=== $name FINAL (post-execution) plan ===")
       df.explain("formatted")
