@@ -92,22 +92,35 @@ object Graph {
                              rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     // simple graph: duplicate and reversed input pairs collapse, so a
-    // pair co-occurring in many baskets still casts ONE vote
+    // pair co-occurring in many baskets still casts ONE vote.
+    // Cached PRE-PARTITIONED on the join key m: the per-round label
+    // join then reads the cache's partitioning instead of re-shuffling
+    // the edge table once per round (only the domain-sized label table
+    // moves).
     val und = graft.data.ScopedCaches.materialize(
       edges.select(col(aCol).as("n"), col(bCol).as("m"))
         .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
-        .distinct())
+        .distinct()
+        .repartition(col("m")))
     var lab = und.select(col("n").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
-      val cnt = und.join(lab.withColumnRenamed("node", "m"), "m")
-        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("n"))
-        .orderBy(col("c").desc, col("lbl").asc)
+      // one explicit repartition on n, then BOTH aggregates ride it
+      // (HashPartitioning(n) satisfies the (n, lbl) clustering): two
+      // exchanges per round total, and the per-node top-1 is a
+      // combinable max(struct(c, -lbl)) aggregate — same row as the
+      // former row_number window (c desc, lbl asc over distinct
+      // (n, lbl) rows has a unique head), without sorting the vote
+      // table every round
+      val votes = und.join(lab.withColumnRenamed("node", "m")
+            .hint("shuffle_hash"), "m")
+        .select(col("n"), col("lbl"))
+        .repartition(col("n"))
       lab = graft.data.ScopedCaches.materialize(
-        cnt.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("n").as("node"), col("lbl")))
+        votes.groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("n"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("n").as("node"), (-col("m.nl")).as("lbl")))
     }
     lab
   }
@@ -318,7 +331,10 @@ object Graph {
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("x1") < col("x2")))
     val closing = orientedC.select(col("a").as("x1"), col("b").as("x2"))
-    val tri = wedges.join(closing, Seq("x1", "x2"))
+    // shuffled-hash, not sort-merge: the streamed side is the oriented
+    // wedge set (Σ out-d² rows) and a sort-merge join would SORT it;
+    // the hash build side is the edge set, bounded per partition
+    val tri = wedges.join(closing.hint("shuffle_hash"), Seq("x1", "x2"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = degC.agg(count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("long").as("n_edges"),
@@ -428,7 +444,9 @@ object Graph {
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("x1") < col("x2")))
     val closing = orientedC.select(col("a").as("x1"), col("b").as("x2"))
-    val triNodes = wedges.join(closing, Seq("x1", "x2"))
+    // shuffled-hash: stream the wedge set, hash-build the edge set —
+    // same rationale as [[triangleStats]]'s closing join
+    val triNodes = wedges.join(closing.hint("shuffle_hash"), Seq("x1", "x2"))
       .select(explode(array(col("a"), col("x1"), col("x2"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("t"))
     // top-k cut FIRST (TakeOrdered, never a global one-partition sort
@@ -477,7 +495,7 @@ object Graph {
     * 26.1 s vs this join's 21.6 s min-of-3 — the object-hash
     * collect_list aggregate and per-row slice copies cost more than
     * the join saves, because the self-join stays in whole-stage
-    * codegen and its two inputs reuse one exchange. The groupBy(u,v)
+    * codegen over one materialized adjacency. The groupBy(u,v)
     * shuffle of the wedge set dominates either way.
     */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
@@ -502,12 +520,22 @@ object Graph {
       .select(col("w"), col("n"),
         round(lit(1e9) / log(col("d").cast("double"))).cast("long")
           .as("w9"))
-    val s1 = adj.select(col("w"), col("n").as("u"), col("w9"))
-    val s2 = adj.select(col("w"), col("n").as("v"))
+    // materialized: the self-join's two map stages are submitted
+    // concurrently and each would recompute the explode + degree join
+    // (the two sides project different columns, so ReuseExchange never
+    // fires on the raw plan)
+    val adjC = graft.data.ScopedCaches.materialize(adj)
+    val s1 = adjC.select(col("w"), col("n").as("u"), col("w9"))
+    val s2 = adjC.select(col("w"), col("n").as("v"))
     val scores = s1.join(s2, Seq("w"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w9")).as("score9"))
-      .join(canonC, Seq("u", "v"), "left_anti")
+      // shuffled-hash, not sort-merge: the streamed side is the
+      // Σdeg²-sized pair-score table and a sort-merge anti join would
+      // SORT it; the hash build side is only the edge set, bounded per
+      // partition. Scale-safe at any corpus size (both sides stay
+      // shuffled) — this only skips the sort.
+      .join(canonC.hint("shuffle_hash"), Seq("u", "v"), "left_anti")
     val top = scores
       .orderBy(col("score9").desc, col("u"), col("v")).limit(topK)
     val wRank = org.apache.spark.sql.expressions.Window

@@ -1630,8 +1630,19 @@ object TextAnalysis {
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, k: Int = 8):
       org.apache.spark.sql.DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      explode(charShingles(col(textCol), k)).as("s"))
+    // positions exploded then substr + distinct, NOT
+    // explode(charShingles(...)): transform/array_distinct are
+    // CodegenFallback higher-order functions, so the per-row array
+    // build runs interpreted and dominates the scan; this shape keeps
+    // the shingle pass in whole-stage codegen and produces the same
+    // distinct (doc, shingle) set
+    val t = lower(trim(col(textCol)))
+    val sh = df.select(col(idCol).as("doc_id"), t.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col("__t")) - (k - 1), lit(1)))).as("__i"))
+      .select(col("doc_id"), col("__t").substr(col("__i"), lit(k)).as("s"))
+      .distinct()
     val shC = graft.data.ScopedCaches.track(sh)
     val firsts = shC.groupBy(col("s")).agg(min(col("doc_id")).as("fdoc"))
     shC.join(firsts, "s")

@@ -911,10 +911,15 @@ object PipelineQueries {
     val shard = base.filter(col("doc_id") % 10 >= 8)
       .unionByName(base.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val store = Dedup.minhashBandStore(ref, "doc_id", "text",
-      numHashes = 32, bands = 8, k = 8)
-    val shardBands = Dedup.minhashBandStore(shard, "doc_id", "text",
-      numHashes = 32, bands = 8, k = 8)
+    // both band stores are consumed twice (the classifier's candidate
+    // join AND the final merge) — tracked caches run each signature
+    // job once instead of re-deriving md5 postings + 32-min aggregates
+    val store = graft.data.ScopedCaches.track(
+      Dedup.minhashBandStore(ref, "doc_id", "text",
+        numHashes = 32, bands = 8, k = 8))
+    val shardBands = graft.data.ScopedCaches.track(
+      Dedup.minhashBandStore(shard, "doc_id", "text",
+        numHashes = 32, bands = 8, k = 8))
     val verdicts = Dedup.dedupIncrementalBands(shard, store, ref,
       "doc_id", "text", numHashes = 32, bands = 8, k = 8, tau = 0.5)
     val keep = verdicts.filter(col("verdict") === "keep").select("doc_id")
